@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship RFM query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2.2 as
+(spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL the driver hash-compares against at sf0.01.
+
+Column-name and dtype parity with the oracle is maintained by construction:
+both sides are generated from shared constants in clusterforge_spark
+(see clusterforge_spark/oracle_sql.py for the float-determinism rules).
 """
 
 from __future__ import annotations
@@ -12,27 +15,146 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from clusterforge_spark import oracle_sql as OSQL
+from clusterforge_spark.operators import clustering as C
+from clusterforge_spark.operators import features as FE
+from clusterforge_spark.operators import metrics as M
+from clusterforge_spark.operators import relational as R
+from clusterforge_spark.session import configure_runtime
+from clusterforge_spark.sources.readers import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+ZCOLS = OSQL.ZCOLS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# assembled sub-plans (shared by several queries)
+# ---------------------------------------------------------------------------
+
+def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FE.compute_rfm(_t(spark, sf_dir, "events"))
+
+
+def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FE.scale_features(_rfm(spark, sf_dir))
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.assign_nearest(_scaled(spark, sf_dir))
+
+
+def _round4(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    exprs = [
+        F.round(c, 4).alias(c) if c in cols else F.col(c) for c in df.columns
+    ]
+    return df.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user RFM features (scan→filter→agg→having) at sf0.001."""
+    return _rfm(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- relational core (reference O1-O12) -------------------------------
+    q["q_scan_project"] = lambda spark, sf: R.scan_project(_t(spark, sf, "lineitem"))
+    q["q_filter_conjunctive"] = lambda spark, sf: R.filter_conjunctive(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_timestamp_parse"] = lambda spark, sf: R.timestamp_parts(_t(spark, sf, "events"))
+    q["q_rfm_features"] = _rfm
+    q["q_having_filter"] = lambda spark, sf: R.having_filter(_t(spark, sf, "orders"))
+    q["q_count_distinct_exact"] = lambda spark, sf: R.count_distinct_exact(
+        _t(spark, sf, "events")
+    )
+    q["q_count_distinct_approx"] = lambda spark, sf: R.count_distinct_approx(
+        _t(spark, sf, "events")
+    )
+    q["q_top_k_revenue"] = lambda spark, sf: R.top_k(_t(spark, sf, "lineitem"), k=100)
+    q["q_join_enrich"] = lambda spark, sf: R.join_enrich(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
+    q["q_window_sessionize"] = lambda spark, sf: R.window_sessionize(
+        _t(spark, sf, "events")
+    )
+
+    # --- normalization + deterministic cluster geometry (O13-O25) ---------
+    def q_scaler_params(spark, sf):
+        params = FE.fit_scaler(_rfm(spark, sf))
+        return _round4(params, tuple(params.columns))
+
+    q["q_scaler_params"] = q_scaler_params
+    q["q_standard_scaler"] = lambda spark, sf: _round4(_scaled(spark, sf), ZCOLS)
+
+    q["q_centroid_assign"] = lambda spark, sf: _round4(
+        _assigned(spark, sf).select("user_id", "cluster", "dist"), ("dist",)
+    )
+    q["q_cluster_sizes"] = lambda spark, sf: C.cluster_sizes(_assigned(spark, sf))
+    q["q_inertia"] = lambda spark, sf: C.inertia(_assigned(spark, sf))
+
+    def q_predict_new_point(spark, sf):
+        params = FE.fit_scaler(_rfm(spark, sf))
+        zpt = params.select(
+            *[
+                ((F.lit(v) - F.col(f"{c}_mean")) / F.col(f"{c}_std")).alias(f"{c}_z")
+                for c, v in zip(FE.RFM_COLS, OSQL.DEFAULT_NEW_POINT)
+            ]
+        )
+        return _round4(C.assign_nearest(zpt), (*ZCOLS, "dist"))
+
+    q["q_predict_new_point"] = q_predict_new_point
+    q["q_silhouette_sample"] = lambda spark, sf: M.silhouette_sample(_assigned(spark, sf))
+    q["q_silhouette_mean"] = lambda spark, sf: M.silhouette_mean(
+        M.silhouette_sample(_assigned(spark, sf))
+    )
+
+    # --- MLlib K-means (O18-O22; seeded, rows-only check) -----------------
+    def q_kmeans_fit(spark, sf):
+        res = C.fit_kmeans(_scaled(spark, sf), k=4)
+        return res.assignments.select(
+            "user_id", F.col("cluster").cast("long").alias("cluster")
+        )
+
+    q["q_kmeans_fit"] = q_kmeans_fit
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_scan_project": OSQL.q_scan_project(),
+        "q_filter_conjunctive": OSQL.q_filter_conjunctive(),
+        "q_timestamp_parse": OSQL.q_timestamp_parse(),
+        "q_rfm_features": OSQL.q_rfm_features(),
+        "q_having_filter": OSQL.q_having_filter(),
+        "q_count_distinct_exact": OSQL.q_count_distinct_exact(),
+        # q_count_distinct_approx: HLL++ estimate — rows-only by design
+        "q_top_k_revenue": OSQL.q_top_k_revenue(k=100),
+        "q_join_enrich": OSQL.q_join_enrich(),
+        "q_window_sessionize": OSQL.q_window_sessionize(),
+        "q_scaler_params": OSQL.q_scaler_params(),
+        "q_standard_scaler": OSQL.q_standard_scaler(),
+        "q_centroid_assign": OSQL.q_centroid_assign(),
+        "q_cluster_sizes": OSQL.q_cluster_sizes(),
+        "q_inertia": OSQL.q_inertia(),
+        "q_predict_new_point": OSQL.q_predict_new_point(),
+        "q_silhouette_sample": OSQL.q_silhouette_sample(),
+        "q_silhouette_mean": OSQL.q_silhouette_mean(),
+        # q_kmeans_fit: seeded iterative MLlib — rows-only by design
+    }

@@ -1,0 +1,120 @@
+"""Feature engineering: RFM aggregation + z-score standardization.
+
+Reference semantics preserved (SURVEY.md §1.4):
+  * RFM per customer: Recency from max(ts) vs a literal reference instant,
+    Frequency = exact COUNT(DISTINCT invoice) cast double, Monetary =
+    SUM(amount)  (data.rs:153-164).
+  * Recency = (ref_µs − last_µs) / 1e6 / 86400 fractional days
+    (data.rs:166-169).
+  * HAVING Recency ≥ 0 ∧ Frequency > 0 ∧ Monetary > 0 (data.rs:177-183).
+  * Standardization uses **population** σ (divide by n — data.rs:31-36;
+    Spark's default `stddev` is sample σ, so `stddev_pop` is mandatory)
+    with σ floored at 1e-8 (data.rs:37).
+
+Unlike the reference, nothing ever leaves the DataFrame: the reference's
+DataFrame→ndarray copy (data.rs:194-225) has no analog here, and the fitted
+scaler is a 1-row DataFrame broadcast-joined onto the data, so transform is
+a map-only stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Reference instant for recency on the driver's `events` table (its ts
+#: range is 2024; the reference's own default was 2011-12-09 for the UCI
+#: retail data, data.rs:98).
+DEFAULT_REF_INSTANT = "2024-07-01 00:00:00"
+
+#: Microseconds per day — recency denominator (data.rs:168).
+US_PER_DAY = 86_400_000_000
+
+RFM_COLS = ("recency", "frequency", "monetary")
+
+
+def _ref_us(ref_instant: str) -> F.Column:
+    return F.unix_micros(F.to_timestamp(F.lit(ref_instant)))
+
+
+def compute_rfm(events: DataFrame, ref_instant: str = DEFAULT_REF_INSTANT) -> DataFrame:
+    """Per-user RFM features over the events table (O6-O12).
+
+    events columns used: user_id (customer key), ts (event time), event_id
+    (invoice analog), value (amount analog). One hash-aggregate shuffle on
+    user_id computes all three features; countDistinct adds the expand
+    step Catalyst plans for exact distinct together with grouped aggs.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_id").cast("double").alias("frequency"),
+            # decimal accumulation → exact, order-independent money sum
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+        .withColumn(
+            "recency",
+            (_ref_us(ref_instant) - F.unix_micros("last_ts")).cast("double")
+            / F.lit(float(US_PER_DAY)),
+        )
+        .select("user_id", "recency", "frequency", "monetary")
+        # post-aggregation quality filter (HAVING) — data.rs:177-183
+        .filter((F.col("recency") >= 0) & (F.col("frequency") > 0) & (F.col("monetary") > 0))
+    )
+
+
+def fit_scaler(df: DataFrame, cols: tuple[str, ...] = RFM_COLS) -> DataFrame:
+    """Fit a z-score scaler: 1-row DataFrame of per-column μ and σ_pop.
+
+    σ is population stddev floored at 1e-8 (data.rs:31-37). Keeping the
+    fit as a DataFrame (instead of collecting to the driver) lets
+    transform() broadcast-join it, so fit+transform is one job and the
+    params never round-trip through Python.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"{c}_mean"))
+        aggs.append(F.greatest(F.stddev_pop(c), F.lit(1e-8)).alias(f"{c}_std"))
+    return df.agg(*aggs)
+
+
+def transform_scaler(
+    df: DataFrame,
+    params: DataFrame,
+    cols: tuple[str, ...] = RFM_COLS,
+    keep: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Apply z = (x − μ)/σ via a broadcast cross-join of the 1-row params.
+
+    Map-only stage: no shuffle, stays inside whole-stage codegen.
+    """
+    out = df.crossJoin(F.broadcast(params))
+    zcols = [
+        ((F.col(c) - F.col(f"{c}_mean")) / F.col(f"{c}_std")).alias(f"{c}_z") for c in cols
+    ]
+    return out.select(*[F.col(k) for k in keep], *zcols)
+
+
+def scale_features(
+    df: DataFrame,
+    cols: tuple[str, ...] = RFM_COLS,
+    keep: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """fit + transform in one lazy plan (reference fit_transform, data.rs:56-60)."""
+    return transform_scaler(df, fit_scaler(df, cols), cols, keep)
+
+
+def scale_point(
+    params_row: dict, point: tuple[float, ...], cols: tuple[str, ...] = RFM_COLS
+) -> list[float]:
+    """Scale one new (R, F, M) triple with fitted params (data.rs:78-87).
+
+    Driver-side math on a collected 1-row params dict — the reference's
+    scale_new_data validates len==3; we validate against ``cols``.
+    """
+    if len(point) != len(cols):
+        raise ValueError(f"expected {len(cols)} values, got {len(point)}")
+    return [
+        (x - params_row[f"{c}_mean"]) / params_row[f"{c}_std"] for c, x in zip(cols, point)
+    ]

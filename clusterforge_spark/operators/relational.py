@@ -1,0 +1,194 @@
+"""Relational core: scan/project/filter/aggregate/having/top-k/join/window.
+
+Covers reference operators O1-O12 (SURVEY.md §2.1) re-expressed on the
+driver's TPC-H-ish tables, plus the join/sort/window surface the reference
+lacks but any engine user needs (SURVEY.md §2.3). Everything here is pure
+DataFrame API → Catalyst gets predicate pushdown, column pruning, constant
+folding and join planning for free; no UDFs, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scan_project(lineitem: DataFrame) -> DataFrame:
+    """O1+O4+O11: scan → computed column → pruned projection.
+
+    revenue = l_extendedprice * (1 - l_discount), the TPC-H revenue
+    expression (reference analog: TotalAmount = Quantity * UnitPrice,
+    data.rs:124). Projecting only 4 columns lets Catalyst prune the parquet
+    scan's ReadSchema to exactly these — verified in tests/test_plans.py.
+    """
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+def filter_conjunctive(lineitem: DataFrame) -> DataFrame:
+    """O2: conjunctive predicate, pushed down to the scan.
+
+    Mirrors the reference's row filter Quantity>0 ∧ UnitPrice>0 ∧
+    CustomerID IS NOT NULL (data.rs:106-112) on lineitem columns, with one
+    extra range predicate so the pushdown is non-trivial.
+    """
+    return lineitem.filter(
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & F.col("l_orderkey").isNotNull()
+        & (F.col("l_discount") < 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+def timestamp_parts(events: DataFrame, ref_date: str = "2024-07-01") -> DataFrame:
+    """O3+O10: timestamp decomposition + day arithmetic vs a literal.
+
+    All parts are extracted under the session's UTC timezone; day_diff is
+    date-granularity (datediff), epoch_us is the µs-truncated epoch — both
+    exactly reproducible by the DuckDB oracle.
+    """
+    # computed ints cast to long so schemas line up with the oracle's BIGINTs
+    return events.select(
+        "event_id",
+        F.year("ts").cast("long").alias("ts_year"),
+        F.month("ts").cast("long").alias("ts_month"),
+        F.dayofmonth("ts").cast("long").alias("ts_day"),
+        F.hour("ts").cast("long").alias("ts_hour"),
+        F.minute("ts").cast("long").alias("ts_minute"),
+        F.datediff(F.lit(ref_date).cast("date"), F.col("ts").cast("date"))
+        .cast("long")
+        .alias("day_diff"),
+        F.unix_micros("ts").alias("epoch_us"),
+    )
+
+
+def having_filter(orders: DataFrame) -> DataFrame:
+    """O6+O12: groupBy → agg → post-aggregation filter (HAVING).
+
+    Catalyst plans this as Filter(Aggregate(...)) with a map-side partial
+    aggregate before the shuffle on o_custkey.
+    """
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            # Money sums accumulate in DECIMAL: exact, order-independent
+            # (a double sum's low bits depend on partial-agg order — not
+            # reproducible across engines or even across runs at scale).
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count("*").alias("order_count"),
+        )
+        .filter((F.col("total_spend") > 100000.0) & (F.col("order_count") > 1))
+    )
+
+
+def count_distinct_exact(events: DataFrame) -> DataFrame:
+    """O8: exact per-group COUNT(DISTINCT) (cast double, data.rs:158-161).
+
+    Exact distinct is a two-phase shuffle (expand + final agg); fine when
+    group cardinality is bounded. The 100 TB-friendly variant is
+    :func:`count_distinct_approx`.
+    """
+    return events.groupBy("user_id").agg(
+        F.countDistinct("event_id").cast("double").alias("distinct_events"),
+        F.countDistinct("event_type").alias("distinct_types"),
+    )
+
+
+def count_distinct_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """O8 scalable variant: HyperLogLog++ approx_count_distinct.
+
+    One pass, fixed memory per group — the right default at 100 TB where
+    exact distinct's expand-shuffle is the bottleneck.
+    """
+    return events.groupBy("user_id").agg(
+        F.approx_count_distinct("event_id", rsd).alias("approx_events")
+    )
+
+
+def top_k(lineitem: DataFrame, k: int = 100) -> DataFrame:
+    """Sort/limit/top-k (absent from the reference — SURVEY.md §2.3).
+
+    Deterministic total order (revenue DESC, then keys) so the result set
+    is unique. Spark plans orderBy+limit as TakeOrderedAndProject — each
+    partition keeps only its top-k, then the driver merges k·p rows; no
+    global sort materialization at any scale.
+    """
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            # no rounding: a product of two doubles is bit-identical IEEE
+            # arithmetic in any engine, so the sort order is reproducible
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .limit(k)
+    )
+
+
+def join_enrich(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Star join + rollup: revenue per nation and market segment.
+
+    lineitem ⋈ orders is the big fact-fact join: both sides shuffle on the
+    order key (sort-merge or shuffled-hash, AQE decides; at 100 TB this is
+    THE shuffle, so both sides are pre-pruned to join keys + needed
+    columns). customer and nation are dimensions → explicit broadcast()
+    hints make them map-side joins with no extra shuffle.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    od = orders.select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+    na = nation.select("n_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            # revenue is a computed double (can't be decimal-exact without
+            # re-rounding inputs); 2dp output leaves ~7 orders of magnitude
+            # of headroom over double-sum reordering error
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.count("*").alias("lineitem_count"),
+        )
+    )
+
+
+def window_sessionize(events: DataFrame) -> DataFrame:
+    """Event-time tumbling window + per-user ranking (extension surface).
+
+    Tumbling 1-hour windows via time bucketing (date_trunc) — the batch
+    analog of Structured Streaming's window(ts, '1 hour') used in
+    streaming/sessionize.py; plus a rank over each user's buckets.
+    One shuffle on (user_id) covers both the aggregate and the window
+    function because the window partitions by the same key.
+    """
+    from pyspark.sql.window import Window
+
+    bucketed = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").alias("events_in_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_in_hour"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("events_in_hour").desc(), F.col("hour_start")
+    )
+    return bucketed.select(
+        "user_id",
+        F.unix_micros("hour_start").alias("hour_start_us"),
+        "events_in_hour",
+        "value_in_hour",
+        F.row_number().over(w).cast("long").alias("busy_rank"),
+    )

@@ -1,0 +1,86 @@
+"""SparkSession construction and runtime configuration.
+
+Two entry points:
+
+* :func:`get_spark` — build a session for our own CLI / tests / bench.
+* :func:`configure_runtime` — set the *dynamic* SQL confs this engine
+  depends on, on a session we do not own (the correctness driver builds its
+  own ``SparkSession`` and hands it to ``__spark_entry__``); every conf set
+  here is runtime-settable.
+
+Scale posture (100 TB): AQE handles runtime coalescing and skew joins, so
+partition counts only need to be in the right ballpark; all timestamp math
+is pinned to UTC so results do not depend on cluster locale; Arrow is on so
+any pandas-UDF path (multimodal decode) transfers columnar batches, not
+pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Dynamic (runtime-settable) confs the engine requires regardless of who
+#: built the session.
+_RUNTIME_CONFS: dict[str, str] = {
+    # Driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS) which
+    # Spark's vectorized reader rejects; read it as epoch-nanos LongType and
+    # convert explicitly (sources/readers.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # All calendar math (date parts, day diffs, tumbling windows) in UTC —
+    # results must not depend on cluster-local timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing + skew-join
+    # splitting. Essential at 100 TB where static partition counts are
+    # always wrong for somebody.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-interop edges (multimodal decode UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic confs to an externally-owned session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A static conf on some build — never fatal; readers have
+            # fallbacks and queries pin UTC-stable output columns.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "clusterforge-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for the test/bench environment; on a real cluster, pass ``None`` and
+    launch through ``spark-submit`` so the cluster manager decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Keep broadcast threshold at default 10 MB; dimension tables
+        # (region/nation/customer at test SF) broadcast automatically, and
+        # we additionally hint broadcast() where the small side is known.
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,197 @@
+"""Sources: schema-pinned Parquet/CSV readers.
+
+The reference scans one CSV with bounded schema inference and silent
+bad-row dropping (reference data.rs:102-105,
+``LazyCsvReader…with_infer_schema_length(10000)…with_ignore_errors(true)``).
+At 100 TB schema inference is an extra full pass and silently-shifting
+types; this engine therefore *declares* every table schema and treats
+inference as an opt-in convenience for ad-hoc CSVs
+(``read_retail_csv(infer=True)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver testdata tables (TESTDATA.md / FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
+    # (epoch nanos) under spark.sql.legacy.parquet.nanosAsLong=true;
+    # load_table converts it to a microsecond TimestampType column.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table with its declared schema.
+
+    Timestamp normalization: ``events.ts`` arrives as epoch-nanos long
+    (see TABLE_SCHEMAS); it is floor-truncated to microseconds (``div
+    1000``) — the same truncation DuckDB's ``epoch_us`` applies to its
+    TIMESTAMP_NS values, so oracle comparisons agree exactly.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise ValueError(f"unknown table {name!r}; expected one of {sorted(TABLE_SCHEMAS)}")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Reference-native retail CSV (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+#: Expected input schema of the reference's transactions CSV
+#: (reference README.md:184-195). InvoiceDate is read as string and parsed
+#: explicitly, mirroring the reference's two-step load
+#: (data.rs:102-123: inferred scan keeps it utf8, then strict strptime).
+RETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("InvoiceNo", T.StringType()),
+        T.StructField("StockCode", T.StringType()),
+        T.StructField("Description", T.StringType()),
+        T.StructField("Quantity", T.LongType()),
+        T.StructField("InvoiceDate", T.StringType()),
+        T.StructField("UnitPrice", T.DoubleType()),
+        T.StructField("CustomerID", T.LongType()),
+        T.StructField("Country", T.StringType()),
+    ]
+)
+
+#: The reference's strptime format (data.rs:119: ``%m/%d/%Y %H:%M:%S``).
+RETAIL_TS_FORMAT = "M/d/yyyy H:mm:ss"
+
+
+def read_retail_csv(
+    spark: SparkSession,
+    path: str,
+    infer: bool = False,
+    strict_dates: bool = False,
+) -> DataFrame:
+    """Read a retail-transactions CSV (reference O1+O3).
+
+    * ``mode=DROPMALFORMED`` ≈ the reference's ``ignore_errors``
+      (data.rs:104) — malformed rows are silently dropped.
+    * ``strict_dates=True`` reproduces the reference's strptime
+      ``lit("raise")`` (data.rs:121): an unparsable InvoiceDate *after*
+      row filtering aborts the query. Default (False) maps bad dates to
+      null, Spark's native semantics; callers that need parity assert
+      no-null afterwards.
+    """
+    reader = spark.read.option("header", True).option("mode", "DROPMALFORMED")
+    if infer:
+        reader = reader.option("inferSchema", True)
+        df = reader.csv(path)
+    else:
+        df = reader.schema(RETAIL_SCHEMA).csv(path)
+    parse = F.to_timestamp("InvoiceDate", RETAIL_TS_FORMAT)
+    if strict_dates:
+        # raise-on-malformed (a non-null string that fails to parse aborts
+        # the job, like the reference's strptime "raise"). assert_true
+        # returns null on success, so filtering on isNull keeps every row
+        # while forcing per-row evaluation (a dropped column would be
+        # pruned away by Catalyst and never checked).
+        ok = F.col("InvoiceDate").isNull() | parse.isNotNull()
+        df = df.filter(
+            F.assert_true(
+                ok, F.concat(F.lit("unparsable InvoiceDate: "), F.col("InvoiceDate"))
+            ).isNull()
+        )
+    return df.withColumn("InvoiceDate", parse)
