@@ -17,11 +17,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.rounding import round_det
+
 from clusterforge_spark import oracle_sql as OSQL
 from clusterforge_spark.operators import clustering as C
+from clusterforge_spark.operators import dedup as DD
 from clusterforge_spark.operators import features as FE
 from clusterforge_spark.operators import metrics as M
+from clusterforge_spark.operators import multimodal as MM
 from clusterforge_spark.operators import relational as R
+from clusterforge_spark.operators import similarity as SIM
+from clusterforge_spark.operators import text as TX
 from clusterforge_spark.session import configure_runtime
 from clusterforge_spark.sources.readers import load_table
 
@@ -53,7 +59,7 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _round4(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     exprs = [
-        F.round(c, 4).alias(c) if c in cols else F.col(c) for c in df.columns
+        round_det(c, 4).alias(c) if c in cols else F.col(c) for c in df.columns
     ]
     return df.select(*exprs)
 
@@ -133,10 +139,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_kmeans_fit"] = q_kmeans_fit
+
+    # --- LLM-data-pipeline extensions (SURVEY.md §2.2 ext) ----------------
+    def _dup_docs(spark, sf):
+        return DD.docs_with_dups(_t(spark, sf, "documents"))
+
+    q["q_dedup_exact"] = lambda spark, sf: DD.dedup_exact(_dup_docs(spark, sf))
+    q["q_dedup_minhash"] = lambda spark, sf: DD.dedup_minhash_lsh(_dup_docs(spark, sf))
+    q["q_dedup_ngram"] = lambda spark, sf: DD.dedup_ngram_jaccard(_dup_docs(spark, sf))
+    q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
+    q["q_dedup_embedding"] = lambda spark, sf: DD.dedup_embedding_cosine(
+        DD.embs_with_dups(_t(spark, sf, "embeddings"))
+    )
+    q["q_sim_search_topk"] = lambda spark, sf: SIM.brute_force_topk(
+        _t(spark, sf, "embeddings")
+    )
+    q["q_sim_search_lsh"] = lambda spark, sf: SIM.lsh_topk(_t(spark, sf, "embeddings"))
+    q["q_sim_search_ivf"] = lambda spark, sf: SIM.ivf_topk(_t(spark, sf, "embeddings"))
+    q["q_text_stats"] = lambda spark, sf: TX.text_stats(_t(spark, sf, "documents"))
+    q["q_token_count"] = lambda spark, sf: TX.token_counts(_t(spark, sf, "documents"))
+    q["q_lang_id"] = lambda spark, sf: TX.lang_id(_t(spark, sf, "documents"))
+    q["q_quality_score"] = lambda spark, sf: TX.quality_score(_t(spark, sf, "documents"))
+    q["q_doc_fingerprint"] = lambda spark, sf: TX.doc_fingerprints(
+        _t(spark, sf, "documents")
+    ).withColumn("shingle_minhash", F.coalesce("shingle_minhash", F.lit(-1).cast("long")))
+    q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
+    q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
+        MM.attach_payload(_t(spark, sf, "documents"))
+    ).drop("histogram")
     return q
 
 
 def oracle_sql() -> dict[str, str]:
+    raw = _oracle_sql_raw()
+    # round() → floor-based deterministic rounding (matches the Spark
+    # side's functions/rounding.round_det bit-for-bit)
+    return {k: OSQL.rewrite_det_rounding(v) for k, v in raw.items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "q_scan_project": OSQL.q_scan_project(),
         "q_filter_conjunctive": OSQL.q_filter_conjunctive(),
@@ -157,4 +198,19 @@ def oracle_sql() -> dict[str, str]:
         "q_silhouette_sample": OSQL.q_silhouette_sample(),
         "q_silhouette_mean": OSQL.q_silhouette_mean(),
         # q_kmeans_fit: seeded iterative MLlib — rows-only by design
+        "q_dedup_exact": OSQL.q_dedup_exact(),
+        # q_dedup_minhash: MLlib MinHashLSH hash family — rows-only by design
+        "q_dedup_ngram": OSQL.q_dedup_ngram(),
+        "q_dedup_simhash": OSQL.q_dedup_simhash(),
+        "q_dedup_embedding": OSQL.q_dedup_embedding(),
+        "q_sim_search_topk": OSQL.q_sim_search_topk(),
+        "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
+        "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
+        "q_text_stats": OSQL.q_text_stats(),
+        "q_token_count": OSQL.q_token_count(),
+        "q_lang_id": OSQL.q_lang_id(),
+        "q_quality_score": OSQL.q_quality_score(),
+        "q_doc_fingerprint": OSQL.q_doc_fingerprint(),
+        "q_multimodal_meta": OSQL.q_multimodal_meta(),
+        # q_multimodal_decode: pandas-UDF byte statistics — rows-only by design
     }

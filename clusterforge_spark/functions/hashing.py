@@ -1,0 +1,107 @@
+"""Text hashing primitives — paired Spark/SQL, cross-engine identical.
+
+Token hash: first 15 hex chars of md5 parsed as a 60-bit non-negative
+int64. md5 is available and bit-identical in both Spark and DuckDB, which
+makes simhash / min-hash fingerprints oracle-checkable — unlike
+xxhash64/hash(), whose implementations differ between engines (those are
+still the right choice for production-scale MinHashLSH, used in the
+MLlib-based dedup path).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: simhash width: 60 usable bits from the 15-hex-char md5 prefix.
+SIMHASH_BITS = 60
+
+#: token pattern: runs of letters, digits, or single other non-space chars
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokens_sql(text_col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), t -> t != '')"
+    )
+
+
+def token_hashes_col(text_col: str = "text") -> Column:
+    """array<long> of 60-bit md5 token hashes (distinct tokens)."""
+    return F.transform(
+        F.array_distinct(tokens_col(text_col)),
+        lambda t: F.conv(F.md5(t).substr(1, 15), 16, 10).cast("long"),
+    )
+
+
+def token_hashes_sql(text_col: str = "text") -> str:
+    return (
+        f"list_transform(list_distinct({tokens_sql(text_col)}), "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    )
+
+
+def simhash_col(hashes_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """simhash over a precomputed array<long> of token hashes.
+
+    bit j of the result = sign of Σ_tokens (2·bit_j(h) − 1). Per-row
+    higher-order aggregates — zero shuffles, scales linearly.
+    """
+    def _voter(j: int):
+        # closure factory: pyspark introspects lambda arity, so the bit
+        # index must be captured by closure, not by a default argument
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    terms = []
+    for j in range(bits):
+        vote = F.aggregate(F.col(hashes_col), F.lit(0), _voter(j))
+        terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def simhash_sql(hashes_col: str, bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes_col}, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of lowercased text."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(text_col: str = "text", n: int = 3) -> str:
+    join = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct([{join} for i in generate_series(1, len(t) - {n - 1})]) "
+        f"ELSE [] END)"
+    )
+
+
+def min_hash_col(hashes_col: str) -> Column:
+    """Smallest hash — a 1-permutation min-hash document fingerprint."""
+    return F.array_min(F.col(hashes_col)).cast("long")

@@ -1,0 +1,150 @@
+"""Vector math over array<float> embedding columns — paired Spark/SQL.
+
+Every helper exists twice: a Spark ``Column`` builder and a DuckDB SQL
+string builder, both generated from the same Python literals with the
+same left-to-right association, so dot products / norms / cosines are
+bit-identical IEEE arithmetic in both engines (the basis of the oracle
+checks — no tolerance needed).
+
+Scale note: explicit per-index expansion (e[0]*q0 + …) keeps the whole
+computation inside Catalyst codegen as one projection — no UDF, no
+shuffle; a 100 TB scan of embeddings is embarrassingly parallel. For
+dynamic dimensions (not known at plan time) the F.aggregate/zip_with
+form in :func:`dot_dynamic` is the fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def _det_vec(dim: int, a: float, b: float) -> list[float]:
+    """Deterministic pseudo-random unit-scale vector (6dp literals)."""
+    return [round(math.sin(a * i + b) * 0.7, 6) for i in range(dim)]
+
+
+#: Literal query vector for similarity search queries.
+QUERY_VEC: list[float] = _det_vec(DIM, 12.9898, 78.233)
+
+#: 16 random hyperplanes for sign-LSH bucketing.
+HYPERPLANES: list[list[float]] = [_det_vec(DIM, 3.77 + 0.613 * j, 1.0 + j) for j in range(16)]
+
+#: 8 coarse centroids for the IVF-style partitioned search.
+IVF_CENTROIDS: list[list[float]] = [_det_vec(DIM, 7.13 + 1.27 * j, 2.0 + 3 * j) for j in range(8)]
+
+
+def py_dot(a: list[float], b: list[float]) -> float:
+    """Python-side dot with engine-identical left-to-right association."""
+    return reduce(lambda acc, t: acc + t, (x * y for x, y in zip(a, b)))
+
+
+QUERY_NORM: float = math.sqrt(py_dot(QUERY_VEC, QUERY_VEC))
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders
+# ---------------------------------------------------------------------------
+
+def _elem(col: str, i: int) -> Column:
+    return F.col(col).getItem(i).cast("double")
+
+
+def dot_lit(col: str, vals: list[float]) -> Column:
+    """dot(embedding, literal vector) as one codegen'd projection."""
+    terms = [_elem(col, i) * F.lit(float(v)) for i, v in enumerate(vals)]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def norm_col(col: str, dim: int = DIM) -> Column:
+    terms = [_elem(col, i) * _elem(col, i) for i in range(dim)]
+    return F.sqrt(reduce(lambda a, b: a + b, terms))
+
+
+def cosine_lit(col: str, vals: list[float]) -> Column:
+    """cosine(embedding, literal query) — norm of the literal precomputed."""
+    qnorm = math.sqrt(py_dot(vals, vals))
+    return dot_lit(col, vals) / (norm_col(col, len(vals)) * F.lit(qnorm))
+
+
+def dist2_lit(col: str, vals: list[float]) -> Column:
+    """squared L2 distance to a literal vector."""
+    terms = [
+        (_elem(col, i) - F.lit(float(v))) * (_elem(col, i) - F.lit(float(v)))
+        for i, v in enumerate(vals)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def cosine_cols(col_a: str, col_b: str, dim: int = DIM) -> Column:
+    """cosine between two embedding columns (for pairwise near-dup)."""
+    terms = [_elem(col_a, i) * _elem(col_b, i) for i in range(dim)]
+    dot = reduce(lambda a, b: a + b, terms)
+    return dot / (norm_col(col_a, dim) * norm_col(col_b, dim))
+
+
+def lsh_bucket(col: str, planes: list[list[float]] = HYPERPLANES) -> Column:
+    """Sign-LSH bucket id: bit j = [dot(e, plane_j) >= 0]."""
+    bits = [
+        F.when(dot_lit(col, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, p in enumerate(planes)
+    ]
+    return reduce(lambda a, b: a + b, bits).cast("long")
+
+
+def py_lsh_bucket(vec: list[float], planes: list[list[float]] = HYPERPLANES) -> int:
+    return sum((1 << j) for j, p in enumerate(planes) if py_dot(vec, p) >= 0)
+
+
+def dot_dynamic(col_a: str, col_b: str) -> Column:
+    """Runtime-dimension dot via zip_with + aggregate (the generic path)."""
+    prods = F.zip_with(col_a, col_b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (same literals, same association)
+# ---------------------------------------------------------------------------
+
+def _elem_sql(col: str, i: int) -> str:
+    # duckdb lists are 1-based; cast list<float> → DOUBLE[] widens exactly
+    return f"({col}::DOUBLE[])[{i + 1}]"
+
+
+def dot_lit_sql(col: str, vals: list[float]) -> str:
+    return "(" + " + ".join(f"{_elem_sql(col, i)} * ({v!r})" for i, v in enumerate(vals)) + ")"
+
+
+def norm_sql(col: str, dim: int = DIM) -> str:
+    terms = " + ".join(f"{_elem_sql(col, i)} * {_elem_sql(col, i)}" for i in range(dim))
+    return f"sqrt({terms})"
+
+
+def cosine_lit_sql(col: str, vals: list[float]) -> str:
+    qnorm = math.sqrt(py_dot(vals, vals))
+    return f"({dot_lit_sql(col, vals)} / ({norm_sql(col, len(vals))} * ({qnorm!r})))"
+
+
+def dist2_lit_sql(col: str, vals: list[float]) -> str:
+    return "(" + " + ".join(
+        f"({_elem_sql(col, i)} - ({v!r})) * ({_elem_sql(col, i)} - ({v!r}))"
+        for i, v in enumerate(vals)
+    ) + ")"
+
+
+def cosine_cols_sql(col_a: str, col_b: str, dim: int = DIM) -> str:
+    dot = " + ".join(f"{_elem_sql(col_a, i)} * {_elem_sql(col_b, i)}" for i in range(dim))
+    return f"(({dot}) / ({norm_sql(col_a, dim)} * {norm_sql(col_b, dim)}))"
+
+
+def lsh_bucket_sql(col: str, planes: list[list[float]] = HYPERPLANES) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {dot_lit_sql(col, p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"

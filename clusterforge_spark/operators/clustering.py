@@ -22,6 +22,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.rounding import round_det
+
 #: Fixed literal centroids in scaled (z-score) RFM space for the
 #: deterministic geometry queries (k=4, dims = recency_z/frequency_z/
 #: monetary_z). Arbitrary but fixed — the oracle uses the same literals.
@@ -85,7 +87,7 @@ def cluster_sizes(assigned: DataFrame, cluster_col: str = "cluster") -> DataFram
         .select(
             cluster_col,
             "size",
-            F.round(F.col("size") * 100.0 / F.col("__total"), 4).alias("pct"),
+            round_det(F.col("size") * 100.0 / F.col("__total"), 4).alias("pct"),
         )
     )
 
@@ -104,7 +106,7 @@ def inertia(
         sq = F.col("dist") * F.col("dist")
     else:  # pragma: no cover - assign first in all current paths
         raise ValueError("run assign_nearest first (need dist column)")
-    return assigned.agg(F.round(F.sum(sq), 6).alias("inertia"))
+    return assigned.agg(round_det(F.sum(sq), 6).alias("inertia"))
 
 
 @dataclass

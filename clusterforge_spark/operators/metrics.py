@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.rounding import round_det
+
 
 def silhouette_sample(
     assigned: DataFrame,
@@ -79,7 +81,7 @@ def silhouette_sample(
         .select(
             "id",
             cluster_col,
-            F.round(
+            round_det(
                 F.when(
                     F.col("a_dist").isNull()
                     | F.col("b_dist").isNull()
@@ -97,4 +99,4 @@ def silhouette_sample(
 
 def silhouette_mean(per_point: DataFrame) -> DataFrame:
     """Mean of per-point silhouettes (model.rs:116-118)."""
-    return per_point.agg(F.round(F.avg("silhouette"), 4).alias("mean_silhouette"))
+    return per_point.agg(round_det(F.avg("silhouette"), 4).alias("mean_silhouette"))

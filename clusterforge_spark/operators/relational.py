@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.rounding import round_det
+
 
 def scan_project(lineitem: DataFrame) -> DataFrame:
     """O1+O4+O11: scan → computed column → pruned projection.
@@ -159,7 +161,7 @@ def join_enrich(
             # revenue is a computed double (can't be decimal-exact without
             # re-rounding inputs); 2dp output leaves ~7 orders of magnitude
             # of headroom over double-sum reordering error
-            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            round_det(F.sum("revenue"), 2).alias("total_revenue"),
             F.count("*").alias("lineitem_count"),
         )
     )

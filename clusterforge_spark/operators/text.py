@@ -1,0 +1,150 @@
+"""Text analysis operators: stats, token counting, language ID, quality
+scoring, fingerprinting.
+
+All pure built-in expressions (split / regexp / higher-order array
+functions) — per-row, map-only, no shuffle except the final group-bys;
+linear at any scale. Each has a matching DuckDB oracle (oracle_sql.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clusterforge_spark.functions.rounding import round_det
+
+from clusterforge_spark.functions import hashing as H
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Order defines the deterministic tie-break (alphabetical).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+#: CJK unified ideographs — presence ⇒ predict zh directly.
+CJK_PATTERN = "[一-鿿]"
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Corpus stats per language (counts exact, averages rounded)."""
+    toks = H.tokens_col("text")
+    per_doc = documents.select(
+        "lang",
+        F.col("n_chars"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        round_det(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        round_det(F.avg("n_chars_measured"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens + a BPE-ish regex count.
+
+    The regex counts letter runs, digit runs, and lone punctuation —
+    the word-boundary pre-split a BPE tokenizer applies before merges,
+    a cheap proxy for LLM token cost.
+    """
+    toks = H.tokens_col("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(H.TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID with CJK short-circuit.
+
+    predicted = 'zh' if any CJK char, else argmax stopword hits with
+    deterministic alphabetical tie-break (array_min over
+    struct(-score, lang) — struct ordering gives max score, then
+    lexicographically smallest language).
+    """
+    toks = H.tokens_col("text")
+    entries = [
+        F.struct(
+            (-_stopword_hits(toks, words)).cast("long").alias("neg"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.array_min(F.array(*entries))
+    predicted = F.when(
+        F.col("text").rlike(CJK_PATTERN), F.lit("zh")
+    ).otherwise(best.getField("lang"))
+    score_cols = [
+        _stopword_hits(toks, words).cast("long").alias(f"score_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    return documents.select(
+        "doc_id",
+        "lang",
+        *score_cols,
+        predicted.alias("predicted_lang"),
+    ).withColumn("is_match", (F.col("predicted_lang") == F.col("lang")).cast("boolean"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, punctuation, stopword density.
+
+    score = 0.4·min(1, tokens/64) + 0.3·(1 − punct_ratio)
+          + 0.3·min(1, 4·stopword_ratio)   — rounded to 4dp.
+    """
+    toks = H.tokens_col("text")
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.regexp_count(F.lower("text"), F.lit(r"[^a-z0-9\s]")).cast("double")
+    en_hits = _stopword_hits(toks, LANG_STOPWORDS["en"]).cast("double")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = en_hits / F.greatest(n_tokens, F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        round_det(punct_ratio, 4).alias("punct_ratio"),
+        round_det(stop_ratio, 4).alias("stopword_ratio"),
+        round_det(score, 4).alias("quality"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Min-hash fingerprints: smallest 60-bit md5 hash over distinct
+    tokens and over 5-gram shingles (1-permutation min-hash — the
+    winnowing-style compact document signature)."""
+    with_arrays = documents.select(
+        "doc_id",
+        H.token_hashes_col("text").alias("th"),
+        H.shingles_col("text", n=5).alias("sh5"),
+    )
+    shingle_hashes = F.transform(
+        F.col("sh5"), lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long")
+    )
+    return with_arrays.select(
+        "doc_id",
+        F.array_min("th").alias("token_minhash"),
+        F.when(F.size("sh5") > 0, F.array_min(shingle_hashes))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("shingle_minhash"),
+        F.size("th").cast("long").alias("n_distinct_tokens"),
+    )

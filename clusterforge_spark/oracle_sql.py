@@ -294,3 +294,332 @@ LEFT JOIN b_i ON s.id = b_i.id"""
 def q_silhouette_mean(n: int = 100) -> str:
     inner = q_silhouette_sample(n)
     return f"SELECT round(avg(silhouette), 4) AS mean_silhouette FROM (\n{inner}\n) t"
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extension queries (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+from clusterforge_spark.functions import hashing as _H  # noqa: E402
+from clusterforge_spark.functions import vector as _V  # noqa: E402
+from clusterforge_spark.operators.dedup import (  # noqa: E402
+    EXACT_DUP_OFFSET,
+    NEAR_DUP_OFFSET,
+)
+
+
+def dup_corpus_cte(n_exact: int = 100, n_near: int = 50) -> str:
+    """documents ∪ planted exact copies ∪ planted near copies — mirrors
+    operators/dedup.docs_with_dups exactly."""
+    toks = _H.tokens_sql("text")
+    return f"""dup_corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_DUP_OFFSET}, text, lang, source, n_chars
+  FROM documents WHERE doc_id < {n_exact}
+  UNION ALL
+  SELECT doc_id + {NEAR_DUP_OFFSET},
+         array_to_string(t[1:greatest(len(t) - 1, 1)], ' '),
+         lang, source, n_chars
+  FROM (SELECT *, {toks} AS t FROM documents)
+  WHERE doc_id < {n_near}
+)"""
+
+
+def q_dedup_exact() -> str:
+    return (
+        _chain(dup_corpus_cte())
+        + """
+SELECT md5(lower(text)) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM dup_corpus
+GROUP BY 1"""
+    )
+
+
+def q_dedup_ngram(n: int = 3, threshold: float = 0.2) -> str:
+    toks = _H.tokens_sql("text")
+    sh = _H.shingles_sql("text", n=n)
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+sh AS (
+  SELECT doc_id, lang, source, {sh} AS sh
+  FROM (SELECT doc_id, lang, source, {toks} AS t FROM dup_corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold!r}"""
+    )
+
+
+def q_dedup_simhash(max_hamming: int = 6, bands: int = 4, band_bits: int = 15) -> str:
+    th = _H.token_hashes_sql("text")
+    sim = _H.simhash_sql("th")
+    mask = (1 << band_bits) - 1
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+fp AS (
+  SELECT doc_id, {sim} AS simhash
+  FROM (SELECT doc_id, {th} AS th FROM dup_corpus)
+),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {band_bits})) & {mask} AS val
+  FROM fp CROSS JOIN (SELECT unnest([{", ".join(str(i) for i in range(bands))}]) AS band) bands
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+    )
+
+
+def emb_corpus_cte(n_copy: int = 100) -> str:
+    return f"""emb_corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EXACT_DUP_OFFSET}, embedding, label
+  FROM embeddings WHERE vec_id < {n_copy}
+)"""
+
+
+def q_dedup_embedding(threshold: float = 0.9) -> str:
+    cos = _V.cosine_cols_sql("a.embedding", "b.embedding")
+    return (
+        _chain(emb_corpus_cte())
+        + f""",
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({cos}, 6) AS cos_sim
+  FROM emb_corpus a JOIN emb_corpus b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {threshold!r}"""
+    )
+
+
+def _topk_sql(candidates_sql: str, k: int) -> str:
+    return f"""SELECT vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM ({candidates_sql})
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}"""
+
+
+def q_sim_search_topk(k: int = 10) -> str:
+    cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
+    return _topk_sql(
+        f"SELECT vec_id, round({cos}, 6) AS cos_sim FROM embeddings", k
+    )
+
+
+def q_sim_search_lsh(k: int = 10, n_planes: int = 8) -> str:
+    planes = _V.HYPERPLANES[:n_planes]
+    qb = _V.py_lsh_bucket(_V.QUERY_VEC, planes)
+    probe = sorted({qb} | {qb ^ (1 << j) for j in range(n_planes)})
+    bucket = _V.lsh_bucket_sql("embedding", planes)
+    cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
+    return _topk_sql(
+        f"""SELECT vec_id, round({cos}, 6) AS cos_sim
+FROM (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+WHERE bucket IN ({", ".join(str(b) for b in probe)})""",
+        k,
+    )
+
+
+def q_sim_search_ivf(k: int = 10, nprobe: int = 2) -> str:
+    from clusterforge_spark.operators.similarity import py_ivf_cells
+
+    cents = _V.IVF_CENTROIDS
+    cells = py_ivf_cells(_V.QUERY_VEC, cents, nprobe)
+    dists = ",\n         ".join(
+        f"{_V.dist2_lit_sql('embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
+    return _topk_sql(
+        f"""SELECT vec_id, round({cos}, 6) AS cos_sim
+FROM (
+  SELECT vec_id, embedding,
+         CAST({_argmin_case(len(cents)).replace('d', 'd')} AS BIGINT) AS cell
+  FROM (SELECT vec_id, embedding,
+         {dists}
+        FROM embeddings)
+)
+WHERE cell IN ({", ".join(str(c) for c in cells)})""",
+        k,
+    )
+
+
+def q_text_stats() -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH per AS (
+  SELECT lang, n_chars,
+         CAST(length(text) AS BIGINT) AS ncm,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(ncm), 4) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM per
+GROUP BY lang"""
+
+
+def q_token_count() -> str:
+    toks = _H.tokens_sql("text")
+    return f"""SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_H.TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents"""
+
+
+def _stopword_score_sql(lang: str, words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(toks, x -> list_contains([{lits}], x))) AS BIGINT)"
+        f" AS score_{lang}"
+    )
+
+
+def q_lang_id() -> str:
+    from clusterforge_spark.operators.text import CJK_PATTERN, LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    scores = ",\n         ".join(
+        _stopword_score_sql(lang, LANG_STOPWORDS[lang]) for lang in langs
+    )
+    # alphabetical >=-chain == argmax with tie → alphabetically first
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    toks = _H.tokens_sql("text")
+    return f"""WITH t AS (
+  SELECT doc_id, lang, text, {toks} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text,
+         {scores}
+  FROM t
+),
+p AS (
+  SELECT doc_id, lang, {", ".join(f"score_{lang}" for lang in langs)},
+         CASE WHEN regexp_matches(text, '{CJK_PATTERN}') THEN 'zh'
+              {" ".join(whens)}
+              ELSE '{langs[-1]}' END AS predicted_lang
+  FROM s
+)
+SELECT *, (predicted_lang = lang) AS is_match FROM p"""
+
+
+def q_quality_score() -> str:
+    from clusterforge_spark.operators.text import LANG_STOPWORDS
+
+    lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    toks = _H.tokens_sql("text")
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens_d,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(toks, x -> list_contains([{lits}], x))) AS DOUBLE) AS en_hits
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+)
+SELECT doc_id, n_tokens,
+       round(n_punct / greatest(n_chars_d, 1.0), 4) AS punct_ratio,
+       round(en_hits / greatest(n_tokens_d, 1.0), 4) AS stopword_ratio,
+       round(0.4 * least(1.0, n_tokens_d / 64.0)
+             + 0.3 * (1.0 - n_punct / greatest(n_chars_d, 1.0))
+             + 0.3 * least(1.0, 4.0 * (en_hits / greatest(n_tokens_d, 1.0))), 4) AS quality
+FROM base"""
+
+
+def q_doc_fingerprint() -> str:
+    toks = _H.tokens_sql("text")
+    th = _H.token_hashes_sql("text")
+    sh5 = _H.shingles_sql("text", n=5)
+    return f"""WITH w AS (
+  SELECT doc_id, {th} AS th, {sh5} AS sh5
+  FROM (SELECT doc_id, text, {toks} AS t FROM documents)
+)
+SELECT doc_id,
+       list_min(th) AS token_minhash,
+       coalesce(
+         CASE WHEN len(sh5) > 0
+              THEN list_min(list_transform(sh5, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))
+              ELSE NULL END,
+         -1) AS shingle_minhash,
+       CAST(len(th) AS BIGINT) AS n_distinct_tokens
+FROM w"""
+
+
+def q_multimodal_meta() -> str:
+    return """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(64 + doc_id % 192 AS BIGINT) AS width,
+       CAST(64 + (doc_id * 7) % 128 AS BIGINT) AS height,
+       CAST(1 + n_chars % 16 AS BIGINT) AS n_frames,
+       md5(text) AS content_md5
+FROM documents"""
+
+
+# --------------------------------------------------------------------------
+# deterministic-rounding rewrite (see functions/rounding.py)
+# --------------------------------------------------------------------------
+
+def rewrite_det_rounding(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` into ``floor(expr·10ⁿ + 0.5)/10ⁿ``.
+
+    DuckDB's round() rounds the binary double while Spark's rounds the
+    shortest decimal repr — they disagree on boundary values. The floor
+    form is pure IEEE arithmetic, identical in both engines; the Spark
+    operators use the same form (functions/rounding.round_det), so
+    rounded floats compare bit-equal.
+    """
+    out = sql
+    while True:
+        start = out.find("round(")
+        if start == -1:
+            return out
+        # guard against matching inside an identifier (none expected)
+        if start > 0 and (out[start - 1].isalnum() or out[start - 1] == "_"):
+            raise ValueError(f"unexpected identifier ending in round( at {start}")
+        depth = 0
+        i = start + len("round(")
+        arg_start = i
+        last_comma = -1
+        while True:
+            ch = out[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last_comma = i
+            i += 1
+        if last_comma == -1:
+            raise ValueError(f"round() without scale near {start}")
+        expr = out[arg_start:last_comma].strip()
+        scale = int(out[last_comma + 1 : i].strip())
+        s = float(10**scale)
+        repl = f"(floor(({expr}) * {s!r} + 0.5) / {s!r})"
+        out = out[:start] + repl + out[i + 1 :]
