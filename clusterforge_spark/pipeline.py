@@ -1,0 +1,264 @@
+"""End-to-end pipelines mirroring the reference CLI's two modes
+(main.rs:84-162 full run, main.rs:31-81 predict mode), generalized to
+either a retail CSV (reference-native schema) or the driver's events
+parquet.
+
+Differences from the reference, by design (SURVEY.md §7):
+  * K-means is seeded → reproducible runs (the reference re-randomizes
+    per invocation, model.rs:158).
+  * The fitted model is reusable; predict mode still offers the
+    reference's refit-from-raw behavior for parity, but ``KMeansResult``
+    can serve any number of predictions without refitting.
+  * Small-n fast path: after RFM aggregation the per-customer table is
+    tiny relative to the raw events (541k rows → 4,338 customers in the
+    reference's dataset). When n_customers ≤ ``driver_fit_threshold``
+    the Lloyd's loop runs on collected features in numpy (seeded,
+    deterministic) — the aggregation/scan stays fully distributed and
+    only k centroids × d floats of state matter; above the threshold we
+    fit with distributed MLlib. This is the same regime split MLlib
+    itself uses internally (centroids always live on the driver).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterforge_spark.operators import clustering as C
+from clusterforge_spark.operators import features as FE
+from clusterforge_spark.operators import metrics as M
+from clusterforge_spark.sources.readers import load_table, read_retail_csv
+
+ZCOLS = ("recency_z", "frequency_z", "monetary_z")
+
+
+@dataclass
+class PipelineResult:
+    n_rows: int
+    n_customers: int
+    k: int
+    centroids: list[list[float]]
+    inertia: float
+    cluster_sizes: list[tuple[int, int, float]]  # (cluster, size, pct)
+    silhouette: float | None
+    timings: dict[str, float] = field(default_factory=dict)
+    assignments: DataFrame | None = None
+    scaler_params: dict | None = None
+
+
+def _numpy_kmeans(feats, k: int, max_iter: int, tol: float, seed: int):
+    """Seeded Lloyd's on a small dense matrix (driver-side fast path)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = np.asarray(feats, dtype=np.float64)
+    centers = x[rng.choice(len(x), size=k, replace=False)]
+    labels = np.zeros(len(x), dtype=np.int64)
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        new_centers = np.array(
+            [
+                x[labels == j].mean(axis=0) if (labels == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        shift = float(np.sqrt(((new_centers - centers) ** 2).sum(axis=1)).max())
+        centers = new_centers
+        if shift < tol:
+            break
+    inertia = float(((x - centers[labels]) ** 2).sum())
+    return centers.tolist(), labels, inertia
+
+
+def load_events_rfm(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """RFM over the events table. ``spread=True`` round-robins the scan
+    across all cores first — the driver testdata is one single-row-group
+    file (scan parallelism 1), whereas any real deployment has many
+    splits; benchmarks use it to measure the engine, not the file layout.
+    """
+    events = load_table(spark, sf_dir, "events")
+    if spread:
+        events = events.repartition(spark.sparkContext.defaultParallelism)
+    return FE.compute_rfm(events)
+
+
+def load_retail_rfm(spark: SparkSession, csv_path: str, ref_instant: str) -> DataFrame:
+    """Reference-native load: CSV → filter → TotalAmount → RFM
+    (data.rs:97-191 semantics on the retail schema)."""
+    tx = read_retail_csv(spark, csv_path)
+    tx = tx.filter(
+        (F.col("Quantity") > 0)
+        & (F.col("UnitPrice") > 0)
+        & F.col("CustomerID").isNotNull()
+    ).withColumn("TotalAmount", F.col("Quantity") * F.col("UnitPrice"))
+    rfm = (
+        tx.groupBy("CustomerID")
+        .agg(
+            F.max("InvoiceDate").alias("last_ts"),
+            F.countDistinct("InvoiceNo").cast("double").alias("frequency"),
+            F.sum("TotalAmount").alias("monetary"),
+        )
+        .withColumn(
+            "recency",
+            (
+                F.unix_micros(F.to_timestamp(F.lit(ref_instant)))
+                - F.unix_micros("last_ts")
+            ).cast("double")
+            / F.lit(86_400_000_000.0),
+        )
+        .select(
+            F.col("CustomerID").alias("user_id"), "recency", "frequency", "monetary"
+        )
+        .filter(
+            (F.col("recency") >= 0) & (F.col("frequency") > 0) & (F.col("monetary") > 0)
+        )
+    )
+    return rfm
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    rfm: DataFrame,
+    n_rows: int,
+    k: int = 4,
+    max_iter: int = 300,
+    tol: float = 1e-4,
+    seed: int = 42,
+    silhouette_n: int = 100,
+    driver_fit_threshold: int = 1_000_000,
+) -> PipelineResult:
+    """RFM → scale → K-means → stats + sampled silhouette, with stage
+    timings in the shape of the reference's report (main.rs:87-145)."""
+    import numpy as np
+
+    timings: dict[str, float] = {}
+
+    if not (C.MIN_K <= k <= C.MAX_K):
+        raise ValueError(
+            f"Number of clusters must be between {C.MIN_K} and {C.MAX_K}, got {k}"
+        )
+
+    t0 = time.perf_counter()
+    scaled = FE.scale_features(rfm)
+    # one distributed job materializes the scaled per-customer table; at
+    # 100 TB of events this is still only one row per customer
+    rows = scaled.select("user_id", *ZCOLS).limit(driver_fit_threshold + 1).collect()
+    n = len(rows)
+    timings["rfm_scale"] = time.perf_counter() - t0
+    if n < k:
+        raise ValueError(f"Number of data points ({n}) must be >= number of clusters ({k})")
+
+    t0 = time.perf_counter()
+    if n <= driver_fit_threshold:
+        # small-n fast path: post-aggregation data fits on the driver by
+        # construction → seeded numpy Lloyd's; everything downstream
+        # (sizes, inertia, silhouette) is vectorized on the same matrix,
+        # zero extra Spark jobs.
+        x = np.array([[r[c] for c in ZCOLS] for r in rows], dtype=np.float64)
+        centroids, labels, inertia = _numpy_kmeans(x, k, max_iter, tol, seed)
+        counts = np.bincount(labels, minlength=k)
+        sizes = [
+            (int(j), int(counts[j]), round(100.0 * counts[j] / n, 4))
+            for j in range(k)
+            if counts[j] > 0
+        ]
+        timings["kmeans_fit"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        order = np.argsort([r.user_id for r in rows], kind="stable")
+        idx = order[: min(n, silhouette_n)]
+        sil = _numpy_silhouette(x[idx], labels[idx])
+        timings["silhouette"] = time.perf_counter() - t0
+        assigned = C.assign_nearest(scaled, tuple(tuple(c) for c in centroids), ZCOLS)
+    else:
+        scaled = scaled.cache()
+        res = C.fit_kmeans(scaled, k=k, max_iter=max_iter, tol=tol, seed=seed, cols=ZCOLS)
+        centroids, inertia = res.centroids, res.inertia
+        assigned = C.assign_nearest(
+            scaled, tuple(tuple(c) for c in centroids), ZCOLS
+        ).cache()
+        sizes = [
+            (r.cluster, r.size, r.pct) for r in C.cluster_sizes(assigned).collect()
+        ]
+        timings["kmeans_fit"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        sil = M.silhouette_mean(
+            M.silhouette_sample(assigned, id_col="user_id", cols=ZCOLS, n=silhouette_n)
+        ).collect()[0].mean_silhouette
+        timings["silhouette"] = time.perf_counter() - t0
+
+    return PipelineResult(
+        n_rows=n_rows,
+        n_customers=n,
+        k=k,
+        centroids=[list(map(float, c)) for c in centroids],
+        inertia=float(inertia),
+        cluster_sizes=sizes,
+        silhouette=float(sil) if sil is not None else None,
+        timings=timings,
+        assignments=assigned,
+    )
+
+
+def _numpy_silhouette(x, labels) -> float:
+    """Pairwise silhouette on the sampled matrix — same definition as
+    operators/metrics.silhouette_sample (degenerate cases → 0)."""
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return 0.0
+    d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2))
+    sil = np.zeros(n)
+    for i in range(n):
+        same = (labels == labels[i]) & (np.arange(n) != i)
+        others = [labels == c for c in np.unique(labels) if c != labels[i]]
+        if not same.any() or not others:
+            continue
+        a = d[i][same].mean()
+        b = min(d[i][m].mean() for m in others if m.any())
+        m = max(a, b)
+        sil[i] = (b - a) / m if m > 0 else 0.0
+    return round(float(sil.mean()), 4)
+
+
+def run_prediction(
+    spark: SparkSession,
+    rfm: DataFrame,
+    point: tuple[float, float, float],
+    k: int = 4,
+    seed: int = 42,
+    **kwargs,
+) -> tuple[int, PipelineResult]:
+    """Reference predict mode: full refit, then classify one (R,F,M)
+    triple with the fitted scaler + centroids (main.rs:31-81)."""
+    result = run_full_pipeline(spark, rfm, n_rows=-1, k=k, seed=seed, **kwargs)
+    params = FE.fit_scaler(rfm).collect()[0].asDict()
+    cluster, _dist = C.predict_point(
+        params, tuple(tuple(c) for c in result.centroids), point
+    )
+    return cluster, result
+
+
+def format_report(res: PipelineResult) -> str:
+    """Console stats report in the reference's shape (viz.rs:163-193)."""
+    lines = [
+        "=== Cluster Statistics ===",
+        f"clusters: {res.k}   points: {res.n_customers}",
+        f"inertia (WCSS): {res.inertia:.4f}",
+        f"silhouette (sampled): {res.silhouette}",
+    ]
+    total = sum(s for _, s, _ in res.cluster_sizes) or 1
+    for cluster, size, pct in sorted(res.cluster_sizes):
+        lines.append(f"  cluster {cluster}: {size} points ({pct:.1f}%)")
+    lines.append("centroids (scaled space):")
+    for i, c in enumerate(res.centroids):
+        lines.append("  c{}: [{}]".format(i, ", ".join(f"{v:.4f}" for v in c)))
+    for stage, secs in res.timings.items():
+        lines.append(f"t_{stage}: {secs:.3f}s")
+    return "\n".join(lines)

@@ -24,10 +24,12 @@ from clusterforge_spark.sources.readers import TABLE_SCHEMAS
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; the
     ns-epoch ts converted exactly as the batch reader does)."""
+    # the file source requires a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,83 @@
+"""Dedup strategies must find the planted duplicates (dedup.py corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clusterforge_spark.operators.dedup import (
+    EXACT_DUP_OFFSET,
+    NEAR_DUP_OFFSET,
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    docs_with_dups,
+    embs_with_dups,
+    simhash_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(documents):
+    return docs_with_dups(documents, n_exact=20, n_near=10).cache()
+
+
+def test_exact_dedup_finds_planted_copies(dup_docs, documents):
+    out = dedup_exact(dup_docs).collect()
+    n_docs = documents.count()
+    dup_groups = [r for r in out if r.n_dups > 1]
+    # every planted exact copy collapses onto its original, keeping min id
+    assert len(dup_groups) >= 20
+    for g in dup_groups:
+        assert g.keep_id < EXACT_DUP_OFFSET
+    # dedup never loses content: distinct texts preserved
+    assert len(out) <= n_docs + 10  # near-copies may add new distinct texts
+
+
+def test_ngram_jaccard_finds_near_dups(dup_docs):
+    pairs = dedup_ngram_jaccard(dup_docs, threshold=0.2).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # original ↔ its near copy (last token dropped) is highly similar
+    near_hits = [p for p in found if p[1] >= NEAR_DUP_OFFSET and p[1] - NEAR_DUP_OFFSET == p[0]]
+    assert len(near_hits) >= 8  # ≥80% of 10 planted near-dups
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_simhash_near_dups_low_hamming(dup_docs):
+    pairs = dedup_simhash(dup_docs, max_hamming=6).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    exact_hits = [
+        h
+        for (a, b), h in found.items()
+        if a < EXACT_DUP_OFFSET and b == a + EXACT_DUP_OFFSET
+    ]
+    assert len(exact_hits) >= 20  # exact copies ⇒ hamming 0
+    assert all(h == 0 for h in exact_hits)
+
+
+def test_simhash_deterministic(dup_docs):
+    a = {r.doc_id: r.simhash for r in simhash_fingerprints(dup_docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_fingerprints(dup_docs).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 60) for v in a.values())
+
+
+def test_minhash_lsh_finds_planted_copies(dup_docs):
+    pairs = dedup_minhash_lsh(dup_docs, jaccard_dist_threshold=0.3).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    exact_hits = [p for p in found if p[1] - EXACT_DUP_OFFSET == p[0]]
+    assert len(exact_hits) >= 18  # LSH is approximate; ≥90% of 20 planted
+    for r in pairs:
+        assert 0.0 <= r.jaccard_sim <= 1.0 + 1e-9
+
+
+def test_embedding_cosine_dedup(embeddings):
+    embs = embs_with_dups(embeddings, n_copy=20)
+    pairs = dedup_embedding_cosine(embs, threshold=0.9).collect()
+    found = {(r.vec_a, r.vec_b): r.cos_sim for r in pairs}
+    copies = {(a, b): c for (a, b), c in found.items() if b - EXACT_DUP_OFFSET == a}
+    assert len(copies) == 20
+    for c in copies.values():
+        assert c == pytest.approx(1.0, abs=1e-6)

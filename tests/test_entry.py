@@ -1,0 +1,53 @@
+"""Driver-contract conformance: entry smoke, query/oracle key parity,
+oracle SQL validity on DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["user_id", "recency", "frequency", "monetary"]
+
+
+def test_every_oracle_key_has_query():
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q)
+    # rows-only queries are the documented exceptions
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "q_count_distinct_approx",
+        "q_kmeans_fit",
+        "q_dedup_minhash",
+        "q_multimodal_decode",
+    }
+
+
+def test_oracle_sql_is_valid_duckdb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{name}: oracle SQL failed: {exc}")
+
+
+@pytest.mark.parametrize("name", ["q_rfm_features", "q_centroid_assign", "q_dedup_exact"])
+def test_query_runs_at_sf0001(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    assert df.count() > 0

@@ -1,0 +1,98 @@
+"""Relational operators: semantics + physical-plan quality."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clusterforge_spark.operators import relational as R
+from clusterforge_spark.plans import explain as X
+from clusterforge_spark.sources.readers import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_filter_drops_expected_rows(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = R.filter_conjunctive(li)
+    manual = li.filter(
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & F.col("l_orderkey").isNotNull()
+        & (F.col("l_discount") < 0.05)
+    ).count()
+    assert out.count() == manual
+
+
+def test_filter_pushed_to_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    pushed = X.pushed_filters(R.filter_conjunctive(li))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_scan_project_prunes_columns(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    schema = X.read_schema(R.scan_project(li))
+    assert "l_extendedprice" in schema
+    assert "l_shipdate" not in schema and "l_returnflag" not in schema
+
+
+def test_top_k_uses_take_ordered(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = R.top_k(li, k=10)
+    assert X.has_take_ordered(df)
+    rows = df.collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_join_enrich_broadcasts_dims(spark):
+    df = R.join_enrich(
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+    )
+    assert X.has_broadcast_join(df)
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r.lineitem_count for r in rows)
+    assert total == load_table(spark, SF_DIR, "lineitem").count()
+
+
+def test_window_sessionize_ranks(events):
+    out = R.window_sessionize(events)
+    first = out.filter(F.col("busy_rank") == 1).groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in first)
+
+
+def test_having_filter_semantics(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    out = R.having_filter(orders).collect()
+    for r in out:
+        assert r.total_spend > 100000.0
+        assert r.order_count > 1
+
+
+def test_retail_csv_reader(spark, tmp_path):
+    """Reference-native CSV path: schema, filtering-ready types, strict
+    date mode (FIXTURES.md §1; data.rs:102-123)."""
+    from clusterforge_spark.sources.readers import read_retail_csv
+
+    csv = tmp_path / "retail.csv"
+    csv.write_text(
+        "InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        "536365,85123A,HOLDER,6,12/1/2010 8:26:00,2.55,17850,UK\n"
+        "C536368,22960,CANCEL,-6,12/1/2010 9:00:00,3.75,17850,UK\n"
+        "536366,71053,METAL,6,12/1/2010 8:28:00,3.39,,UK\n"
+    )
+    df = read_retail_csv(spark, str(csv))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert dict(df.dtypes)["InvoiceDate"] == "timestamp"
+    assert dict(df.dtypes)["CustomerID"] == "bigint"
+    kept = df.filter(
+        (F.col("Quantity") > 0) & (F.col("UnitPrice") > 0) & F.col("CustomerID").isNotNull()
+    ).collect()
+    # cancellation (negative qty) and null-customer rows are filtered
+    assert [r.InvoiceNo for r in kept] == ["536365"]

@@ -1,0 +1,64 @@
+"""Similarity search: brute-force correctness vs numpy; LSH/IVF sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clusterforge_spark.functions import vector as V
+from clusterforge_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_brute_force_matches_numpy(embeddings, emb_np):
+    ids, mat = emb_np
+    q = np.array(V.QUERY_VEC)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    expected = list(ids[order])
+    got = [r.vec_id for r in brute_force_topk(embeddings, k=10).collect()]
+    assert got == expected
+
+
+def test_topk_ranks_are_dense(embeddings):
+    rows = brute_force_topk(embeddings, k=10).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_candidates_are_subset_quality(embeddings):
+    """LSH top-k sims can never exceed brute-force sims rank-by-rank."""
+    brute = [r.cos_sim for r in brute_force_topk(embeddings, k=10).orderBy("rank").collect()]
+    lsh = [r.cos_sim for r in lsh_topk(embeddings, k=10).orderBy("rank").collect()]
+    assert len(lsh) > 0
+    for i, s in enumerate(lsh[: len(brute)]):
+        assert s <= brute[i] + 1e-9
+
+
+def test_ivf_cells_valid_and_topk_subset(embeddings):
+    cells = ivf_assign(embeddings).select("cell").distinct().collect()
+    assert all(0 <= r.cell < len(V.IVF_CENTROIDS) for r in cells)
+    brute = [r.cos_sim for r in brute_force_topk(embeddings, k=10).orderBy("rank").collect()]
+    ivf = [r.cos_sim for r in ivf_topk(embeddings, k=10).orderBy("rank").collect()]
+    assert len(ivf) > 0
+    for i, s in enumerate(ivf[: len(brute)]):
+        assert s <= brute[i] + 1e-9
+
+
+def test_dot_dynamic_matches_literal(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>")
+    got = df.select(V.dot_dynamic("a", "b").alias("d")).collect()[0].d
+    assert got == pytest.approx(32.0)

@@ -1,0 +1,72 @@
+"""Text analysis: counts vs Python ground truth, determinism, ranges."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from clusterforge_spark.operators.text import (
+    doc_fingerprints,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+
+
+def test_token_counts_match_python(documents):
+    sample = documents.limit(20).collect()
+    got = {r.doc_id: r for r in token_counts(documents.limit(20)).collect()}
+    for doc in sample:
+        toks = [t for t in re.split(r"\s+", doc.text.lower()) if t]
+        re_toks = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", doc.text.lower())
+        assert got[doc.doc_id].n_ws_tokens == len(toks)
+        assert got[doc.doc_id].n_re_tokens == len(re_toks)
+        assert got[doc.doc_id].n_chars_measured == len(doc.text)
+
+
+def test_text_stats_totals(documents):
+    stats = text_stats(documents).collect()
+    assert sum(r.n_docs for r in stats) == documents.count()
+    for r in stats:
+        assert r.total_tokens > 0
+        assert r.avg_tokens > 0
+
+
+def test_lang_id_deterministic_and_scored(documents):
+    a = {r.doc_id: r.predicted_lang for r in lang_id(documents).collect()}
+    b = {r.doc_id: r.predicted_lang for r in lang_id(documents).collect()}
+    assert a == b
+    out = lang_id(documents).collect()
+    for r in out:
+        assert r.predicted_lang in ("de", "en", "es", "fr", "zh")
+        for lang in ("de", "en", "es", "fr"):
+            assert r[f"score_{lang}"] >= 0
+
+
+def test_quality_score_bounded(documents):
+    for r in quality_score(documents).collect():
+        assert 0.0 <= r.quality <= 1.0 + 1e-9
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_fingerprints_deterministic_and_positive(documents):
+    fp1 = {r.doc_id: (r.token_minhash, r.shingle_minhash) for r in doc_fingerprints(documents).collect()}
+    fp2 = {r.doc_id: (r.token_minhash, r.shingle_minhash) for r in doc_fingerprints(documents).collect()}
+    assert fp1 == fp2
+    for tm, sm in fp1.values():
+        assert tm >= 0
+        assert sm is None or sm >= 0
+
+
+def test_fingerprint_matches_python_md5(documents):
+    import hashlib
+
+    doc = documents.limit(1).collect()[0]
+    toks = sorted({t for t in re.split(r"\s+", doc.text.lower()) if t})
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    got = doc_fingerprints(documents.limit(1)).collect()[0]
+    assert got.token_minhash == min(hashes)
+    assert got.n_distinct_tokens == len(toks)
