@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_window_sessionize"] = lambda spark, sf: R.window_sessionize(
         _t(spark, sf, "events")
     )
+    q["q_session_gap"] = lambda spark, sf: R.sessionize_gap(_t(spark, sf, "events"))
 
     # --- normalization + deterministic cluster geometry (O13-O25) ---------
     def q_scaler_params(spark, sf):
@@ -189,6 +190,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_top_k_revenue": OSQL.q_top_k_revenue(k=100),
         "q_join_enrich": OSQL.q_join_enrich(),
         "q_window_sessionize": OSQL.q_window_sessionize(),
+        "q_session_gap": OSQL.q_session_gap(),
         "q_scaler_params": OSQL.q_scaler_params(),
         "q_standard_scaler": OSQL.q_standard_scaler(),
         "q_centroid_assign": OSQL.q_centroid_assign(),

@@ -167,6 +167,46 @@ def join_enrich(
     )
 
 
+def sessionize_gap(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """True sessionization by inactivity gap (window-function surface).
+
+    session boundary = gap to previous event (per user, event-time order)
+    exceeding ``gap_minutes``; session index = running count of
+    boundaries (lag + cumulative sum — the classic formulation). One
+    shuffle on user_id serves both window functions and the final
+    per-session aggregate. The streaming analog with explicit state is
+    streaming/sessionize.sessionize_gap_stream.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60_000_000
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)) > gap_us
+        ).cast("int").alias("is_new"),
+    )
+    with_idx = with_gap.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.coalesce("is_new", F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return with_idx.groupBy("user_id", "session_idx").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
+
+
 def window_sessionize(events: DataFrame) -> DataFrame:
     """Event-time tumbling window + per-user ranking (extension surface).
 

@@ -629,3 +629,29 @@ def rewrite_det_rounding(sql: str) -> str:
         s = float(10**scale)
         repl = f"(floor(({expr}) * {s!r} + 0.5) / {s!r})"
         out = out[:start] + repl + out[i + 1 :]
+
+
+def q_session_gap(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, value,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, tsu, value,
+         CAST(sum(coalesce(is_new, 0)) OVER
+              (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       epoch_us(min(tsu)) AS session_start_us,
+       epoch_us(max(tsu)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s
+GROUP BY 1, 2"""

@@ -1,0 +1,58 @@
+"""Sinks: partitioned parquet, CSV, and bucketed tables.
+
+The reference's only sinks are console text and PNG files (viz.rs:53,
+viz.rs:122); a real engine needs durable columnar output. The bucketed
+writer is the 100 TB join story: two fact tables bucketed (and sorted)
+by their join key join WITHOUT any shuffle — at petabyte scale the
+shuffle is the cost, so pre-bucketing pays for itself after one join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet: partition columns become directory keys, so
+    downstream reads with a partition predicate prune whole directories
+    (visible as PartitionFilters in the scan)."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally sorted) managed table.
+
+    Both sides of a frequent join written with the same bucket spec join
+    with zero exchanges (SortMergeJoin reads co-located buckets
+    directly) — see tests/test_sinks.py for the plan assertion.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

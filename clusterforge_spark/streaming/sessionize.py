@@ -76,3 +76,91 @@ def run_sessionize_batchlike(
     )
     query.awaitTermination(timeout_s)
     return spark.table("sessionize_out")
+
+
+# ---------------------------------------------------------------------------
+# stateful gap sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, session_value double"
+)
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long, value double"
+
+
+def sessionize_gap_stream(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator: per-user inactivity-gap sessions.
+
+    The batch formulation (operators/relational.sessionize_gap) is a
+    window function; incrementally it needs explicit state — one open
+    session per user, closed and emitted when a new event arrives more
+    than ``gap_minutes`` after the session's end. State is one tiny
+    tuple per user regardless of stream length. The open session at
+    end-of-stream stays in state (a finite replay therefore emits all
+    but each user's final session — tests account for this).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def close_sessions(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_us, end_us, n_events, value = state.get
+        else:
+            start_us = end_us = None
+            n_events, value = 0, 0.0
+
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts_us")
+            for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
+                elif ts_us - end_us > gap_us:
+                    closed.append((user_id, start_us, end_us, n_events, round(value, 2)))
+                    start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
+                else:
+                    end_us = ts_us
+                    n_events += 1
+                    value += float(v)
+        state.update((start_us, end_us, n_events, value))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events", "session_value"],
+            )
+
+    prepared = events_stream.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_gap_sessions_batchlike(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, timeout_s: int = 120
+) -> DataFrame:
+    """Replay the events file through the stateful sessionizer; returns
+    the emitted (closed) sessions as a batch DataFrame."""
+    stream = sessionize_gap_stream(read_events_stream(spark, sf_dir), gap_minutes)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("gap_sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table("gap_sessions_out")

@@ -19,3 +19,28 @@ def test_stream_matches_batch(spark, events):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stateful_gap_sessions_match_batch(spark, events):
+    """Closed sessions from the stateful stream == batch sessions minus
+    each user's final (still-open) session."""
+    import pyspark.sql.functions as F
+
+    from clusterforge_spark.operators.relational import sessionize_gap
+    from clusterforge_spark.streaming.sessionize import run_gap_sessions_batchlike
+
+    stream_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in run_gap_sessions_batchlike(spark, SF_DIR).collect()
+    }
+    batch = sessionize_gap(events).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, -1), r.session_idx)
+    closed_batch = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in batch
+        if r.session_idx != last_idx[r.user_id]
+    }
+    assert len(stream_rows) > 0
+    assert stream_rows == closed_batch
