@@ -101,6 +101,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_session_gap"] = lambda spark, sf: R.sessionize_gap(_t(spark, sf, "events"))
+    q["q_rollup_revenue"] = lambda spark, sf: R.rollup_revenue(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
+    q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
+    q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
+    q["q_json_extract"] = lambda spark, sf: R.json_extract_props(_t(spark, sf, "events"))
+    q["q_percentiles"] = lambda spark, sf: R.percentiles(_t(spark, sf, "events"))
 
     # --- normalization + deterministic cluster geometry (O13-O25) ---------
     def q_scaler_params(spark, sf):
@@ -191,6 +201,11 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_join_enrich": OSQL.q_join_enrich(),
         "q_window_sessionize": OSQL.q_window_sessionize(),
         "q_session_gap": OSQL.q_session_gap(),
+        "q_rollup_revenue": OSQL.q_rollup_revenue(),
+        "q_set_ops": OSQL.q_set_ops(),
+        "q_scalar_funcs": OSQL.q_scalar_funcs(),
+        "q_json_extract": OSQL.q_json_extract(),
+        "q_percentiles": OSQL.q_percentiles(),
         "q_scaler_params": OSQL.q_scaler_params(),
         "q_standard_scaler": OSQL.q_standard_scaler(),
         "q_centroid_assign": OSQL.q_centroid_assign(),

@@ -234,3 +234,85 @@ def window_sessionize(events: DataFrame) -> DataFrame:
         "value_in_hour",
         F.row_number().over(w).cast("long").alias("busy_rank"),
     )
+
+
+def rollup_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ROLLUP aggregation over the star join: revenue at (nation,
+    segment), per-nation subtotal, and grand total in one pass (Catalyst
+    plans Expand + single aggregate — not three jobs)."""
+    li = lineitem.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    od = orders.select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+    na = nation.select("n_nationkey", "n_name")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        round_det(F.sum("revenue"), 2).alias("total_revenue"),
+        F.count("*").alias("lineitem_count"),
+    )
+
+
+def set_ops(events: DataFrame) -> DataFrame:
+    """Set operations: users segmented by INTERSECT / EXCEPT of their
+    event types (distinct semantics, like the SQL operators)."""
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(erroring).withColumn("segment", F.lit("both"))
+    only_p = purchasers.exceptAll(erroring).withColumn("segment", F.lit("purchase_only"))
+    return both.unionByName(only_p)
+
+
+def scalar_funcs(part: DataFrame) -> DataFrame:
+    """Scalar-function breadth on one projection: string (upper/substr/
+    lpad/trim/concat), math (sqrt/abs/ln/log10), conditional
+    (case/coalesce/nullif). All whole-stage-codegen built-ins."""
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_brand"), 12, "_").alias("brand_padded"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        round_det(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        round_det(F.log10(F.col("p_retailprice")), 6).alias("price_log10"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.when(F.col("p_size") < 10, F.lit("small"))
+        .when(F.col("p_size") < 30, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("size_class"),
+    )
+
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    """Semi-structured access: pull a typed field out of the JSON-ish
+    props column (at scale: get_json_object pushes no scan work to
+    Python; for repeated access, from_json to a struct column once)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+def percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (sort-based) per event type + global approx
+    variant elsewhere; exact form is cross-engine deterministic
+    (linear interpolation definition shared with quantile_cont)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        round_det(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        round_det(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        round_det(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.max("value").alias("vmax"),
+    )

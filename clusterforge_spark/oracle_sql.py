@@ -655,3 +655,59 @@ SELECT user_id, session_idx,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM s
 GROUP BY 1, 2"""
+
+
+def q_rollup_revenue() -> str:
+    return """SELECT n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS lineitem_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)"""
+
+
+def q_set_ops() -> str:
+    return """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS segment
+FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+UNION ALL
+SELECT user_id, 'purchase_only' AS segment
+FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)"""
+
+
+def q_scalar_funcs() -> str:
+    return """SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       lpad(p_brand, 12, '_') AS brand_padded,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       sqrt(p_retailprice) AS price_sqrt,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       round(ln(p_retailprice), 6) AS price_ln,
+       round(log10(p_retailprice), 6) AS price_log10,
+       coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part"""
+
+
+def q_json_extract() -> str:
+    return """SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k_value
+FROM events"""
+
+
+def q_percentiles() -> str:
+    return """SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       max(value) AS vmax
+FROM events
+GROUP BY event_type"""

@@ -9,6 +9,9 @@ shuffle is the cost, so pre-bucketing pays for itself after one join.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -48,6 +51,18 @@ def write_bucketed(
     with zero exchanges (SortMergeJoin reads co-located buckets
     directly) — see tests/test_sinks.py for the plan assertion.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a fresh session's in-memory catalog forgets the table but its
+        # location survives on disk — drop both or saveAsTable errors
+        # with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        loc = os.path.join(warehouse, table.lower())
+        if warehouse and os.path.isdir(loc):
+            shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
