@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "q_top_k_revenue",
     "q_join_enrich",
     "q_window_sessionize",
+    "q_session_gap",
+    "q_rollup_revenue",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_json_extract",
+    "q_percentiles",
     "q_standard_scaler",
     "q_centroid_assign",
     "q_silhouette_sample",
