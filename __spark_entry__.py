@@ -111,6 +111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
     q["q_json_extract"] = lambda spark, sf: R.json_extract_props(_t(spark, sf, "events"))
     q["q_percentiles"] = lambda spark, sf: R.percentiles(_t(spark, sf, "events"))
+    q["q_semi_anti_join"] = lambda spark, sf: R.semi_anti_join(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["q_left_join_counts"] = lambda spark, sf: R.left_join_counts(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["q_exists_subquery"] = lambda spark, sf: R.exists_subquery(
+        spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
 
     # --- normalization + deterministic cluster geometry (O13-O25) ---------
     def q_scaler_params(spark, sf):
@@ -206,6 +215,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_scalar_funcs": OSQL.q_scalar_funcs(),
         "q_json_extract": OSQL.q_json_extract(),
         "q_percentiles": OSQL.q_percentiles(),
+        "q_semi_anti_join": OSQL.q_semi_anti_join(),
+        "q_left_join_counts": OSQL.q_left_join_counts(),
+        "q_exists_subquery": OSQL.q_exists_subquery(),
         "q_scaler_params": OSQL.q_scaler_params(),
         "q_standard_scaler": OSQL.q_standard_scaler(),
         "q_centroid_assign": OSQL.q_centroid_assign(),

@@ -316,3 +316,51 @@ def percentiles(events: DataFrame) -> DataFrame:
         round_det(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
         F.max("value").alias("vmax"),
     )
+
+
+def semi_anti_join(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi/anti join surface: customers tagged by order activity.
+
+    left_semi and left_anti are the engine-level forms of EXISTS / NOT
+    EXISTS — no row multiplication, the probe side never materializes
+    matches. One broadcast of the orders keyset serves both.
+    """
+    keys = orders.select("o_custkey").distinct()
+    active = customer.join(
+        F.broadcast(keys), customer.c_custkey == keys.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("active").alias("status"))
+    inactive = customer.join(
+        F.broadcast(keys), customer.c_custkey == keys.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("inactive").alias("status"))
+    return active.unionByName(inactive)
+
+
+def left_join_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Left outer join with null-coalescing aggregate: per-order lineitem
+    count, keeping orders with no lineitems at 0."""
+    li = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("li_count"))
+    return (
+        orders.select("o_orderkey")
+        .join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("li_count", F.lit(0)).cast("long").alias("lineitem_count"),
+        )
+    )
+
+
+def exists_subquery(spark, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Correlated EXISTS through the SQL entry point — Catalyst rewrites
+    it to a semi join; exercises the spark.sql surface end-to-end."""
+    orders.createOrReplaceTempView("v_orders")
+    lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus
+        FROM v_orders
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        """
+    )

@@ -711,3 +711,29 @@ def q_percentiles() -> str:
        max(value) AS vmax
 FROM events
 GROUP BY event_type"""
+
+
+def q_semi_anti_join() -> str:
+    return """SELECT c_custkey, 'active' AS status
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'inactive' AS status
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+
+
+def q_left_join_counts() -> str:
+    return """SELECT o_orderkey,
+       CAST(coalesce(li.li_count, 0) AS BIGINT) AS lineitem_count
+FROM orders
+LEFT JOIN (SELECT l_orderkey, count(*) AS li_count
+           FROM lineitem GROUP BY l_orderkey) li
+  ON o_orderkey = li.l_orderkey"""
+
+
+def q_exists_subquery() -> str:
+    return """SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)"""
