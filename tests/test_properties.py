@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY.md §5.3); these pin the engine's determinism machinery.
+
+The Spark-side properties run on small generated frames; the pure-Python
+properties validate the cross-engine contracts (deterministic rounding,
+hash parity) against DuckDB directly, which is cheap enough to fuzz.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@given(x=finite_doubles, scale=st.integers(min_value=0, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_round_det_matches_duckdb(x, scale, duck):
+    """floor(x·10ⁿ+0.5)/10ⁿ in Python IEEE == the same SQL in DuckDB —
+    the exact expression both the Spark operators and the oracle use."""
+    s = float(10**scale)
+    expected = math.floor(x * s + 0.5) / s
+    # ::DOUBLE matches real usage — every rounded oracle expression is
+    # double-typed (a bare big literal would parse as DECIMAL and overflow)
+    got = duck.execute(
+        f"SELECT floor(({x!r})::DOUBLE * {s!r} + 0.5) / {s!r}"
+    ).fetchone()[0]
+    assert got == expected
+
+
+@given(t=st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_token_hash_parity_python_duckdb(t, duck):
+    """60-bit md5 token hash: python int(hexdigest[:15],16) == DuckDB
+    ('0x'||substr(md5,1,15))::BIGINT — the shared fingerprint function."""
+    import hashlib
+
+    expected = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+    got = duck.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+    ).fetchone()[0]
+    assert got == expected
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e3, max_value=1e3),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_scaler_properties_numpy(vals):
+    """Population-σ z-scoring: mean→0; σ-floor handles constants."""
+    import numpy as np
+
+    x = np.array(vals)
+    mu = x.mean()
+    sd = max(x.std(), 1e-8)
+    z = (x - mu) / sd
+    assert abs(z.mean()) < 1e-6
+    if x.std() > 1e-6:
+        assert abs(z.std() - 1.0) < 1e-6
+
+
+@given(
+    a=st.lists(st.integers(0, 50), min_size=1, max_size=30, unique=True),
+    b=st.lists(st.integers(0, 50), min_size=1, max_size=30, unique=True),
+)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_formula_properties(a, b):
+    """inter/(|A|+|B|−inter) ∈ [0,1]; 1 iff equal sets; symmetric."""
+    sa, sb = set(a), set(b)
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    j = inter / union
+    assert 0.0 <= j <= 1.0
+    assert (j == 1.0) == (sa == sb)
+    inter2 = len(sb & sa)
+    assert inter2 / (len(sb) + len(sa) - inter2) == j
+
+
+def test_simhash_order_invariant(spark):
+    """simhash over distinct tokens is permutation-invariant (votes are
+    a sum) — shuffled text yields the same fingerprint."""
+    from clusterforge_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "epsilon delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_lsh_bucket_stable_under_scaling(spark):
+    """Sign-LSH buckets depend only on direction: scaling a vector by a
+    positive constant keeps its bucket."""
+    from clusterforge_spark.functions import vector as V
+
+    base = [0.1 * ((i % 7) - 3) for i in range(V.DIM)]
+    scaled = [4.0 * x for x in base]
+    df = spark.createDataFrame([(1, base), (2, scaled)], "id long, embedding array<float>")
+    out = {r.id: r.b for r in df.select("id", V.lsh_bucket("embedding").alias("b")).collect()}
+    assert out[1] == out[2]
