@@ -127,13 +127,21 @@ def dot_dynamic(col_a: str, col_b: str) -> Column:
 # DuckDB SQL fragment builders (same literals, same association)
 # ---------------------------------------------------------------------------
 
+def _flit_sql(v: float) -> str:
+    # string-cast: exact strtod double semantics (bare decimals parse as
+    # DECIMAL in DuckDB — scaled-int conversion can be 1 ulp off)
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _elem_sql(col: str, i: int) -> str:
     # duckdb lists are 1-based; cast list<float> → DOUBLE[] widens exactly
     return f"({col}::DOUBLE[])[{i + 1}]"
 
 
 def dot_lit_sql(col: str, vals: list[float]) -> str:
-    return "(" + " + ".join(f"{_elem_sql(col, i)} * ({v!r})" for i, v in enumerate(vals)) + ")"
+    return "(" + " + ".join(
+        f"{_elem_sql(col, i)} * {_flit_sql(v)}" for i, v in enumerate(vals)
+    ) + ")"
 
 
 def norm_sql(col: str, dim: int = DIM) -> str:
@@ -143,12 +151,12 @@ def norm_sql(col: str, dim: int = DIM) -> str:
 
 def cosine_lit_sql(col: str, vals: list[float]) -> str:
     qnorm = math.sqrt(py_dot(vals, vals))
-    return f"({dot_lit_sql(col, vals)} / ({norm_sql(col, len(vals))} * ({qnorm!r})))"
+    return f"({dot_lit_sql(col, vals)} / ({norm_sql(col, len(vals))} * {_flit_sql(qnorm)}))"
 
 
 def dist2_lit_sql(col: str, vals: list[float]) -> str:
     return "(" + " + ".join(
-        f"({_elem_sql(col, i)} - ({v!r})) * ({_elem_sql(col, i)} - ({v!r}))"
+        f"({_elem_sql(col, i)} - {_flit_sql(v)}) * ({_elem_sql(col, i)} - {_flit_sql(v)})"
         for i, v in enumerate(vals)
     ) + ")"
 

@@ -32,6 +32,17 @@ DEFAULT_NEW_POINT: tuple[float, float, float] = (30.0, 10.0, 500.0)
 # shared CTE fragments
 # --------------------------------------------------------------------------
 
+
+def flit(v: float) -> str:
+    """Inject a float literal with exact double semantics.
+
+    A bare decimal literal parses as DECIMAL in DuckDB and converts to
+    double via scaled int128 — which can land 1 ulp away from Python's
+    (and Spark's) correctly-rounded strtod at high precision/magnitude.
+    A quoted-string cast always takes the strtod path.
+    """
+    return f"CAST('{v!r}' AS DOUBLE)"
+
 def rfm_cte(ref_instant: str = DEFAULT_REF_INSTANT) -> str:
     return f"""rfm AS (
   SELECT user_id,
@@ -69,7 +80,7 @@ def scaled_cte() -> str:
 
 def _dist_sql(cols: tuple[str, ...], centroid: tuple[float, ...]) -> str:
     terms = " + ".join(
-        f"({c} - ({v!r})) * ({c} - ({v!r}))" for c, v in zip(cols, centroid)
+        f"({c} - {flit(v)}) * ({c} - {flit(v)})" for c, v in zip(cols, centroid)
     )
     return f"sqrt({terms})"
 
@@ -234,7 +245,7 @@ def q_inertia() -> str:
 def q_predict_new_point(point: tuple[float, float, float] = DEFAULT_NEW_POINT) -> str:
     k = len(FIXED_CENTROIDS)
     zpt = ",\n         ".join(
-        f"(({v!r}) - {c}_mean) / {c}_std AS {c}_z" for c, v in zip(RFM_COLS, point)
+        f"({flit(v)} - {c}_mean) / {c}_std AS {c}_z" for c, v in zip(RFM_COLS, point)
     )
     dists = ",\n         ".join(
         f"{_dist_sql(ZCOLS, cen)} AS d{i}" for i, cen in enumerate(FIXED_CENTROIDS)
@@ -362,7 +373,7 @@ pairs AS (
    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 )
-SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold!r}"""
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {flit(threshold)}"""
     )
 
 
@@ -410,7 +421,7 @@ pairs AS (
   FROM emb_corpus a JOIN emb_corpus b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {threshold!r}"""
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {flit(threshold)}"""
     )
 
 
@@ -627,7 +638,7 @@ def rewrite_det_rounding(sql: str) -> str:
         expr = out[arg_start:last_comma].strip()
         scale = int(out[last_comma + 1 : i].strip())
         s = float(10**scale)
-        repl = f"(floor(({expr}) * {s!r} + 0.5) / {s!r})"
+        repl = f"(floor(({expr}) * {flit(s)} + 0.5) / {flit(s)})"
         out = out[:start] + repl + out[i + 1 :]
 
 

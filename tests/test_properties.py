@@ -25,12 +25,15 @@ finite_doubles = st.floats(
 def test_round_det_matches_duckdb(x, scale, duck):
     """floor(x·10ⁿ+0.5)/10ⁿ in Python IEEE == the same SQL in DuckDB —
     the exact expression both the Spark operators and the oracle use."""
+    from clusterforge_spark.oracle_sql import flit
+
     s = float(10**scale)
     expected = math.floor(x * s + 0.5) / s
-    # ::DOUBLE matches real usage — every rounded oracle expression is
-    # double-typed (a bare big literal would parse as DECIMAL and overflow)
+    # flit: string-cast literal → exact strtod double semantics (a bare
+    # decimal literal parses as DECIMAL, whose scaled-int conversion can
+    # land 1 ulp off Python's/Spark's value — found by this very test)
     got = duck.execute(
-        f"SELECT floor(({x!r})::DOUBLE * {s!r} + 0.5) / {s!r}"
+        f"SELECT floor({flit(x)} * {flit(s)} + 0.5) / {flit(s)}"
     ).fetchone()[0]
     assert got == expected
 
