@@ -364,3 +364,31 @@ def exists_subquery(spark, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         """
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: manual salting.
+
+    A hot join key concentrates one reducer at 100 TB; salting splits
+    each key's rows across ``n_salt`` shuffle partitions by joining on
+    (key, salt), with the (smaller) right side replicated once per salt
+    value. The salt is a deterministic hash of the whole left row, so
+    results are reproducible. AQE's skew-join handles most cases
+    automatically — this is the explicit form for when it can't (e.g.
+    aggregation states, non-splittable stages).
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    salted_left = left.withColumn("__salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt")
+    salted_right = right.select("*", salts)
+    out = salted_left.join(
+        salted_right,
+        (F.col(left_key) == F.col(right_key)) & (salted_left["__salt"] == salted_right["__salt"]),
+    )
+    return out.drop("__salt")

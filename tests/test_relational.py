@@ -96,3 +96,17 @@ def test_retail_csv_reader(spark, tmp_path):
     ).collect()
     # cancellation (negative qty) and null-customer rows are filtered
     assert [r.InvoiceNo for r in kept] == ["536365"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — same multiset of rows."""
+    import pyspark.sql.functions as F
+
+    # skewed left: one hot key with 500 rows, cold keys with 1 each
+    left = spark.range(500).select(F.lit(1).alias("k"), F.col("id").alias("lv")).unionByName(
+        spark.range(2, 50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("lv"))
+    )
+    right = spark.range(1, 50).select(F.col("id").alias("rk"), (F.col("id") + 100).alias("rv"))
+    plain = left.join(right, left.k == right.rk).select("k", "lv", "rv")
+    salted = R.salted_join(left, right, "k", "rk", n_salt=4).select("k", "lv", "rv")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
