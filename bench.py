@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# shuffle-partition count sized for the bench scale (≤600k rows): fewer
+# reducer tasks = less fixed scheduling overhead; AQE's byte-based
+# coalescing doesn't fully collapse the expand-distinct chain. Real
+# deployments size this to cluster cores × data volume.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+
 #: queries timed individually (subset: one per operator family, so bench
 #: wall time stays bounded; correctness covers the full inventory)
 BENCH_QUERIES = [

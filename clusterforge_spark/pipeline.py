@@ -143,10 +143,12 @@ def run_full_pipeline(
         )
 
     t0 = time.perf_counter()
-    scaled = FE.scale_features(rfm)
-    # one distributed job materializes the scaled per-customer table; at
-    # 100 TB of events this is still only one row per customer
-    rows = scaled.select("user_id", *ZCOLS).limit(driver_fit_threshold + 1).collect()
+    # ONE distributed pass over the raw data materializes the per-customer
+    # RFM table (tiny by construction — one row per customer); whether the
+    # z-scaling runs distributed or on the collected matrix is decided by
+    # n, mirroring the fit-strategy split below. The reference scales on
+    # the dense matrix too (data.rs:16-41).
+    rows = rfm.select("user_id", *FE.RFM_COLS).limit(driver_fit_threshold + 1).collect()
     n = len(rows)
     timings["rfm_scale"] = time.perf_counter() - t0
     if n < k:
@@ -155,10 +157,14 @@ def run_full_pipeline(
     t0 = time.perf_counter()
     if n <= driver_fit_threshold:
         # small-n fast path: post-aggregation data fits on the driver by
-        # construction → seeded numpy Lloyd's; everything downstream
-        # (sizes, inertia, silhouette) is vectorized on the same matrix,
-        # zero extra Spark jobs.
-        x = np.array([[r[c] for c in ZCOLS] for r in rows], dtype=np.float64)
+        # construction → numpy population-σ scaler (σ-floor 1e-8,
+        # data.rs:31-37) + seeded Lloyd's; everything downstream (sizes,
+        # inertia, silhouette) is vectorized on the same matrix, zero
+        # extra Spark jobs.
+        raw = np.array([[r[c] for c in FE.RFM_COLS] for r in rows], dtype=np.float64)
+        mu = raw.mean(axis=0)
+        sd = np.maximum(raw.std(axis=0), 1e-8)
+        x = (raw - mu) / sd
         centroids, labels, inertia = _numpy_kmeans(x, k, max_iter, tol, seed)
         counts = np.bincount(labels, minlength=k)
         sizes = [
@@ -173,9 +179,11 @@ def run_full_pipeline(
         idx = order[: min(n, silhouette_n)]
         sil = _numpy_silhouette(x[idx], labels[idx])
         timings["silhouette"] = time.perf_counter() - t0
-        assigned = C.assign_nearest(scaled, tuple(tuple(c) for c in centroids), ZCOLS)
+        assigned = C.assign_nearest(
+            FE.scale_features(rfm), tuple(tuple(c) for c in centroids), ZCOLS
+        )
     else:
-        scaled = scaled.cache()
+        scaled = FE.scale_features(rfm).cache()
         res = C.fit_kmeans(scaled, k=k, max_iter=max_iter, tol=tol, seed=seed, cols=ZCOLS)
         centroids, inertia = res.centroids, res.inertia
         assigned = C.assign_nearest(
