@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from clusterforge_spark.functions.rounding import round_det
 
 from clusterforge_spark.functions import hashing as H
+from clusterforge_spark.functions.partitioning import spread_partitions as _spread
 
 #: id offsets for planted duplicates (documented part of query semantics)
 EXACT_DUP_OFFSET = 10_000_000
@@ -70,16 +71,6 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count("*").alias("n_dups"),
     )
-
-
-def _spread(df: DataFrame, col: str) -> DataFrame:
-    """Repartition to full core count for CPU-heavy per-row stages.
-
-    Small parquet inputs arrive as one partition (file < maxPartitionBytes)
-    which would serialize interpreted per-element work (md5 token hashing,
-    shingling) onto one core; at real scale the source is already split.
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, col)
 
 
 def dedup_minhash_lsh(

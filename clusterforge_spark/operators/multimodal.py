@@ -88,12 +88,12 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
     # spread across cores before entering Python: a single-file scan is
     # one partition, which would serialize the (conceptually expensive)
     # decode step onto one Arrow worker
-    frames = frames.repartition(
-        frames.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    frames = spread_partitions(frames, "doc_id")
 
     def _fake_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

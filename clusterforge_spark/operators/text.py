@@ -132,9 +132,9 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Min-hash fingerprints: smallest 60-bit md5 hash over distinct
     tokens and over 5-gram shingles (1-permutation min-hash — the
     winnowing-style compact document signature)."""
-    from clusterforge_spark.operators.dedup import _spread
+    from clusterforge_spark.functions.partitioning import spread_partitions
 
-    with_arrays = _spread(documents, "doc_id").select(
+    with_arrays = spread_partitions(documents, "doc_id").select(
         "doc_id",
         H.token_hashes_col("text").alias("th"),
         H.shingles_col("text", n=5).alias("sh5"),
