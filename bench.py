@@ -120,6 +120,7 @@ def main() -> int:
         "cold_pipeline_sec": round(cold_total, 3),
         "n_rows": n_rows,
         "n_customers": n_customers,
+        "rows_per_sec": round(n_rows / pipeline_total, 1),
         "inertia": res.inertia,
         "silhouette": res.silhouette,
     }

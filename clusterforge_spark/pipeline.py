@@ -149,6 +149,9 @@ def run_full_pipeline(
     # n, mirroring the fit-strategy split below. The reference scales on
     # the dense matrix too (data.rs:16-41).
     rows = rfm.select("user_id", *FE.RFM_COLS).limit(driver_fit_threshold + 1).collect()
+    # sort by key: the fitted model must not depend on partition/collect
+    # order (seeded init indexes into this matrix)
+    rows.sort(key=lambda r: r.user_id)
     n = len(rows)
     timings["rfm_scale"] = time.perf_counter() - t0
     if n < k:
@@ -175,8 +178,7 @@ def run_full_pipeline(
         timings["kmeans_fit"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        order = np.argsort([r.user_id for r in rows], kind="stable")
-        idx = order[: min(n, silhouette_n)]
+        idx = np.arange(min(n, silhouette_n))  # rows already key-sorted
         sil = _numpy_silhouette(x[idx], labels[idx])
         timings["silhouette"] = time.perf_counter() - t0
         assigned = C.assign_nearest(
