@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_exact"] = lambda spark, sf: DD.dedup_exact(_dup_docs(spark, sf))
     q["q_dedup_minhash"] = lambda spark, sf: DD.dedup_minhash_lsh(_dup_docs(spark, sf))
     q["q_dedup_ngram"] = lambda spark, sf: DD.dedup_ngram_jaccard(_dup_docs(spark, sf))
+    q["q_dedup_minhash_banded"] = lambda spark, sf: DD.dedup_minhash_banded(
+        _dup_docs(spark, sf)
+    )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_embedding"] = lambda spark, sf: DD.dedup_embedding_cosine(
         DD.embs_with_dups(_t(spark, sf, "embeddings"))
@@ -230,6 +233,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_exact": OSQL.q_dedup_exact(),
         # q_dedup_minhash: MLlib MinHashLSH hash family — rows-only by design
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
+        "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_embedding": OSQL.q_dedup_embedding(),
         "q_sim_search_topk": OSQL.q_sim_search_topk(),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_ngram",
+    "q_dedup_minhash_banded",
     "q_sim_search_topk",
     "q_sim_search_lsh",
     "q_sim_search_ivf",

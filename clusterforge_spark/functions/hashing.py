@@ -105,3 +105,80 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
 def min_hash_col(hashes_col: str) -> Column:
     """Smallest hash — a 1-permutation min-hash document fingerprint."""
     return F.array_min(F.col(hashes_col)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# k-permutation MinHash (cross-engine exact)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime modulus: (a·(h mod p) + b) stays < 2^62, so the whole
+#: signature computation is exact int64 arithmetic in any engine.
+MINHASH_P = 2_147_483_647
+
+#: number of permutations = bands × rows
+MINHASH_BANDS = 4
+MINHASH_ROWS = 3
+MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+
+def _perm_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic permutation coefficients (odd a, any b, < p)."""
+    coeffs = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_P - 2)) | 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        coeffs.append((int(a), int(b)))
+    return coeffs
+
+
+MINHASH_COEFFS: list[tuple[int, int]] = _perm_coeffs()
+
+
+def minhash_signature_col(hashes_col: str) -> "Column":
+    """array<long> of K minhashes over a precomputed hash array."""
+
+    def _perm(a: int, b: int):
+        # closure factory (pyspark introspects lambda arity — no defaults)
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
+            MINHASH_P
+        )
+
+    mins = [
+        F.array_min(F.transform(F.col(hashes_col), _perm(a, b)))
+        for a, b in MINHASH_COEFFS
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_sql(hashes_col: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_col}, "
+        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"[{mins}]"
+
+
+def band_keys_col(sig_col: str, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS):
+    """array<struct<band:int,key:string>> — one LSH bucket key per band."""
+    entries = []
+    for bidx in range(bands):
+        parts = [
+            F.col(sig_col).getItem(bidx * rows + r).cast("string") for r in range(rows)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(bidx).alias("band"), F.concat_ws("|", *parts).alias("key")
+            )
+        )
+    return F.array(*entries)
+
+
+def band_key_sql(sig: str, bidx: int, rows: int = MINHASH_ROWS) -> str:
+    parts = " || '|' || ".join(
+        f"CAST({sig}[{bidx * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+    )
+    return parts

@@ -274,3 +274,64 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_minhash_banded(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Native banded MinHash-LSH near-dup detection (oracle-checkable).
+
+    The full pipeline — shingle → k-permutation minhash signature → band
+    → bucket-join → exact Jaccard verify — in pure int64/md5 arithmetic
+    identical across engines (unlike the MLlib variant, whose internal
+    hash family is JVM-private). Candidates are pairs agreeing on ≥1 of
+    the 4 three-row bands; each candidate is verified with the exact
+    shingle-set Jaccard, so the output has no false positives, and false
+    negatives only for pairs missed by every band (P(miss) = (1−j³)⁴).
+    Per-band bucket joins shuffle on the bucket key only — never n².
+    """
+    sh = (
+        _spread(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    H.shingles_col("text", n=n),
+                    lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
+                )
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
+    banded = sig.select(
+        "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_det(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("jaccard").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

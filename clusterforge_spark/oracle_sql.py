@@ -748,3 +748,44 @@ WHERE EXISTS (
   SELECT 1 FROM lineitem
   WHERE l_orderkey = o_orderkey AND l_quantity > 45
 )"""
+
+
+def q_dedup_minhash_banded(n: int = 3, threshold: float = 0.2) -> str:
+    toks = _H.tokens_sql("text")
+    shingles = _H.shingles_sql("text", n=n)
+    sig = _H.minhash_signature_sql("sh")
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_H.band_key_sql('sig', b)} AS key FROM sig"
+        for b in range(_H.MINHASH_BANDS)
+    )
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+  FROM (SELECT doc_id, {toks} AS t FROM dup_corpus)
+  WHERE len({shingles}) > 0
+),
+sig AS (
+  SELECT doc_id, {sig} AS sig FROM sh
+),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {flit(threshold)}"""
+    )

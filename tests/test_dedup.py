@@ -81,3 +81,23 @@ def test_embedding_cosine_dedup(embeddings):
     assert len(copies) == 20
     for c in copies.values():
         assert c == pytest.approx(1.0, abs=1e-6)
+
+
+def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
+    from clusterforge_spark.operators.dedup import dedup_minhash_banded, dedup_ngram_jaccard
+
+    pairs = dedup_minhash_banded(dup_docs, threshold=0.2).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    exact_hits = [
+        j for (a, b), j in found.items()
+        if a < EXACT_DUP_OFFSET and b == a + EXACT_DUP_OFFSET
+    ]
+    assert len(exact_hits) == 20  # identical docs agree on every band
+    assert all(j == 1.0 for j in exact_hits)
+    # verified-jaccard property: every emitted pair's jaccard equals the
+    # exhaustive blocked n-gram computation for pairs both paths cover
+    ngram = {(r.doc_a, r.doc_b): r.jaccard for r in
+             dedup_ngram_jaccard(dup_docs, threshold=0.2).collect()}
+    for key, j in found.items():
+        if key in ngram:
+            assert ngram[key] == j
