@@ -164,3 +164,38 @@ def run_gap_sessions_batchlike(
     )
     query.awaitTermination(timeout_s)
     return spark.table("gap_sessions_out")
+
+
+# ---------------------------------------------------------------------------
+# streaming deduplication (watermarked state)
+# ---------------------------------------------------------------------------
+
+def dedup_events_stream(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the event key.
+
+    ``dropDuplicates`` under a watermark keeps per-key state only until
+    the watermark passes — bounded memory under unbounded, at-least-once
+    input (the streaming face of operators/dedup.dedup_exact). Keys
+    arriving later than the watermark are treated as new — the standard
+    correctness/state trade.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "value")
+    )
+
+
+def run_dedup_stream_batchlike(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 120
+) -> DataFrame:
+    stream = dedup_events_stream(read_events_stream(spark, sf_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table("dedup_stream_out")

@@ -44,3 +44,12 @@ def test_stateful_gap_sessions_match_batch(spark, events):
     }
     assert len(stream_rows) > 0
     assert stream_rows == closed_batch
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events):
+    from clusterforge_spark.streaming.sessionize import run_dedup_stream_batchlike
+
+    out = run_dedup_stream_batchlike(spark, SF_DIR)
+    stream_ids = {r.event_id for r in out.collect()}
+    batch_ids = {r.event_id for r in events.select("event_id").distinct().collect()}
+    assert stream_ids == batch_ids
