@@ -195,3 +195,18 @@ def read_retail_csv(
             ).isNull()
         )
     return df.withColumn("InvoiceDate", parse)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "DROPMALFORMED",
+) -> DataFrame:
+    """JSON-lines source with a declared schema.
+
+    Schema is mandatory: at 100 TB a JSON inference pass reads everything
+    twice and silently unions drifting shapes; DROPMALFORMED mirrors the
+    engine's CSV tolerance policy (readers.read_retail_csv).
+    """
+    return spark.read.schema(schema).option("mode", mode).json(path)

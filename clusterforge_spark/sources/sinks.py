@@ -71,3 +71,9 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar container Spark ships natively;
+    same predicate-pushdown/column-pruning story as parquet."""
+    df.write.mode(mode).orc(path)

@@ -35,3 +35,37 @@ def test_bucketed_join_has_no_shuffle(spark):
     # bucket co-location: the sort-merge join needs no exchange at all
     assert X.exchange_count(joined) == 0
     assert joined.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from clusterforge_spark.sources.readers import read_jsonl, TABLE_SCHEMAS
+    import pyspark.sql.types as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(out)
+    schema = TABLE_SCHEMAS["documents"]
+    back = read_jsonl(spark, out, schema)
+    assert back.count() == docs.count()
+    assert back.schema == schema
+    # malformed rows are dropped, not fatal
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
+    got = read_jsonl(spark, str(bad), schema).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from clusterforge_spark.sources.sinks import write_orc
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    out = str(tmp_path / "li_orc")
+    write_orc(li, out)
+    back = spark.read.orc(out)
+    assert back.count() == li.count()
+    import pyspark.sql.functions as F
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
