@@ -10,8 +10,6 @@ MLlib-based dedup path).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,21 +50,25 @@ def token_hashes_sql(text_col: str = "text") -> str:
 def simhash_col(hashes_col: str, bits: int = SIMHASH_BITS) -> Column:
     """simhash over a precomputed array<long> of token hashes.
 
-    bit j of the result = sign of Σ_tokens (2·bit_j(h) − 1). Per-row
-    higher-order aggregates — zero shuffles, scales linearly.
+    bit j of the result = sign of Σ_tokens (2·bit_j(h) − 1). Computed in a
+    SINGLE aggregate pass: the accumulator is the ``bits``-vector of bit
+    counts (zip_with add per element), and bit j is set iff
+    2·count_j > n_tokens — exactly the vote-sign condition
+    (Σ(2b−1) = 2·count − n > 0). One array traversal instead of ``bits``
+    independent folds; md5 hash basis unchanged → still oracle-exact.
+    Per-row expression — zero shuffles, scales linearly.
     """
-    def _voter(j: int):
-        # closure factory: pyspark introspects lambda arity, so the bit
-        # index must be captured by closure, not by a default argument
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    terms = []
-    for j in range(bits):
-        vote = F.aggregate(F.col(hashes_col), F.lit(0), _voter(j))
-        terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    return reduce(lambda a, b: a + b, terms).cast("long")
+    counts = (
+        f"aggregate({hashes_col}, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), j -> shiftright(h, j) & 1), "
+        f"(a, b) -> a + b))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        f"(c, j) -> IF(2 * c > size({hashes_col}), shiftleft(1L, j), 0L)), "
+        f"0L, (a, x) -> a + x)"
+    ).cast("long")
 
 
 def simhash_sql(hashes_col: str, bits: int = SIMHASH_BITS) -> str:

@@ -21,6 +21,8 @@ the blocked self-joins shuffle on the block key only.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,11 +92,14 @@ def dedup_minhash_lsh(
 
     # 5-gram shingles: distinctive enough that band collisions track real
     # similarity (3-grams over a small vocabulary collide constantly and
-    # blow up the candidate-pair count)
+    # blow up the candidate-pair count). Emptiness filter phrased on the
+    # token count (≥ 5 tokens ⟺ non-empty shingle set): a filter on the
+    # shingle expression itself gets pushed below the spread exchange and
+    # re-evaluates the whole shingling on the unspread scan partition
+    # (see shingle_hash_table).
     shingled = (
-        _spread(docs, "doc_id")
+        _spread(docs.filter(F.size(H.tokens_col("text")) >= 5), "doc_id")
         .select("doc_id", H.shingles_col("text", n=5).alias("shingles"))
-        .filter(F.size("shingles") > 0)
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     # cache: approxSimilarityJoin references the featurized frame twice
@@ -112,27 +117,33 @@ def dedup_minhash_lsh(
     )
 
 
-def dedup_ngram_jaccard(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
-) -> DataFrame:
-    """Exact word-n-gram Jaccard over (lang, source)-blocked pairs.
+def shingle_hash_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cached ``(doc_id, lang, source, len_bucket, sh)`` shingle-hash table.
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|) on distinct shingle sets. The
-    blocked self-join shuffles on the block key only; pair count is
-    Σ_block m², bounded by the block design, never n².
+    One md5 per shingle up front, then every downstream pairwise step
+    intersects fixed-width int64 sets instead of re-hashing shingle
+    strings per pair (Jaccard over distinct hash sets equals Jaccard over
+    shingle sets; md5 collisions are negligible; the oracle applies the
+    same transformation).
+
+    Shared by the ngram / banded-minhash strategies: they build this
+    exact sub-plan, so Spark's CacheManager resolves all of them to one
+    InMemoryRelation and the shingle hashing runs once per corpus per
+    session — the standard "materialize the fingerprint table once" step.
+
+    The emptiness filter is phrased on the *token count*
+    (size(tokens) ≥ n ⟺ shingle set non-empty): Catalyst pushes filters
+    below the spread exchange into each union branch of the input, and a
+    filter referencing the md5-shingle expression re-evaluates that whole
+    expression there, on the unspread scan partitions — measured 13 s vs
+    1 s at sf0.1. The token-count predicate is cheap to evaluate anywhere
+    and keeps the expensive projection above the exchange, on all cores.
     """
-    # intersect 60-bit shingle *hashes*, not strings: one md5 per shingle
-    # up front, then every pairwise intersection hashes fixed-width longs
-    # instead of re-hashing full shingle strings per pair. Jaccard over
-    # distinct hash sets equals Jaccard over shingle sets (md5 collisions
-    # are negligible); the oracle applies the same transformation.
-    # spread raw docs BEFORE shingling so the md5 hashing (interpreted
-    # per-element) runs on all cores, not on the single scan partition.
-    # Block key includes a length bucket: near-identical docs have
-    # near-identical lengths, so the bucket keeps true pairs together
-    # while cutting candidate count ~5× vs (lang, source) alone.
-    sh = (
-        _spread(docs.select("doc_id", "lang", "source", "text", "n_chars"), "doc_id")
+    pre = docs.select("doc_id", "lang", "source", "text", "n_chars").filter(
+        F.size(H.tokens_col("text")) >= n
+    )
+    return (
+        _spread(pre, "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -145,19 +156,30 @@ def dedup_ngram_jaccard(
                 )
             ).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
-        # persist: the self-join references the shingle table twice, and
-        # without materialization each branch re-runs the md5 shingle
-        # hashing (the dominant cost). At scale this is the standard
-        # "materialize the fingerprint table" step.
         .cache()
     )
-    # probe side streams; build side broadcast — the pair stream is then
-    # map-only (no shuffle AQE could under-coalesce; the CPU cost is the
-    # array intersections, not the data volume). When the corpus outgrows
-    # broadcast, drop the hint: the same equi-join keys give a blocked
-    # shuffle join.
-    a, b = sh.alias("a"), F.broadcast(sh).alias("b")
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over (lang, source)-blocked pairs.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) on distinct shingle sets. The
+    blocked self-join shuffles on the block key only; pair count is
+    Σ_block m², bounded by the block design, never n².
+
+    Block key includes a length bucket: near-identical docs have
+    near-identical lengths, so the bucket keeps true pairs together
+    while cutting candidate count ~5× vs (lang, source) alone.
+
+    No broadcast hint on either side: the equi-keys give a blocked
+    shuffle join that degrades gracefully at any scale, and AQE promotes
+    it to a broadcast join at runtime when a side is actually small —
+    an unconditional hint would OOM executors at 100 TB.
+    """
+    sh = shingle_hash_table(docs, n=n)
+    a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (
@@ -186,14 +208,36 @@ def dedup_ngram_jaccard(
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """Per-doc 60-bit simhash (+ distinct-token count)."""
+    """Per-doc 60-bit simhash (+ distinct-token count).
+
+    Vectorized formulation: explode the token hashes and compute the 60
+    per-bit vote counts as codegen'd SUM aggregates in one hash-aggregate
+    pass (map-side partial agg — the shuffle carries one 60-counter row
+    per doc, not the tokens). Bit j is set iff 2·Σ bit_j(h) > n, exactly
+    the vote-sign condition Σ(2b−1) > 0 — same result as the per-row
+    fold :func:`clusterforge_spark.functions.hashing.simhash_col`, several
+    times faster (primitive codegen sums vs interpreted array folds).
+    """
     hashed = _spread(docs, "doc_id").select(
         "doc_id", H.token_hashes_col("text").alias("th")
     )
-    return hashed.select(
+    ex = hashed.select("doc_id", F.explode_outer("th").alias("h"))
+    sums = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        for j in range(H.SIMHASH_BITS)
+    ]
+    counts = ex.groupBy("doc_id").agg(F.count("h").alias("n"), *sums)
+    simhash = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(H.SIMHASH_BITS)
+        ],
+    )
+    return counts.select(
         "doc_id",
-        H.simhash_col("th").alias("simhash"),
-        F.size("th").cast("long").alias("n_distinct_tokens"),
+        simhash.cast("long").alias("simhash"),
+        F.col("n").cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -289,21 +333,11 @@ def dedup_minhash_banded(
     shingle-set Jaccard, so the output has no false positives, and false
     negatives only for pairs missed by every band (P(miss) = (1−j³)⁴).
     Per-band bucket joins shuffle on the bucket key only — never n².
+
+    Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
+    strategy — the md5 shingle hashing runs once per corpus per session).
     """
-    sh = (
-        _spread(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    H.shingles_col("text", n=n),
-                    lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
-                )
-            ).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .cache()
-    )
+    sh = shingle_hash_table(docs, n=n).select("doc_id", "sh")
     sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
     banded = sig.select(
         "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
@@ -323,9 +357,13 @@ def dedup_minhash_banded(
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # No broadcast hints: the verify joins are plain equi-joins; AQE
+    # broadcasts the (tiny) candidate side at runtime when it fits, and
+    # at 100 TB they degrade to shuffle joins instead of OOMing on a
+    # full-shingle-table broadcast.
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -148,11 +148,21 @@ def run_full_pipeline(
     # z-scaling runs distributed or on the collected matrix is decided by
     # n, mirroring the fit-strategy split below. The reference scales on
     # the dense matrix too (data.rs:16-41).
+    # The limit(threshold+1) probe is ONE action in the common small-n
+    # regime (a count-first branch decision costs a second full agg job —
+    # measured 2× slower at sf0.1). If the limit is hit we are in the
+    # distributed regime: discard the probe rows (bounded waste,
+    # ≤ threshold+1) and compute the TRUE customer count with an agg-only
+    # job so PipelineResult.n_customers is never the clipped threshold+1.
     rows = rfm.select("user_id", *FE.RFM_COLS).limit(driver_fit_threshold + 1).collect()
-    # sort by key: the fitted model must not depend on partition/collect
-    # order (seeded init indexes into this matrix)
-    rows.sort(key=lambda r: r.user_id)
-    n = len(rows)
+    if len(rows) > driver_fit_threshold:
+        rows = []
+        n = rfm.count()
+    else:
+        # sort by key: the fitted model must not depend on partition/collect
+        # order (seeded init indexes into this matrix)
+        rows.sort(key=lambda r: r.user_id)
+        n = len(rows)
     timings["rfm_scale"] = time.perf_counter() - t0
     if n < k:
         raise ValueError(f"Number of data points ({n}) must be >= number of clusters ({k})")

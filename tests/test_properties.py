@@ -73,7 +73,11 @@ def test_scaler_properties_numpy(vals):
     mu = x.mean()
     sd = max(x.std(), 1e-8)
     z = (x - mu) / sd
-    assert abs(z.mean()) < 1e-6
+    # Relative tolerance: a 1-ulp error in the float mean is |mu|*eps, and
+    # dividing by the floored sd amplifies it to |mu|*eps/sd — for a constant
+    # column like [683.255...]*3 that is ~1.1e-5, far above an absolute 1e-6.
+    tol = 1e-6 * max(1.0, abs(mu) / sd)
+    assert abs(z.mean()) < tol
     if x.std() > 1e-6:
         assert abs(z.std() - 1.0) < 1e-6
 
