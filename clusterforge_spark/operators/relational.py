@@ -21,7 +21,8 @@ def scan_project(lineitem: DataFrame) -> DataFrame:
     revenue = l_extendedprice * (1 - l_discount), the TPC-H revenue
     expression (reference analog: TotalAmount = Quantity * UnitPrice,
     data.rs:124). Projecting only 4 columns lets Catalyst prune the parquet
-    scan's ReadSchema to exactly these — verified in tests/test_plans.py.
+    scan's ReadSchema to exactly these — verified in tests/test_plans.py
+    (test_scan_project_prunes_columns).
     """
     return lineitem.select(
         "l_orderkey",
@@ -213,12 +214,20 @@ def window_sessionize(events: DataFrame) -> DataFrame:
     Tumbling 1-hour windows via time bucketing (date_trunc) — the batch
     analog of Structured Streaming's window(ts, '1 hour') used in
     streaming/sessionize.py; plus a rank over each user's buckets.
-    One shuffle on (user_id) covers both the aggregate and the window
-    function because the window partitions by the same key.
+
+    ONE shuffle total (asserted in tests/test_plans.py): the explicit
+    repartition on user_id satisfies both the aggregate's clustered
+    distribution on (user_id, hour_start) — a superset of the partition
+    key co-locates — and the window's partitionBy(user_id), so neither
+    adds an exchange. Trade-off vs letting the agg shuffle on its own
+    compound key: this moves raw (narrow) event rows once instead of
+    partially-aggregated rows twice; at the ~10:1 events-per-user-hour
+    ratio of this data the single exchange wins, and the agg still runs
+    as an in-partition hash aggregate.
     """
     from pyspark.sql.window import Window
 
-    bucketed = events.groupBy(
+    bucketed = events.select("user_id", "ts", "value").repartition("user_id").groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
         F.count("*").alias("events_in_hour"),

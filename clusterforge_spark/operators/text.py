@@ -78,25 +78,34 @@ def lang_id(documents: DataFrame) -> DataFrame:
     lexicographically smallest language).
     """
     toks = H.tokens_col("text")
-    entries = [
-        F.struct(
-            (-_stopword_hits(toks, words)).cast("long").alias("neg"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang, words in sorted(LANG_STOPWORDS.items())
-    ]
-    best = F.array_min(F.array(*entries))
-    predicted = F.when(
-        F.col("text").rlike(CJK_PATTERN), F.lit("zh")
-    ).otherwise(best.getField("lang"))
-    score_cols = [
-        _stopword_hits(toks, words).cast("long").alias(f"score_{lang}")
-        for lang, words in sorted(LANG_STOPWORDS.items())
-    ]
-    return documents.select(
+    langs = sorted(LANG_STOPWORDS)
+    # Evaluate the stopword hits ONCE per language in a first projection;
+    # the argmax struct then references the named columns. Catalyst's
+    # CollapseProject keeps the split (it refuses to inline non-cheap
+    # expressions referenced more than once), so each hit count is
+    # computed once instead of twice per language.
+    scored = documents.select(
         "doc_id",
         "lang",
-        *score_cols,
+        F.col("text").rlike(CJK_PATTERN).alias("has_cjk"),
+        *[
+            _stopword_hits(toks, LANG_STOPWORDS[lang]).cast("long").alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
+    entries = [
+        F.struct(
+            (-F.col(f"score_{lang}")).alias("neg"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in langs
+    ]
+    best = F.array_min(F.array(*entries))
+    predicted = F.when(F.col("has_cjk"), F.lit("zh")).otherwise(best.getField("lang"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lang}") for lang in langs],
         predicted.alias("predicted_lang"),
     ).withColumn("is_match", (F.col("predicted_lang") == F.col("lang")).cast("boolean"))
 

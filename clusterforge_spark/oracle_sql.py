@@ -725,11 +725,15 @@ GROUP BY event_type"""
 
 
 def q_semi_anti_join() -> str:
+    # NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN yield an
+    # empty 'inactive' set, while Spark's left_anti keeps non-matching
+    # customers — EXISTS/NOT EXISTS has left_semi/left_anti's NULL
+    # semantics exactly.
     return """SELECT c_custkey, 'active' AS status
-FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 UNION ALL
 SELECT c_custkey, 'inactive' AS status
-FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
 
 
 def q_left_join_counts() -> str:

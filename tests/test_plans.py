@@ -1,0 +1,95 @@
+"""Physical-plan quality assertions: the plans we designed for are the
+plans Catalyst actually produces.
+
+Covers: parquet filter pushdown, column pruning, broadcast of small
+dimensions, TakeOrderedAndProject for top-k, single-shuffle rollup and
+sessionize plans, and the dedup pair joins executing WITHOUT a
+hard-coded broadcast hint (small sides may still auto-broadcast from
+statistics — that is the desired adaptive behavior; a hint would be
+unconditional and OOM at scale).
+"""
+
+from __future__ import annotations
+
+from clusterforge_spark.operators import dedup as DD
+from clusterforge_spark.operators import relational as R
+from clusterforge_spark.plans import explain as X
+from clusterforge_spark.sources.readers import load_table
+
+from tests.conftest import SF_DIR
+
+
+def _t(spark, name):
+    return load_table(spark, SF_DIR, name)
+
+
+def test_filter_pushed_to_scan(spark):
+    pushed = X.pushed_filters(R.filter_conjunctive(_t(spark, "lineitem")))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_scan_project_prunes_columns(spark):
+    schema = X.read_schema(R.scan_project(_t(spark, "lineitem")))
+    assert "l_extendedprice" in schema
+    assert "l_shipdate" not in schema and "l_returnflag" not in schema
+
+
+def test_top_k_uses_take_ordered(spark):
+    df = R.top_k(_t(spark, "lineitem"), k=10)
+    assert X.has_take_ordered(df)
+
+
+def test_join_enrich_broadcasts_dims(spark):
+    df = R.join_enrich(
+        _t(spark, "lineitem"),
+        _t(spark, "orders"),
+        _t(spark, "customer"),
+        _t(spark, "nation"),
+    )
+    assert X.has_broadcast_join(df)
+
+
+def test_rollup_revenue_single_shuffle(spark):
+    df = R.rollup_revenue(
+        _t(spark, "lineitem"),
+        _t(spark, "orders"),
+        _t(spark, "customer"),
+        _t(spark, "nation"),
+    )
+    # dims broadcast; Expand + one hash-aggregate shuffle does the rollup
+    assert X.exchange_count(df) == 1
+
+
+def test_window_sessionize_single_shuffle(spark):
+    df = R.window_sessionize(_t(spark, "events"))
+    # the explicit user_id repartition serves both the (user_id, hour)
+    # aggregate and the window's partitionBy — no second exchange
+    assert X.exchange_count(df) == 1
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_dedup_ngram_join_no_broadcast_hint(spark):
+    df = DD.dedup_ngram_jaccard(DD.docs_with_dups(_t(spark, "documents")))
+    # no explicit broadcast hint in the logical plan: at scale the pair
+    # join degrades to a blocked shuffle join instead of OOMing on a
+    # full-shingle-table broadcast. (Stats-based auto-broadcast of the
+    # small test corpus is fine and expected.)
+    assert "ResolvedHint" not in _analyzed(df)
+    plan = X.plan_string(df, "simple")
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert df.count() > 0
+
+
+def test_dedup_banded_verify_join_no_broadcast_hint(spark):
+    df = DD.dedup_minhash_banded(DD.docs_with_dups(_t(spark, "documents")))
+    assert "ResolvedHint" not in _analyzed(df)
+    plan = X.plan_string(df, "simple")
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert df.count() > 0

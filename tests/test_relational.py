@@ -1,11 +1,10 @@
-"""Relational operators: semantics + physical-plan quality."""
+"""Relational operator semantics (plan-quality asserts: tests/test_plans.py)."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
 from clusterforge_spark.operators import relational as R
-from clusterforge_spark.plans import explain as X
 from clusterforge_spark.sources.readers import load_table
 
 from tests.conftest import SF_DIR
@@ -23,37 +22,21 @@ def test_filter_drops_expected_rows(spark):
     assert out.count() == manual
 
 
-def test_filter_pushed_to_scan(spark):
+def test_top_k_semantics(spark):
     li = load_table(spark, SF_DIR, "lineitem")
-    pushed = X.pushed_filters(R.filter_conjunctive(li))
-    assert "l_discount" in pushed and "l_quantity" in pushed
-
-
-def test_scan_project_prunes_columns(spark):
-    li = load_table(spark, SF_DIR, "lineitem")
-    schema = X.read_schema(R.scan_project(li))
-    assert "l_extendedprice" in schema
-    assert "l_shipdate" not in schema and "l_returnflag" not in schema
-
-
-def test_top_k_uses_take_ordered(spark):
-    li = load_table(spark, SF_DIR, "lineitem")
-    df = R.top_k(li, k=10)
-    assert X.has_take_ordered(df)
-    rows = df.collect()
+    rows = R.top_k(li, k=10).collect()
     assert len(rows) == 10
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
 
 
-def test_join_enrich_broadcasts_dims(spark):
+def test_join_enrich_preserves_lineitem_total(spark):
     df = R.join_enrich(
         load_table(spark, SF_DIR, "lineitem"),
         load_table(spark, SF_DIR, "orders"),
         load_table(spark, SF_DIR, "customer"),
         load_table(spark, SF_DIR, "nation"),
     )
-    assert X.has_broadcast_join(df)
     rows = df.collect()
     assert len(rows) > 0
     total = sum(r.lineitem_count for r in rows)
