@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from clusterforge_spark.sources.readers import TABLE_SCHEMAS
 
 
+def _await_or_raise(query, timeout_s: int) -> None:
+    """awaitTermination returns False on timeout — a silent partial
+    memory table would make parity tests fail confusingly (or pass
+    against wrong data in complete mode). Stop the query and raise."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name!r} did not finish within {timeout_s}s"
+        )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; the
     ns-epoch ts converted exactly as the batch reader does)."""
@@ -74,7 +85,7 @@ def run_sessionize_batchlike(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    _await_or_raise(query, timeout_s)
     return spark.table("sessionize_out")
 
 
@@ -101,6 +112,14 @@ def sessionize_gap_stream(
     tuple per user regardless of stream length. The open session at
     end-of-stream stays in state (a finite replay therefore emits all
     but each user's final session — tests account for this).
+
+    Ordering contract: WITHIN one trigger all of a key's Arrow chunks are
+    concatenated and sorted by event time before folding (a per-chunk
+    sort would fold chunks out of global order once a user spans multiple
+    ~10k-row batches). ACROSS triggers, correct boundaries still require
+    event-time-ordered arrival (or an upstream watermark-based buffer):
+    like flatMapGroupsWithState itself, the fold cannot reorder what
+    earlier triggers already consumed.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -117,8 +136,9 @@ def sessionize_gap_stream(
             n_events, value = 0, 0.0
 
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts_us")
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts_us") if len(chunks) > 1 else chunks[0].sort_values("ts_us")
             for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
                 ts_us = int(ts_us)
                 if start_us is None:
@@ -162,7 +182,7 @@ def run_gap_sessions_batchlike(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    _await_or_raise(query, timeout_s)
     return spark.table("gap_sessions_out")
 
 
@@ -197,5 +217,5 @@ def run_dedup_stream_batchlike(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    _await_or_raise(query, timeout_s)
     return spark.table("dedup_stream_out")
