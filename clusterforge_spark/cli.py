@@ -47,6 +47,19 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--predict", default=None, help='"R,F,M" triple to classify')
     ap.add_argument("--reference-date", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--output",
+        default="cluster_plot.png",
+        help="visualization PNG path (cli.rs:19 default; a _sizes.png "
+        "companion is written next to it); 'none' disables",
+    )
+    ap.add_argument(
+        "--model",
+        default=None,
+        help="model dir: full mode saves the fitted scaler+centroids "
+        "there; predict mode loads it and skips the refit (the "
+        "reference refits per predict, main.rs:44-52)",
+    )
     return ap
 
 
@@ -82,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             cluster, res = run_prediction(
                 spark, rfm, point, k=args.clusters, seed=args.seed,
                 max_iter=args.max_iters, tol=args.tolerance,
+                model_path=args.model,
             )
             sizes = {c: (s, p) for c, s, p in res.cluster_sizes}
             size, pct = sizes.get(cluster, (0, 0.0))
@@ -93,8 +107,13 @@ def main(argv: list[str] | None = None) -> int:
             res = run_full_pipeline(
                 spark, rfm, n_rows=n_rows, k=args.clusters, seed=args.seed,
                 max_iter=args.max_iters, tol=args.tolerance,
+                model_path=args.model,
             )
             print(format_report(res))
+            if args.output and args.output.lower() != "none":
+                from clusterforge_spark.viz import generate_visualization_report
+
+                generate_visualization_report(res, args.output)
         return 0
     except ValueError as exc:
         print(f"error: {exc}", file=sys.stderr)

@@ -130,9 +130,16 @@ def run_full_pipeline(
     seed: int = 42,
     silhouette_n: int = 100,
     driver_fit_threshold: int = 1_000_000,
+    model_path: str | None = None,
 ) -> PipelineResult:
     """RFM → scale → K-means → stats + sampled silhouette, with stage
-    timings in the shape of the reference's report (main.rs:87-145)."""
+    timings in the shape of the reference's report (main.rs:87-145).
+
+    ``model_path``: when given, the fitted scaler + centroids (and the
+    MLlib model in the distributed regime) are persisted there
+    (model_store.save_model) so predict mode can serve without a refit —
+    the reference refits from raw data per prediction (main.rs:44-52).
+    """
     import numpy as np
 
     timings: dict[str, float] = {}
@@ -177,6 +184,11 @@ def run_full_pipeline(
         raw = np.array([[r[c] for c in FE.RFM_COLS] for r in rows], dtype=np.float64)
         mu = raw.mean(axis=0)
         sd = np.maximum(raw.std(axis=0), 1e-8)
+        scaler_params = {
+            **{f"{c}_mean": float(mu[i]) for i, c in enumerate(FE.RFM_COLS)},
+            **{f"{c}_std": float(sd[i]) for i, c in enumerate(FE.RFM_COLS)},
+        }
+        mllib_model = None
         x = (raw - mu) / sd
         centroids, labels, inertia = _numpy_kmeans(x, k, max_iter, tol, seed)
         counts = np.bincount(labels, minlength=k)
@@ -198,6 +210,8 @@ def run_full_pipeline(
         scaled = FE.scale_features(rfm).cache()
         res = C.fit_kmeans(scaled, k=k, max_iter=max_iter, tol=tol, seed=seed, cols=ZCOLS)
         centroids, inertia = res.centroids, res.inertia
+        scaler_params = FE.fit_scaler(rfm).collect()[0].asDict()
+        mllib_model = res.model
         assigned = C.assign_nearest(
             scaled, tuple(tuple(c) for c in centroids), ZCOLS
         ).cache()
@@ -212,7 +226,7 @@ def run_full_pipeline(
         ).collect()[0].mean_silhouette
         timings["silhouette"] = time.perf_counter() - t0
 
-    return PipelineResult(
+    result = PipelineResult(
         n_rows=n_rows,
         n_customers=n,
         k=k,
@@ -222,7 +236,23 @@ def run_full_pipeline(
         silhouette=float(sil) if sil is not None else None,
         timings=timings,
         assignments=assigned,
+        scaler_params=scaler_params,
     )
+    if model_path is not None:
+        from clusterforge_spark.model_store import save_model
+
+        save_model(
+            spark,
+            model_path,
+            centroids=result.centroids,
+            scaler_params=scaler_params,
+            k=k,
+            cols=FE.RFM_COLS,
+            cluster_sizes=sizes,
+            inertia=result.inertia,
+            mllib_model=mllib_model,
+        )
+    return result
 
 
 def _numpy_silhouette(x, labels) -> float:
@@ -249,16 +279,47 @@ def _numpy_silhouette(x, labels) -> float:
 
 def run_prediction(
     spark: SparkSession,
-    rfm: DataFrame,
+    rfm: DataFrame | None,
     point: tuple[float, float, float],
     k: int = 4,
     seed: int = 42,
+    model_path: str | None = None,
     **kwargs,
 ) -> tuple[int, PipelineResult]:
-    """Reference predict mode: full refit, then classify one (R,F,M)
-    triple with the fitted scaler + centroids (main.rs:31-81)."""
-    result = run_full_pipeline(spark, rfm, n_rows=-1, k=k, seed=seed, **kwargs)
-    params = FE.fit_scaler(rfm).collect()[0].asDict()
+    """Predict mode: classify one (R,F,M) triple with a fitted scaler +
+    centroids.
+
+    With a ``model_path`` holding a previously saved model, serving SKIPS
+    the refit entirely (``rfm`` may even be None) — k·d floats loaded
+    from parquet and a driver-side distance computation. Without one, the
+    reference's refit-from-raw behavior (main.rs:31-81) runs, and the fit
+    is saved to ``model_path`` if given (so the next predict is refit-free).
+    """
+    from clusterforge_spark.model_store import load_model, model_exists
+
+    if model_path is not None and model_exists(spark, model_path):
+        m = load_model(spark, model_path)
+        cluster, _dist = C.predict_point(
+            m.scaler_params, tuple(tuple(c) for c in m.centroids), point, cols=m.cols
+        )
+        result = PipelineResult(
+            n_rows=-1,
+            n_customers=sum(s for _, s, _ in m.cluster_sizes),
+            k=m.k,
+            centroids=m.centroids,
+            inertia=m.inertia if m.inertia is not None else float("nan"),
+            cluster_sizes=m.cluster_sizes,
+            silhouette=None,
+            timings={},
+            assignments=None,
+            scaler_params=m.scaler_params,
+        )
+        return cluster, result
+
+    result = run_full_pipeline(
+        spark, rfm, n_rows=-1, k=k, seed=seed, model_path=model_path, **kwargs
+    )
+    params = result.scaler_params or FE.fit_scaler(rfm).collect()[0].asDict()
     cluster, _dist = C.predict_point(
         params, tuple(tuple(c) for c in result.centroids), point
     )
