@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_minhash_banded"] = lambda spark, sf: DD.dedup_minhash_banded(
         _dup_docs(spark, sf)
     )
+    q["q_dedup_components"] = lambda spark, sf: DD.dedup_components(
+        DD.dedup_minhash_banded(_dup_docs(spark, sf))
+    )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_embedding"] = lambda spark, sf: DD.dedup_embedding_cosine(
         DD.embs_with_dups(_t(spark, sf, "embeddings"))
@@ -179,10 +182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_sim_search_lsh"] = lambda spark, sf: SIM.lsh_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_ivf"] = lambda spark, sf: SIM.ivf_topk(_t(spark, sf, "embeddings"))
+    q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
+        _t(spark, sf, "embeddings")
+    )
     q["q_text_stats"] = lambda spark, sf: TX.text_stats(_t(spark, sf, "documents"))
     q["q_token_count"] = lambda spark, sf: TX.token_counts(_t(spark, sf, "documents"))
     q["q_lang_id"] = lambda spark, sf: TX.lang_id(_t(spark, sf, "documents"))
     q["q_quality_score"] = lambda spark, sf: TX.quality_score(_t(spark, sf, "documents"))
+    q["q_text_normalize"] = lambda spark, sf: TX.normalize_text(_t(spark, sf, "documents"))
+    q["q_vocab_topk"] = lambda spark, sf: TX.vocab_topk(_t(spark, sf, "documents"))
     q["q_doc_fingerprint"] = lambda spark, sf: TX.doc_fingerprints(
         _t(spark, sf, "documents")
     ).withColumn("shingle_minhash", F.coalesce("shingle_minhash", F.lit(-1).cast("long")))
@@ -234,15 +242,19 @@ def _oracle_sql_raw() -> dict[str, str]:
         # q_dedup_minhash: MLlib MinHashLSH hash family — rows-only by design
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
+        "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_embedding": OSQL.q_dedup_embedding(),
         "q_sim_search_topk": OSQL.q_sim_search_topk(),
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
+        "q_sim_search_batch": OSQL.q_sim_search_batch(),
         "q_text_stats": OSQL.q_text_stats(),
         "q_token_count": OSQL.q_token_count(),
         "q_lang_id": OSQL.q_lang_id(),
         "q_quality_score": OSQL.q_quality_score(),
+        "q_text_normalize": OSQL.q_text_normalize(),
+        "q_vocab_topk": OSQL.q_vocab_topk(),
         "q_doc_fingerprint": OSQL.q_doc_fingerprint(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # q_multimodal_decode: pandas-UDF byte statistics — rows-only by design

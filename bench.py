@@ -65,14 +65,18 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
+    "q_dedup_components",
     "q_dedup_embedding",
     "q_sim_search_topk",
     "q_sim_search_lsh",
     "q_sim_search_ivf",
+    "q_sim_search_batch",
     "q_text_stats",
     "q_token_count",
     "q_lang_id",
     "q_quality_score",
+    "q_text_normalize",
+    "q_vocab_topk",
     "q_doc_fingerprint",
     "q_multimodal_meta",
     "q_multimodal_decode",

@@ -369,6 +369,62 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame
     )
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs — the transitive-closure
+    step a real dedup pipeline needs before choosing canonical docs
+    (A≈B and B≈C must land in one group even when A≈C was never a
+    candidate pair).
+
+    Iterative min-label propagation: every vertex starts labeled with its
+    own id; each round every vertex takes the min of its own and its
+    neighbors' labels; fixpoint = component id = min doc_id in the
+    component (deterministic). Rounds needed = graph diameter — tiny for
+    dup clusters (near-clique). Each round is one join + one min-agg,
+    both shuffling on the vertex key only; the per-round convergence
+    check is a count (cheap action). At petabyte scale with adversarial
+    diameters you would switch to the large-star/small-star algorithm
+    (same primitive ops, O(log n) rounds); labels are localCheckpointed
+    every few rounds to truncate the growing lineage either way.
+
+    Output: (doc_id, component, component_size) for every doc that
+    appears in at least one pair.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).cache()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).cache()
+    prev_sum = None
+    for it in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.v).select(
+            F.col("dst").alias("v"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        )
+        if (it + 1) % 3 == 0:
+            # truncate lineage: each round otherwise stacks a join+agg on
+            # the previous round's plan
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.cache()
+        # convergence: labels only ever decrease (lbl' = min(lbl, nbrs)),
+        # so Σlbl is strictly monotone until the fixpoint — one scalar
+        # agg per round instead of a change-detection join
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    comp = labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    edges.unpersist()
+    return comp.join(sizes, "component").select("doc_id", "component", "component_size")
+
+
 def dedup_minhash_banded(
     docs: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:

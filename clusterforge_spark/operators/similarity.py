@@ -68,6 +68,44 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+#: Deterministic literal query batch for the multi-query search surface.
+BATCH_QUERIES: list[list[float]] = [
+    V._det_vec(V.DIM, 5.417 + 0.991 * j, 9.0 + 2 * j) for j in range(4)
+]
+
+
+def batch_topk(
+    embeddings: DataFrame, queries: list[list[float]] | None = None, k: int = 10
+) -> DataFrame:
+    """Top-k per query for a BATCH of query vectors in one scan.
+
+    The serving shape of retrieval: N queries × corpus. One projection
+    computes the cosine against every literal query (an array of codegen
+    dot products — still map-only, no shuffle, no UDF), posexplode emits
+    (query_id, cos_sim), and a per-query window takes the top k. The
+    single shuffle is on query_id, carrying only the scored pairs.
+
+    At 100 TB with large query batches the literal-array approach stays:
+    broadcast the query matrix and widen the projection; the scan cost is
+    amortized over all queries instead of re-scanned per query (the
+    brute_force_topk-in-a-loop anti-pattern).
+    """
+    from pyspark.sql.window import Window
+
+    queries = queries or BATCH_QUERIES
+    sims = F.array(
+        *[round_det(V.cosine_lit("embedding", q), 6) for q in queries]
+    )
+    scored = embeddings.select(
+        "vec_id", F.posexplode(sims).alias("query_id", "cos_sim")
+    ).select(F.col("query_id").cast("long").alias("query_id"), "vec_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]] | None = None) -> DataFrame:
     """Nearest coarse-centroid cell per vector (argmin L2, tie→lowest)."""
     centroids = centroids or V.IVF_CENTROIDS

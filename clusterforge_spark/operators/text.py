@@ -137,6 +137,52 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Training-data text normalization: tag strip → lowercase → control
+    chars out → whitespace collapse → trim.
+
+    The standard pre-tokenization cleanup pass of an LLM data pipeline,
+    kept to regex/string built-ins whose semantics are identical across
+    engines (the DuckDB oracle applies the same steps with 'g' flags).
+    Map-only; linear at any scale.
+    """
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, r"<[^>]*>", " ")  # HTML-ish tags
+    t = F.regexp_replace(t, r"[\x00-\x1f\x7f]", " ")  # control chars
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))  # collapse runs
+    return documents.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrences, with
+    document frequency — the input to vocabulary pruning / stopword
+    induction / TF-IDF weighting.
+
+    explode(tokens) → one hash-aggregate on the token (map-side partial
+    agg absorbs the per-doc repetition before the shuffle), then top-k
+    planned as TakeOrderedAndProject. Ties broken by token ascending —
+    deterministic output.
+
+    Token *occurrences* need the non-distinct token list, so this uses
+    the raw split (not the distinct token_hashes path); doc_freq counts
+    each doc once via countDistinct.
+    """
+    ex = documents.select("doc_id", F.explode(H.tokens_col("text")).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Min-hash fingerprints: smallest 60-bit md5 hash over distinct
     tokens and over 5-gram shingles (1-permutation min-hash — the

@@ -425,6 +425,51 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {flit(threshold)}"""
     )
 
 
+def q_dedup_components(n: int = 3, threshold: float = 0.2) -> str:
+    """Connected components over the banded-minhash pair set: recursive
+    min-label reachability (component id = min doc_id reachable)."""
+    inner = q_dedup_minhash_banded(n=n, threshold=threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{inner}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach AS (
+  SELECT v, v AS lbl FROM verts
+  UNION
+  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+          FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, s.component_size
+FROM comp c JOIN sizes s ON c.component = s.component"""
+
+
+def q_sim_search_batch(k: int = 10) -> str:
+    from clusterforge_spark.operators.similarity import BATCH_QUERIES
+
+    per = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, vec_id, "
+        f"round({_V.cosine_lit_sql('embedding', q)}, 6) AS cos_sim FROM embeddings"
+        for qid, q in enumerate(BATCH_QUERIES)
+    )
+    return f"""WITH scored AS (
+{per}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}"""
+
+
 def _topk_sql(candidates_sql: str, k: int) -> str:
     return f"""SELECT vec_id, cos_sim,
        CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
@@ -502,6 +547,32 @@ def q_token_count() -> str:
        CAST(len(regexp_extract_all(lower(text), '{_H.TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_measured
 FROM documents"""
+
+
+def q_text_normalize() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+        "'<[^>]*>', ' ', 'g'), '[\\x00-\\x1f\\x7f]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""SELECT doc_id,
+       {norm} AS norm_text,
+       CAST(length({norm}) AS BIGINT) AS n_chars_norm
+FROM documents"""
+
+
+def q_vocab_topk(k: int = 100) -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM ex
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {k}"""
 
 
 def _stopword_score_sql(lang: str, words: tuple[str, ...]) -> str:

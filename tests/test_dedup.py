@@ -101,3 +101,29 @@ def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
     for key, j in found.items():
         if key in ngram:
             assert ngram[key] == j
+
+
+def test_components_transitive_closure(spark):
+    # A-B and B-C pairs (A-C never a candidate) must land in one component
+    from clusterforge_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: (r.component, r.component_size) for r in dedup_components(pairs).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    for d in (20, 21, 22, 23):
+        assert out[d] == (20, 4)
+
+
+def test_components_chain_needs_iterations(spark):
+    # a 9-long path graph: min label must propagate the full diameter
+    from clusterforge_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5, 13)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
+    assert all(out[v] == 5 for v in range(5, 14))

@@ -62,3 +62,19 @@ def test_dot_dynamic_matches_literal(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>")
     got = df.select(V.dot_dynamic("a", "b").alias("d")).collect()[0].d
     assert got == pytest.approx(32.0)
+
+
+def test_batch_topk_matches_per_query_brute_force(embeddings):
+    from clusterforge_spark.operators.similarity import BATCH_QUERIES, batch_topk, brute_force_topk
+
+    out = batch_topk(embeddings, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert set(by_q) == set(range(len(BATCH_QUERIES)))
+    for qid, q in enumerate(BATCH_QUERIES):
+        want = [
+            (r.rank, r.vec_id, r.cos_sim)
+            for r in brute_force_topk(embeddings, query=q, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(want)

@@ -70,3 +70,35 @@ def test_fingerprint_matches_python_md5(documents):
     got = doc_fingerprints(documents.limit(1)).collect()[0]
     assert got.token_minhash == min(hashes)
     assert got.n_distinct_tokens == len(toks)
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from clusterforge_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello <b>World</b>\x07  MANY\t\nspaces  ")],
+        "doc_id long, text string",
+    )
+    row = normalize_text(df).collect()[0]
+    assert row.norm_text == "hello world many spaces"
+    assert row.n_chars_norm == len("hello world many spaces")
+
+
+def test_vocab_topk_counts_match_python(documents):
+    from clusterforge_spark.operators.text import vocab_topk
+
+    rows = vocab_topk(documents, k=10).collect()
+    # python recount over the same corpus
+    from collections import Counter
+
+    occ, dfreq = Counter(), Counter()
+    for r in documents.select("doc_id", "text").collect():
+        toks = [t for t in r.text.lower().split() if t]
+        occ.update(toks)
+        dfreq.update(set(toks))
+    for r in rows:
+        assert r.n_occurrences == occ[r.token]
+        assert r.doc_freq == dfreq[r.token]
+    # descending by occurrences, token tie-break
+    keys = [(-r.n_occurrences, r.token) for r in rows]
+    assert keys == sorted(keys)
