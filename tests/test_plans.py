@@ -93,3 +93,24 @@ def test_dedup_banded_verify_join_no_broadcast_hint(spark):
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert df.count() > 0
+
+
+def test_vocab_topk_take_ordered(spark):
+    from clusterforge_spark.operators import text as TX
+
+    df = TX.vocab_topk(_t(spark, "documents"), k=10)
+    assert X.has_take_ordered(df)
+
+
+def test_normalize_text_map_only(spark):
+    from clusterforge_spark.operators import text as TX
+
+    # pre-tokenization cleanup must stay a zero-shuffle projection
+    assert X.exchange_count(TX.normalize_text(_t(spark, "documents"))) == 0
+
+
+def test_batch_topk_single_shuffle(spark):
+    from clusterforge_spark.operators import similarity as SIM
+
+    # one scan scores all queries; the only exchange is the per-query window
+    assert X.exchange_count(SIM.batch_topk(_t(spark, "embeddings"))) == 1
