@@ -120,7 +120,11 @@ def main() -> int:
     stages: dict[str, float] = {}
     t0 = time.perf_counter()
     events = load_table(spark, SF_DIR, "events")
-    n_rows = events.count()
+    # row count from the parquet footer (what Spark's count(*) pushdown
+    # reads too) — a full Spark job for it is pure scheduling overhead
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
     stages["load"] = time.perf_counter() - t0
 
     res = run_full_pipeline(spark, FE.compute_rfm(events), n_rows=n_rows, k=4, seed=42)
