@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_quality_score"] = lambda spark, sf: TX.quality_score(_t(spark, sf, "documents"))
     q["q_text_normalize"] = lambda spark, sf: TX.normalize_text(_t(spark, sf, "documents"))
     q["q_vocab_topk"] = lambda spark, sf: TX.vocab_topk(_t(spark, sf, "documents"))
+    q["q_tfidf_top_terms"] = lambda spark, sf: TX.tfidf_top_terms(
+        _t(spark, sf, "documents")
+    )
     q["q_doc_fingerprint"] = lambda spark, sf: TX.doc_fingerprints(
         _t(spark, sf, "documents")
     ).withColumn("shingle_minhash", F.coalesce("shingle_minhash", F.lit(-1).cast("long")))
@@ -255,6 +258,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_quality_score": OSQL.q_quality_score(),
         "q_text_normalize": OSQL.q_text_normalize(),
         "q_vocab_topk": OSQL.q_vocab_topk(),
+        "q_tfidf_top_terms": OSQL.q_tfidf_top_terms(),
         "q_doc_fingerprint": OSQL.q_doc_fingerprint(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # q_multimodal_decode: pandas-UDF byte statistics — rows-only by design

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_quality_score",
     "q_text_normalize",
     "q_vocab_topk",
+    "q_tfidf_top_terms",
     "q_doc_fingerprint",
     "q_multimodal_meta",
     "q_multimodal_decode",

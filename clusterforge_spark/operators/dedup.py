@@ -392,8 +392,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.unionByName(rev).cache()
+    # initialization already folds one propagation step without a join:
+    # lbl₀(v) = min(v, min direct neighbor). Dup clusters are near-stars
+    # around their min-id member, so most components are exact at lbl₀
+    # and the loop usually runs a single confirming round.
     labels = (
-        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("v"), F.least("src", "m").alias("lbl"))
     ).cache()
     prev_sum = None
     for it in range(max_iter):

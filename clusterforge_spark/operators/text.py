@@ -183,6 +183,45 @@ def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """Top-N characteristic terms per document by TF-IDF.
+
+    tf = token occurrences within the doc; idf = ln(N / doc_freq);
+    score = tf · idf rounded 6dp, ties broken by token ascending —
+    fully deterministic. Shape: explode → two hash aggregates (per-doc
+    term freq; corpus doc freq) → broadcast-joined corpus size → one
+    per-doc window for the top-N. At 100 TB, persist the exploded
+    (doc, token) table once (it feeds both aggregates) and bucket it by
+    token so the df join co-locates.
+    """
+    from pyspark.sql.window import Window
+
+    ex = documents.select("doc_id", F.explode(H.tokens_col("text")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = ex.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            round_det(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Min-hash fingerprints: smallest 60-bit md5 hash over distinct
     tokens and over 5-gram shingles (1-permutation min-hash — the

@@ -575,6 +575,34 @@ ORDER BY n_occurrences DESC, token
 LIMIT {k}"""
 
 
+def q_tfidf_top_terms(top_n: int = 3) -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, token
+),
+dfq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ex GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= {top_n}"""
+
+
 def _stopword_score_sql(lang: str, words: tuple[str, ...]) -> str:
     lits = ", ".join(f"'{w}'" for w in words)
     return (

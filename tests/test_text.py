@@ -102,3 +102,33 @@ def test_vocab_topk_counts_match_python(documents):
     # descending by occurrences, token tie-break
     keys = [(-r.n_occurrences, r.token) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_tfidf_top_terms_matches_python(documents):
+    import math
+    from collections import Counter
+
+    from clusterforge_spark.operators.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(documents, top_n=2).collect()
+    docs = {r.doc_id: [t for t in r.text.lower().split() if t]
+            for r in documents.select("doc_id", "text").collect()}
+    n = len(docs)
+    dfreq = Counter()
+    for toks in docs.values():
+        dfreq.update(set(toks))
+
+    def round6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tfidf))
+    for doc_id, got in by_doc.items():
+        toks = docs[doc_id]
+        tf = Counter(toks)
+        scored = sorted(
+            ((-round6(c * math.log(float(n) / dfreq[t])), t) for t, c in tf.items())
+        )[:2]
+        want = [(i + 1, t, -s) for i, (s, t) in enumerate(scored)]
+        assert sorted(got) == want
