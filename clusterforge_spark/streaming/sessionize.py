@@ -100,6 +100,40 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long, value double"
 
 
+def _fold_session_chunks(user_id, chunks, state_tuple, gap_us):
+    """The gap-session fold shared by BOTH stateful APIs (v1
+    applyInPandasWithState and v2 transformWithStateInPandas): global
+    event-time sort of the trigger's chunks, then the close-on-gap scan.
+    Returns (closed_sessions, new_state_tuple)."""
+    import pandas as pd
+
+    start_us, end_us, n_events, value = state_tuple
+    closed = []
+    if chunks:
+        pdf = (
+            pd.concat(chunks).sort_values("ts_us")
+            if len(chunks) > 1
+            else chunks[0].sort_values("ts_us")
+        )
+        for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+            ts_us = int(ts_us)
+            if start_us is None:
+                start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
+            elif ts_us - end_us > gap_us:
+                closed.append((user_id, start_us, end_us, n_events, round(value, 2)))
+                start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
+            else:
+                end_us = ts_us
+                n_events += 1
+                value += float(v)
+    return closed, (start_us, end_us, n_events, value)
+
+
+_SESSION_OUT_COLS = [
+    "user_id", "session_start_us", "session_end_us", "n_events", "session_value"
+]
+
+
 def sessionize_gap_stream(
     events_stream: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:
@@ -129,33 +163,11 @@ def sessionize_gap_stream(
         import pandas as pd
 
         (user_id,) = key
-        if state.exists:
-            start_us, end_us, n_events, value = state.get
-        else:
-            start_us = end_us = None
-            n_events, value = 0, 0.0
-
-        closed = []
-        chunks = [pdf for pdf in pdf_iter]
-        if chunks:
-            pdf = pd.concat(chunks).sort_values("ts_us") if len(chunks) > 1 else chunks[0].sort_values("ts_us")
-            for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
-                ts_us = int(ts_us)
-                if start_us is None:
-                    start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
-                elif ts_us - end_us > gap_us:
-                    closed.append((user_id, start_us, end_us, n_events, round(value, 2)))
-                    start_us, end_us, n_events, value = ts_us, ts_us, 1, float(v)
-                else:
-                    end_us = ts_us
-                    n_events += 1
-                    value += float(v)
-        state.update((start_us, end_us, n_events, value))
+        prev = state.get if state.exists else (None, None, 0, 0.0)
+        closed, new_state = _fold_session_chunks(user_id, list(pdf_iter), prev, gap_us)
+        state.update(new_state)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start_us", "session_end_us", "n_events", "session_value"],
-            )
+            yield pd.DataFrame(closed, columns=_SESSION_OUT_COLS)
 
     prepared = events_stream.select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value"
@@ -167,6 +179,80 @@ def sessionize_gap_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_gap_stream_v2(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """The gap sessionizer on Spark 4's arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``).
+
+    Shares :func:`_fold_session_chunks` with the v1 operator, so the two
+    APIs cannot drift; the v2 shell adds typed state handles, timers, and
+    (operationally) requires the RocksDB state-store provider — the
+    configuration a 100 TB deployment runs anyway for state larger than
+    executor heap.
+
+    Environment note: the v2 worker protocol needs the ``protobuf``
+    package (``google.protobuf``), which this container does not ship —
+    the parity test skips when it is missing (like the multimodal codec
+    stub, the Spark-side plumbing is real and the shared fold is fully
+    exercised through the v1 path).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60_000_000
+
+    class GapSessionProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._state = handle.getValueState("open_session", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (user_id,) = key
+            prev = self._state.get() if self._state.exists() else (None, None, 0, 0.0)
+            closed, new_state = _fold_session_chunks(user_id, list(rows), prev, gap_us)
+            self._state.update(new_state)
+            if closed:
+                yield pd.DataFrame(closed, columns=_SESSION_OUT_COLS)
+
+        def close(self) -> None:
+            pass
+
+    prepared = events_stream.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=GapSessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def run_gap_sessions_v2_batchlike(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, timeout_s: int = 120
+) -> DataFrame:
+    """Replay the events file through the v2 stateful sessionizer
+    (sets the RocksDB state-store provider the v2 API requires)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = sessionize_gap_stream_v2(read_events_stream(spark, sf_dir), gap_minutes)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("gap_sessions_v2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.table("gap_sessions_v2_out")
 
 
 def run_gap_sessions_batchlike(
