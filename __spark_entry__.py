@@ -101,7 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_session_gap"] = lambda spark, sf: R.sessionize_gap(_t(spark, sf, "events"))
+    q["q_window_funcs"] = lambda spark, sf: R.window_funcs(_t(spark, sf, "events"))
     q["q_rollup_revenue"] = lambda spark, sf: R.rollup_revenue(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
+    q["q_cube_revenue"] = lambda spark, sf: R.cube_revenue(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
         _t(spark, sf, "customer"),
@@ -224,7 +231,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_join_enrich": OSQL.q_join_enrich(),
         "q_window_sessionize": OSQL.q_window_sessionize(),
         "q_session_gap": OSQL.q_session_gap(),
+        "q_window_funcs": OSQL.q_window_funcs(),
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
+        "q_cube_revenue": OSQL.q_cube_revenue(),
         "q_set_ops": OSQL.q_set_ops(),
         "q_scalar_funcs": OSQL.q_scalar_funcs(),
         "q_json_extract": OSQL.q_json_extract(),

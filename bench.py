@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "q_join_enrich",
     "q_window_sessionize",
     "q_session_gap",
+    "q_window_funcs",
     "q_rollup_revenue",
+    "q_cube_revenue",
     "q_set_ops",
     "q_scalar_funcs",
     "q_json_extract",

@@ -245,6 +245,38 @@ def window_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def window_funcs(events: DataFrame) -> DataFrame:
+    """Window-function breadth on one per-user ordered frame: lag / lead
+    / running DECIMAL sum / ntile / percent_rank / row_number.
+
+    The order key (ts, event_id) is a total order (event_id unique), so
+    every function is deterministic. ONE shuffle on user_id serves all
+    six functions — they share the same window spec, and Spark plans a
+    single Window operator over a single sort.
+    """
+    from pyspark.sql.window import Window
+
+    from clusterforge_spark.functions.rounding import round_det
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        round_det(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
 def rollup_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -266,6 +298,32 @@ def rollup_revenue(
     return joined.rollup("n_name", "c_mktsegment").agg(
         round_det(F.sum("revenue"), 2).alias("total_revenue"),
         F.count("*").alias("lineitem_count"),
+    )
+
+
+def cube_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """CUBE over the same star join — all four grouping sets
+    {(nation, segment), (nation), (segment), ()} in one Expand + one
+    aggregate. grouping_id disambiguates the NULL-label rows exactly as
+    SQL GROUPING() does (a real NULL group vs a subtotal row)."""
+    li = lineitem.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    od = orders.select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+    na = nation.select("n_nationkey", "n_name")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return joined.cube("n_name", "c_mktsegment").agg(
+        round_det(F.sum("revenue"), 2).alias("total_revenue"),
+        F.count("*").alias("lineitem_count"),
+        F.grouping_id().cast("long").alias("gid"),
     )
 
 

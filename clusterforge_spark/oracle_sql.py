@@ -767,6 +767,22 @@ FROM s
 GROUP BY 1, 2"""
 
 
+def q_window_funcs() -> str:
+    return """SELECT user_id, event_id,
+       epoch_us(ts::TIMESTAMP) AS ts_us,
+       value,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+            (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)"""
+
+
 def q_rollup_revenue() -> str:
     return """SELECT n_name, c_mktsegment,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
@@ -776,6 +792,18 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, c_mktsegment)"""
+
+
+def q_cube_revenue() -> str:
+    return """SELECT n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS lineitem_count,
+       CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY CUBE(n_name, c_mktsegment)"""
 
 
 def q_set_ops() -> str:

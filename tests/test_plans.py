@@ -114,3 +114,11 @@ def test_batch_topk_single_shuffle(spark):
 
     # one scan scores all queries; the only exchange is the per-query window
     assert X.exchange_count(SIM.batch_topk(_t(spark, "embeddings"))) == 1
+
+
+def test_window_funcs_single_shuffle_single_window(spark):
+    # six window functions share one spec -> one exchange, one Window node
+    df = R.window_funcs(_t(spark, "events"))
+    assert X.exchange_count(df) == 1
+    plan = X.plan_string(df, "simple")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
