@@ -25,6 +25,7 @@ from clusterforge_spark.operators import dedup as DD
 from clusterforge_spark.operators import features as FE
 from clusterforge_spark.operators import metrics as M
 from clusterforge_spark.operators import multimodal as MM
+from clusterforge_spark.operators import packing as PK
 from clusterforge_spark.operators import relational as R
 from clusterforge_spark.operators import similarity as SIM
 from clusterforge_spark.operators import text as TX
@@ -127,6 +128,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_exists_subquery"] = lambda spark, sf: R.exists_subquery(
         spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
+    q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
+    q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
+        _t(spark, sf, "events")
+    )
+    q["q_pivot_event_counts"] = lambda spark, sf: R.pivot_event_counts(
+        _t(spark, sf, "events")
+    )
+    q["q_unpivot_part"] = lambda spark, sf: R.unpivot_part_metrics(
+        _t(spark, sf, "part")
+    )
 
     # --- normalization + deterministic cluster geometry (O13-O25) ---------
     def q_scaler_params(spark, sf):
@@ -204,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_doc_fingerprint"] = lambda spark, sf: TX.doc_fingerprints(
         _t(spark, sf, "documents")
     ).withColumn("shingle_minhash", F.coalesce("shingle_minhash", F.lit(-1).cast("long")))
+    q["q_pack_chunks"] = lambda spark, sf: PK.pack_chunks(_t(spark, sf, "documents"))
+    q["q_hash_split"] = lambda spark, sf: PK.hash_split(_t(spark, sf, "documents"))
     q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
     q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
         MM.attach_payload(_t(spark, sf, "documents"))
@@ -241,6 +254,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_semi_anti_join": OSQL.q_semi_anti_join(),
         "q_left_join_counts": OSQL.q_left_join_counts(),
         "q_exists_subquery": OSQL.q_exists_subquery(),
+        "q_asof_join": OSQL.q_asof_join(),
+        "q_range_join_bands": OSQL.q_range_join_bands(),
+        "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
+        "q_unpivot_part": OSQL.q_unpivot_part(),
         "q_scaler_params": OSQL.q_scaler_params(),
         "q_standard_scaler": OSQL.q_standard_scaler(),
         "q_centroid_assign": OSQL.q_centroid_assign(),
@@ -269,6 +286,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_vocab_topk": OSQL.q_vocab_topk(),
         "q_tfidf_top_terms": OSQL.q_tfidf_top_terms(),
         "q_doc_fingerprint": OSQL.q_doc_fingerprint(),
+        "q_pack_chunks": OSQL.q_pack_chunks(),
+        "q_hash_split": OSQL.q_hash_split(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # q_multimodal_decode: pandas-UDF byte statistics — rows-only by design
     }

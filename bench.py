@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q_window_funcs",
     "q_rollup_revenue",
     "q_cube_revenue",
+    "q_asof_join",
+    "q_range_join_bands",
+    "q_pivot_event_counts",
+    "q_unpivot_part",
     "q_set_ops",
     "q_scalar_funcs",
     "q_json_extract",
@@ -81,6 +85,8 @@ BENCH_QUERIES = [
     "q_vocab_topk",
     "q_tfidf_top_terms",
     "q_doc_fingerprint",
+    "q_pack_chunks",
+    "q_hash_split",
     "q_multimodal_meta",
     "q_multimodal_decode",
 ]

@@ -1,0 +1,87 @@
+"""Training-batch preparation: sequence chunk-packing + deterministic splits.
+
+The two operators every pretraining data pipeline runs just before
+tokenized shards are written:
+
+* ``pack_chunks`` — concat-and-chunk packing (the GPT-style regime):
+  documents are laid end-to-end per shard in a deterministic order and
+  cut into fixed ``budget``-token context windows. Expressed entirely as
+  one window running-sum — no UDF, one shuffle on the shard key, exact
+  integer arithmetic (oracle-checkable bit-for-bit).
+* ``hash_split`` — reproducible train/validation assignment from a
+  cross-engine-stable content hash (md5), so the split survives
+  re-partitioning, re-ordering, and engine changes. Never ``rand()``:
+  a seeded rand is partition-order-dependent in any distributed engine.
+
+At 100 TB both are embarrassingly parallel: packing shuffles once on the
+shard key (shards are sized by the pipeline, so partitions stay bounded)
+and hash-split is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clusterforge_spark.functions import hashing as H
+
+#: Tokens per packed context window.
+PACK_BUDGET = 512
+
+#: Percent of hash space routed to train (rest → val).
+TRAIN_PCT = 90
+
+
+def pack_chunks(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Assign each document its context-window position under
+    concat-and-chunk packing, per source shard.
+
+    Documents are ordered by doc_id within each source; the running
+    token count before a document determines its chunk
+    (``floor(cum_before / budget)``) and offset within that chunk.
+    ``straddles`` marks documents cut by a window boundary (the
+    attention-mask reset points). All integer math — exact in any
+    engine.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(H.tokens_col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("source", "doc_id", n_tokens.alias("n_tokens"))
+        .select("*", (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"))
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / budget).cast("long").alias("chunk_id"),
+            (F.col("cum_before") % budget).cast("long").alias("chunk_offset"),
+            ((F.col("cum_before") % budget) + F.col("n_tokens") > budget)
+            .alias("straddles"),
+        )
+    )
+
+
+def hash_split(documents: DataFrame, train_pct: int = TRAIN_PCT) -> DataFrame:
+    """Deterministic train/val split on a 60-bit md5 of the doc key.
+
+    The bucket is ``md5_60bit(doc_id) % 100`` — stable across engines,
+    partitionings, and runs (unlike seeded ``rand()``, whose stream
+    depends on row-to-partition placement). Map-only; the same document
+    always lands in the same split even when the corpus grows.
+    """
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return documents.select(
+        "doc_id",
+        "source",
+        bucket.alias("hash_bucket"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

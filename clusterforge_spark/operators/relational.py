@@ -459,3 +459,158 @@ def salted_join(
         (F.col(left_key) == F.col(right_key)) & (salted_left["__salt"] == salted_right["__salt"]),
     )
     return out.drop("__salt")
+
+
+def asof_join_attribution(events: DataFrame) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent
+    click at-or-before it (marketing attribution; the canonical
+    time-series as-of join the reference family lacks natively).
+
+    Spark-first implementation: instead of a non-equi range join (which
+    would plan as a nested-loop), UNION both sides, sort once per user,
+    and carry the latest click forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding row frame. ONE shuffle on user_id, one
+    sort — the same shape a sort-merge as-of join would use, expressed
+    with built-ins only. At 100 TB this is the scalable form: state per
+    partition is a single carried value, never a buffered range.
+
+    Order key (ts_us, kind, event_id): kind sorts clicks BEFORE a
+    purchase at the same instant (as-of ``>=`` includes equality), and
+    event_id breaks exact-time ties deterministically.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    kind = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", kind, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    carried = ev.select(
+        "*",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+        "click_id",
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+#: Literal value bands for the range join: [lo, hi) half-open, covering
+#: the full events.value domain (0 .. <1000 by construction).
+VALUE_BANDS: list[tuple[int, float, float]] = [
+    (0, 0.0, 5.0),
+    (1, 5.0, 10.0),
+    (2, 10.0, 20.0),
+    (3, 20.0, 50.0),
+    (4, 50.0, 100.0),
+    (5, 100.0, 1000.0),
+]
+
+#: Bucket width used to turn the range join into an equi-join.
+BAND_BUCKET_STEP = 5.0
+
+
+def range_join_bands(events: DataFrame) -> DataFrame:
+    """Range (interval) join of a fact value into banded intervals,
+    planned as an EQUI-join via bucketing — never a nested loop.
+
+    The naive formulation ``events JOIN bands ON value >= lo AND value
+    < hi`` plans as BroadcastNestedLoopJoin: every row is tested against
+    every band, O(n·bands) comparisons and no hash partitioning — the
+    classic range-join scale trap. Instead each band is exploded to the
+    fixed-width buckets it covers (floor(lo/step)..floor((hi-ε)/step)),
+    the fact side computes its bucket with literal arithmetic in
+    codegen, and the join is a broadcast HASH join on the bucket with
+    the exact [lo, hi) predicate as a residual filter. Asserted in
+    tests/test_plans.py (no BroadcastNestedLoopJoin in the plan). At
+    100 TB the fact side stays map-only (no shuffle); band tables of any
+    realistic size broadcast.
+    """
+    spark = events.sparkSession
+    step = BAND_BUCKET_STEP
+    bands = spark.createDataFrame(
+        [
+            (bid, lo, hi, bkt)
+            for bid, lo, hi in VALUE_BANDS
+            for bkt in range(int(lo // step), int((hi - 1e-9) // step) + 1)
+        ],
+        "band_id long, lo double, hi double, bucket long",
+    )
+    ev = events.select(
+        "event_id", "value", F.floor(F.col("value") / step).alias("bucket")
+    )
+    joined = ev.join(F.broadcast(bands), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+#: Explicit pivot domain — declared so Spark skips the distinct-values job
+#: and the output schema is stable regardless of which types appear.
+EVENT_TYPES: list[str] = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per user, one column per event type.
+
+    Explicit pivot values keep the schema deterministic and skip the
+    distinct-values job. Spark's pivot otherwise plans TWO exchanges
+    (pre-aggregate on (user_id, event_type), then pivotfirst on
+    user_id); repartitioning by user_id first satisfies BOTH required
+    distributions — hash(user_id) clusters (user_id, event_type) too —
+    so the whole pivot runs on ONE shuffle (asserted in
+    tests/test_plans.py).
+    """
+    p = (
+        events.repartition("user_id")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_n") for t in EVENT_TYPES],
+    )
+
+
+def unpivot_part_metrics(part: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): wide part metrics → long (key, metric, val) rows.
+
+    Uses the native ``DataFrame.unpivot`` (Expand under the hood — one
+    projection emitting N rows per input row, no shuffle, no union of
+    re-scans; the oracle's UNION ALL re-reads the table once per metric,
+    Spark reads it once total).
+    """
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

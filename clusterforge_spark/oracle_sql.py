@@ -767,6 +767,92 @@ FROM s
 GROUP BY 1, 2"""
 
 
+def q_asof_join() -> str:
+    # ASOF LEFT JOIN: greatest click ts_us <= purchase ts_us per user.
+    # Deterministic because (user_id, ts) is unique in the generated data;
+    # the Spark side additionally tie-breaks on event_id.
+    return """WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts_us AS purchase_ts_us,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       c.ts_us AS click_ts_us,
+       p.ts_us - c.ts_us AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us"""
+
+
+def q_range_join_bands() -> str:
+    from clusterforge_spark.operators.relational import VALUE_BANDS
+
+    rows = ",\n         ".join(
+        f"({bid}::BIGINT, {lo:g}e0, {hi:g}e0)" for bid, lo, hi in VALUE_BANDS
+    )
+    return f"""WITH bands(band_id, lo, hi) AS (
+  VALUES {rows}
+)
+SELECT band_id, lo, hi,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id, lo, hi"""
+
+
+def q_pivot_event_counts() -> str:
+    from clusterforge_spark.operators.relational import EVENT_TYPES
+
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_n" for t in EVENT_TYPES
+    )
+    return f"""SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id"""
+
+
+def q_unpivot_part() -> str:
+    return """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part"""
+
+
+def q_pack_chunks() -> str:
+    from clusterforge_spark.operators.packing import PACK_BUDGET
+
+    toks = _H.tokens_sql("text")
+    return f"""WITH t AS (
+  SELECT source, doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       cum_before // {PACK_BUDGET} AS chunk_id,
+       cum_before % {PACK_BUDGET} AS chunk_offset,
+       (cum_before % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET} AS straddles
+FROM c"""
+
+
+def q_hash_split() -> str:
+    from clusterforge_spark.operators.packing import TRAIN_PCT
+
+    return f"""SELECT doc_id, source,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hash_bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -122,3 +122,53 @@ def test_window_funcs_single_shuffle_single_window(spark):
     assert X.exchange_count(df) == 1
     plan = X.plan_string(df, "simple")
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + carry-forward window: one exchange on user_id, no join node
+    df = R.asof_join_attribution(_t(spark, "events"))
+    assert X.exchange_count(df) == 1
+    plan = X.plan_string(df, "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_hash_join(spark):
+    # bucketing turns the interval predicate into a hash-joinable key;
+    # a BroadcastNestedLoopJoin here would be the O(n·bands) scale trap
+    df = R.range_join_bands(_t(spark, "events"))
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_single_shuffle(spark):
+    # explicit pivot values: no distinct-values job, one aggregate exchange
+    assert X.exchange_count(R.pivot_event_counts(_t(spark, "events"))) == 1
+
+
+def test_unpivot_map_only(spark):
+    # Expand-based melt: zero shuffles
+    assert X.exchange_count(R.unpivot_part_metrics(_t(spark, "part"))) == 0
+
+
+def test_pack_chunks_single_shuffle(spark):
+    from clusterforge_spark.operators import packing as PK
+
+    # one exchange on the shard key serves the running-sum window
+    assert X.exchange_count(PK.pack_chunks(_t(spark, "documents"))) == 1
+
+
+def test_hash_split_map_only_and_stable(spark):
+    from clusterforge_spark.operators import packing as PK
+
+    df = PK.hash_split(_t(spark, "documents"))
+    assert X.exchange_count(df) == 0
+    # split is a pure function of doc_id: repartitioning must not change it
+    a = {r["doc_id"]: r["split"] for r in df.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in PK.hash_split(
+            _t(spark, "documents").repartition(7, "source")
+        ).collect()
+    }
+    assert a == b
