@@ -391,7 +391,10 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.unionByName(rev).cache()
+    # pre-partition on the join key: every round's edges⋈labels join (and
+    # the init groupBy) then reuses this one exchange — the cached edges
+    # never re-shuffle inside the loop
+    edges = fwd.unionByName(rev).repartition("src").cache()
     # initialization already folds one propagation step without a join:
     # lbl₀(v) = min(v, min direct neighbor). Dup clusters are near-stars
     # around their min-id member, so most components are exact at lbl₀
@@ -401,7 +404,10 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .agg(F.min("dst").alias("m"))
         .select(F.col("src").alias("v"), F.least("src", "m").alias("lbl"))
     ).cache()
-    prev_sum = None
+    # Σlbl₀ up front: when lbl₀ is already the fixpoint (the common
+    # near-star case) the loop exits after ONE confirming round instead
+    # of two — labels only decrease, so equal sums ⇔ no change.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for it in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.v).select(
             F.col("dst").alias("v"), F.col("lbl")
