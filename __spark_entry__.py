@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_exists_subquery"] = lambda spark, sf: R.exists_subquery(
         spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
+    q["q_corr_subquery"] = lambda spark, sf: R.corr_subquery(
+        spark, _t(spark, sf, "orders")
+    )
+    q["q_time_bucket_rollup"] = lambda spark, sf: R.time_bucket_rollup(
+        _t(spark, sf, "events")
+    )
     q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
         _t(spark, sf, "events")
@@ -215,6 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_doc_fingerprint"] = lambda spark, sf: TX.doc_fingerprints(
         _t(spark, sf, "documents")
     ).withColumn("shingle_minhash", F.coalesce("shingle_minhash", F.lit(-1).cast("long")))
+    q["q_redact_pii"] = lambda spark, sf: TX.redact_pii(
+        TX.docs_with_pii(_t(spark, sf, "documents"))
+    )
+    q["q_stratified_sample"] = lambda spark, sf: TX.stratified_sample(
+        _t(spark, sf, "documents")
+    )
     q["q_pack_chunks"] = lambda spark, sf: PK.pack_chunks(_t(spark, sf, "documents"))
     q["q_hash_split"] = lambda spark, sf: PK.hash_split(_t(spark, sf, "documents"))
     q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
@@ -254,6 +266,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_semi_anti_join": OSQL.q_semi_anti_join(),
         "q_left_join_counts": OSQL.q_left_join_counts(),
         "q_exists_subquery": OSQL.q_exists_subquery(),
+        "q_corr_subquery": OSQL.q_corr_subquery(),
+        "q_time_bucket_rollup": OSQL.q_time_bucket_rollup(),
         "q_asof_join": OSQL.q_asof_join(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
         "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
@@ -286,6 +300,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_vocab_topk": OSQL.q_vocab_topk(),
         "q_tfidf_top_terms": OSQL.q_tfidf_top_terms(),
         "q_doc_fingerprint": OSQL.q_doc_fingerprint(),
+        "q_redact_pii": OSQL.q_redact_pii(),
+        "q_stratified_sample": OSQL.q_stratified_sample(),
         "q_pack_chunks": OSQL.q_pack_chunks(),
         "q_hash_split": OSQL.q_hash_split(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q_window_funcs",
     "q_rollup_revenue",
     "q_cube_revenue",
+    "q_corr_subquery",
+    "q_time_bucket_rollup",
     "q_asof_join",
     "q_range_join_bands",
     "q_pivot_event_counts",
@@ -85,6 +87,8 @@ BENCH_QUERIES = [
     "q_vocab_topk",
     "q_tfidf_top_terms",
     "q_doc_fingerprint",
+    "q_redact_pii",
+    "q_stratified_sample",
     "q_pack_chunks",
     "q_hash_split",
     "q_multimodal_meta",

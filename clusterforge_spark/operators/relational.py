@@ -614,3 +614,55 @@ def unpivot_part_metrics(part: DataFrame) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+def time_bucket_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass producing the
+    day → hour → 5-minute rollup hierarchy (the multi-granularity
+    materialization a time-series store keeps per hypertable).
+
+    The three bucket columns are derived in the projection (integer µs
+    arithmetic — identical in any engine), then ROLLUP emits all four
+    grouping sets {(d,h,m5),(d,h),(d),()} from a single Expand + one
+    hash aggregate: one shuffle for the whole hierarchy, vs one
+    aggregation job per granularity in the naive cascade. ``grain``
+    (grouping_id) tags each row's level: 0=5min, 1=hour, 3=day, 7=total.
+    """
+    us = F.unix_micros("ts")
+    day = F.lit(86_400_000_000)
+    hour = F.lit(3_600_000_000)
+    m5 = F.lit(300_000_000)
+    b = events.select(
+        (us - us % day).alias("day_us"),
+        (us - us % hour).alias("hour_us"),
+        (us - us % m5).alias("m5_us"),
+        "value",
+    )
+    return b.rollup("day_us", "hour_us", "m5_us").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.grouping_id().cast("long").alias("grain"),
+    )
+
+
+def corr_subquery(spark, orders: DataFrame) -> DataFrame:
+    """Correlated scalar subqueries through the SQL surface: orders
+    beating their customer's average order value.
+
+    Catalyst de-correlates both subqueries into aggregate+join — no
+    per-row re-execution (asserted in tests/test_plans.py). The
+    comparison is phrased sum/count instead of avg so both engines
+    compare bit-identical doubles (decimal sum, exact integer count,
+    one correctly-rounded multiply each side).
+    """
+    orders.createOrReplaceTempView("v_orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders_cs o
+        WHERE o_totalprice * (SELECT COUNT(*) FROM v_orders_cs i
+                              WHERE i.o_custkey = o.o_custkey)
+              > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 FROM v_orders_cs i WHERE i.o_custkey = o.o_custkey)
+        """
+    )

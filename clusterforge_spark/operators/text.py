@@ -244,3 +244,108 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         .alias("shingle_minhash"),
         F.size("th").cast("long").alias("n_distinct_tokens"),
     )
+
+
+#: PII regexes — ASCII-only so the Java (Spark) and RE2 (DuckDB) regex
+#: dialects agree character-for-character.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def docs_with_pii(documents: DataFrame) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the corpus
+    generator emits none, so the redaction pass needs seeded targets —
+    same trick as dedup.docs_with_dups). doc_id%3==0 gains an email,
+    %5==0 a phone number, %7==0 an IP address; ids are derived from
+    doc_id so both engines rebuild the identical corpus."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call +1-555-"), (did % 9000 + 1000).cast("string"), F.lit(" today")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return documents.select(
+        "doc_id",
+        F.concat(F.col("text"), email, phone, ip).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrub: count then mask emails, phone numbers, and IPs.
+
+    Counts come from regexp_count BEFORE replacement; masking chains
+    three regexp_replace passes (all-occurrence semantics in both
+    engines — DuckDB needs the 'g' flag, mirrored in the oracle).
+    Map-only projection: scales as a pure scan, no shuffle.
+    """
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        "source",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+            PII_IP_RE,
+            "<IP>",
+        ).alias("redacted"),
+    )
+
+
+#: Per-source sampling percentages for the stratified sample: the
+#: "source mixing" weights of a training-data pipeline. Sources not
+#: listed fall back to the default rate.
+STRATA_PCT: dict[str, int] = {"src0": 80, "src1": 60, "src2": 40, "src3": 20}
+STRATA_DEFAULT_PCT = 10
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified (per-source) sampling — corpus mixing.
+
+    Each stratum keeps pct% of its documents, chosen by a 60-bit md5 of
+    (source, doc_id) — reproducible across engines, partitionings and
+    runs, unlike sampleBy's seeded-rand (partition-order-dependent).
+    Map-only; at 100 TB this is how source reweighting runs: one scan,
+    no shuffle, rates changed by editing the strata table.
+    """
+    bucket = (
+        F.conv(
+            F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
+            .substr(1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    pct = F.lit(STRATA_DEFAULT_PCT)
+    for src, p in STRATA_PCT.items():
+        pct = F.when(F.col("source") == src, F.lit(p)).otherwise(pct)
+    return (
+        documents.select(
+            "doc_id", "source", bucket.alias("hash_bucket"), pct.alias("keep_pct")
+        )
+        .filter(F.col("hash_bucket") < F.col("keep_pct"))
+        .select("doc_id", "source", "hash_bucket", F.col("keep_pct").cast("long").alias("keep_pct"))
+    )

@@ -853,6 +853,86 @@ def q_hash_split() -> str:
 FROM documents"""
 
 
+def q_time_bucket_rollup() -> str:
+    return """WITH b AS (
+  SELECT epoch_us(ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP) % 86400000000 AS day_us,
+         epoch_us(ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP) % 3600000000  AS hour_us,
+         epoch_us(ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP) % 300000000   AS m5_us,
+         value
+  FROM events
+)
+SELECT day_us, hour_us, m5_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(grouping(day_us) * 4 + grouping(hour_us) * 2 + grouping(m5_us) AS BIGINT) AS grain
+FROM b
+GROUP BY ROLLUP(day_us, hour_us, m5_us)"""
+
+
+def q_corr_subquery() -> str:
+    return """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders i WHERE i.o_custkey = o.o_custkey)"""
+
+
+def _pii_corpus_cte() -> str:
+    return """pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text,
+         lang, source
+  FROM documents
+)"""
+
+
+def q_redact_pii() -> str:
+    from clusterforge_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    em, ph, ip = PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE
+    return f"""WITH {_pii_corpus_cte()}
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+           '{ph}', '<PHONE>', 'g'),
+         '{ip}', '<IP>', 'g') AS redacted
+FROM pii"""
+
+
+def q_stratified_sample() -> str:
+    from clusterforge_spark.operators.text import STRATA_DEFAULT_PCT, STRATA_PCT
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in STRATA_PCT.items()
+    )
+    return f"""WITH s AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS hash_bucket,
+         CAST(CASE {whens} ELSE {STRATA_DEFAULT_PCT} END AS BIGINT) AS keep_pct
+  FROM documents
+)
+SELECT doc_id, source, hash_bucket, keep_pct
+FROM s WHERE hash_bucket < keep_pct"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

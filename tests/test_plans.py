@@ -172,3 +172,31 @@ def test_hash_split_map_only_and_stable(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_time_bucket_rollup_single_shuffle(spark):
+    # the whole day/hour/5-min hierarchy is one Expand + one aggregate
+    assert X.exchange_count(R.time_bucket_rollup(_t(spark, "events"))) == 1
+
+
+def test_corr_subquery_decorrelated(spark):
+    # Catalyst must rewrite both correlated scalar subqueries to
+    # aggregate+join — a per-row subquery re-execution would show up as
+    # a subquery node surviving into the physical plan
+    df = R.corr_subquery(spark, _t(spark, "orders"))
+    plan = X.plan_string(df, "simple")
+    assert "Subquery" not in plan
+    assert "Join" in plan
+
+
+def test_redact_pii_map_only(spark):
+    from clusterforge_spark.operators import text as TX
+
+    df = TX.redact_pii(TX.docs_with_pii(_t(spark, "documents")))
+    assert X.exchange_count(df) == 0
+
+
+def test_stratified_sample_map_only(spark):
+    from clusterforge_spark.operators import text as TX
+
+    assert X.exchange_count(TX.stratified_sample(_t(spark, "documents"))) == 0
