@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
+    q["q_interval_join"] = lambda spark, sf: R.interval_join(_t(spark, sf, "events"))
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
         _t(spark, sf, "events")
     )
@@ -269,6 +270,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_corr_subquery": OSQL.q_corr_subquery(),
         "q_time_bucket_rollup": OSQL.q_time_bucket_rollup(),
         "q_asof_join": OSQL.q_asof_join(),
+        "q_interval_join": OSQL.q_interval_join(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
         "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
         "q_unpivot_part": OSQL.q_unpivot_part(),

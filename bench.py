@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_corr_subquery",
     "q_time_bucket_rollup",
     "q_asof_join",
+    "q_interval_join",
     "q_range_join_bands",
     "q_pivot_event_counts",
     "q_unpivot_part",

@@ -666,3 +666,42 @@ def corr_subquery(spark, orders: DataFrame) -> DataFrame:
                  FROM v_orders_cs i WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+def interval_join(events: DataFrame, max_gap_minutes: int = 60) -> DataFrame:
+    """Batch interval join: ALL clicks within ``max_gap_minutes`` before
+    each purchase by the same user (the multi-match companion to
+    :func:`asof_join_attribution`; its streaming twin is
+    streaming/sessionize.click_purchase_join_stream).
+
+    The equality on user_id makes this a hash-partitionable join — the
+    interval predicate rides along as a residual filter, so the plan is
+    a plain shuffled equi-join, not a nested loop.
+    """
+    gap_us = max_gap_minutes * 60_000_000
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts_us") >= F.col("purchase_ts_us") - gap_us)
+            & (F.col("click_ts_us") <= F.col("purchase_ts_us")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts_us",
+            "click_id",
+            "click_ts_us",
+            (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("gap_us"),
+        )
+    )

@@ -933,6 +933,22 @@ SELECT doc_id, source, hash_bucket, keep_pct
 FROM s WHERE hash_bucket < keep_pct"""
 
 
+def q_interval_join(max_gap_minutes: int = 60) -> str:
+    gap_us = max_gap_minutes * 60_000_000
+    return f"""WITH c AS (
+  SELECT user_id AS c_user, event_id AS click_id, epoch_us(ts::TIMESTAMP) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, purchase_id, purchase_ts_us, click_id, click_ts_us,
+       purchase_ts_us - click_ts_us AS gap_us
+FROM p JOIN c ON user_id = c_user
+            AND click_ts_us >= purchase_ts_us - {gap_us}
+            AND click_ts_us <= purchase_ts_us"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

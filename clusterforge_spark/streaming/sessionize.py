@@ -305,3 +305,86 @@ def run_dedup_stream_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.table("dedup_stream_out")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (watermarked on both sides)
+# ---------------------------------------------------------------------------
+
+def click_purchase_join_stream(
+    events_stream_a: DataFrame,
+    events_stream_b: DataFrame,
+    max_gap_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every click within ``max_gap_minutes``
+    BEFORE a purchase by the same user (the streaming face of the batch
+    as-of/attribution surface — emitting ALL candidate clicks; picking
+    the single latest one is the batch operator's job, as streams cannot
+    retract an earlier emitted "latest").
+
+    Both sides carry a watermark and the join condition bounds click_ts
+    to a closed interval around purchase_ts — together these let Spark
+    expire buffered state on BOTH sides (an unbounded stream-stream join
+    would otherwise hold every row forever). State per side ≈ rows
+    younger than watermark + gap: bounded regardless of stream length.
+    """
+    clicks = (
+        events_stream_a.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream_b.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts BETWEEN purchase_ts - INTERVAL {max_gap_minutes} MINUTES
+                         AND purchase_ts
+            """
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
+def run_click_attribution_batchlike(
+    spark: SparkSession, sf_dir: str, max_gap_minutes: int = 60, timeout_s: int = 180
+) -> DataFrame:
+    """Replay the events file through the stream-stream join (two
+    independent file sources, as a real deployment would read two
+    topics) and return the emitted matches."""
+    stream = click_purchase_join_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        max_gap_minutes=max_gap_minutes,
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("click_attribution_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.table("click_attribution_out")

@@ -122,3 +122,39 @@ def test_gap_sessions_v2_matches_v1(spark):
     }
     assert v2 == v1
     assert len(v2) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events):
+    """Watermarked stream-stream interval join emits exactly the batch
+    join's matches (finite replay, watermark far below the data span)."""
+    import pyspark.sql.functions as F
+
+    from clusterforge_spark.streaming.sessionize import (
+        run_click_attribution_batchlike,
+    )
+
+    stream_rows = {
+        (r.purchase_id, r.click_id)
+        for r in run_click_attribution_batchlike(spark, SF_DIR).collect()
+    }
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    batch_rows = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_us") >= F.col("purchase_us") - 3_600_000_000)
+            & (F.col("click_us") <= F.col("purchase_us")),
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
