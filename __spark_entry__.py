@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
     q["q_interval_join"] = lambda spark, sf: R.interval_join(_t(spark, sf, "events"))
+    q["q_funnel"] = lambda spark, sf: R.funnel(_t(spark, sf, "events"))
+    q["q_cohort_retention"] = lambda spark, sf: R.cohort_retention(
+        _t(spark, sf, "events")
+    )
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
         _t(spark, sf, "events")
     )
@@ -199,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         DD.dedup_minhash_banded(_dup_docs(spark, sf))
     )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
+    q["q_dedup_levenshtein"] = lambda spark, sf: DD.dedup_levenshtein(
+        _dup_docs(spark, sf)
+    )
     q["q_dedup_embedding"] = lambda spark, sf: DD.dedup_embedding_cosine(
         DD.embs_with_dups(_t(spark, sf, "embeddings"))
     )
@@ -271,6 +278,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_time_bucket_rollup": OSQL.q_time_bucket_rollup(),
         "q_asof_join": OSQL.q_asof_join(),
         "q_interval_join": OSQL.q_interval_join(),
+        "q_funnel": OSQL.q_funnel(),
+        "q_cohort_retention": OSQL.q_cohort_retention(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
         "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
         "q_unpivot_part": OSQL.q_unpivot_part(),
@@ -289,6 +298,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
+        "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),
         "q_dedup_embedding": OSQL.q_dedup_embedding(),
         "q_sim_search_topk": OSQL.q_sim_search_topk(),
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q_time_bucket_rollup",
     "q_asof_join",
     "q_interval_join",
+    "q_funnel",
+    "q_cohort_retention",
     "q_range_join_bands",
     "q_pivot_event_counts",
     "q_unpivot_part",
@@ -72,6 +74,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_levenshtein",
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
     "q_dedup_components",

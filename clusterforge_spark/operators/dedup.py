@@ -490,3 +490,54 @@ def dedup_minhash_banded(
         .agg(F.max("jaccard").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+#: Edit-distance comparisons run on this prefix — O(P²) per pair bounds
+#: the cost regardless of document length (the standard practical cap;
+#: near-dup docs disagreeing only beyond the prefix are caught by the
+#: shingle/minhash strategies instead).
+LEV_PREFIX = 200
+
+
+def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Edit-distance near-dup detection over the same blocked pair space
+    as the n-gram strategy.
+
+    Levenshtein is the right detector for small in-place edits
+    (OCR noise, typo-level mutations) that shingle-set Jaccard
+    under-weights. Blocked on (lang, source, len_bucket) like
+    :func:`dedup_ngram_jaccard` — pair count Σ_block m², never n² — and
+    distances run on a ``LEV_PREFIX``-char prefix so per-pair cost is a
+    constant. rel_dist = lev / max(prefix lengths); both engines ship a
+    bit-identical integer levenshtein, making this oracle-exact.
+    """
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    longest = F.greatest(F.length("a.prefix"), F.length("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("long").alias("lev"),
+            round_det(lev.cast("double") / longest, 6).alias("rel_dist"),
+        )
+        # same pushdown barrier as the ngram strategy: keep the distance
+        # out of the join condition so it is computed once per pair
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("lev").alias("lev"), F.max("rel_dist").alias("rel_dist"))
+        .filter(F.col("rel_dist") <= threshold)
+    )

@@ -705,3 +705,81 @@ def interval_join(events: DataFrame, max_gap_minutes: int = 60) -> DataFrame:
             (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("gap_us"),
         )
     )
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """Ordered funnel analysis: view → click → purchase per user, each
+    stage's timestamp constrained to follow the previous stage's.
+
+    The stage times are dependent conditional minima — t_click is the
+    first click AFTER t_view, not the first click overall. Expressed as
+    three stacked unbounded windows over the SAME user partitioning
+    (no order key → no sort; Spark fuses them onto ONE shuffle,
+    asserted in tests/test_plans.py), then one reduce to a row per
+    user. ``stage`` = how deep the user got (0-3).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    et = F.col("event_type")
+    d = events.select("user_id", us.alias("us"), et.alias("et"))
+    d = d.withColumn("t_view", F.min(F.when(F.col("et") == "view", F.col("us"))).over(w))
+    d = d.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("et") == "click") & (F.col("us") > F.col("t_view")), F.col("us"))
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("et") == "purchase") & (F.col("us") > F.col("t_click")), F.col("us")
+            )
+        ).over(w),
+    )
+    return d.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view_us"),
+        F.max("t_click").alias("t_click_us"),
+        F.max("t_purchase").alias("t_purchase_us"),
+        (
+            F.max("t_view").isNotNull().cast("int")
+            + F.max("t_click").isNotNull().cast("int")
+            + F.max("t_purchase").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("stage"),
+    )
+
+
+#: One week in microseconds (cohort bucketing unit).
+WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct actives per (cohort_week, week_offset).
+
+    First-seen comes from an unbounded min window on the user partition
+    (no sort); the retention matrix is one count-distinct aggregate.
+    Integer µs week arithmetic — engine-exact. At scale: the window
+    shuffle is on user_id (even spread), the matrix aggregate on the
+    tiny (cohort, offset) key space — countDistinct expands by user but
+    each group is bounded by cohort size.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    d = events.select("user_id", us.alias("us"))
+    d = d.withColumn("first_us", F.min("us").over(w))
+    cohort = F.floor(F.col("first_us") / WEEK_US).cast("long")
+    offset = (F.floor(F.col("us") / WEEK_US) - F.floor(F.col("first_us") / WEEK_US)).cast(
+        "long"
+    )
+    return (
+        d.select("user_id", cohort.alias("cohort_week"), offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )

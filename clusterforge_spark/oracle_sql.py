@@ -949,6 +949,71 @@ FROM p JOIN c ON user_id = c_user
             AND click_ts_us <= purchase_ts_us"""
 
 
+def q_funnel() -> str:
+    return """WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_type AS et FROM events
+), s1 AS (
+  SELECT *, min(CASE WHEN et = 'view' THEN us END) OVER (PARTITION BY user_id) AS t_view
+  FROM e
+), s2 AS (
+  SELECT *, min(CASE WHEN et = 'click' AND us > t_view THEN us END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN et = 'purchase' AND us > t_click THEN us END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+)
+SELECT user_id,
+       max(t_view) AS t_view_us,
+       max(t_click) AS t_click_us,
+       max(t_purchase) AS t_purchase_us,
+       CAST((max(t_view) IS NOT NULL)::INT + (max(t_click) IS NOT NULL)::INT
+            + (max(t_purchase) IS NOT NULL)::INT AS BIGINT) AS stage
+FROM s3
+GROUP BY user_id"""
+
+
+def q_cohort_retention() -> str:
+    from clusterforge_spark.operators.relational import WEEK_US
+
+    return f"""WITH d AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+         min(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id) AS first_us
+  FROM events
+)
+SELECT CAST(first_us // {WEEK_US} AS BIGINT) AS cohort_week,
+       CAST(us // {WEEK_US} - first_us // {WEEK_US} AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM d
+GROUP BY 1, 2"""
+
+
+def q_dedup_levenshtein(threshold: float = 0.2) -> str:
+    from clusterforge_spark.operators.dedup import LEV_PREFIX
+
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+lb AS (
+  SELECT doc_id, lang, source,
+         CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         substr(text, 1, {LEV_PREFIX}) AS prefix
+  FROM dup_corpus
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev,
+         round(levenshtein(a.prefix, b.prefix)::DOUBLE
+               / greatest(len(a.prefix), len(b.prefix)), 6) AS rel_dist
+  FROM lb a JOIN lb b ON a.lang = b.lang AND a.source = b.source
+       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lev, rel_dist
+FROM pairs WHERE rel_dist <= {flit(threshold)}"""
+    )
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

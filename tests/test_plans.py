@@ -200,3 +200,21 @@ def test_stratified_sample_map_only(spark):
     from clusterforge_spark.operators import text as TX
 
     assert X.exchange_count(TX.stratified_sample(_t(spark, "documents"))) == 0
+
+
+def test_funnel_single_shuffle(spark):
+    # three stacked unbounded windows + final agg share one user_id
+    # exchange; unbounded frames need no sort
+    df = R.funnel(_t(spark, "events"))
+    assert X.exchange_count(df) == 1
+    # all three dependent windows ride the same partitioning: exactly one
+    # grouping sort (Window's required child ordering), not one per stage
+    plan = X.plan_string(df, "simple")
+    assert plan.count("+- Sort ") == 1
+
+
+def test_dedup_levenshtein_no_broadcast_hint(spark):
+    df = DD.dedup_levenshtein(DD.docs_with_dups(_t(spark, "documents")))
+    assert "ResolvedHint" not in _analyzed(df)
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
