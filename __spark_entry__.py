@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
     q["q_interval_join"] = lambda spark, sf: R.interval_join(_t(spark, sf, "events"))
+    q["q_topn_per_group"] = lambda spark, sf: R.topn_per_group(_t(spark, sf, "orders"))
     q["q_funnel"] = lambda spark, sf: R.funnel(_t(spark, sf, "events"))
     q["q_cohort_retention"] = lambda spark, sf: R.cohort_retention(
         _t(spark, sf, "events")
@@ -278,6 +279,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_time_bucket_rollup": OSQL.q_time_bucket_rollup(),
         "q_asof_join": OSQL.q_asof_join(),
         "q_interval_join": OSQL.q_interval_join(),
+        "q_topn_per_group": OSQL.q_topn_per_group(),
         "q_funnel": OSQL.q_funnel(),
         "q_cohort_retention": OSQL.q_cohort_retention(),
         "q_range_join_bands": OSQL.q_range_join_bands(),

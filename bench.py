@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q_time_bucket_rollup",
     "q_asof_join",
     "q_interval_join",
+    "q_topn_per_group",
     "q_funnel",
     "q_cohort_retention",
     "q_range_join_bands",

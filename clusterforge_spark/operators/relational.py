@@ -783,3 +783,26 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
     )
+
+
+def topn_per_group(orders: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N per group: the ``n`` biggest orders within each order
+    priority.
+
+    A rank-filter over a per-group window — which Spark's
+    InferWindowGroupLimit rule rewrites into WindowGroupLimit (each map
+    task keeps only its local top-n per group BEFORE the shuffle,
+    asserted in tests/test_plans.py). At 100 TB that pre-shuffle prune is
+    the difference between shuffling n·groups rows and shuffling the
+    whole table. Order key includes o_orderkey so ranks are total.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= n)
+    )

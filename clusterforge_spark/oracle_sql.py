@@ -1014,6 +1014,14 @@ FROM pairs WHERE rel_dist <= {flit(threshold)}"""
     )
 
 
+def q_topn_per_group(n: int = 3) -> str:
+    return f"""SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= {n}"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -218,3 +218,9 @@ def test_dedup_levenshtein_no_broadcast_hint(spark):
     assert "ResolvedHint" not in _analyzed(df)
     plan = X.plan_string(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_topn_per_group_window_group_limit(spark):
+    # the rank filter must be pushed into a pre-shuffle WindowGroupLimit
+    df = R.topn_per_group(_t(spark, "orders"))
+    assert "WindowGroupLimit" in X.plan_string(df, "simple")
