@@ -218,6 +218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
     )
+    q["q_embed_normalize"] = lambda spark, sf: SIM.embed_normalize(
+        _t(spark, sf, "embeddings")
+    )
+    q["q_embed_quantize"] = lambda spark, sf: SIM.embed_quantize(
+        _t(spark, sf, "embeddings")
+    )
     q["q_text_stats"] = lambda spark, sf: TX.text_stats(_t(spark, sf, "documents"))
     q["q_token_count"] = lambda spark, sf: TX.token_counts(_t(spark, sf, "documents"))
     q["q_lang_id"] = lambda spark, sf: TX.lang_id(_t(spark, sf, "documents"))
@@ -306,6 +312,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
+        "q_embed_normalize": OSQL.q_embed_normalize(),
+        "q_embed_quantize": OSQL.q_embed_quantize(),
         "q_text_stats": OSQL.q_text_stats(),
         "q_token_count": OSQL.q_token_count(),
         "q_lang_id": OSQL.q_lang_id(),

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q_sim_search_lsh",
     "q_sim_search_ivf",
     "q_sim_search_batch",
+    "q_embed_normalize",
+    "q_embed_quantize",
     "q_text_stats",
     "q_token_count",
     "q_lang_id",

@@ -147,3 +147,57 @@ def ivf_topk(
         .select("vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim"))
     )
     return _ranked_topk(scored, k)
+
+
+def embed_normalize(embeddings: DataFrame) -> DataFrame:
+    """L2-normalize embeddings — the mandatory prep before cosine-based
+    retrieval (a normalized corpus turns cosine into a plain dot).
+
+    Emitted as exploded (vec_id, pos, nval) rows: stable to hash across
+    engines, and the unit a columnar sink would store anyway. Map-only:
+    the norm fold and the division run inside codegen, no shuffle. The
+    left-fold norm matches the oracle's explicit addition chain
+    term-for-term, so nval is bit-exact without rounding.
+    """
+    nrm = V.norm_col("embedding")
+    return embeddings.select(
+        "vec_id",
+        nrm.alias("nrm"),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("x").cast("double") / F.col("nrm")).alias("nval"),
+    )
+
+
+def embed_quantize(embeddings: DataFrame) -> DataFrame:
+    """Scalar int8-style quantization: per-vector min/max affine codes.
+
+    code = round((x − mn) / scale), scale = (mx − mn)/255 — the standard
+    memory-4× compression before ANN serving. All arithmetic is IEEE
+    double + floor, bit-identical across engines; codes are exact
+    BIGINTs. Map-only, one pass; mn/mx come from a single array
+    traversal each.
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = F.greatest((mx - mn) / F.lit(255.0), F.lit(1e-12))
+    return (
+        embeddings.select(
+            "vec_id",
+            mn.alias("mn"),
+            scale.alias("scale"),
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "mn",
+            "scale",
+            F.col("pos").cast("long").alias("pos"),
+            F.floor((F.col("x").cast("double") - F.col("mn")) / F.col("scale") + F.lit(0.5))
+            .cast("long")
+            .alias("code"),
+        )
+    )

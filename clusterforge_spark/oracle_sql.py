@@ -1022,6 +1022,39 @@ FROM orders
 QUALIFY rn <= {n}"""
 
 
+def q_embed_normalize() -> str:
+    from clusterforge_spark.functions.vector import norm_sql
+
+    return f"""WITH e AS (
+  SELECT vec_id, {norm_sql("embedding")} AS nrm,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+)
+SELECT vec_id, CAST(ord - 1 AS BIGINT) AS pos, x / nrm AS nval
+FROM e"""
+
+
+def q_embed_quantize() -> str:
+    return """WITH m AS (
+  SELECT vec_id,
+         list_min(embedding::DOUBLE[]) AS mn,
+         greatest((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255e0,
+                  1e-12) AS scale,
+         embedding
+  FROM embeddings
+), e AS (
+  SELECT vec_id, mn, scale,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM m
+)
+SELECT vec_id, mn, scale,
+       CAST(ord - 1 AS BIGINT) AS pos,
+       CAST(floor((x - mn) / scale + 0.5) AS BIGINT) AS code
+FROM e"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -224,3 +224,11 @@ def test_topn_per_group_window_group_limit(spark):
     # the rank filter must be pushed into a pre-shuffle WindowGroupLimit
     df = R.topn_per_group(_t(spark, "orders"))
     assert "WindowGroupLimit" in X.plan_string(df, "simple")
+
+
+def test_embed_ops_map_only(spark):
+    from clusterforge_spark.operators import similarity as SIM
+
+    emb = _t(spark, "embeddings")
+    assert X.exchange_count(SIM.embed_normalize(emb)) == 0
+    assert X.exchange_count(SIM.embed_quantize(emb)) == 0
