@@ -102,6 +102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_session_gap"] = lambda spark, sf: R.sessionize_gap(_t(spark, sf, "events"))
+    q["q_session_window"] = lambda spark, sf: R.session_window_agg(
+        _t(spark, sf, "events")
+    )
+    q["q_grouping_sets"] = lambda spark, sf: R.grouping_sets_revenue(
+        spark,
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
     q["q_window_funcs"] = lambda spark, sf: R.window_funcs(_t(spark, sf, "events"))
     q["q_rollup_revenue"] = lambda spark, sf: R.rollup_revenue(
         _t(spark, sf, "lineitem"),
@@ -271,6 +281,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_join_enrich": OSQL.q_join_enrich(),
         "q_window_sessionize": OSQL.q_window_sessionize(),
         "q_session_gap": OSQL.q_session_gap(),
+        "q_session_window": OSQL.q_session_window(),
+        "q_grouping_sets": OSQL.q_grouping_sets(),
         "q_window_funcs": OSQL.q_window_funcs(),
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q_join_enrich",
     "q_window_sessionize",
     "q_session_gap",
+    "q_session_window",
+    "q_grouping_sets",
     "q_window_funcs",
     "q_rollup_revenue",
     "q_cube_revenue",

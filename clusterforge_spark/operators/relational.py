@@ -806,3 +806,73 @@ def topn_per_group(orders: DataFrame, n: int = 3) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= n)
     )
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window — the same
+    semantics as :func:`sessionize_gap` (boundary when the inter-event
+    gap exceeds ``gap_minutes``) expressed as a session-window aggregate
+    instead of lag+cumsum. This is the form that runs incrementally
+    under Structured Streaming with watermark-driven state cleanup;
+    batch-wise it plans one shuffle + merging session aggregation.
+
+    window.end is the last event + gap by definition; the oracle mirrors
+    it as max(ts)+gap. (Boundary fine print: session_window merges an
+    event at delta < gap strictly, lag+cumsum keeps delta == gap in the
+    same session — indistinguishable on µs-resolution data.)
+    """
+    gap_us = gap_minutes * 60_000_000
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def grouping_sets_revenue(
+    spark,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Arbitrary GROUPING SETS — the per-dimension marginals
+    {(n_name), (c_mktsegment)} WITHOUT the cross cells, which neither
+    ROLLUP nor CUBE can express. One Expand + one aggregate, same
+    single-shuffle shape as the rollup/cube variants."""
+    li = lineitem.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    od = orders.select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+    na = nation.select("n_nationkey", "n_name")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    joined.createOrReplaceTempView("v_gs_star")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(FLOOR(SUM(revenue) * 100 + 0.5) AS DOUBLE) / 100 AS total_revenue,
+               COUNT(*) AS lineitem_count,
+               CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        FROM v_gs_star
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        """
+    )

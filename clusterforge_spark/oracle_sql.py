@@ -1055,6 +1055,44 @@ SELECT vec_id, mn, scale,
 FROM e"""
 
 
+def q_session_window(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, value,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, tsu, value,
+         CAST(sum(coalesce(is_new, 0)) OVER
+              (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       epoch_us(min(tsu)) AS session_start_us,
+       epoch_us(max(tsu)) + {gap_us} AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s
+GROUP BY user_id, session_idx"""
+
+
+def q_grouping_sets() -> str:
+    return """SELECT n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS lineitem_count,
+       CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -232,3 +232,15 @@ def test_embed_ops_map_only(spark):
     emb = _t(spark, "embeddings")
     assert X.exchange_count(SIM.embed_normalize(emb)) == 0
     assert X.exchange_count(SIM.embed_quantize(emb)) == 0
+
+
+def test_grouping_sets_single_shuffle(spark):
+    df = R.grouping_sets_revenue(
+        spark,
+        _t(spark, "lineitem"),
+        _t(spark, "orders"),
+        _t(spark, "customer"),
+        _t(spark, "nation"),
+    )
+    # dims broadcast; Expand + one hash-aggregate shuffle, like rollup
+    assert X.exchange_count(df) == 1
