@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_asof_join"] = lambda spark, sf: R.asof_join_attribution(_t(spark, sf, "events"))
     q["q_interval_join"] = lambda spark, sf: R.interval_join(_t(spark, sf, "events"))
     q["q_topn_per_group"] = lambda spark, sf: R.topn_per_group(_t(spark, sf, "orders"))
+    q["q_arg_minmax"] = lambda spark, sf: R.arg_minmax(_t(spark, sf, "events"))
     q["q_funnel"] = lambda spark, sf: R.funnel(_t(spark, sf, "events"))
     q["q_cohort_retention"] = lambda spark, sf: R.cohort_retention(
         _t(spark, sf, "events")
@@ -239,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_lang_id"] = lambda spark, sf: TX.lang_id(_t(spark, sf, "documents"))
     q["q_quality_score"] = lambda spark, sf: TX.quality_score(_t(spark, sf, "documents"))
     q["q_text_normalize"] = lambda spark, sf: TX.normalize_text(_t(spark, sf, "documents"))
+    q["q_token_array_funcs"] = lambda spark, sf: TX.token_array_funcs(
+        _t(spark, sf, "documents")
+    )
     q["q_vocab_topk"] = lambda spark, sf: TX.vocab_topk(_t(spark, sf, "documents"))
     q["q_tfidf_top_terms"] = lambda spark, sf: TX.tfidf_top_terms(
         _t(spark, sf, "documents")
@@ -298,6 +302,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_asof_join": OSQL.q_asof_join(),
         "q_interval_join": OSQL.q_interval_join(),
         "q_topn_per_group": OSQL.q_topn_per_group(),
+        "q_arg_minmax": OSQL.q_arg_minmax(),
         "q_funnel": OSQL.q_funnel(),
         "q_cohort_retention": OSQL.q_cohort_retention(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
@@ -331,6 +336,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_lang_id": OSQL.q_lang_id(),
         "q_quality_score": OSQL.q_quality_score(),
         "q_text_normalize": OSQL.q_text_normalize(),
+        "q_token_array_funcs": OSQL.q_token_array_funcs(),
         "q_vocab_topk": OSQL.q_vocab_topk(),
         "q_tfidf_top_terms": OSQL.q_tfidf_top_terms(),
         "q_doc_fingerprint": OSQL.q_doc_fingerprint(),

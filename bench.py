@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_interval_join",
     "q_topn_per_group",
+    "q_arg_minmax",
     "q_funnel",
     "q_cohort_retention",
     "q_range_join_bands",
@@ -93,6 +94,7 @@ BENCH_QUERIES = [
     "q_lang_id",
     "q_quality_score",
     "q_text_normalize",
+    "q_token_array_funcs",
     "q_vocab_topk",
     "q_tfidf_top_terms",
     "q_doc_fingerprint",

@@ -876,3 +876,26 @@ def grouping_sets_revenue(
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         """
     )
+
+
+def arg_minmax(events: DataFrame) -> DataFrame:
+    """ORDERED-ARGUMENT aggregates: the value at each user's first/last
+    event plus extremal-value timestamps — min_by/max_by (SQL arg_min /
+    arg_max). One hash aggregate; deterministic because (user_id, ts)
+    is unique in the data. The extremal-VALUE lookups go through
+    min/max over a (value, us) STRUCT (lexicographic compare): min_by
+    on value alone is "any match" on ties (42 duplicate (user, value)
+    groups in this data alone), and an engine-dependent tie-break would
+    poison the oracle hash."""
+    us = F.unix_micros("ts")
+    vkey = F.struct(F.col("value").alias("v"), F.col("us").alias("u"))
+    return (
+        events.select("user_id", us.alias("us"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "us").alias("first_value"),
+            F.max_by("value", "us").alias("last_value"),
+            F.min(vkey).getField("u").alias("cheapest_ts_us"),
+            F.max(vkey).getField("u").alias("dearest_ts_us"),
+        )
+    )

@@ -349,3 +349,26 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
         .filter(F.col("hash_bucket") < F.col("keep_pct"))
         .select("doc_id", "source", "hash_bucket", F.col("keep_pct").cast("long").alias("keep_pct"))
     )
+
+
+def token_array_funcs(documents: DataFrame) -> DataFrame:
+    """Higher-order / array-function breadth on the token arrays:
+    sort, distinct, slice, membership (EXISTS), universal predicate
+    (FORALL), and a fold — all map-only codegen'd expressions; the
+    shapes every array-heavy pipeline leans on."""
+    toks = H.tokens_col("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) < F.lit(12)).alias("all_short"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )

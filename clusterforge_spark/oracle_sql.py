@@ -1093,6 +1093,29 @@ JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment))"""
 
 
+def q_arg_minmax() -> str:
+    return """SELECT user_id,
+       arg_min(value, epoch_us(ts::TIMESTAMP)) AS first_value,
+       arg_max(value, epoch_us(ts::TIMESTAMP)) AS last_value,
+       (min({'v': value, 'u': epoch_us(ts::TIMESTAMP)})).u AS cheapest_ts_us,
+       (max({'v': value, 'u': epoch_us(ts::TIMESTAMP)})).u AS dearest_ts_us
+FROM events
+GROUP BY user_id"""
+
+
+def q_token_array_funcs() -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       array_to_string(list_sort(list_distinct(tk))[1:3], ',') AS first3_sorted,
+       list_contains(tk, 'spark') AS has_spark,
+       len(list_filter(tk, x -> len(x) >= 12)) = 0 AS all_short,
+       CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS total_chars
+FROM t"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,
