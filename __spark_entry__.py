@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
     )
+    q["q_label_centroids"] = lambda spark, sf: SIM.label_centroids(
+        _t(spark, sf, "embeddings")
+    )
     q["q_embed_normalize"] = lambda spark, sf: SIM.embed_normalize(
         _t(spark, sf, "embeddings")
     )
@@ -329,6 +332,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
+        "q_label_centroids": OSQL.q_label_centroids(),
         "q_embed_normalize": OSQL.q_embed_normalize(),
         "q_embed_quantize": OSQL.q_embed_quantize(),
         "q_text_stats": OSQL.q_text_stats(),

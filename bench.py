@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_sim_search_lsh",
     "q_sim_search_ivf",
     "q_sim_search_batch",
+    "q_label_centroids",
     "q_embed_normalize",
     "q_embed_quantize",
     "q_text_stats",

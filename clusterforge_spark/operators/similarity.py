@@ -201,3 +201,25 @@ def embed_quantize(embeddings: DataFrame) -> DataFrame:
             .alias("code"),
         )
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (class centroids / coarse-quantizer
+    training step), as exploded (label, pos, cval) rows.
+
+    posexplode → one (label, pos)-keyed average: a single shuffle whose
+    key space is labels × dims (tiny), with map-side partial sums doing
+    the heavy lifting — the distributed way to average vectors without
+    collecting anything. cval is rounded to 4dp: a float sum's last bits
+    depend on partial-agg order, and 4dp leaves ~9 orders of magnitude
+    of headroom over that error (same convention as every avg-derived
+    value in this repo).
+    """
+    return (
+        embeddings.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(round_det(F.avg(F.col("x").cast("double")), 4).alias("cval"))
+    )

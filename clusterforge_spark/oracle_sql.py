@@ -1116,6 +1116,18 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_label_centroids() -> str:
+    return """WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+)
+SELECT label, CAST(ord - 1 AS BIGINT) AS pos, round(avg(x), 4) AS cval
+FROM e
+GROUP BY label, pos"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -388,3 +388,57 @@ def run_click_attribution_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.table("click_attribution_out")
+
+
+# ---------------------------------------------------------------------------
+# native session-window aggregation (streaming form of
+# operators/relational.session_window_agg)
+# ---------------------------------------------------------------------------
+
+def session_window_counts_stream(
+    events_stream: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessions via the BUILT-IN session window under a watermark —
+    the declarative alternative to the custom stateful sessionizer:
+    Spark merges/extends session state per key and closes a session once
+    the watermark passes its end (last event + gap). Identical output
+    shape to the batch operator, so parity is a set-compare."""
+    gap_us = gap_minutes * 60_000_000
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_session_window_batchlike(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, timeout_s: int = 180
+) -> DataFrame:
+    """Replay the events file through the native session-window stream
+    (complete mode: a finite replay must emit the final watermark-held
+    sessions too)."""
+    stream = session_window_counts_stream(read_events_stream(spark, sf_dir), gap_minutes)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("session_window_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.table("session_window_out")

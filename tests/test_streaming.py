@@ -158,3 +158,19 @@ def test_stream_stream_join_matches_batch(spark, events):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_native_session_window_stream_matches_batch(spark, events):
+    from clusterforge_spark.operators.relational import session_window_agg
+    from clusterforge_spark.streaming.sessionize import run_session_window_batchlike
+
+    stream_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in run_session_window_batchlike(spark, SF_DIR).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in session_window_agg(events).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
