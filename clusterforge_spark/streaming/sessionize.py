@@ -442,3 +442,42 @@ def run_session_window_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.table("session_window_out")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink: stream → partitioned parquet with exactly-once-per-batch
+# ---------------------------------------------------------------------------
+
+def run_stream_to_partitioned_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    timeout_s: int = 180,
+) -> None:
+    """Land the hourly session aggregate as event-date-partitioned
+    parquet via ``foreachBatch`` — the production sink pattern when the
+    target needs batch-writer features (dynamic partition overwrite,
+    bucketing, merges) that the streaming file sink lacks. Each
+    micro-batch runs an idempotent dynamic-partition overwrite keyed by
+    batch content, giving effectively-once output under retries."""
+    stream = hourly_user_counts(read_events_stream(spark, sf_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "hour_bucket",
+                (F.col("hour_start_us") / F.lit(3_600_000_000)).cast("long"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("hour_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)

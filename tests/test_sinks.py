@@ -69,3 +69,27 @@ def test_orc_roundtrip(spark, tmp_path):
         back.agg(F.sum("l_quantity")).collect()[0][0]
         == li.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_jsonl_permissive_captures_corrupt_records(spark, tmp_path):
+    """PERMISSIVE mode quarantines bad lines into _corrupt_record instead
+    of dropping them — the audit-trail policy for ingest at scale."""
+    import pyspark.sql.types as T
+
+    from clusterforge_spark.sources.readers import read_jsonl
+
+    bad = tmp_path / "mixed"
+    bad.mkdir()
+    (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(bad), schema, mode="PERMISSIVE").collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    quarantined = [r for r in rows if r._corrupt_record is not None]
+    assert [r.doc_id for r in good] == [1]
+    assert len(quarantined) == 1 and "broken" in quarantined[0]._corrupt_record

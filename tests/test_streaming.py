@@ -174,3 +174,33 @@ def test_native_session_window_stream_matches_batch(spark, events):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_foreach_batch_partitioned_sink(spark, events, tmp_path):
+    """foreachBatch lands the stream as partitioned parquet; reading it
+    back matches the batch aggregate, and partition pruning works."""
+    import pyspark.sql.functions as F
+
+    from clusterforge_spark.operators.relational import window_sessionize
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "hourly")
+    run_stream_to_partitioned_parquet(spark, SF_DIR, out)
+    back = spark.read.parquet(out)
+    got = {
+        (r.user_id, r.hour_start_us): (r.events_in_hour, r.value_in_hour)
+        for r in back.collect()
+    }
+    want = {
+        (r.user_id, r.hour_start_us): (r.events_in_hour, r.value_in_hour)
+        for r in window_sessionize(events)
+        .select("user_id", "hour_start_us", "events_in_hour", "value_in_hour")
+        .collect()
+    }
+    assert got == want
+    # the partition column must prune at the source
+    one = back.filter(F.col("hour_bucket") == sorted({k[1] for k in got})[0] // 3_600_000_000)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "hour_bucket" in plan.split("PartitionFilters")[1][:200]
