@@ -349,5 +349,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_pack_chunks": OSQL.q_pack_chunks(),
         "q_hash_split": OSQL.q_hash_split(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
-        # q_multimodal_decode: pandas-UDF byte statistics — rows-only by design
+        # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
+        # glibc-log2 entropy chain makes the byte statistics bit-exact
+        "q_multimodal_decode": OSQL.q_multimodal_decode(),
     }

@@ -95,6 +95,13 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
     # decode step onto one Arrow worker
     frames = spread_partitions(frames, "doc_id")
 
+    import math
+
+    def _round6(x: float) -> float:
+        # floor-form rounding (functions/rounding.round_det): identical
+        # IEEE ops in any engine, unlike Python's banker's round()
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     def _fake_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = []
@@ -103,17 +110,26 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
             ):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = int(arr.size)
-                counts = np.bincount(arr >> 5, minlength=8).astype(np.float64)
-                probs = counts / max(n, 1)
-                nz = probs[probs > 0]
-                entropy = float(-(nz * np.log2(nz)).sum()) if n else 0.0
+                counts = np.bincount(arr >> 5, minlength=8)
+                # entropy accumulated in FIXED bucket order with
+                # math.log2 (glibc, bit-identical to DuckDB's log2) so
+                # the SQL oracle reproduces it exactly; zero buckets add
+                # an exact 0.0 and do not perturb the chain
+                acc = 0.0
+                for c in counts:
+                    if c > 0:
+                        p = float(c) / n
+                        acc += p * math.log2(p)
+                mean = (float(int(arr.sum())) / n) if n else 0.0
                 out.append(
                     {
                         "doc_id": int(doc_id),
                         "n_bytes": n,
-                        "mean_byte": round(float(arr.mean()) if n else 0.0, 6),
-                        "byte_entropy": round(entropy, 6),
-                        "histogram": [round(float(p), 6) for p in probs],
+                        "mean_byte": _round6(mean),
+                        "byte_entropy": _round6(-acc),
+                        "histogram": [
+                            _round6(float(c) / n if n else 0.0) for c in counts
+                        ],
                         "n_frames_sampled": (int(n_frames) + frame_stride - 1)
                         // frame_stride,
                     }

@@ -1128,6 +1128,40 @@ FROM e
 GROUP BY label, pos"""
 
 
+def q_multimodal_decode(frame_stride: int = 4) -> str:
+    # mirrors operators/multimodal.decode_features exactly: ASCII corpus
+    # (verified: zero non-[\x20-\x7e] chars) => utf-8 bytes == char codes;
+    # entropy chain in fixed bucket order (0..7) with log2 (glibc libm,
+    # bit-identical to Python's math.log2); zero buckets add exact 0.0.
+    term = lambda j: (
+        f"CASE WHEN c{j} > 0 THEN (c{j}::DOUBLE / n) * log2(c{j}::DOUBLE / n) "
+        f"ELSE 0.0 END"
+    )
+    chain = " + ".join(term(j) for j in range(8))
+    counts = ",\n         ".join(
+        f"count(*) FILTER (WHERE code // 32 = {j}) AS c{j}" for j in range(8)
+    )
+    return f"""WITH chars AS (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS code
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(code) AS BIGINT) AS total,
+         {counts}
+  FROM chars
+  GROUP BY doc_id
+)
+SELECT a.doc_id,
+       a.n AS n_bytes,
+       round(a.total::DOUBLE / a.n, 6) AS mean_byte,
+       round(-({chain}), 6) AS byte_entropy,
+       CAST((1 + d.n_chars % 16 + {frame_stride - 1}) // {frame_stride} AS BIGINT)
+         AS n_frames_sampled
+FROM agg a JOIN documents d ON a.doc_id = d.doc_id"""
+
+
 def q_window_funcs() -> str:
     return """SELECT user_id, event_id,
        epoch_us(ts::TIMESTAMP) AS ts_us,
