@@ -125,6 +125,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "customer"),
         _t(spark, sf, "nation"),
     )
+    q["q_tpch_pricing"] = lambda spark, sf: R.tpch_pricing_summary(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_tpch_local_volume"] = lambda spark, sf: R.tpch_local_supplier_volume(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
     q["q_json_extract"] = lambda spark, sf: R.json_extract_props(_t(spark, sf, "events"))
@@ -292,6 +303,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_grouping_sets": OSQL.q_grouping_sets(),
         "q_window_funcs": OSQL.q_window_funcs(),
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
+        "q_tpch_pricing": OSQL.q_tpch_pricing(),
+        "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_cube_revenue": OSQL.q_cube_revenue(),
         "q_set_ops": OSQL.q_set_ops(),
         "q_scalar_funcs": OSQL.q_scalar_funcs(),

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q_grouping_sets",
     "q_window_funcs",
     "q_rollup_revenue",
+    "q_tpch_pricing",
+    "q_tpch_local_volume",
     "q_cube_revenue",
     "q_corr_subquery",
     "q_time_bucket_rollup",

@@ -899,3 +899,82 @@ def arg_minmax(events: DataFrame) -> DataFrame:
             F.max(vkey).getField("u").alias("dearest_ts_us"),
         )
     )
+
+
+def tpch_pricing_summary(
+    lineitem: DataFrame, ship_cutoff: str = "2001-08-06"
+) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan→filter→wide-agg
+    benchmark shape (reference's agg surface at OLAP breadth).
+
+    One hash aggregate over 6 groups — map-side partial agg does almost
+    all the work, the shuffle moves 6 rows per partition regardless of
+    input size, so the plan is scan-bound at any scale. Averages are
+    written as sum/count (not avg) and rounded at 4dp for cross-engine
+    parity; money sums rounded at 2dp after the fold."""
+    f = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        round_det(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_det(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        round_det(F.sum(disc_price), 2).alias("sum_disc_price"),
+        round_det(F.sum(charge), 2).alias("sum_charge"),
+        round_det(F.sum("l_quantity") / cnt, 4).alias("avg_qty"),
+        round_det(F.sum("l_extendedprice") / cnt, 4).alias("avg_price"),
+        round_det(F.sum("l_discount") / cnt, 4).alias("avg_disc"),
+        cnt.cast("long").alias("count_order"),
+    )
+
+
+def tpch_local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the canonical 6-way star join.
+
+    Scale shape: region/nation are broadcast unconditionally (tiny by
+    schema); supplier-with-nation is small after the region filter and
+    left for AQE to broadcast; lineitem⋈orders is the one genuinely
+    big-big join (shuffle on orderkey) and the o_orderdate filter is
+    pushed into the orders scan to shrink its side first. The
+    same-nation constraint (customer nation == supplier nation) is a
+    post-join filter exactly as in the spec query."""
+    na = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    su = supplier.join(
+        F.broadcast(na), supplier.s_nationkey == na.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    od = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        round_det(F.sum("revenue"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )

@@ -244,3 +244,27 @@ def test_grouping_sets_single_shuffle(spark):
     )
     # dims broadcast; Expand + one hash-aggregate shuffle, like rollup
     assert X.exchange_count(df) == 1
+
+
+def test_tpch_pricing_single_shuffle_and_pushdown(spark):
+    df = R.tpch_pricing_summary(_t(spark, "lineitem"))
+    # one partial-agg shuffle; the shipdate filter reaches the scan
+    assert X.exchange_count(df) == 1
+    assert "l_shipdate" in X.pushed_filters(df)
+
+
+def test_tpch_local_volume_no_cartesian(spark):
+    df = R.tpch_local_supplier_volume(
+        _t(spark, "lineitem"),
+        _t(spark, "orders"),
+        _t(spark, "customer"),
+        _t(spark, "supplier"),
+        _t(spark, "nation"),
+        _t(spark, "region"),
+    )
+    plan = X.plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # region/nation dims ride broadcast joins
+    assert X.has_broadcast_join(df)
+    # the o_orderdate range filter is pushed into the orders scan
+    assert "o_orderdate" in X.pushed_filters(df)
