@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as PW
 
 from clusterforge_spark.sources.readers import TABLE_SCHEMAS
 
@@ -481,3 +482,63 @@ def run_stream_to_partitioned_parquet(
         .start()
     )
     _await_or_raise(query, timeout_s)
+
+
+# ---------------------------------------------------------------------------
+# streaming top-k (windowed rank via foreachBatch)
+# ---------------------------------------------------------------------------
+
+def hourly_event_type_counts(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour (window, event_type) counts — the stateful half
+    of streaming top-k. State is one row per (hour, type): tiny."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_topk_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    k: int = 3,
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Streaming top-k: per hour, the k most frequent event types.
+
+    Ranking is not an incremental streaming operator (a late row can
+    demote a current top-k member), so the scalable shape is: keep the
+    windowed COUNT as streaming state (bounded, incremental), and rank
+    inside ``foreachBatch`` where the micro-batch is a plain DataFrame —
+    the rank runs only over the (already tiny) aggregate, never the raw
+    stream. Complete mode + idempotent overwrite makes the sink converge
+    to the exact batch answer on replay."""
+    counts = hourly_event_type_counts(read_events_stream(spark, sf_dir))
+
+    def write_topk(batch_df: DataFrame, batch_id: int) -> None:
+        w = PW.partitionBy("hour_start_us").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+
+    query = (
+        counts.writeStream.foreachBatch(write_topk)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.read.parquet(out_path)

@@ -204,3 +204,38 @@ def test_foreach_batch_partitioned_sink(spark, events, tmp_path):
     one = back.filter(F.col("hour_bucket") == sorted({k[1] for k in got})[0] // 3_600_000_000)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "hour_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_stream_topk_matches_batch(spark, events, tmp_path):
+    """Streaming per-hour top-k event types == the same rank computed
+    in one batch pass over the static table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.streaming.sessionize import run_stream_topk_batchlike
+
+    k = 3
+    got = {
+        (r.hour_start_us, r.rank): (r.event_type, r.n_events)
+        for r in run_stream_topk_batchlike(
+            spark, SF_DIR, str(tmp_path / "topk"), k=k
+        ).collect()
+    }
+    w = Window.partitionBy("hour_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    batch = (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    want = {
+        (r.hour_start_us, r.rank): (r.event_type, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
