@@ -26,6 +26,7 @@ from clusterforge_spark.operators import features as FE
 from clusterforge_spark.operators import metrics as M
 from clusterforge_spark.operators import multimodal as MM
 from clusterforge_spark.operators import packing as PK
+from clusterforge_spark.operators import layout as LY
 from clusterforge_spark.operators import relational as R
 from clusterforge_spark.operators import similarity as SIM
 from clusterforge_spark.operators import text as TX
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "region"),
     )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
+    q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
     q["q_json_extract"] = lambda spark, sf: R.json_extract_props(_t(spark, sf, "events"))
     q["q_percentiles"] = lambda spark, sf: R.percentiles(_t(spark, sf, "events"))
@@ -305,6 +307,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
         "q_tpch_pricing": OSQL.q_tpch_pricing(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
+        "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),
         "q_set_ops": OSQL.q_set_ops(),
         "q_scalar_funcs": OSQL.q_scalar_funcs(),

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",
+    "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",
     "q_time_bucket_rollup",

@@ -1347,3 +1347,27 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name"""
+
+
+def q_zorder_events() -> str:
+    # Morton bit-spread mirrored stage-by-stage (operators/layout.py
+    # _SPREAD): pure BIGINT shift/mask — bit-identical across engines.
+    steps = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+    ctes = [
+        "s0 AS (SELECT event_id, user_id::BIGINT AS user_id, "
+        "CAST(floor(value) AS BIGINT) AS value_bucket, "
+        "(user_id & 65535) AS xa, (CAST(floor(value) AS BIGINT) & 65535) AS xb "
+        "FROM events)"
+    ]
+    for i, (sh, mask) in enumerate(steps):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT event_id, user_id, value_bucket, "
+            f"((xa | (xa << {sh})) & {mask}) AS xa, "
+            f"((xb | (xb << {sh})) & {mask}) AS xb FROM {prev})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT event_id, user_id, value_bucket, (xa | (xb << 1)) AS zkey FROM s4"
+    )

@@ -268,3 +268,34 @@ def test_tpch_local_volume_no_cartesian(spark):
     assert X.has_broadcast_join(df)
     # the o_orderdate range filter is pushed into the orders scan
     assert "o_orderdate" in X.pushed_filters(df)
+
+
+def test_zorder_layout_disjoint_file_ranges(spark, tmp_path):
+    """write_zordered range-partitions on the Morton key: each output
+    file owns a contiguous, non-overlapping key span (parquet footer
+    min/max), which is what makes multi-column filters prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from clusterforge_spark.operators import layout as LY
+
+    df = LY.zorder_events(_t(spark, "events"))
+    out = str(tmp_path / "zordered")
+    LY.write_zordered(df, out, n_files=4)
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [c for c in range(len(md.schema))
+               if md.schema.column(c).name == "zkey"][0]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping Morton spans
