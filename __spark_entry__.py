@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         DD.dedup_minhash_banded(_dup_docs(spark, sf))
     )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
+    q["q_dedup_canonical"] = lambda spark, sf: DD.dedup_canonical(
+        _dup_docs(spark, sf), DD.dedup_minhash_banded(_dup_docs(spark, sf))
+    )
     q["q_dedup_levenshtein"] = lambda spark, sf: DD.dedup_levenshtein(
         _dup_docs(spark, sf)
     )
@@ -341,6 +344,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_components": OSQL.q_dedup_components(),
+        "q_dedup_canonical": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),
         "q_dedup_embedding": OSQL.q_dedup_embedding(),

@@ -553,3 +553,50 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         .agg(F.max("lev").alias("lev"), F.max("rel_dist").alias("rel_dist"))
         .filter(F.col("rel_dist") <= threshold)
     )
+
+
+def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Canonical-document selection — the decision step after near-dup
+    detection: group docs into components (transitive closure of
+    ``pairs``), then keep the highest-quality doc per component
+    (ties → lowest doc_id). Docs in no component form singleton
+    components of themselves.
+
+    Scale shape: components run over the pair set only (∝ dups, not
+    corpus); quality is a map-only pass; the per-component argmax is ONE
+    hash aggregate via min(struct(-quality, doc_id)) — no sort, no
+    window over the corpus; the best-of join back is on the (small)
+    component key and left to AQE to broadcast.
+
+    Output: (doc_id, component, quality, canonical_id, is_canonical)
+    for every doc in the corpus — `is_canonical = false` rows are what a
+    training pipeline drops.
+    """
+    from clusterforge_spark.operators.text import quality_score
+
+    comp = dedup_components(pairs).select("doc_id", "component")
+    quality = quality_score(docs).select("doc_id", "quality")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    scored = labeled.join(quality, "doc_id")
+    best = (
+        scored.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("quality")).alias("nq"), F.col("doc_id").alias("d")
+                )
+            ).alias("b")
+        )
+        .select("component", F.col("b.d").alias("canonical_id"))
+    )
+    return scored.join(best, "component").select(
+        "doc_id",
+        "component",
+        "quality",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -644,7 +644,7 @@ p AS (
 SELECT *, (predicted_lang = lang) AS is_match FROM p"""
 
 
-def q_quality_score() -> str:
+def q_quality_score(tbl: str = "documents") -> str:
     from clusterforge_spark.operators.text import LANG_STOPWORDS
 
     lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -656,7 +656,7 @@ def q_quality_score() -> str:
          CAST(length(text) AS DOUBLE) AS n_chars_d,
          CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE) AS n_punct,
          CAST(len(list_filter(toks, x -> list_contains([{lits}], x))) AS DOUBLE) AS en_hits
-  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+  FROM (SELECT doc_id, text, {toks} AS toks FROM {tbl})
 )
 SELECT doc_id, n_tokens,
        round(n_punct / greatest(n_chars_d, 1.0), 4) AS punct_ratio,
@@ -1371,3 +1371,47 @@ def q_zorder_events() -> str:
         + ",\n".join(ctes)
         + "\nSELECT event_id, user_id, value_bucket, (xa | (xb << 1)) AS zkey FROM s4"
     )
+
+
+def q_dedup_canonical(n: int = 3, threshold: float = 0.2) -> str:
+    """Canonical selection over the banded-minhash components: per
+    component keep max quality, ties -> lowest doc_id (mirrors the
+    min(struct(-quality, doc_id)) hash-agg in dedup.dedup_canonical)."""
+    inner = q_dedup_minhash_banded(n=n, threshold=threshold)
+    quality = q_quality_score(tbl="dup_corpus")
+    return f"""WITH RECURSIVE {dup_corpus_cte()},
+pairs AS (
+{inner}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach AS (
+  SELECT v, v AS lbl FROM verts
+  UNION
+  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v),
+quality AS (
+{quality}
+),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         q.quality
+  FROM dup_corpus d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  JOIN quality q ON d.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT doc_id, component, quality,
+         first_value(doc_id) OVER (PARTITION BY component
+             ORDER BY quality DESC, doc_id) AS canonical_id
+  FROM scored
+)
+SELECT doc_id, component, quality, canonical_id,
+       doc_id = canonical_id AS is_canonical
+FROM ranked"""

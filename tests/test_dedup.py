@@ -127,3 +127,24 @@ def test_components_chain_needs_iterations(spark):
     )
     out = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
     assert all(out[v] == 5 for v in range(5, 14))
+
+
+def test_dedup_canonical_keeps_best_per_component(dup_docs):
+    from clusterforge_spark.operators.dedup import (
+        dedup_canonical,
+        dedup_minhash_banded,
+    )
+
+    rows = dedup_canonical(dup_docs, dedup_minhash_banded(dup_docs)).collect()
+    assert len(rows) == dup_docs.count()  # every doc gets a decision
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    multi = [g for g in by_comp.values() if len(g) > 1]
+    assert multi  # planted dups produced real components
+    for grp in by_comp.values():
+        canon = [r for r in grp if r.is_canonical]
+        assert len(canon) == 1  # exactly one keeper per component
+        best = min(grp, key=lambda r: (-r.quality, r.doc_id))
+        assert canon[0].doc_id == best.doc_id  # max quality, tie -> min id
+        assert all(r.canonical_id == best.doc_id for r in grp)
