@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_sim_search_lsh"] = lambda spark, sf: SIM.lsh_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_ivf"] = lambda spark, sf: SIM.ivf_topk(_t(spark, sf, "embeddings"))
+    q["q_sim_search_ivf_trained"] = lambda spark, sf: SIM.ivf_trained_topk(
+        _t(spark, sf, "embeddings")
+    )
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
     )
@@ -351,6 +354,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_topk": OSQL.q_sim_search_topk(),
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
+        "q_sim_search_ivf_trained": OSQL.q_sim_search_ivf_trained(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
         "q_label_centroids": OSQL.q_label_centroids(),
         "q_embed_normalize": OSQL.q_embed_normalize(),

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_sim_search_topk",
     "q_sim_search_lsh",
     "q_sim_search_ivf",
+    "q_sim_search_ivf_trained",
     "q_sim_search_batch",
     "q_label_centroids",
     "q_embed_normalize",

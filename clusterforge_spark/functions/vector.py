@@ -117,6 +117,18 @@ def py_lsh_bucket(vec: list[float], planes: list[list[float]] = HYPERPLANES) -> 
     return sum((1 << j) for j, p in enumerate(planes) if py_dot(vec, p) >= 0)
 
 
+def dist2_cols(col_a, col_b) -> Column:
+    """Squared L2 distance between two array columns (runtime dim) —
+    zip_with + left-fold, same association as the SQL chain."""
+    diffs = F.zip_with(
+        col_a,
+        col_b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return _fold(diffs)
+
+
 def dot_dynamic(col_a: str, col_b: str) -> Column:
     """Runtime-dimension dot via zip_with + aggregate (the generic path)."""
     prods = F.zip_with(col_a, col_b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -158,6 +170,14 @@ def dist2_lit_sql(col: str, vals: list[float]) -> str:
     return "(" + " + ".join(
         f"({_elem_sql(col, i)} - {_flit_sql(v)}) * ({_elem_sql(col, i)} - {_flit_sql(v)})"
         for i, v in enumerate(vals)
+    ) + ")"
+
+
+def dist2_cols_sql(col_a: str, col_b: str, dim: int = DIM) -> str:
+    return "(" + " + ".join(
+        f"({_elem_sql(col_a, i)} - {_elem_sql(col_b, i)})"
+        f" * ({_elem_sql(col_a, i)} - {_elem_sql(col_b, i)})"
+        for i in range(dim)
     ) + ")"
 
 

@@ -223,3 +223,83 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(round_det(F.avg(F.col("x").cast("double")), 4).alias("cval"))
     )
+
+
+def ivf_trained_cells(embeddings: DataFrame) -> DataFrame:
+    """Assemble the per-label centroid ARRAYS from label_centroids —
+    i.e. use the data-trained class centroids as the IVF coarse
+    quantizer (real IVF training output shape) instead of literal
+    centroids. One shuffle (the centroid average), L rows out."""
+    return (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.getField("cval"),
+            ).alias("cent")
+        )
+    )
+
+
+def ivf_trained_topk(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with DATA-TRAINED coarse centroids.
+
+    The quantizer (L centroid arrays) stays a 1-row packed "model"
+    DataFrame that is broadcast — never collected to the driver — and
+    cell assignment is a map-only array_min over a transform: per input
+    vector, fold the squared distance against each broadcast centroid
+    inside codegen, take the lexicographic (dist, label) min. The only
+    shuffles are the centroid training average and the final top-k.
+
+    At 100 TB: train the quantizer on a sample, broadcast the packed
+    model exactly as here, and the assignment pass remains shuffle-free.
+    """
+    query = query or V.QUERY_VEC
+    cells = ivf_trained_cells(embeddings)
+    # the query's nprobe nearest cells (L rows — trivially small)
+    qcells = (
+        cells.select(
+            "label", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
+        )
+        .orderBy("qd", "label")
+        .limit(nprobe)
+        .select("label")
+    )
+    packed = cells.agg(F.collect_list(F.struct("label", "cent")).alias("cells"))
+
+    def _cell_struct(c):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c.getField("cent"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return F.struct(d.alias("d"), c.getField("label").alias("l"))
+
+    assigned = (
+        embeddings.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min(F.transform(F.col("cells"), _cell_struct))
+            .getField("l")
+            .cast("long")
+            .alias("cell"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(qcells), assigned.cell == F.col("label")
+    )
+    scored = cand.select(
+        "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
+    )
+    return _ranked_topk(scored, k)

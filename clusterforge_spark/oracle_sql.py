@@ -1415,3 +1415,54 @@ ranked AS (
 SELECT doc_id, component, quality, canonical_id,
        doc_id = canonical_id AS is_canonical
 FROM ranked"""
+
+
+def q_sim_search_ivf_trained(k: int = 10, nprobe: int = 2) -> str:
+    """Trained-quantizer IVF: per-label centroid lists (mirrors
+    q_label_centroids bit-for-bit), explicit fixed-order distance chains
+    (same association as the Spark zip_with fold), argmin assignment by
+    (dist, label), probe the query's nprobe cells, exact cosine rerank."""
+    from clusterforge_spark.functions import vector as _V2
+
+    qd_chain = _V2.dist2_cols_sql("c.cent", "q.qv")
+    ad_chain = _V2.dist2_cols_sql("e.embedding", "c.cent")
+    qlit = "[" + ", ".join(_V2._flit_sql(v) for v in _V2.QUERY_VEC) + "]"
+    cos = _V2.cosine_lit_sql("e.embedding", _V2.QUERY_VEC)
+    return f"""WITH ce AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+),
+cents AS (
+  SELECT label, CAST(ord - 1 AS BIGINT) AS pos, round(avg(x), 4) AS cval
+  FROM ce GROUP BY label, ord - 1
+),
+cent_arr AS (
+  SELECT label, list(cval ORDER BY pos) AS cent FROM cents GROUP BY label
+),
+qcells AS (
+  SELECT c.label FROM cent_arr c, (SELECT {qlit}::DOUBLE[] AS qv) q
+  ORDER BY {qd_chain}, c.label LIMIT {nprobe}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.label,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {ad_chain}, c.label) AS rn
+  FROM embeddings e CROSS JOIN cent_arr c
+),
+cand AS (
+  SELECT a.vec_id, a.embedding
+  FROM assigned a JOIN qcells ON a.label = qcells.label
+  WHERE a.rn = 1
+),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM cand e
+),
+ranked AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}"""

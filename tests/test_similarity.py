@@ -78,3 +78,64 @@ def test_batch_topk_matches_per_query_brute_force(embeddings):
             for r in brute_force_topk(embeddings, query=q, k=5).collect()
         ]
         assert sorted(by_q[qid]) == sorted(want)
+
+
+def test_ivf_trained_assignment_matches_numpy(embeddings, emb_np):
+    """The broadcast-model cell assignment == numpy argmin over the
+    trained (label-mean, 4dp-rounded) centroids."""
+    from clusterforge_spark.operators.similarity import (
+        ivf_trained_cells,
+        ivf_trained_topk,
+    )
+
+    cents = {r.label: np.array(r.cent) for r in ivf_trained_cells(embeddings).collect()}
+    labels = sorted(cents)
+    C = np.array([cents[l] for l in labels])
+    ids, mat = emb_np
+    d2 = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = {int(v): labels[int(np.argmin(row))] for v, row in zip(ids, d2)}
+
+    from pyspark.sql import functions as F
+
+    packed_query = ivf_trained_topk(embeddings, k=10, nprobe=len(labels))
+    # nprobe = all cells → trained IVF degrades to exact brute force
+    brute = brute_force_topk(embeddings, k=10)
+    assert [r.vec_id for r in packed_query.collect()] == [
+        r.vec_id for r in brute.collect()
+    ]
+
+    # spot-check the argmin assignment itself on the full corpus
+    from clusterforge_spark.operators.similarity import label_centroids  # noqa: F401
+    import clusterforge_spark.operators.similarity as SIM_MOD
+
+    cells = SIM_MOD.ivf_trained_cells(embeddings)
+    packed = cells.agg(F.collect_list(F.struct("label", "cent")).alias("cells"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.array_min(
+                F.transform(
+                    F.col("cells"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("embedding"),
+                                c.getField("cent"),
+                                lambda x, y: (x.cast("double") - y)
+                                * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0),
+                            lambda a, v: a + v,
+                        ).alias("d"),
+                        c.getField("label").alias("l"),
+                    ),
+                )
+            )
+            .getField("l")
+            .cast("long")
+            .alias("cell"),
+        )
+    )
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    assert got == want
