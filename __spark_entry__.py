@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "nation"),
     )
     q["q_window_funcs"] = lambda spark, sf: R.window_funcs(_t(spark, sf, "events"))
+    q["q_rolling_window"] = lambda spark, sf: R.rolling_window_value(
+        _t(spark, sf, "events")
+    )
+    q["q_upsert_orders"] = lambda spark, sf: R.upsert_orders(_t(spark, sf, "orders"))
     q["q_rollup_revenue"] = lambda spark, sf: R.rollup_revenue(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
@@ -312,6 +316,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_window_funcs": OSQL.q_window_funcs(),
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
         "q_tpch_pricing": OSQL.q_tpch_pricing(),
+        "q_rolling_window": OSQL.q_rolling_window(),
+        "q_upsert_orders": OSQL.q_upsert_orders(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

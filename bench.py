@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q_session_window",
     "q_grouping_sets",
     "q_window_funcs",
+    "q_rolling_window",
+    "q_upsert_orders",
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",

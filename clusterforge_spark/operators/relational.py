@@ -978,3 +978,79 @@ def tpch_local_supplier_volume(
         round_det(F.sum("revenue"), 2).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
+
+
+def rolling_window_value(events: DataFrame) -> DataFrame:
+    """Time-RANGE sliding aggregate: per user, the sum/count of `value`
+    over the trailing 1 hour at every event (RANGE frame on event time,
+    not a row frame — late-arriving dense bursts widen the frame
+    correctly).
+
+    One shuffle (hash by user) + one sort per partition serves the whole
+    frame family; the trailing sum is a decimal fold for cross-engine
+    exactness, cast back to double at the edge. At 100 TB this is the
+    standard feature-backfill shape: partition by entity, range frame on
+    time, all computed in one pass without self-joins.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return events.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.sum(dec).over(w).cast("double").alias("value_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_1h"),
+    )
+
+
+UPSERT_BUMP_MOD = 10
+UPSERT_NEW_OFFSET = 90_000_000
+
+
+def upsert_orders(orders: DataFrame) -> DataFrame:
+    """Key-based UPSERT (MERGE semantics on plain parquet tables):
+    update matched keys, insert unmatched — the SCD-1 maintenance step
+    lakehouse formats run under ``MERGE INTO``, expressed as one
+    full-outer join + coalesce so it runs on any Spark.
+
+    The updates feed is synthesized deterministically from orders
+    itself: every key ≡0 (mod 10) gets a 10% price bump + priority
+    rewrite, and a shifted-key copy of those rows is inserted as new.
+    Scale: a single shuffle on the merge key; with both sides bucketed
+    on the key (sources/sinks.write_bucketed) the join is exchange-free.
+    """
+    bump = orders.filter(F.col("o_orderkey") % UPSERT_BUMP_MOD == 0)
+    updates = bump.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("P").alias("o_orderstatus"),
+        round_det(F.col("o_totalprice") * F.lit(1.1), 2).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    inserts = updates.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(UPSERT_NEW_OFFSET)
+    )
+    ups = updates.unionByName(inserts)
+    cols = orders.columns
+    merged = orders.alias("b").join(
+        ups.alias("u"), F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer"
+    )
+    out = merged.select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+    # timestamps hash cross-engine as epoch micros (same convention as
+    # every ts-bearing query in this repo)
+    return out.withColumn(
+        "o_orderdate", F.unix_micros("o_orderdate")
+    ).withColumnRenamed("o_orderdate", "o_orderdate_us")

@@ -1466,3 +1466,43 @@ ranked AS (
   FROM scored
 )
 SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}"""
+
+
+def q_rolling_window() -> str:
+    return """SELECT user_id, event_id,
+       epoch_us(ts::TIMESTAMP) AS ts_us,
+       CAST(sum(value::DECIMAL(18,2)) OVER w AS DOUBLE) AS value_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
+def q_upsert_orders() -> str:
+    from clusterforge_spark.operators.relational import (
+        UPSERT_BUMP_MOD,
+        UPSERT_NEW_OFFSET,
+    )
+
+    return f"""WITH bump AS (
+  SELECT o_orderkey, o_custkey,
+         'P' AS o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice,
+         o_orderdate,
+         '1-URGENT' AS o_orderpriority
+  FROM orders WHERE o_orderkey % {UPSERT_BUMP_MOD} = 0
+),
+ups AS (
+  SELECT * FROM bump
+  UNION ALL
+  SELECT o_orderkey + {UPSERT_NEW_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM bump
+)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       epoch_us(coalesce(u.o_orderdate, b.o_orderdate)::TIMESTAMP) AS o_orderdate_us,
+       coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+FROM orders b FULL OUTER JOIN ups u ON b.o_orderkey = u.o_orderkey"""

@@ -77,3 +77,18 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the other columnar container Spark ships natively;
     same predicate-pushdown/column-pruning story as parquet."""
     df.write.mode(mode).orc(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """JSON-lines sink — the interchange format of LLM training corpora.
+
+    One file per partition, schema carried in every record; pair with
+    ``sources/readers.read_jsonl`` (schema-pinned, corrupt-record
+    quarantine) for the read side. Compression (gzip/zstd) trades CPU
+    for the 5-10× text-ratio that dominates at 100 TB."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

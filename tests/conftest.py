@@ -42,6 +42,13 @@ def embeddings(spark):
 
 
 @pytest.fixture(scope="session")
+def orders(spark):
+    from clusterforge_spark.sources.readers import load_table
+
+    return load_table(spark, SF_DIR, "orders").cache()
+
+
+@pytest.fixture(scope="session")
 def rfm(events):
     from clusterforge_spark.operators.features import compute_rfm
 

@@ -93,3 +93,48 @@ def test_salted_join_equals_plain_join(spark):
     plain = left.join(right, left.k == right.rk).select("k", "lv", "rv")
     salted = R.salted_join(left, right, "k", "rk", n_salt=4).select("k", "lv", "rv")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_rolling_window_matches_pandas(spark, events):
+    from clusterforge_spark.operators.relational import rolling_window_value
+
+    got = {
+        (r.user_id, r.event_id): (round(r.value_1h, 2), r.n_events_1h)
+        for r in rolling_window_value(events).collect()
+    }
+    pdf = events.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+    ).toPandas()
+    want = {}
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("us")
+        for _, row in g.iterrows():
+            frame = g[(g.us >= row.us - 3_600_000_000) & (g.us <= row.us)]
+            want[(row.user_id, row.event_id)] = (
+                round(float(frame.value.round(2).sum()), 2),
+                int(len(frame)),
+            )
+    assert got == want
+
+
+def test_upsert_orders_semantics(spark, orders):
+    from clusterforge_spark.operators.relational import (
+        UPSERT_BUMP_MOD,
+        UPSERT_NEW_OFFSET,
+        upsert_orders,
+    )
+
+    base = {r.o_orderkey: r for r in orders.collect()}
+    merged = {r.o_orderkey: r for r in upsert_orders(orders).collect()}
+    bumped = {k for k in base if k % UPSERT_BUMP_MOD == 0}
+    # row count: base + one insert per bumped key
+    assert len(merged) == len(base) + len(bumped)
+    for k, row in merged.items():
+        if k >= UPSERT_NEW_OFFSET:  # inserted rows carry the bump
+            assert row.o_orderpriority == "1-URGENT"
+            assert k - UPSERT_NEW_OFFSET in bumped
+        elif k in bumped:  # updated in place
+            assert row.o_orderstatus == "P"
+            assert abs(row.o_totalprice - base[k].o_totalprice * 1.1) < 0.011
+        else:  # untouched
+            assert row.o_totalprice == base[k].o_totalprice

@@ -93,3 +93,18 @@ def test_jsonl_permissive_captures_corrupt_records(spark, tmp_path):
     quarantined = [r for r in rows if r._corrupt_record is not None]
     assert [r.doc_id for r in good] == [1]
     assert len(quarantined) == 1 and "broken" in quarantined[0]._corrupt_record
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from clusterforge_spark.sources.readers import read_jsonl
+    from clusterforge_spark.sources.sinks import write_jsonl
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    a = {r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source) for r in back.collect()}
+    assert a == b
