@@ -389,6 +389,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Output: (doc_id, component, component_size) for every doc that
     appears in at least one pair.
     """
+    # the pair set is tiny (∝ dup clusters) but its LINEAGE is the whole
+    # shingle/minhash pipeline — checkpoint it eagerly so every loop
+    # round's plan (and the consumers' plans, e.g. dedup_canonical)
+    # starts from a small materialized RDD instead of re-analyzing the
+    # full candidate-generation tree per cache lookup
+    pairs = pairs.localCheckpoint(eager=True)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # pre-partition on the join key: every round's edges⋈labels join (and
@@ -581,7 +587,9 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
     )
-    scored = labeled.join(quality, "doc_id")
+    # scored feeds both the per-component argmax and the join-back;
+    # cache it so the two branches share one materialization
+    scored = labeled.join(quality, "doc_id").cache()
     best = (
         scored.groupBy("component")
         .agg(
