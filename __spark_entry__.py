@@ -30,6 +30,7 @@ from clusterforge_spark.operators import layout as LY
 from clusterforge_spark.operators import relational as R
 from clusterforge_spark.operators import similarity as SIM
 from clusterforge_spark.operators import text as TX
+from clusterforge_spark.operators import validation as VA
 from clusterforge_spark.session import configure_runtime
 from clusterforge_spark.sources.readers import load_table
 
@@ -118,6 +119,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_upsert_orders"] = lambda spark, sf: R.upsert_orders(_t(spark, sf, "orders"))
+    q["q_profile_columns"] = lambda spark, sf: VA.profile_columns(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_expectation_checks"] = lambda spark, sf: VA.expectation_checks(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+    q["q_snapshot_diff"] = lambda spark, sf: VA.snapshot_diff(
+        _t(spark, sf, "orders"), VA.orders_v2(_t(spark, sf, "orders"))
+    )
+    q["q_value_histogram"] = lambda spark, sf: VA.value_histogram(
+        _t(spark, sf, "orders")
+    )
     q["q_rollup_revenue"] = lambda spark, sf: R.rollup_revenue(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
@@ -318,6 +331,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_tpch_pricing": OSQL.q_tpch_pricing(),
         "q_rolling_window": OSQL.q_rolling_window(),
         "q_upsert_orders": OSQL.q_upsert_orders(),
+        "q_profile_columns": OSQL.q_profile_columns(),
+        "q_expectation_checks": OSQL.q_expectation_checks(),
+        "q_snapshot_diff": OSQL.q_snapshot_diff(),
+        "q_value_histogram": OSQL.q_value_histogram(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q_window_funcs",
     "q_rolling_window",
     "q_upsert_orders",
+    "q_profile_columns",
+    "q_expectation_checks",
+    "q_snapshot_diff",
+    "q_value_histogram",
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",

@@ -1,0 +1,195 @@
+"""Data validation & profiling: the ANALYZE/expectations/diff layer.
+
+A 100 TB ingest pipeline runs these before anything else touches the
+data: a one-pass column profiler (nulls/distincts/extremes), declarative
+expectation checks (keys unique, FKs resolve, domains hold), and a
+keyed snapshot diff (what changed between two table versions). All are
+single-scan or single-join shapes — profiling is one aggregate with
+map-side partials; expectations are counting aggregates + one anti-join;
+the diff is one full-outer join on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clusterforge_spark.functions.rounding import round_det
+
+#: numeric lineitem columns the profiler query covers
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...] = PROFILE_COLS) -> DataFrame:
+    """One-pass numeric column profiler.
+
+    Emits one row per column: row/null/distinct counts, min/max, and a
+    decimal-exact sum. ALL columns' statistics come from a single
+    aggregate (one scan, no shuffle beyond the 1-row partial merge);
+    the per-column rows are then unpivoted from that single row — the
+    profile of a 100 TB table costs one pass regardless of how many
+    columns are profiled.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(28,2)")).cast("double").alias(f"{c}__sum"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__rows").cast("long").alias("n_rows"),
+                        F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                        F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                        F.col(f"{c}__min").cast("double").alias("min_v"),
+                        F.col(f"{c}__max").cast("double").alias("max_v"),
+                        round_det(F.col(f"{c}__sum"), 2).alias("sum_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+#: o_orderstatus domain for the expectations query
+ORDER_STATUS_DOMAIN = ("O", "F", "P")
+
+
+def expectation_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Declarative expectations over the orders feed, one row per check:
+    (check, n_violations, passed).
+
+    - pk_unique:     o_orderkey has no duplicates
+    - fk_customer:   every o_custkey resolves in customer (anti-join)
+    - non_negative:  o_totalprice >= 0
+    - status_domain: o_orderstatus within the allowed enum
+
+    Three of the four are counting aggregates in ONE scan; the FK check
+    is a broadcast/shuffle anti-join that only moves violations. The
+    result is tiny regardless of input size — the petabyte-safe shape
+    for a data-quality gate.
+    """
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+        .select(F.lit("pk_unique").alias("check"), F.col("v").alias("n_violations"))
+    )
+    fk = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(F.lit("fk_customer").alias("check"), F.col("v").alias("n_violations"))
+    )
+    scans = orders.agg(
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias("neg"),
+        F.sum(
+            (~F.col("o_orderstatus").isin(list(ORDER_STATUS_DOMAIN))).cast("long")
+        ).alias("dom"),
+    )
+    scalar_checks = scans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("non_negative").alias("check"),
+                    F.col("neg").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("status_domain").alias("check"),
+                    F.col("dom").cast("long").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    out = dup_keys.unionByName(fk).unionByName(scalar_checks)
+    return out.withColumn("passed", (F.col("n_violations") == 0).alias("passed"))
+
+
+def snapshot_diff(base: DataFrame, new: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """Keyed snapshot diff: classify every key as added / removed /
+    changed between two versions of a table (unchanged rows are
+    filtered out — the CDC emit set).
+
+    One full-outer join on the key; change detection is null-safe
+    column-wise equality (no row serialization, no hashing — stays in
+    codegen). At scale, bucket both snapshots by the key to make the
+    join exchange-free.
+    """
+    cols = [c for c in base.columns if c != key]
+    b = base.alias("b")
+    n = new.alias("n")
+    joined = b.join(n, F.col(f"b.{key}") == F.col(f"n.{key}"), "full_outer")
+    b_key = F.col(f"b.{key}")
+    n_key = F.col(f"n.{key}")
+    same = None
+    for c in cols:
+        eq = F.col(f"b.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(b_key.isNull(), F.lit("added"))
+        .when(n_key.isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(n_key, b_key).alias(key), change.alias("change_type")
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+def value_histogram(orders: DataFrame, width: float = 50_000.0) -> DataFrame:
+    """Fixed-width histogram of order value: bucket = floor(v/width).
+
+    The classic distribution profile — one hash aggregate on a derived
+    integer key, map-side combine does nearly all the work; decimal sums
+    keep the per-bucket totals exact.
+    """
+    bucket = F.floor(F.col("o_totalprice") / F.lit(width)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("bucket_lo", round_det(F.col("bucket") * F.lit(width), 2))
+    )
+
+
+SNAP_DROP_MOD = 13
+SNAP_BUMP_MOD = 7
+SNAP_NEW_MOD = 101
+SNAP_NEW_OFFSET = 91_000_000
+
+
+def orders_v2(orders: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' of orders for the diff query:
+    drop keys ≡0 (mod 13), bump price 5% on keys ≡0 (mod 7), insert a
+    shifted copy of keys ≡0 (mod 101)."""
+    key = F.col("o_orderkey")
+    kept = orders.filter(key % SNAP_DROP_MOD != 0)
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            key % SNAP_BUMP_MOD == 0,
+            round_det(F.col("o_totalprice") * F.lit(1.05), 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = orders.filter(key % SNAP_NEW_MOD == 0).withColumn(
+        "o_orderkey", key + F.lit(SNAP_NEW_OFFSET)
+    )
+    return bumped.unionByName(inserts)

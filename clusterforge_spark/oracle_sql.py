@@ -1506,3 +1506,100 @@ SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
        epoch_us(coalesce(u.o_orderdate, b.o_orderdate)::TIMESTAMP) AS o_orderdate_us,
        coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
 FROM orders b FULL OUTER JOIN ups u ON b.o_orderkey = u.o_orderkey"""
+
+
+def q_profile_columns() -> str:
+    from clusterforge_spark.operators.validation import PROFILE_COLS
+
+    branches = []
+    for c in PROFILE_COLS:
+        branches.append(
+            f"""SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v,
+       round(CAST(sum({c}::DECIMAL(28,2)) AS DOUBLE), 2) AS sum_v
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def q_expectation_checks() -> str:
+    from clusterforge_spark.operators.validation import ORDER_STATUS_DOMAIN
+
+    dom = ", ".join(f"'{s}'" for s in ORDER_STATUS_DOMAIN)
+    return f"""WITH dup AS (
+  SELECT 'pk_unique' AS "check",
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_violations
+  FROM (SELECT o_orderkey, count(*) AS n FROM orders
+        GROUP BY o_orderkey HAVING count(*) > 1)
+),
+fk AS (
+  SELECT 'fk_customer' AS "check",
+         CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders WHERE NOT EXISTS
+    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+),
+scans AS (
+  SELECT CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ({dom}) THEN 1 ELSE 0 END) AS BIGINT) AS dom
+  FROM orders
+),
+allc AS (
+  SELECT * FROM dup
+  UNION ALL SELECT * FROM fk
+  UNION ALL SELECT 'non_negative', neg FROM scans
+  UNION ALL SELECT 'status_domain', dom FROM scans
+)
+SELECT "check", n_violations, n_violations = 0 AS passed FROM allc"""
+
+
+def q_snapshot_diff() -> str:
+    from clusterforge_spark.operators.validation import (
+        SNAP_BUMP_MOD,
+        SNAP_DROP_MOD,
+        SNAP_NEW_MOD,
+        SNAP_NEW_OFFSET,
+    )
+
+    return f"""WITH v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {SNAP_BUMP_MOD} = 0
+              THEN round(o_totalprice * 1.05, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {SNAP_DROP_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {SNAP_NEW_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {SNAP_NEW_MOD} = 0
+),
+j AS (
+  SELECT b.o_orderkey AS bk, n.o_orderkey AS nk,
+         coalesce(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN b.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN NOT (b.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                 AND b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND b.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                 AND b.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                 AND b.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM orders b FULL OUTER JOIN v2 n ON b.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type <> 'unchanged'"""
+
+
+def q_value_histogram(width: float = 50_000.0) -> str:
+    w = repr(width)
+    return f"""SELECT CAST(floor(o_totalprice / {w}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total_value,
+       round(CAST(floor(o_totalprice / {w}) AS BIGINT) * {w}, 2) AS bucket_lo
+FROM orders
+GROUP BY 1"""

@@ -1,0 +1,73 @@
+"""Data validation & profiling operators."""
+
+from __future__ import annotations
+
+from clusterforge_spark.operators import validation as VA
+
+
+def test_expectation_checks_all_pass(spark, orders):
+    from clusterforge_spark.sources.readers import load_table
+
+    from tests.conftest import SF_DIR
+
+    customer = load_table(spark, SF_DIR, "customer")
+    rows = {r.check: r for r in VA.expectation_checks(orders, customer).collect()}
+    assert set(rows) == {"pk_unique", "fk_customer", "non_negative", "status_domain"}
+    assert all(r.passed and r.n_violations == 0 for r in rows.values())
+
+
+def test_expectation_checks_catch_violations(spark, orders):
+    from pyspark.sql import functions as F
+
+    # poison the feed: duplicate one key, negative price, bad status
+    bad = orders.limit(1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(-5.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    poisoned = orders.unionByName(bad)
+    rows = {r.check: r for r in VA.expectation_checks(poisoned, orders.select(
+        F.col("o_custkey").alias("c_custkey")).distinct()).collect()}
+    assert rows["pk_unique"].n_violations == 2  # both copies of the dup key
+    assert rows["non_negative"].n_violations == 1
+    assert rows["status_domain"].n_violations == 1
+
+
+def test_snapshot_diff_classifies_planted_changes(spark, orders):
+    base = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    got = {}
+    for r in VA.snapshot_diff(orders, VA.orders_v2(orders)).collect():
+        got.setdefault(r.change_type, set()).add(r.o_orderkey)
+    want_removed = {k for k in base if k % VA.SNAP_DROP_MOD == 0}
+    want_added = {
+        k + VA.SNAP_NEW_OFFSET for k in base if k % VA.SNAP_NEW_MOD == 0
+    }
+    want_changed = {
+        k
+        for k in base
+        if k % VA.SNAP_BUMP_MOD == 0 and k % VA.SNAP_DROP_MOD != 0
+    }
+    assert got.get("removed", set()) == want_removed
+    assert got.get("added", set()) == want_added
+    assert got.get("changed", set()) == want_changed
+
+
+def test_profile_matches_pandas(spark, orders):
+    import math
+
+    from clusterforge_spark.sources.readers import load_table
+
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    prof = {r.column: r for r in VA.profile_columns(li).collect()}
+    pdf = li.select(*VA.PROFILE_COLS).toPandas()
+    for c in VA.PROFILE_COLS:
+        assert prof[c].n_rows == len(pdf)
+        assert prof[c].n_nulls == int(pdf[c].isna().sum())
+        assert prof[c].n_distinct == int(pdf[c].nunique())
+        assert math.isclose(prof[c].min_v, float(pdf[c].min()))
+        assert math.isclose(prof[c].max_v, float(pdf[c].max()))
