@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_snapshot_diff"] = lambda spark, sf: VA.snapshot_diff(
         _t(spark, sf, "orders"), VA.orders_v2(_t(spark, sf, "orders"))
     )
+    q["q_linreg"] = lambda spark, sf: R.linreg_price_vs_qty(
+        _t(spark, sf, "lineitem")
+    )
     q["q_value_histogram"] = lambda spark, sf: VA.value_histogram(
         _t(spark, sf, "orders")
     )
@@ -335,6 +338,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_expectation_checks": OSQL.q_expectation_checks(),
         "q_snapshot_diff": OSQL.q_snapshot_diff(),
         "q_value_histogram": OSQL.q_value_histogram(),
+        "q_linreg": OSQL.q_linreg(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

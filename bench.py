@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_expectation_checks",
     "q_snapshot_diff",
     "q_value_histogram",
+    "q_linreg",
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",

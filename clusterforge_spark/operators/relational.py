@@ -1054,3 +1054,36 @@ def upsert_orders(orders: DataFrame) -> DataFrame:
     return out.withColumn(
         "o_orderdate", F.unix_micros("o_orderdate")
     ).withColumnRenamed("o_orderdate", "o_orderdate_us")
+
+
+def linreg_price_vs_qty(lineitem: DataFrame) -> DataFrame:
+    """Closed-form simple linear regression (extendedprice ~ quantity)
+    via the normal equations — regression as a pure aggregation.
+
+    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) come from ONE
+    map-side-combinable aggregate over the scan; slope/intercept are
+    O(1) arithmetic on the 1-row result. This is how regression runs on
+    100 TB: no iteration, no collect, one pass. The sums are computed in
+    DECIMAL (2dp inputs → 4dp products, all exact), so the statistics
+    are order-independent and the derived coefficients bit-match any
+    engine; only the final coefficients are rounded (6dp).
+    """
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = lineitem.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        round_det(slope, 6).alias("slope"),
+        round_det((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

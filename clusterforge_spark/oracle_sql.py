@@ -1603,3 +1603,18 @@ def q_value_histogram(width: float = 50_000.0) -> str:
        round(CAST(floor(o_totalprice / {w}) AS BIGINT) * {w}, 2) AS bucket_lo
 FROM orders
 GROUP BY 1"""
+
+
+def q_linreg() -> str:
+    return """WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sx,
+         CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sy,
+         CAST(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sxy,
+         CAST(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sxx
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s"""

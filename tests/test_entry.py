@@ -32,7 +32,6 @@ def test_every_oracle_key_has_query():
         "q_count_distinct_approx",
         "q_kmeans_fit",
         "q_dedup_minhash",
-        "q_multimodal_decode",
     }
 
 

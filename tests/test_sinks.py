@@ -108,3 +108,20 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()}
     b = {r.doc_id: (r.text, r.lang, r.source) for r in back.collect()}
     assert a == b
+
+
+def test_compact_small_files(spark, tmp_path):
+    import glob
+
+    from clusterforge_spark.sources.sinks import compact_small_files
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "shattered")
+    li.repartition(32).write.parquet(out)
+    before = len(glob.glob(out + "/*.parquet"))
+    n_rows = li.count()
+    n_out = compact_small_files(spark, out, target_bytes=10 * 1024 * 1024)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert before == 32
+    assert after == n_out < before
+    assert spark.read.parquet(out).count() == n_rows

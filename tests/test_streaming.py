@@ -239,3 +239,38 @@ def test_stream_topk_matches_batch(spark, events, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_cdc_apply_matches_batch(spark, events, tmp_path):
+    """foreachBatch CDC apply: snapshot == batch last-write-wins per key;
+    a second replay exercises the merge branch idempotently (values
+    unchanged, update counts accumulate)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.streaming.sessionize import run_stream_upsert_batchlike
+
+    base = str(tmp_path / "user_snapshot")
+    snap1 = {
+        r.user_id: (r.last_ts_us, r.last_value, r.n_updates)
+        for r in run_stream_upsert_batchlike(spark, SF_DIR, base).collect()
+    }
+    want = {
+        r.user_id: (r.last_ts_us, r.last_value, r.n_updates)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+            F.max_by("value", F.unix_micros("ts")).alias("last_value"),
+            F.count(F.lit(1)).cast("long").alias("n_updates"),
+        )
+        .collect()
+    }
+    assert snap1 == want
+    snap2 = {
+        r.user_id: (r.last_ts_us, r.last_value, r.n_updates)
+        for r in run_stream_upsert_batchlike(spark, SF_DIR, base).collect()
+    }
+    assert set(snap2) == set(snap1)
+    for uid, (ts, val, n) in snap2.items():
+        ts1, val1, n1 = snap1[uid]
+        assert (ts, val) == (ts1, val1)  # last-write-wins is idempotent
+        assert n == 2 * n1  # replay accumulated the counts
