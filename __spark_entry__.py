@@ -131,6 +131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_linreg"] = lambda spark, sf: R.linreg_price_vs_qty(
         _t(spark, sf, "lineitem")
     )
+    q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
+        _t(spark, sf, "events")
+    )
+    q["q_resample_daily"] = lambda spark, sf: R.resample_daily(
+        _t(spark, sf, "events")
+    )
     q["q_value_histogram"] = lambda spark, sf: VA.value_histogram(
         _t(spark, sf, "orders")
     )
@@ -339,6 +345,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_snapshot_diff": OSQL.q_snapshot_diff(),
         "q_value_histogram": OSQL.q_value_histogram(),
         "q_linreg": OSQL.q_linreg(),
+        "q_zscore_outliers": OSQL.q_zscore_outliers(),
+        "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_value_histogram",
     "q_linreg",
+    "q_zscore_outliers",
+    "q_resample_daily",
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",

@@ -1087,3 +1087,44 @@ def linreg_price_vs_qty(lineitem: DataFrame) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def resample_daily(events: DataFrame) -> DataFrame:
+    """Time-series gap filling: a dense per-user DAILY spine from each
+    user's first to last active day, zero-filled where no events exist.
+
+    The spine is generated distributively — sequence() + explode per
+    user (no driver loop, no cross join against a calendar table), then
+    a left join pulls the sparse daily aggregates in. Day keys are epoch
+    days (pure integer arithmetic). At 100 TB the join is on
+    (user_id, day) — same key as the aggregation, so AQE plans it
+    without an extra exchange of the big side.
+    """
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select("user_id", day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value"),
+        )
+    )
+    spine = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+        )
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        )
+    )

@@ -193,3 +193,35 @@ def orders_v2(orders: DataFrame) -> DataFrame:
         "o_orderkey", key + F.lit(SNAP_NEW_OFFSET)
     )
     return bumped.unionByName(inserts)
+
+
+def zscore_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value deviates
+    more than ``threshold`` population-σ from their event-type mean.
+
+    The sufficient statistics (n, Σv, Σv²) are DECIMAL-exact (2dp input
+    → 4dp squares, both exactly representable), so μ, σ and every z are
+    pure IEEE arithmetic on identical bits in any engine — the outlier
+    SET is deterministic, not just approximately equal. One aggregate +
+    one broadcast join back; the filter prunes to the anomalies before
+    anything wide happens.
+    """
+    v = F.col("value").cast("decimal(18,2)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(v * v).cast("double").alias("svv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    sigma = F.sqrt(F.col("svv") / F.col("n") - mu * mu)
+    enriched = events.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - mu) / sigma
+    return (
+        enriched.filter((z > F.lit(threshold)) | (z < -F.lit(threshold)))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            round_det(z, 4).alias("z"),
+        )
+    )

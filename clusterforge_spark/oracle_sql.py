@@ -1618,3 +1618,43 @@ SELECT CAST(n AS BIGINT) AS n,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
 FROM s"""
+
+
+def q_zscore_outliers(threshold: float = 3.0) -> str:
+    t = repr(threshold)
+    return f"""WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sv,
+         CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.sv / s.n)
+             / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n)), 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE (e.value - s.sv / s.n)
+      / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n)) > {t}
+   OR (e.value - s.sv / s.n)
+      / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n)) < -{t}"""
+
+
+def q_resample_daily() -> str:
+    return """WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS day_value
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM bounds
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.day_value, 0.0) AS day_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""
