@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_count_distinct_approx"] = lambda spark, sf: R.count_distinct_approx(
         _t(spark, sf, "events")
     )
+    q["q_hll_mergeable"] = lambda spark, sf: R.hll_mergeable_distinct(
+        _t(spark, sf, "events")
+    )
     q["q_top_k_revenue"] = lambda spark, sf: R.top_k(_t(spark, sf, "lineitem"), k=100)
     q["q_join_enrich"] = lambda spark, sf: R.join_enrich(
         _t(spark, sf, "lineitem"),
@@ -130,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_linreg"] = lambda spark, sf: R.linreg_price_vs_qty(
         _t(spark, sf, "lineitem")
+    )
+    q["q_unigram_logprob"] = lambda spark, sf: TX.unigram_logprob(
+        _t(spark, sf, "documents")
     )
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
@@ -345,6 +351,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_snapshot_diff": OSQL.q_snapshot_diff(),
         "q_value_histogram": OSQL.q_value_histogram(),
         "q_linreg": OSQL.q_linreg(),
+        "q_unigram_logprob": OSQL.q_unigram_logprob(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q_having_filter",
     "q_count_distinct_exact",
     "q_count_distinct_approx",
+    "q_hll_mergeable",
     "q_top_k_revenue",
     "q_join_enrich",
     "q_window_sessionize",
@@ -53,6 +54,7 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_value_histogram",
     "q_linreg",
+    "q_unigram_logprob",
     "q_zscore_outliers",
     "q_resample_daily",
     "q_rollup_revenue",

@@ -1128,3 +1128,31 @@ def resample_daily(events: DataFrame) -> DataFrame:
             F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
         )
     )
+
+
+def hll_mergeable_distinct(events: DataFrame) -> DataFrame:
+    """Two-level MERGEABLE distinct-count sketches (Datasketches HLL):
+    build per-(event_type, day) sketches, then union them up to
+    per-event_type totals WITHOUT touching the raw data again.
+
+    This is the sketch property that matters at 100 TB: daily sketch
+    builds are incremental (new day = new partial), and any rollup
+    (weekly, all-time, cross-region) is a cheap union of byte blobs —
+    never a rescan. rows-only vs the oracle by design: sketch binaries
+    are implementation-specific (DuckDB's HLL differs); the pytest
+    asserts the estimates against exact distinct counts instead.
+    """
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select("event_type", day.alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").cast("long").alias("approx_users"),
+        )
+    )

@@ -372,3 +372,47 @@ def token_array_funcs(documents: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-self unigram log-probability per document — the cheap
+    perplexity-style quality signal a training pipeline uses to rank
+    documents before expensive model-based scoring.
+
+    Two aggregates: the corpus vocabulary (token → count, plus the
+    total via a window-free broadcast of one scalar), then per-document
+    mean log2 P(token). Cross-engine exactness uses the integer-sum
+    trick: each token's log2-probability is deterministically rounded
+    to 6dp and scaled to an exact BIGINT of micro-units, so the per-doc
+    SUM is order-independent integer arithmetic; only the final mean
+    divides back to double. At 100 TB the vocab join is a plain
+    shuffle equi-join on the token (AQE broadcasts while it fits).
+    """
+    toks = H.tokens_col("text")
+    exploded = documents.select("doc_id", F.explode(toks).alias("token"))
+    vocab = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    lp = F.log2(F.col("cnt").cast("double") / F.col("n_total"))
+    lp_micro = F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        exploded.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_det(
+                F.col("sum_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("mean_log2p"),
+        )
+    )

@@ -1658,3 +1658,27 @@ SELECT s.user_id, s.day,
        coalesce(d.n_events, 0) AS n_events,
        coalesce(d.day_value, 0.0) AS day_value
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""
+
+
+def q_unigram_logprob() -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH exploded AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM exploded GROUP BY token
+),
+total AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab
+),
+scored AS (
+  SELECT e.doc_id,
+         CAST(floor(log2(v.cnt::DOUBLE / t.n_total) * 1e6 + 0.5) AS BIGINT)
+           AS lp_micro
+  FROM exploded e JOIN vocab v ON e.token = v.token CROSS JOIN total t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp_micro) AS DOUBLE) / 1e6 / count(*), 4) AS mean_log2p
+FROM scored
+GROUP BY doc_id"""

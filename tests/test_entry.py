@@ -30,6 +30,7 @@ def test_every_oracle_key_has_query():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "q_count_distinct_approx",
+        "q_hll_mergeable",
         "q_kmeans_fit",
         "q_dedup_minhash",
     }

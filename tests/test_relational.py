@@ -138,3 +138,20 @@ def test_upsert_orders_semantics(spark, orders):
             assert abs(row.o_totalprice - base[k].o_totalprice * 1.1) < 0.011
         else:  # untouched
             assert row.o_totalprice == base[k].o_totalprice
+
+
+def test_hll_mergeable_estimates_close_to_exact(spark, events):
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.relational import hll_mergeable_distinct
+
+    got = {r.event_type: r.approx_users for r in hll_mergeable_distinct(events).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et])
