@@ -137,6 +137,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_unigram_logprob"] = lambda spark, sf: TX.unigram_logprob(
         _t(spark, sf, "documents")
     )
+    q["q_repetition_stats"] = lambda spark, sf: TX.repetition_stats(
+        _t(spark, sf, "documents")
+    )
+    q["q_contamination"] = lambda spark, sf: TX.contamination_check(
+        _t(spark, sf, "documents")
+    )
+    q["q_weighted_sample"] = lambda spark, sf: TX.weighted_sample(
+        _t(spark, sf, "documents")
+    )
+    q["q_grouped_linreg"] = lambda spark, sf: R.grouped_linreg(
+        _t(spark, sf, "lineitem")
+    )
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
     )
@@ -352,6 +364,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_value_histogram": OSQL.q_value_histogram(),
         "q_linreg": OSQL.q_linreg(),
         "q_unigram_logprob": OSQL.q_unigram_logprob(),
+        "q_repetition_stats": OSQL.q_repetition_stats(),
+        "q_contamination": OSQL.q_contamination(),
+        "q_weighted_sample": OSQL.q_weighted_sample(),
+        "q_grouped_linreg": OSQL.q_grouped_linreg(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),

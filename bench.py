@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "q_value_histogram",
     "q_linreg",
     "q_unigram_logprob",
+    "q_repetition_stats",
+    "q_contamination",
+    "q_weighted_sample",
+    "q_grouped_linreg",
     "q_zscore_outliers",
     "q_resample_daily",
     "q_rollup_revenue",

@@ -1156,3 +1156,36 @@ def hll_mergeable_distinct(events: DataFrame) -> DataFrame:
             F.hll_sketch_estimate("merged").cast("long").alias("approx_users"),
         )
     )
+
+
+def grouped_linreg(lineitem: DataFrame) -> DataFrame:
+    """Per-segment closed-form regression: one (slope, intercept) model
+    per l_returnflag, fitted simultaneously in a single grouped
+    aggregate — the "thousands of small models in one pass" pattern
+    (per-tenant / per-SKU forecasting) that iterative fitters cannot do
+    without a per-group job.
+
+    Same decimal-exact sufficient statistics as linreg_price_vs_qty
+    (2dp inputs -> exact 4dp products, order-independent sums), keyed by
+    the group column: one map-side-combinable shuffle at any scale.
+    """
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        round_det(slope, 6).alias("slope"),
+        round_det((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -416,3 +416,149 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             ).alias("mean_log2p"),
         )
     )
+
+
+def _grams_col(text_col: str, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order-preserving) — the repetition
+    metrics need multiplicity, unlike hashing.shingles_col's distinct set."""
+    toks = H.tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    §A1.1 repetition filters): the fraction of a document covered by its
+    most frequent 2-gram and by duplicated 3-grams — the standard signals
+    for dropping boilerplate/spam before LLM training.
+
+    One explode over a union of 2- and 3-grams, two doc_id-keyed
+    aggregations; linear in corpus size, shuffle keys are
+    (doc_id, n, gram) then doc_id — no all-pairs anything, scales to
+    any corpus.
+    """
+    base = documents.select(
+        "doc_id", _grams_col("text", 2).alias("g2"), _grams_col("text", 3).alias("g3")
+    )
+    exploded = base.select(
+        "doc_id", F.lit(2).alias("n"), F.explode("g2").alias("gram")
+    ).unionAll(
+        base.select("doc_id", F.lit(3).alias("n"), F.explode("g3").alias("gram"))
+    )
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 2, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_2grams"),
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).cast("long").alias("top_2gram_cnt"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_3grams"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_3gram_cnt"),
+    )
+    n2 = F.coalesce("n_2grams", F.lit(0).cast("long"))
+    top2 = F.coalesce("top_2gram_cnt", F.lit(0).cast("long"))
+    n3 = F.coalesce("n_3grams", F.lit(0).cast("long"))
+    dup3 = F.coalesce("dup_3gram_cnt", F.lit(0).cast("long"))
+    return documents.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        n2.alias("n_2grams"),
+        round_det(
+            F.when(n2 > 0, top2.cast("double") / n2.cast("double")).otherwise(0.0), 4
+        ).alias("top_2gram_frac"),
+        n3.alias("n_3grams"),
+        round_det(
+            F.when(n3 > 0, dup3.cast("double") / n3.cast("double")).otherwise(0.0), 4
+        ).alias("dup_3gram_frac"),
+    )
+
+
+#: contamination-check defaults: every 20th doc stands in for the held-out
+#: benchmark; 5-gram shingle overlap >= 20% flags a training doc.
+CONTAM_BENCH_MOD = 20
+CONTAM_NGRAM = 5
+CONTAM_THRESHOLD = 0.2
+
+
+def contamination_check(documents: DataFrame) -> DataFrame:
+    """Benchmark-contamination screen: for every training document, the
+    fraction of its distinct 5-gram shingles that appear anywhere in the
+    "benchmark" set (deterministically: doc_id % 20 == 0 stands in for a
+    held-out eval corpus).
+
+    The standard n-gram decontamination pass (GPT-3 appendix C / PaLM):
+    explode training shingles, left-join the distinct benchmark shingle
+    set, per-doc hit fraction. At 100 TB both sides are shuffle
+    equi-joins on the shingle string; the benchmark side is tiny and
+    AQE broadcasts it.
+    """
+    sh = H.shingles_col("text", n=CONTAM_NGRAM)
+    with_sh = documents.select("doc_id", sh.alias("sh"))
+    bench = (
+        with_sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    train = with_sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    per = (
+        train.select("doc_id", F.explode("sh").alias("gram"))
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0).cast("long"))).cast("long").alias("n_hits"),
+        )
+    )
+    nsh = F.coalesce("n_shingles", F.lit(0).cast("long"))
+    nh = F.coalesce("n_hits", F.lit(0).cast("long"))
+    frac = F.when(nsh > 0, nh.cast("double") / nsh.cast("double")).otherwise(0.0)
+    return train.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        nsh.alias("n_shingles"),
+        nh.alias("n_hits"),
+        round_det(frac, 4).alias("contam_frac"),
+        (frac >= F.lit(CONTAM_THRESHOLD)).alias("is_contaminated"),
+    )
+
+
+#: weighted-sampling weight cap: inclusion probability = min(n_chars, CAP)/CAP
+WSAMPLE_CAP = 1024
+
+
+def weighted_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: each document is kept
+    with probability proportional to its length (p = min(n_chars, 1024)
+    / 1024), decided by comparing a 60-bit md5 hash of the doc_id
+    against the scaled weight — EXACT integer arithmetic on both
+    engines, so the sampled set is reproducible anywhere (the property
+    that makes pipeline reruns and A/B data ablations comparable).
+
+    Map-only — no shuffle, no RNG state; scales embarrassingly. The
+    compare is done in decimal(38) because 2^60 * 1024 overflows int64.
+    """
+    u60 = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.least(F.col("n_chars"), F.lit(WSAMPLE_CAP)).cast("long")
+    keep = (u60.cast("decimal(38,0)") * F.lit(WSAMPLE_CAP).cast("decimal(38,0)")) < (
+        F.lit(2**60).cast("decimal(38,0)") * w.cast("decimal(38,0)")
+    )
+    return (
+        documents.select("doc_id", "lang", "source", "n_chars", u60.alias("u60"))
+        .where(keep)
+    )

@@ -1682,3 +1682,114 @@ SELECT doc_id,
        round(CAST(sum(lp_micro) AS DOUBLE) / 1e6 / count(*), 4) AS mean_log2p
 FROM scored
 GROUP BY doc_id"""
+
+
+def q_repetition_stats() -> str:
+    """Mirrors operators/text.repetition_stats: Gopher repetition metrics."""
+    t = _H.tokens_sql("text")
+    g2 = "[t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]"
+    g3 = "[t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] for i in generate_series(1, len(t) - 2)]"
+    return f"""WITH tk AS (
+  SELECT doc_id, {t} AS t FROM documents
+), g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(CASE WHEN len(t) >= 2 THEN {g2} ELSE [] END) AS gram
+  FROM tk
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(CASE WHEN len(t) >= 3 THEN {g3} ELSE [] END) AS gram
+  FROM tk
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram
+), p AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_2grams,
+         CAST(max(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS top_2gram_cnt,
+         CAST(sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_3grams,
+         CAST(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_3gram_cnt
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_2grams, 0) AS n_2grams,
+       round(CASE WHEN coalesce(p.n_2grams, 0) > 0
+                  THEN CAST(p.top_2gram_cnt AS DOUBLE) / CAST(p.n_2grams AS DOUBLE)
+                  ELSE 0.0 END, 4) AS top_2gram_frac,
+       coalesce(p.n_3grams, 0) AS n_3grams,
+       round(CASE WHEN coalesce(p.n_3grams, 0) > 0
+                  THEN CAST(p.dup_3gram_cnt AS DOUBLE) / CAST(p.n_3grams AS DOUBLE)
+                  ELSE 0.0 END, 4) AS dup_3gram_frac
+FROM documents d LEFT JOIN p USING (doc_id)"""
+
+
+def q_contamination() -> str:
+    """Mirrors operators/text.contamination_check (5-gram overlap vs the
+    doc_id % 20 == 0 stand-in benchmark set)."""
+    from clusterforge_spark.operators.text import (
+        CONTAM_BENCH_MOD,
+        CONTAM_NGRAM,
+        CONTAM_THRESHOLD,
+    )
+
+    sh = _H.shingles_sql("text", n=CONTAM_NGRAM)
+    return f"""WITH tk AS (
+  SELECT doc_id, {_H.tokens_sql("text")} AS t FROM documents
+), ws AS (
+  SELECT doc_id, {sh} AS sh FROM tk
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS gram, CAST(1 AS BIGINT) AS hit
+  FROM ws WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, sh FROM ws WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+), ex AS (
+  SELECT doc_id, unnest(sh) AS gram FROM train
+), p AS (
+  SELECT ex.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(coalesce(b.hit, 0)) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN bench b USING (gram)
+  GROUP BY ex.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_hits, 0) AS n_hits,
+       round(CASE WHEN coalesce(p.n_shingles, 0) > 0
+                  THEN CAST(p.n_hits AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+                  ELSE 0.0 END, 4) AS contam_frac,
+       (CASE WHEN coalesce(p.n_shingles, 0) > 0
+             THEN CAST(p.n_hits AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+             ELSE 0.0 END) >= {CONTAM_THRESHOLD!r} AS is_contaminated
+FROM train t LEFT JOIN p USING (doc_id)"""
+
+
+def q_weighted_sample() -> str:
+    """Mirrors operators/text.weighted_sample: exact-integer weighted
+    Bernoulli sample (p = min(n_chars, CAP)/CAP via 60-bit md5 key)."""
+    from clusterforge_spark.operators.text import WSAMPLE_CAP
+
+    return f"""WITH s AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u60,
+         CAST(least(n_chars, {WSAMPLE_CAP}) AS BIGINT) AS w
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, u60
+FROM s
+WHERE u60::HUGEINT * {WSAMPLE_CAP} < 1152921504606846976::HUGEINT * w"""
+
+
+def q_grouped_linreg() -> str:
+    return """WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sx,
+         CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sy,
+         CAST(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sxy,
+         CAST(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s"""

@@ -42,6 +42,13 @@ def embeddings(spark):
 
 
 @pytest.fixture(scope="session")
+def lineitem(spark):
+    from clusterforge_spark.sources.readers import load_table
+
+    return load_table(spark, SF_DIR, "lineitem").cache()
+
+
+@pytest.fixture(scope="session")
 def orders(spark):
     from clusterforge_spark.sources.readers import load_table
 

@@ -132,3 +132,95 @@ def test_tfidf_top_terms_matches_python(documents):
         )[:2]
         want = [(i + 1, t, -s) for i, (s, t) in enumerate(scored)]
         assert sorted(got) == want
+
+
+def test_repetition_stats_match_python(documents):
+    from collections import Counter
+
+    from clusterforge_spark.operators.text import repetition_stats
+
+    got = {r.doc_id: r for r in repetition_stats(documents).collect()}
+    sample = documents.limit(15).collect()
+    for doc in sample:
+        toks = [t for t in re.split(r"\s+", doc.text.lower()) if t]
+        g2 = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        g3 = Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        row = got[doc.doc_id]
+        assert row.n_2grams == sum(g2.values())
+        assert row.n_3grams == sum(g3.values())
+        if g2:
+            assert row.top_2gram_frac == pytest.approx(
+                max(g2.values()) / sum(g2.values()), abs=1e-4
+            )
+        if g3:
+            dup = sum(c for c in g3.values() if c > 1)
+            assert row.dup_3gram_frac == pytest.approx(
+                dup / sum(g3.values()), abs=1e-4
+            )
+
+
+def test_repetition_stats_degenerate_short_doc(spark):
+    from clusterforge_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_2grams == 0 and got[1].top_2gram_frac == 0.0
+    assert got[2].n_2grams == 1 and got[2].n_3grams == 0
+    # "spam spam" x3 -> top 2-gram covers all 3 bigrams; 2 dup 3-grams
+    assert got[3].top_2gram_frac == 1.0
+    assert got[3].dup_3gram_frac == 1.0
+
+
+def test_contamination_flags_benchmark_copies(spark):
+    from clusterforge_spark.operators.text import contamination_check
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (20, bench_text),          # benchmark doc (20 % 20 == 0)
+        (1, bench_text),           # verbatim copy -> fully contaminated
+        (2, "totally different words with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_check(df).collect()}
+    assert set(got) == {1, 2}  # benchmark doc itself excluded
+    assert got[1].contam_frac == 1.0 and got[1].is_contaminated
+    assert got[2].n_hits == 0 and not got[2].is_contaminated
+
+
+def test_weighted_sample_deterministic_and_length_biased(documents):
+    from clusterforge_spark.operators.text import (
+        WSAMPLE_CAP,
+        weighted_sample,
+    )
+
+    a = {r.doc_id for r in weighted_sample(documents).collect()}
+    b = {r.doc_id for r in weighted_sample(documents).collect()}
+    assert a == b and len(a) > 0
+    # selection matches the exact integer rule recomputed in python
+    import hashlib
+
+    for doc in documents.select("doc_id", "n_chars").collect():
+        u60 = int(hashlib.md5(str(doc.doc_id).encode()).hexdigest()[:15], 16)
+        keep = u60 * WSAMPLE_CAP < (1 << 60) * min(doc.n_chars, WSAMPLE_CAP)
+        assert (doc.doc_id in a) == keep
+
+
+def test_grouped_linreg_matches_numpy(spark, lineitem):
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import grouped_linreg
+
+    got = {r.l_returnflag: r for r in grouped_linreg(lineitem).collect()}
+    pdf = lineitem.select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+        assert got[flag].n == len(grp)
+        assert got[flag].slope == pytest.approx(slope, rel=1e-4)
+        assert got[flag].intercept == pytest.approx(intercept, rel=1e-3)
