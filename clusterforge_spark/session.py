@@ -39,6 +39,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-interop edges (multimodal decode UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime bloom-filter join pruning (pinned, not left to the build's
+    # default): a selective dim filter gets pushed to the fact side as a
+    # bloom_filter_agg semi-filter before the shuffle — the 100 TB
+    # star-join saver (plan asserted in tests/test_plans.py).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -299,3 +299,42 @@ def test_zorder_layout_disjoint_file_ranges(spark, tmp_path):
     assert len(spans) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # contiguous, non-overlapping Morton spans
+
+
+def test_runtime_bloom_filter_on_selective_dim_join(spark):
+    """Spark's runtime bloom-filter injection is ON for our sessions
+    (session.py): a selective dimension filter joined to a large fact
+    puts a bloom_filter_agg of the dim keys on the fact side's scan,
+    cutting the shuffled fact volume before the join. The size
+    thresholds only clear at real scale (application side > 10 GB), so
+    the test lowers them to prove the plan shape; at 100 TB they clear
+    naturally.
+    """
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # force a shuffle join: broadcast joins don't need a runtime filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = _t(spark, "orders")
+        cust = _t(spark, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        j = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

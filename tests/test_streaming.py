@@ -274,3 +274,27 @@ def test_stream_cdc_apply_matches_batch(spark, events, tmp_path):
         ts1, val1, n1 = snap1[uid]
         assert (ts, val) == (ts1, val1)  # last-write-wins is idempotent
         assert n == 2 * n1  # replay accumulated the counts
+
+
+def test_stream_ingest_with_inline_compaction(spark, events, tmp_path):
+    """Ingest a 4-file feed as 4 micro-batches landing 8 files each;
+    inline maintenance keeps the table at a handful of files with no
+    rows lost."""
+    import glob
+
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_ingest_with_maintenance,
+    )
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "table")
+    events.repartition(4).write.parquet(feed)
+    n_passes = run_stream_ingest_with_maintenance(
+        spark, feed, out, maintenance_every=2, land_parallelism=8
+    )
+    assert n_passes >= 2  # at least one mid-stream + the final pass
+    files = glob.glob(f"{out}/*.parquet")
+    # without maintenance: 4 batches x 8 files = 32
+    assert 1 <= len(files) < 8
+    got = spark.read.parquet(out).count()
+    assert got == events.count()
