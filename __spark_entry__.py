@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_grouped_linreg"] = lambda spark, sf: R.grouped_linreg(
         _t(spark, sf, "lineitem")
     )
+    q["q_event_transitions"] = lambda spark, sf: R.event_transitions(
+        _t(spark, sf, "events")
+    )
+    q["q_reservoir_per_group"] = lambda spark, sf: TX.reservoir_per_group(
+        _t(spark, sf, "documents")
+    )
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
     )
@@ -368,6 +374,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_contamination": OSQL.q_contamination(),
         "q_weighted_sample": OSQL.q_weighted_sample(),
         "q_grouped_linreg": OSQL.q_grouped_linreg(),
+        "q_event_transitions": OSQL.q_event_transitions(),
+        "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),

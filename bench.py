@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_weighted_sample",
     "q_grouped_linreg",
+    "q_event_transitions",
+    "q_reservoir_per_group",
     "q_zscore_outliers",
     "q_resample_daily",
     "q_rollup_revenue",

@@ -1189,3 +1189,36 @@ def grouped_linreg(lineitem: DataFrame) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | prev_type) with exact counts — the
+    sequence-analytics primitive behind next-action prediction and
+    funnel leak analysis.
+
+    lead() over (user_id, ts, event_id) pairs consecutive events in ONE
+    window pass (same sort the sessionizer uses); the matrix is a
+    grouped count plus a partition-total window on the already-tiny
+    type×type result. Scale: the heavy shuffle is keyed by user_id —
+    the natural even key; the matrix itself is O(|types|^2).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        round_det(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 4
+        ).alias("prob"),
+    )

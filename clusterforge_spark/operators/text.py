@@ -562,3 +562,30 @@ def weighted_sample(documents: DataFrame) -> DataFrame:
         documents.select("doc_id", "lang", "source", "n_chars", u60.alias("u60"))
         .where(keep)
     )
+
+
+def reservoir_per_group(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly min(k, group
+    size) documents per language, chosen by ranking an md5 key — the
+    reproducible reservoir every eval-set builder needs (same corpus in,
+    same sample out, on any cluster layout).
+
+    One window pass partitioned by the group key. At 100 TB, groups are
+    large but the sort is per-partition-key (no global sort), and a
+    top-k-per-group rewrite (WindowGroupLimit) prunes rows before the
+    full sort materializes.
+    """
+    from pyspark.sql.window import Window
+
+    u60 = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 15), 16, 10).cast(
+        "long"
+    )
+    ranked = documents.select(
+        "doc_id", "lang", "source", "n_chars", u60.alias("u60")
+    ).withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("u60", "doc_id"))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= k)

@@ -1793,3 +1793,33 @@ SELECT l_returnflag,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
 FROM s"""
+
+
+def q_event_transitions() -> str:
+    return """WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS prob
+FROM c"""
+
+
+def q_reservoir_per_group(k: int = 10) -> str:
+    return f"""WITH s AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u60
+  FROM documents
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY u60, doc_id)
+                 AS BIGINT) AS rk
+  FROM s
+)
+SELECT doc_id, lang, source, n_chars, u60, rk FROM r WHERE rk <= {k}"""

@@ -155,3 +155,21 @@ def test_hll_mergeable_estimates_close_to_exact(spark, events):
     assert set(got) == set(exact)
     for et, est in got.items():
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et])
+
+
+def test_event_transitions_counts_and_probs(spark, events):
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.relational import event_transitions
+
+    out = event_transitions(events)
+    rows = out.collect()
+    # every user's chain contributes len-1 transitions
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    sums = (
+        out.groupBy("prev_type").agg(F.sum("prob").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 5e-3  # 4dp rounding per cell

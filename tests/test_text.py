@@ -224,3 +224,20 @@ def test_grouped_linreg_matches_numpy(spark, lineitem):
         assert got[flag].n == len(grp)
         assert got[flag].slope == pytest.approx(slope, rel=1e-4)
         assert got[flag].intercept == pytest.approx(intercept, rel=1e-3)
+
+
+def test_reservoir_per_group_exact_k_and_deterministic(documents):
+    from clusterforge_spark.operators.text import reservoir_per_group
+
+    out = reservoir_per_group(documents, k=5)
+    a = sorted((r.lang, r.doc_id) for r in out.collect())
+    b = sorted((r.lang, r.doc_id) for r in reservoir_per_group(documents, k=5).collect())
+    assert a == b
+    sizes = {}
+    for lang, _ in a:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    group_sizes = {
+        r.lang: r.n for r in documents.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for lang, n in group_sizes.items():
+        assert sizes.get(lang, 0) == min(5, n)
