@@ -49,11 +49,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return FE.compute_rfm(_t(spark, sf_dir, "events"))
+    # .cache(): every geometry query (scaler/assign/sizes/inertia/
+    # silhouette/kmeans) builds this exact sub-plan; Spark's CacheManager
+    # resolves them all to ONE InMemoryRelation, so the events scan +
+    # RFM aggregation runs once per session instead of once per query —
+    # the same shared-fingerprint-table pattern the dedup family uses
+    # (operators/dedup.shingle_hash_table). The frame is one row per
+    # customer: tiny at any scale.
+    return FE.compute_rfm(_t(spark, sf_dir, "events")).cache()
 
 
 def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return FE.scale_features(_rfm(spark, sf_dir))
+    return FE.scale_features(_rfm(spark, sf_dir)).cache()
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
