@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
     )
+    q["q_mad_outliers"] = lambda spark, sf: VA.mad_outliers(_t(spark, sf, "events"))
+    q["q_corr_matrix"] = lambda spark, sf: R.corr_matrix(_t(spark, sf, "lineitem"))
     q["q_resample_daily"] = lambda spark, sf: R.resample_daily(
         _t(spark, sf, "events")
     )
@@ -384,6 +386,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_event_transitions": OSQL.q_event_transitions(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
+        "q_mad_outliers": OSQL.q_mad_outliers(),
+        "q_corr_matrix": OSQL.q_corr_matrix(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_reservoir_per_group",
     "q_zscore_outliers",
+    "q_mad_outliers",
+    "q_corr_matrix",
     "q_resample_daily",
     "q_rollup_revenue",
     "q_tpch_pricing",

@@ -1222,3 +1222,52 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 4
         ).alias("prob"),
     )
+
+
+#: columns of the pairwise correlation matrix query
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the numeric columns in ONE
+    aggregate pass — the feature-analysis step before any modeling.
+
+    All sufficient statistics (n, per-column sums/sum-squares, per-pair
+    cross-products) come from a single map-side-combinable aggregate;
+    the C(k,2) correlations are O(1) arithmetic unpivoted from the 1-row
+    result. Decimal products of 2dp inputs are exact, so the doubles
+    derived from them are bit-identical on any engine. One scan at any
+    scale, no per-pair jobs.
+    """
+    d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}__{b}"))
+    one = lineitem.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n, sa, sb = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
+        cov = n * F.col(f"sp_{a}__{b}") - sa * sb
+        va = n * F.col(f"ss_{a}") - sa * sa
+        vb = n * F.col(f"ss_{b}") - sb * sb
+        return cov / (F.sqrt(va) * F.sqrt(vb))
+
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        round_det(_corr(a, b), 6).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

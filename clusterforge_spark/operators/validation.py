@@ -225,3 +225,68 @@ def zscore_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
             round_det(z, 4).alias("z"),
         )
     )
+
+
+#: MAD outlier gate: |x - median| > K * 1.4826 * MAD  (K=3, normal-consistent)
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826
+
+
+def _group_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Exact per-group median by explicit order statistics: the mean of
+    the two middle values ((min+max)/2 of rows ranked (n+1)//2 and
+    (n+2)//2). Defined this way — not via percentile()/quantile_cont()
+    — so both engines compute the SAME IEEE operations on the SAME
+    values and the median is bit-identical, which matters because it
+    feeds unrounded into the outlier threshold. One per-group sort, the
+    same cost percentile() pays internally."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(col).asc(), F.col("event_id").asc())
+    wn = Window.partitionBy(key)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
+    )
+    return mid.groupBy(key).agg(
+        ((F.min(col) + F.max(col)) / 2).alias(out)
+    )
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust per-group anomaly gate: flag events whose |value - median|
+    exceeds 3 normal-consistent MADs (median absolute deviation) — the
+    outlier test that, unlike z-scores, is not itself dragged by the
+    outliers it hunts.
+
+    Medians come from :func:`_group_median` (order statistics, bit-exact
+    cross-engine); deviations, the MAD, and the score are plain IEEE
+    arithmetic on those exact medians, so the flagged SET is
+    deterministic. Everything is keyed by event_type: two per-group
+    sorts + two equi-joins, linear at scale.
+    """
+    med = _group_median(events.select("event_type", "event_id", "value"),
+                        "event_type", "value", "med")
+    dev = events.join(med, "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _group_median(dev.select("event_type", "event_id", F.col("absdev").alias("value")),
+                        "event_type", "value", "mad")
+    scored = dev.join(mad, "event_type").withColumn(
+        "score", F.col("absdev") / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+    )
+    return (
+        scored.filter(F.col("mad") > 0)
+        .filter(F.col("score") > MAD_K)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            round_det(F.col("med"), 6).alias("med"),
+            round_det(F.col("mad"), 6).alias("mad"),
+            round_det(F.col("score"), 4).alias("score"),
+        )
+    )

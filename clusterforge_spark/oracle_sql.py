@@ -1823,3 +1823,72 @@ def q_reservoir_per_group(k: int = 10) -> str:
   FROM s
 )
 SELECT doc_id, lang, source, n_chars, u60, rk FROM r WHERE rk <= {k}"""
+
+
+def q_mad_outliers() -> str:
+    """Mirrors operators/validation.mad_outliers: medians as explicit
+    order statistics so the unrounded values feeding the threshold are
+    bit-identical with Spark's."""
+    from clusterforge_spark.operators.validation import MAD_CONSISTENCY, MAD_K
+
+    def med_cte(src: str, col: str, out: str) -> str:
+        return f"""(
+  SELECT event_type, (min({col}) + max({col})) / 2 AS {out}
+  FROM (
+    SELECT event_type, {col},
+           row_number() OVER (PARTITION BY event_type ORDER BY {col}, event_id) AS _rn,
+           count(*) OVER (PARTITION BY event_type) AS _n
+    FROM {src}
+  )
+  WHERE _rn = CAST(floor((_n + 1) / 2) AS BIGINT)
+     OR _rn = CAST(floor((_n + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+)"""
+
+    return f"""WITH med AS {med_cte("events", "value", "med")},
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS {med_cte("dev", "absdev", "mad")}
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.absdev / ({MAD_CONSISTENCY!r} * m.mad), 4) AS score
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.absdev / ({MAD_CONSISTENCY!r} * m.mad) > {MAD_K!r}"""
+
+
+def q_corr_matrix() -> str:
+    """Mirrors operators/relational.corr_matrix (single-pass sufficient
+    statistics, decimal-exact products)."""
+    from clusterforge_spark.operators.relational import CORR_COLS
+
+    cols = CORR_COLS
+    sel = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sel.append(f"CAST(sum({c}::DECIMAL(18,2)) AS DOUBLE) AS s_{c}")
+        sel.append(
+            f"CAST(sum({c}::DECIMAL(18,2) * {c}::DECIMAL(18,2)) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sel.append(
+            f"CAST(sum({a}::DECIMAL(18,2) * {b}::DECIMAL(18,2)) AS DOUBLE) AS sp_{a}__{b}"
+        )
+    stats = ",\n         ".join(sel)
+    unions = []
+    for a, b in pairs:
+        corr = (
+            f"(n * sp_{a}__{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        unions.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, round({corr}, 6) AS corr FROM s"
+        )
+    u = "\nUNION ALL\n".join(unions)
+    return f"""WITH s AS (
+  SELECT {stats}
+  FROM lineitem
+)
+{u}"""

@@ -173,3 +173,15 @@ def test_event_transitions_counts_and_probs(spark, events):
     )
     for r in sums:
         assert abs(r.s - 1.0) < 5e-3  # 4dp rounding per cell
+
+
+def test_corr_matrix_matches_numpy(spark, lineitem):
+    import numpy as np
+    import pytest
+
+    from clusterforge_spark.operators.relational import CORR_COLS, corr_matrix
+
+    got = {(r.col_a, r.col_b): r.corr for r in corr_matrix(lineitem).collect()}
+    pdf = lineitem.select(*CORR_COLS).toPandas().astype(float)
+    for (a, b), c in got.items():
+        assert c == pytest.approx(np.corrcoef(pdf[a], pdf[b])[0, 1], abs=2e-4)

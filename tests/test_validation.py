@@ -71,3 +71,25 @@ def test_profile_matches_pandas(spark, orders):
         assert prof[c].n_distinct == int(pdf[c].nunique())
         assert math.isclose(prof[c].min_v, float(pdf[c].min()))
         assert math.isclose(prof[c].max_v, float(pdf[c].max()))
+
+
+def test_mad_outliers_match_numpy(spark, events):
+    import numpy as np
+
+    from clusterforge_spark.operators.validation import (
+        MAD_CONSISTENCY,
+        MAD_K,
+        mad_outliers,
+    )
+
+    got = {(r.event_type, r.event_id) for r in mad_outliers(events).collect()}
+    pdf = events.select("event_id", "event_type", "value").toPandas()
+    expected = set()
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp.value.to_numpy()
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        if mad > 0:
+            mask = np.abs(v - med) / (MAD_CONSISTENCY * mad) > MAD_K
+            expected |= {(etype, int(e)) for e in grp.event_id.to_numpy()[mask]}
+    assert got == expected
