@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_reservoir_per_group"] = lambda spark, sf: TX.reservoir_per_group(
         _t(spark, sf, "documents")
     )
+    q["q_nb_classify"] = lambda spark, sf: TX.nb_classify(_t(spark, sf, "documents"))
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
     )
@@ -385,6 +386,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_grouped_linreg": OSQL.q_grouped_linreg(),
         "q_event_transitions": OSQL.q_event_transitions(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
+        "q_nb_classify": OSQL.q_nb_classify(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_mad_outliers": OSQL.q_mad_outliers(),
         "q_corr_matrix": OSQL.q_corr_matrix(),

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_grouped_linreg",
     "q_event_transitions",
     "q_reservoir_per_group",
+    "q_nb_classify",
     "q_zscore_outliers",
     "q_mad_outliers",
     "q_corr_matrix",

@@ -589,3 +589,118 @@ def reservoir_per_group(documents: DataFrame, k: int = 10) -> DataFrame:
         .cast("long"),
     )
     return ranked.filter(F.col("rk") <= k)
+
+
+#: naive-bayes split: doc_id % 5 == 0 is the held-out test fold
+NB_TEST_MOD = 5
+
+
+def nb_classify(documents: DataFrame) -> DataFrame:
+    """Distributed multinomial Naive Bayes language classifier — train
+    AND predict as pure dataframe algebra, no iterative solver, no
+    driver-side model object.
+
+    Train (doc_id % 5 != 0): per-(lang, token) counts with add-one
+    smoothing over the training vocabulary; per-lang token totals and
+    document priors. Predict (doc_id % 5 == 0): explode test tokens,
+    attach each language's log-likelihood (smoothed floor for unseen
+    tokens), sum per (doc, lang), add the prior, argmax.
+
+    Determinism: every log2-probability is rounded to 6dp and scaled to
+    BIGINT micro-units (same trick as unigram_logprob), so the per-doc
+    scores are order-independent integer sums and the argmax (tie-break:
+    lexicographically smallest lang) is bit-stable on any engine or
+    partitioning. Scale: token-count and score aggregations shuffle on
+    (lang, token) / (doc_id, lang) — the model table is O(vocab x langs)
+    and AQE broadcasts it into the scoring join.
+    """
+    toks = H.tokens_col("text")
+    train = documents.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = documents.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+
+    tr_tokens = train.select("lang", F.explode(toks).alias("token"))
+    counts = tr_tokens.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    vocab_n = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    langs = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_all"))
+
+    def _micro(lp):
+        return F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    # model: one row per (lang, token) with smoothed log2 likelihood, plus
+    # per-lang unseen-token floor and prior (all micro-unit BIGINTs)
+    lik = (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "lang",
+            "token",
+            _micro(
+                F.log2(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("total") + F.col("v")).cast("double")
+                )
+            ).alias("lp_micro"),
+        )
+    )
+    lang_side = (
+        langs.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            _micro(
+                F.log2(F.lit(1.0) / (F.col("total") + F.col("v")).cast("double"))
+            ).alias("unseen_micro"),
+            _micro(
+                F.log2(F.col("n_docs").cast("double") / F.col("n_all").cast("double"))
+            ).alias("prior_micro"),
+        )
+    )
+
+    te_tokens = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode(toks).alias("token")
+    )
+    # score every test token under every language: token x lang grid via
+    # the per-lang row, then the (lang, token) likelihood where trained
+    scored = (
+        te_tokens.crossJoin(F.broadcast(lang_side.select("lang", "unseen_micro")))
+        .join(lik, ["lang", "token"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.coalesce("lp_micro", F.col("unseen_micro")).alias("m"),
+        )
+    )
+    doc_lang = scored.groupBy("doc_id", "true_lang", "lang").agg(
+        F.sum("m").alias("sum_micro")
+    )
+    with_prior = doc_lang.join(
+        F.broadcast(lang_side.select("lang", "prior_micro")), "lang"
+    ).select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        (F.col("sum_micro") + F.col("prior_micro")).alias("score_micro"),
+    )
+    best = F.array_min(
+        F.collect_list(
+            F.struct((-F.col("score_micro")).alias("neg"), F.col("lang").alias("lang"))
+        )
+    )
+    return (
+        with_prior.groupBy("doc_id", "true_lang")
+        .agg(
+            best.getField("lang").alias("predicted_lang"),
+            F.max(F.col("score_micro")).alias("best_score_micro"),
+        )
+        .withColumn(
+            "is_correct", (F.col("predicted_lang") == F.col("true_lang")).cast("boolean")
+        )
+    )

@@ -1892,3 +1892,66 @@ def q_corr_matrix() -> str:
   FROM lineitem
 )
 {u}"""
+
+
+def q_nb_classify() -> str:
+    """Mirrors operators/text.nb_classify: multinomial NB with add-one
+    smoothing, 6dp-micro-unit integer log2 scores, argmax with lang
+    tie-break."""
+    from clusterforge_spark.operators.text import NB_TEST_MOD
+
+    t = _H.tokens_sql("text")
+    micro = "CAST(floor(log2({x}) * 1e6 + 0.5) AS BIGINT)"
+    return f"""WITH tk AS (
+  SELECT doc_id, lang, {t} AS t FROM documents
+), train AS (
+  SELECT * FROM tk WHERE doc_id % {NB_TEST_MOD} != 0
+), test AS (
+  SELECT * FROM tk WHERE doc_id % {NB_TEST_MOD} = 0
+), tr_tokens AS (
+  SELECT lang, unnest(t) AS token FROM train
+), counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tr_tokens GROUP BY lang, token
+), totals AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM counts GROUP BY lang
+), vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM counts
+), langs AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY lang
+), n_tr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM train
+), lik AS (
+  SELECT c.lang, c.token,
+         {micro.format(x="CAST(c.cnt + 1 AS DOUBLE) / CAST(t.total + vocab.v AS DOUBLE)")} AS lp_micro
+  FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab
+), lang_side AS (
+  SELECT l.lang,
+         {micro.format(x="1.0 / CAST(t.total + vocab.v AS DOUBLE)")} AS unseen_micro,
+         {micro.format(x="CAST(l.n_docs AS DOUBLE) / CAST(n_tr.n_all AS DOUBLE)")} AS prior_micro
+  FROM langs l JOIN totals t ON l.lang = t.lang CROSS JOIN vocab CROSS JOIN n_tr
+), te_tokens AS (
+  SELECT doc_id, lang AS true_lang, unnest(t) AS token FROM test
+), scored AS (
+  SELECT te.doc_id, te.true_lang, ls.lang,
+         coalesce(k.lp_micro, ls.unseen_micro) AS m
+  FROM te_tokens te
+  CROSS JOIN (SELECT lang, unseen_micro FROM lang_side) ls
+  LEFT JOIN lik k ON k.lang = ls.lang AND k.token = te.token
+), doc_lang AS (
+  SELECT doc_id, true_lang, lang, CAST(sum(m) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id, true_lang, lang
+), with_prior AS (
+  SELECT d.doc_id, d.true_lang, d.lang,
+         d.sum_micro + ls.prior_micro AS score_micro
+  FROM doc_lang d JOIN lang_side ls ON d.lang = ls.lang
+), ranked AS (
+  SELECT doc_id, true_lang, lang, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, lang ASC) AS rn
+  FROM with_prior
+)
+SELECT doc_id, true_lang, lang AS predicted_lang,
+       score_micro AS best_score_micro,
+       (lang = true_lang) AS is_correct
+FROM ranked WHERE rn = 1"""

@@ -241,3 +241,41 @@ def test_reservoir_per_group_exact_k_and_deterministic(documents):
     }
     for lang, n in group_sizes.items():
         assert sizes.get(lang, 0) == min(5, n)
+
+
+def test_nb_classify_separable_corpus(spark):
+    """On a corpus with disjoint per-lang vocabularies NB must classify
+    every held-out doc perfectly."""
+    from clusterforge_spark.operators.text import nb_classify
+
+    vocab = {
+        "aa": "apple anchor arrow atlas amber",
+        "bb": "basket bottle bridge button beacon",
+        "cc": "candle copper circle canyon cobalt",
+    }
+    rows = []
+    for i in range(30):
+        lang = ["aa", "bb", "cc"][i % 3]
+        words = vocab[lang].split()
+        text = " ".join(words[(i + j) % 5] for j in range(8))
+        rows.append((i, text, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(df).collect()
+    assert len(out) == 6  # doc_id % 5 == 0 fold
+    assert all(r.is_correct for r in out)
+
+
+def test_nb_classify_deterministic_on_synthetic(documents):
+    """The driver corpus has no real language signal (all langs share
+    one vocabulary), so only structure + determinism are asserted, plus
+    better-than-uniform-random accuracy from the frequency mix."""
+    from clusterforge_spark.operators.text import NB_TEST_MOD, nb_classify
+
+    out = nb_classify(documents).collect()
+    n_test = documents.filter(f"doc_id % {NB_TEST_MOD} = 0").count()
+    assert len(out) == n_test
+    n_langs = documents.select("lang").distinct().count()
+    acc = sum(r.is_correct for r in out) / len(out)
+    assert acc > 1.0 / n_langs
+    again = {(r.doc_id, r.predicted_lang) for r in nb_classify(documents).collect()}
+    assert {(r.doc_id, r.predicted_lang) for r in out} == again
