@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_nb_classify"] = lambda spark, sf: TX.nb_classify(_t(spark, sf, "documents"))
+    q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
+    q["q_decile_stats"] = lambda spark, sf: R.decile_stats(_t(spark, sf, "events"))
+    q["q_inverted_index"] = lambda spark, sf: TX.inverted_index(
+        _t(spark, sf, "documents")
+    )
     q["q_zscore_outliers"] = lambda spark, sf: VA.zscore_outliers(
         _t(spark, sf, "events")
     )
@@ -387,6 +392,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_event_transitions": OSQL.q_event_transitions(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
+        "q_session_paths": OSQL.q_session_paths(),
+        "q_decile_stats": OSQL.q_decile_stats(),
+        "q_inverted_index": OSQL.q_inverted_index(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_mad_outliers": OSQL.q_mad_outliers(),
         "q_corr_matrix": OSQL.q_corr_matrix(),

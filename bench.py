@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_reservoir_per_group",
     "q_nb_classify",
+    "q_session_paths",
+    "q_decile_stats",
+    "q_inverted_index",
     "q_zscore_outliers",
     "q_mad_outliers",
     "q_corr_matrix",

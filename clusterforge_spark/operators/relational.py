@@ -1271,3 +1271,92 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def session_paths(events: DataFrame, gap_minutes: int = 30, k: int = 20) -> DataFrame:
+    """Top-k session paths: the ordered event_type sequence of each gap
+    session, counted across all sessions — the navigation-mining query
+    behind "what do users do before purchasing".
+
+    Builds on the same gap-sessionization window as sessionize_gap, then
+    forms each session's path with sort_array(collect_list(struct(ts,
+    event_id, type))) — the struct sort makes the aggregation
+    order-INDEPENDENT (collect_list alone is partition-order dependent),
+    so the path strings are deterministic anywhere. Top-k lands as
+    TakeOrderedAndProject. Shuffles: one by user (window), one by
+    session key, one by path — all narrow keys.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60_000_000
+    with_new = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > F.lit(gap_us)
+        )
+        .cast("int")
+        .alias("is_new"),
+    ).fillna({"is_new": 1})
+    sess = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("et"),
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.max("path_len").cast("long").alias("path_len"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def decile_stats(events: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equal-frequency value buckets (ntile) with per-bucket aggregates —
+    the quantile-bucketing feature transform (score banding, risk
+    deciles). The ntile ordering is made total with the event_id
+    tie-break, so bucket membership is deterministic; per-bucket sums
+    are decimal-exact. One global sort (ntile needs it) + one hash agg.
+    At 100 TB swap the exact ntile for approx-quantile range bounds;
+    this is the exact variant.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    bucketed = events.select(
+        "value", F.ntile(n_buckets).over(w).cast("long").alias("decile")
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        round_det(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mean_value"),
+    )

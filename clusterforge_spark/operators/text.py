@@ -704,3 +704,26 @@ def nb_classify(documents: DataFrame) -> DataFrame:
             "is_correct", (F.col("predicted_lang") == F.col("true_lang")).cast("boolean")
         )
     )
+
+
+def inverted_index(documents: DataFrame, max_postings: int = 50) -> DataFrame:
+    """Token -> posting-list inverted index: document frequency plus the
+    first ``max_postings`` doc_ids (sorted ascending) per token — the
+    search-engine build step as one grouped aggregation.
+
+    sort_array(collect_list(...)) makes the posting arrays
+    order-independent and therefore deterministic under any
+    partitioning; the cap keeps hot tokens (stopwords) from producing
+    unbounded rows. At 100 TB, shard the index by token hash range —
+    the groupBy key already is the shard key.
+    """
+    exploded = documents.select(
+        "doc_id", F.explode(F.array_distinct(H.tokens_col("text"))).alias("token")
+    )
+    postings = F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings)
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(postings, lambda d: d.cast("string")), ","
+        ).alias("postings"),
+    )

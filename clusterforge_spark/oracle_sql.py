@@ -1955,3 +1955,62 @@ SELECT doc_id, true_lang, lang AS predicted_lang,
        score_micro AS best_score_micro,
        (lang = true_lang) AS is_correct
 FROM ranked WHERE rn = 1"""
+
+
+def q_session_paths(gap_minutes: int = 30, k: int = 20) -> str:
+    """Mirrors operators/relational.session_paths (session numbering is
+    grouped away, so only the partition into sessions must agree)."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, tsu, event_id, event_type,
+         sum(coalesce(is_new, 0)) OVER
+           (PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+), p AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY tsu, event_id) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(path_len) AS BIGINT) AS path_len
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {k}"""
+
+
+def q_decile_stats(n_buckets: int = 10) -> str:
+    return f"""WITH b AS (
+  SELECT value,
+         CAST(ntile({n_buckets}) OVER (ORDER BY value ASC, event_id ASC)
+              AS BIGINT) AS decile
+  FROM events
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS lo,
+       max(value) AS hi,
+       round(CAST(sum(value::DECIMAL(18,2)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS mean_value
+FROM b GROUP BY decile"""
+
+
+def q_inverted_index(max_postings: int = 50) -> str:
+    t = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({t})) AS token FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {max_postings}), ',')
+         AS postings
+FROM ex GROUP BY token"""

@@ -185,3 +185,29 @@ def test_corr_matrix_matches_numpy(spark, lineitem):
     pdf = lineitem.select(*CORR_COLS).toPandas().astype(float)
     for (a, b), c in got.items():
         assert c == pytest.approx(np.corrcoef(pdf[a], pdf[b])[0, 1], abs=2e-4)
+
+
+def test_session_paths_shape_and_order(spark, events):
+    from clusterforge_spark.operators.relational import session_paths
+
+    rows = session_paths(events, k=10).collect()
+    assert 0 < len(rows) <= 10
+    types = {r.event_type for r in events.select("event_type").distinct().collect()}
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert set(r.path.split(">")) <= types
+
+
+def test_decile_stats_partition_value_range(spark, events):
+    from clusterforge_spark.operators.relational import decile_stats
+
+    rows = sorted(decile_stats(events).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == events.count()
+    # equal-frequency: bucket sizes differ by at most 1
+    sizes = {r.n for r in rows}
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi

@@ -279,3 +279,20 @@ def test_nb_classify_deterministic_on_synthetic(documents):
     assert acc > 1.0 / n_langs
     again = {(r.doc_id, r.predicted_lang) for r in nb_classify(documents).collect()}
     assert {(r.doc_id, r.predicted_lang) for r in out} == again
+
+
+def test_inverted_index_df_and_postings(documents):
+    from clusterforge_spark.operators.text import inverted_index
+
+    rows = {r.token: r for r in inverted_index(documents, max_postings=7).collect()}
+    docs = documents.select("doc_id", "text").collect()
+    import re as _re
+
+    for token in list(rows)[:5]:
+        containing = sorted(
+            d.doc_id
+            for d in docs
+            if token in [t for t in _re.split(r"\s+", d.text.lower()) if t]
+        )
+        assert rows[token].df == len(containing)
+        assert rows[token].postings == ",".join(str(x) for x in containing[:7])
