@@ -445,13 +445,22 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     (doc_id, n, gram) then doc_id — no all-pairs anything, scales to
     any corpus.
     """
-    base = documents.select(
-        "doc_id", _grams_col("text", 2).alias("g2"), _grams_col("text", 3).alias("g3")
-    )
-    exploded = base.select(
-        "doc_id", F.lit(2).alias("n"), F.explode("g2").alias("gram")
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    # spread BEFORE the gram construction: the testdata parquet is one
+    # row-group (scan parallelism 1) and the per-row gram build is the
+    # CPU-heavy stage — same rule as dedup.shingle_hash_table.
+    sp = spread_partitions(documents, "doc_id")
+    # each union branch builds ONLY its own gram array: one projection
+    # holding both 2- and 3-gram expressions overflows whole-stage
+    # codegen and falls back to interpreted evaluation — measured 18.4 s
+    # vs 1.1 s for this stage at sf0.1
+    exploded = sp.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(_grams_col("text", 2)).alias("gram")
     ).unionAll(
-        base.select("doc_id", F.lit(3).alias("n"), F.explode("g3").alias("gram"))
+        sp.select(
+            "doc_id", F.lit(3).alias("n"), F.explode(_grams_col("text", 3)).alias("gram")
+        )
     )
     counts = exploded.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -506,8 +515,22 @@ def contamination_check(documents: DataFrame) -> DataFrame:
     equi-joins on the shingle string; the benchmark side is tiny and
     AQE broadcasts it.
     """
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
     sh = H.shingles_col("text", n=CONTAM_NGRAM)
-    with_sh = documents.select("doc_id", sh.alias("sh"))
+    # spread first (single-row-group source would serialize the shingle
+    # build onto one core), then CACHE the shingle table: the bench and
+    # train branches both read it, and — decisively — the explode's
+    # inferred size(sh)>0 predicate then filters the materialized arrays
+    # instead of being pushed below the exchange where it re-evaluates
+    # the whole shingle expression interpreted on the unspread scan
+    # (measured 27 s vs 1 s for the train branch at sf0.1; same barrier
+    # rule as dedup.shingle_hash_table).
+    with_sh = (
+        spread_partitions(documents, "doc_id")
+        .select("doc_id", sh.alias("sh"))
+        .cache()
+    )
     bench = (
         with_sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
         .select(F.explode("sh").alias("gram"))
