@@ -202,6 +202,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "nation"),
         _t(spark, sf, "region"),
     )
+    q["q_tpch_shipping_priority"] = lambda spark, sf: R.tpch_shipping_priority(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+    )
+    q["q_tpch_large_volume"] = lambda spark, sf: R.tpch_large_volume_customer(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -400,6 +410,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_corr_matrix": OSQL.q_corr_matrix(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
+        "q_tpch_shipping_priority": OSQL.q_tpch_shipping_priority(),
+        "q_tpch_large_volume": OSQL.q_tpch_large_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),
         "q_set_ops": OSQL.q_set_ops(),

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q_rollup_revenue",
     "q_tpch_pricing",
     "q_tpch_local_volume",
+    "q_tpch_shipping_priority",
+    "q_tpch_large_volume",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

@@ -1360,3 +1360,89 @@ def decile_stats(events: DataFrame, n_buckets: int = 10) -> DataFrame:
             4,
         ).alias("mean_value"),
     )
+
+
+def tpch_shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    cutoff: str = "1998-06-01",
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shipping priority: top-k unshipped orders of one market
+    segment by outstanding revenue — the selective-dim + date-band +
+    top-k join benchmark shape.
+
+    Both date predicates push to the parquet scans; the filtered
+    customer segment is small and broadcast (with the runtime bloom
+    filter pruning the fact side when it is not); top-k plans as
+    TakeOrderedAndProject, so only k rows leave each partition. Ties
+    broken by orderkey — deterministic.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(
+            orders.filter(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == segment),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round_det(F.sum(rev), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate_us"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def tpch_large_volume_customer(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 207.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 large-volume customer: orders whose total quantity
+    exceeds a threshold, with their customer — the aggregate-driven
+    semi-join shape (HAVING subquery feeding a join).
+
+    The qualifying-orderkey set is a grouped HAVING aggregate that
+    Catalyst feeds into the join as a plain equi-join (tiny build side,
+    auto-broadcast); the big lineitem aggregation shuffles once on
+    l_orderkey. Decimal quantity sums keep the threshold test and
+    output exact.
+    """
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty))
+    )
+    j = (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate_us"), F.asc("o_orderkey"))
+        .limit(k)
+    )

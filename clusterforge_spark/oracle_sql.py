@@ -2014,3 +2014,38 @@ SELECT token,
        array_to_string(list_slice(list_sort(list(doc_id)), 1, {max_postings}), ',')
          AS postings
 FROM ex GROUP BY token"""
+
+
+def q_tpch_shipping_priority(
+    cutoff: str = "1998-06-01", segment: str = "BUILDING", k: int = 10
+) -> str:
+    return f"""SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate_us ASC, l_orderkey ASC
+LIMIT {k}"""
+
+
+def q_tpch_large_volume(min_qty: float = 207.0, k: int = 100) -> str:
+    return f"""WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > {min_qty!r}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate_us ASC, o_orderkey ASC
+LIMIT {k}"""

@@ -338,3 +338,22 @@ def test_runtime_bloom_filter_on_selective_dim_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q3_pushdown_broadcast_topk(spark):
+    df = R.tpch_shipping_priority(
+        _t(spark, "lineitem"), _t(spark, "orders"), _t(spark, "customer")
+    )
+    assert X.has_take_ordered(df)
+    assert X.has_broadcast_join(df)
+    pushed = X.pushed_filters(df)
+    assert "l_shipdate" in pushed and "o_orderdate" in pushed
+
+
+def test_tpch_q18_semi_aggregate_join(spark):
+    df = R.tpch_large_volume_customer(
+        _t(spark, "lineitem"), _t(spark, "orders"), _t(spark, "customer")
+    )
+    assert X.has_take_ordered(df)
+    rows = df.collect()
+    assert all(r.total_qty > 207.0 for r in rows)
