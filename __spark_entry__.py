@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_upsert_orders"] = lambda spark, sf: R.upsert_orders(_t(spark, sf, "orders"))
+    q["q_scd2_build"] = lambda spark, sf: R.scd2_build(_t(spark, sf, "orders"))
     q["q_profile_columns"] = lambda spark, sf: VA.profile_columns(
         _t(spark, sf, "lineitem")
     )
@@ -389,6 +390,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_tpch_pricing": OSQL.q_tpch_pricing(),
         "q_rolling_window": OSQL.q_rolling_window(),
         "q_upsert_orders": OSQL.q_upsert_orders(),
+        "q_scd2_build": OSQL.q_scd2_build(),
         "q_profile_columns": OSQL.q_profile_columns(),
         "q_expectation_checks": OSQL.q_expectation_checks(),
         "q_snapshot_diff": OSQL.q_snapshot_diff(),

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_window_funcs",
     "q_rolling_window",
     "q_upsert_orders",
+    "q_scd2_build",
     "q_profile_columns",
     "q_expectation_checks",
     "q_snapshot_diff",

@@ -1446,3 +1446,31 @@ def tpch_large_volume_customer(
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate_us"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def scd2_build(orders: DataFrame) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    feed: each customer's orders become consecutive versions with
+    [valid_from, valid_to) intervals and an is_current flag — the
+    warehouse pattern that lets any fact row join the dimension AS OF
+    its event time (the as-of join operator consumes exactly this
+    shape).
+
+    One window pass per customer (lead() for the closing bound,
+    row_number() for the version) — single shuffle on the natural key;
+    timestamps leave as epoch-us BIGINTs for engine-neutral output.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.unix_micros("o_orderdate").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )

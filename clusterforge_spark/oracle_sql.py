@@ -2049,3 +2049,14 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderdate_us ASC, o_orderkey ASC
 LIMIT {k}"""
+
+
+def q_scd2_build() -> str:
+    return """SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(lead(o_orderdate) OVER w) AS valid_to_us,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+       o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""

@@ -211,3 +211,20 @@ def test_decile_stats_partition_value_range(spark, events):
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
         assert a.lo <= a.hi
+
+
+def test_scd2_intervals_tile_without_overlap(spark, orders):
+    from clusterforge_spark.operators.relational import scd2_build
+
+    rows = scd2_build(orders).collect()
+    assert len(rows) == orders.count()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, versions in by_cust.items():
+        versions.sort(key=lambda r: r.version)
+        assert [r.version for r in versions] == list(range(1, len(versions) + 1))
+        currents = [r for r in versions if r.is_current]
+        assert len(currents) == 1 and currents[-1].version == len(versions)
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to_us == b.valid_from_us  # contiguous tiling
