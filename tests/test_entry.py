@@ -51,3 +51,12 @@ def test_oracle_sql_is_valid_duckdb():
 def test_query_runs_at_sf0001(spark, name):
     df = E.queries()[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_bench_covers_every_query():
+    """Every declared query is timed per-round: regressions stay visible."""
+    import bench
+
+    q = set(E.queries())
+    b = set(bench.BENCH_QUERIES)
+    assert b == q, f"missing from bench: {sorted(q - b)}; stale in bench: {sorted(b - q)}"
