@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
     )
+    q["q_sim_search_filtered"] = lambda spark, sf: SIM.filtered_topk(
+        _t(spark, sf, "embeddings")
+    )
+    q["q_winsorize"] = lambda spark, sf: VA.winsorize(_t(spark, sf, "events"))
     q["q_label_centroids"] = lambda spark, sf: SIM.label_centroids(
         _t(spark, sf, "embeddings")
     )
@@ -457,6 +461,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
         "q_sim_search_ivf_trained": OSQL.q_sim_search_ivf_trained(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
+        "q_sim_search_filtered": OSQL.q_sim_search_filtered(),
+        "q_winsorize": OSQL.q_winsorize(),
         "q_label_centroids": OSQL.q_label_centroids(),
         "q_embed_normalize": OSQL.q_embed_normalize(),
         "q_embed_quantize": OSQL.q_embed_quantize(),

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "q_sim_search_ivf",
     "q_sim_search_ivf_trained",
     "q_sim_search_batch",
+    "q_sim_search_filtered",
+    "q_winsorize",
     "q_label_centroids",
     "q_embed_normalize",
     "q_embed_quantize",

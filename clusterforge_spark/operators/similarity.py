@@ -303,3 +303,35 @@ def ivf_trained_topk(
         "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
     )
     return _ranked_topk(scored, k)
+
+
+def filtered_topk(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    k: int = 10,
+    label: int = 3,
+) -> DataFrame:
+    """Hybrid (filtered) similarity search: exact cosine top-k restricted
+    to one metadata label — the "vector search with a WHERE clause"
+    every retrieval stack needs (tenant, language, or source filters).
+
+    The predicate is a plain scan filter, so it pushes to the parquet
+    reader and prunes BEFORE any scoring work — pre-filtering, the
+    strategy that stays exact (post-filtering an unfiltered ANN top-k
+    can return fewer than k survivors). Same map-only + 
+    TakeOrderedAndProject shape as brute_force_topk.
+    """
+    query = query or V.QUERY_VEC
+    scored = embeddings.filter(F.col("label") == label).select(
+        "vec_id",
+        "label",
+        round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

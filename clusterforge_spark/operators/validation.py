@@ -290,3 +290,55 @@ def mad_outliers(events: DataFrame) -> DataFrame:
             round_det(F.col("score"), 4).alias("score"),
         )
     )
+
+
+#: winsorization bounds (nearest-rank percentiles)
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize(events: DataFrame) -> DataFrame:
+    """Per-group winsorization: clip value into its group's
+    [p05, p95] band — the outlier treatment that keeps rows (unlike the
+    MAD/z gates, which flag them).
+
+    Percentiles use the NEAREST-RANK definition (value at rank
+    ceil(p*n) in the (value, event_id) total order): the bound is an
+    actual data value picked by integer rank — no interpolation — so
+    the clipped output is bit-exact on any engine. One window sort per
+    group + a broadcast-size bounds join.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = events.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+    klo = F.ceil(F.lit(WINSOR_LO) * F.col("_n")).cast("int")
+    khi = F.ceil(F.lit(WINSOR_HI) * F.col("_n")).cast("int")
+    bounds = (
+        ranked.withColumn("_klo", klo)
+        .withColumn("_khi", khi)
+        .filter((F.col("_rn") == F.col("_klo")) | (F.col("_rn") == F.col("_khi")))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("_rn") == F.col("_klo"), F.col("value"))).alias("lo"),
+            F.min(F.when(F.col("_rn") == F.col("_khi"), F.col("value"))).alias("hi"),
+        )
+    )
+    return events.join(bounds, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_winsorized"
+        ),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        ).alias("was_clipped"),
+    )

@@ -2060,3 +2060,41 @@ def q_scd2_build() -> str:
        o_orderkey, o_totalprice, o_orderpriority
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+def q_sim_search_filtered(k: int = 10, label: int = 3) -> str:
+    cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
+    return f"""SELECT vec_id, label, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, label, round({cos}, 6) AS cos_sim
+  FROM embeddings WHERE label = {label}
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}"""
+
+
+def q_winsorize() -> str:
+    from clusterforge_spark.operators.validation import WINSOR_HI, WINSOR_LO
+
+    return f"""WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS _rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         min(CASE WHEN _rn = CAST(ceil({WINSOR_LO!r} * _n) AS INTEGER)
+                  THEN value END) AS lo,
+         min(CASE WHEN _rn = CAST(ceil({WINSOR_HI!r} * _n) AS INTEGER)
+                  THEN value END) AS hi
+  FROM ranked
+  WHERE _rn = CAST(ceil({WINSOR_LO!r} * _n) AS INTEGER)
+     OR _rn = CAST(ceil({WINSOR_HI!r} * _n) AS INTEGER)
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+       least(greatest(e.value, b.lo), b.hi) AS value_winsorized,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e JOIN bounds b USING (event_type)"""

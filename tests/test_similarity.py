@@ -139,3 +139,25 @@ def test_ivf_trained_assignment_matches_numpy(embeddings, emb_np):
     )
     got = {r.vec_id: r.cell for r in assigned.collect()}
     assert got == want
+
+
+def test_filtered_topk_respects_label_and_subsets_brute_force(embeddings):
+    from clusterforge_spark.operators.similarity import brute_force_topk, filtered_topk
+
+    out = filtered_topk(embeddings, k=10, label=3).collect()
+    assert 0 < len(out) <= 10
+    assert all(r.label == 3 for r in out)
+    # filtered result = brute-force ranking restricted to the label
+    import pyspark.sql.functions as F
+
+    from clusterforge_spark.functions import vector as V
+    from clusterforge_spark.functions.rounding import round_det
+
+    scored = {
+        r.vec_id: r.s
+        for r in embeddings.filter(F.col("label") == 3)
+        .select("vec_id", round_det(V.cosine_lit("embedding", V.QUERY_VEC), 6).alias("s"))
+        .collect()
+    }
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.vec_id, r.cos_sim) for r in out] == want

@@ -298,3 +298,17 @@ def test_stream_ingest_with_inline_compaction(spark, events, tmp_path):
     assert 1 <= len(files) < 8
     got = spark.read.parquet(out).count()
     assert got == events.count()
+
+
+def test_stream_scd2_apply_matches_batch(spark, orders, tmp_path):
+    """Incremental SCD2 maintenance over a 3-batch feed converges to the
+    one-shot batch build."""
+    from clusterforge_spark.operators.relational import scd2_build
+    from clusterforge_spark.streaming.sessionize import run_stream_scd2_batchlike
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "scd2")
+    orders.repartition(3).write.parquet(feed)
+    got = run_stream_scd2_batchlike(spark, feed, out)
+    want = scd2_build(orders)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -93,3 +93,25 @@ def test_mad_outliers_match_numpy(spark, events):
             mask = np.abs(v - med) / (MAD_CONSISTENCY * mad) > MAD_K
             expected |= {(etype, int(e)) for e in grp.event_id.to_numpy()[mask]}
     assert got == expected
+
+
+def test_winsorize_matches_numpy_nearest_rank(spark, events):
+    import math
+
+    from clusterforge_spark.operators.validation import (
+        WINSOR_HI,
+        WINSOR_LO,
+        winsorize,
+    )
+
+    got = {r.event_id: r for r in winsorize(events).collect()}
+    pdf = events.select("event_id", "event_type", "value").toPandas()
+    assert len(got) == len(pdf)
+    for etype, grp in pdf.groupby("event_type"):
+        v = sorted(grp.value)
+        lo = v[math.ceil(WINSOR_LO * len(v)) - 1]
+        hi = v[math.ceil(WINSOR_HI * len(v)) - 1]
+        for _, row in grp.iterrows():
+            r = got[row.event_id]
+            assert (r.lo, r.hi) == (lo, hi)
+            assert r.value_winsorized == min(max(row.value, lo), hi)
