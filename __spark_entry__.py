@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_components"] = lambda spark, sf: DD.dedup_components(
         DD.dedup_minhash_banded(_dup_docs(spark, sf))
     )
+    q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
+        DD.dedup_minhash_banded(_dup_docs(spark, sf))
+    )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_canonical"] = lambda spark, sf: DD.dedup_canonical(
         _dup_docs(spark, sf), DD.dedup_minhash_banded(_dup_docs(spark, sf))
@@ -452,6 +455,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_components": OSQL.q_dedup_components(),
+        "q_dedup_triangles": OSQL.q_dedup_triangles(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),

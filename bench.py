@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
     "q_dedup_components",
+    "q_dedup_triangles",
     "q_dedup_canonical",
     "q_dedup_embedding",
     "q_sim_search_topk",

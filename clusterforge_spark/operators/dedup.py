@@ -608,3 +608,26 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def dedup_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangles in the near-dup pair graph — the cluster-density signal
+    that separates tight duplicate cliques (template spam: every pair
+    agrees) from chains of borderline matches (A≈B≈C but A≉C), which
+    deserve different canonicalization policies.
+
+    Pairs arrive ordered (doc_a < doc_b), so the two equi-joins
+    enumerate each triangle exactly once as a < b < c — the standard
+    ordered-edge triangle join. Both joins key on a vertex id; at scale
+    the classic optimization (orient edges by degree) bounds the join
+    fan-out, and the pair set itself is already candidate-bounded by
+    the banded LSH.
+    """
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )

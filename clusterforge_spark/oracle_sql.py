@@ -2098,3 +2098,15 @@ SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
        least(greatest(e.value, b.lo), b.hi) AS value_winsorized,
        (e.value < b.lo OR e.value > b.hi) AS was_clipped
 FROM events e JOIN bounds b USING (event_type)"""
+
+
+def q_dedup_triangles(n: int = 3, threshold: float = 0.2) -> str:
+    """Triangles over the banded-minhash pair set (a < b < c, each once)."""
+    pairs = q_dedup_minhash_banded(n=n, threshold=threshold)
+    return f"""WITH pairs AS (
+{pairs}
+)
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"""

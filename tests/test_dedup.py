@@ -148,3 +148,15 @@ def test_dedup_canonical_keeps_best_per_component(dup_docs):
         best = min(grp, key=lambda r: (-r.quality, r.doc_id))
         assert canon[0].doc_id == best.doc_id  # max quality, tie -> min id
         assert all(r.canonical_id == best.doc_id for r in grp)
+
+
+def test_triangles_on_constructed_graph(spark):
+    from clusterforge_spark.operators.dedup import dedup_triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + a chain 5-6-7 (no triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7)],
+        "doc_a long, doc_b long",
+    )
+    tris = sorted(map(tuple, dedup_triangles(pairs).collect()))
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
