@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rolling_window"] = lambda spark, sf: R.rolling_window_value(
         _t(spark, sf, "events")
     )
+    q["q_ewma_per_user"] = lambda spark, sf: R.ewma_per_user(_t(spark, sf, "events"))
     q["q_upsert_orders"] = lambda spark, sf: R.upsert_orders(_t(spark, sf, "orders"))
     q["q_scd2_build"] = lambda spark, sf: R.scd2_build(_t(spark, sf, "orders"))
     q["q_profile_columns"] = lambda spark, sf: VA.profile_columns(
@@ -396,6 +397,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_rollup_revenue": OSQL.q_rollup_revenue(),
         "q_tpch_pricing": OSQL.q_tpch_pricing(),
         "q_rolling_window": OSQL.q_rolling_window(),
+        "q_ewma_per_user": OSQL.q_ewma_per_user(),
         "q_upsert_orders": OSQL.q_upsert_orders(),
         "q_scd2_build": OSQL.q_scd2_build(),
         "q_profile_columns": OSQL.q_profile_columns(),

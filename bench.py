@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_grouping_sets",
     "q_window_funcs",
     "q_rolling_window",
+    "q_ewma_per_user",
     "q_upsert_orders",
     "q_scd2_build",
     "q_profile_columns",

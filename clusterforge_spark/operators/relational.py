@@ -1474,3 +1474,52 @@ def scd2_build(orders: DataFrame) -> DataFrame:
         "o_totalprice",
         "o_orderpriority",
     )
+
+
+#: EWMA smoothing factor (s_1 = x_1; s_t = 0.3*x_t + 0.7*s_{t-1})
+EWMA_ALPHA = 0.3
+
+
+def ewma_per_user(events: DataFrame) -> DataFrame:
+    """Exponentially weighted moving average of each user's value
+    series — the classic smoothing statistic that is a RECURSIVE
+    (order-dependent) fold, which grouped SQL aggregates cannot express
+    directly.
+
+    Shape: per-user ordered array via sort_array(collect_list(struct))
+    (order-independent construction), then ONE left fold with
+    F.aggregate seeded by the first element. Both engines run the
+    identical IEEE ops in the identical order (DuckDB: list(... ORDER
+    BY) + list_reduce), so the smoothed value is bit-stable. State per
+    user is its event list — bounded by the per-user series; for
+    unbounded streams the same recurrence runs incrementally in the
+    stateful streaming path.
+    """
+    ordered = (
+        events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.col("value").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ).alias("vs")
+        )
+    )
+    a = F.lit(EWMA_ALPHA)
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: acc * (F.lit(1.0) - a) + x * a,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        round_det(fold, 6).alias("ewma"),
+    )

@@ -2110,3 +2110,21 @@ SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
 FROM pairs e1
 JOIN pairs e2 ON e1.doc_b = e2.doc_a
 JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"""
+
+
+def q_ewma_per_user() -> str:
+    from clusterforge_spark.operators.relational import EWMA_ALPHA
+
+    a = repr(EWMA_ALPHA)
+    return f"""WITH ord AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       round(
+         CASE WHEN len(vs) = 1 THEN vs[1]
+              ELSE list_reduce(vs, (acc, x) -> acc * (1.0 - {a}) + x * {a})
+         END, 6) AS ewma
+FROM ord"""

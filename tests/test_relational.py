@@ -228,3 +228,20 @@ def test_scd2_intervals_tile_without_overlap(spark, orders):
         assert len(currents) == 1 and currents[-1].version == len(versions)
         for a, b in zip(versions, versions[1:]):
             assert a.valid_to_us == b.valid_from_us  # contiguous tiling
+
+
+def test_ewma_matches_python_recurrence(spark, events):
+    from clusterforge_spark.operators.relational import EWMA_ALPHA, ewma_per_user
+
+    got = {r.user_id: (r.n_events, r.ewma) for r in ewma_per_user(events).collect()}
+    pdf = events.selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", "value"
+    ).toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        s = None
+        for v in g.value:
+            s = v if s is None else s * (1.0 - EWMA_ALPHA) + v * EWMA_ALPHA
+        n, e = got[uid]
+        assert n == len(g)
+        assert abs(e - s) < 1e-6
