@@ -290,6 +290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_kmeans_fit"] = q_kmeans_fit
+    # per-label grouped K-means (applyInPandas): iterative + float-order
+    # dependent — rows-only by design, numpy-parity pytest covers values
+    q["q_grouped_kmeans"] = lambda spark, sf: C.grouped_kmeans(
+        _t(spark, sf, "embeddings")
+    )
 
     # --- LLM-data-pipeline extensions (SURVEY.md §2.2 ext) ----------------
     def _dup_docs(spark, sf):

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_silhouette_sample",
     "q_silhouette_mean",
     "q_kmeans_fit",
+    "q_grouped_kmeans",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",

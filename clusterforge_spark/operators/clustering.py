@@ -183,3 +183,56 @@ def predict_point(
         if d < best_d:
             best_i, best_d = i, d
     return best_i, best_d
+
+
+def grouped_kmeans(embeddings: DataFrame, k: int = 2, iters: int = 8) -> DataFrame:
+    """Per-group K-means: one independent model per label, all trained
+    in a single ``applyInPandas`` pass — the "thousands of small models"
+    pattern (per-tenant / per-category clustering) that a global MLlib
+    fit cannot express and a driver loop cannot scale.
+
+    Each group's fit is deterministic Lloyd's in numpy: init = first k
+    vectors in vec_id order, fixed iteration count, argmin ties to the
+    lowest cluster index, empty clusters keep their previous centroid.
+    Arrow-batched; one shuffle on the group key; every group fits in
+    its task (the contract of grouped ML — shard by model key).
+    Iterative + float-order dependent => rows-only correctness (the
+    declared non-SQL-expressible class); exactness is covered by the
+    numpy-parity pytest instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "label int, cluster long, n_points long, inertia double"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        kk = min(k, len(X))
+        C = X[:kk].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(kk):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        rows = []
+        label = int(pdf["label"].iloc[0])
+        for c in range(kk):
+            mask = assign == c
+            rows.append(
+                {
+                    "label": label,
+                    "cluster": c,
+                    "n_points": int(mask.sum()),
+                    "inertia": float(np.floor(d[mask, c].sum() * 1e4 + 0.5) / 1e4),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return embeddings.groupBy("label").applyInPandas(fit, out_schema)

@@ -85,3 +85,36 @@ def test_predict_point_matches_reference_semantics():
     cluster, dist = predict_point(params, FIXED_CENTROIDS, (-0.75, 0.9, 1.1))
     assert cluster == 0
     assert dist == 0.0
+
+
+def test_grouped_kmeans_matches_numpy_per_group(spark, embeddings):
+    import numpy as np
+
+    from clusterforge_spark.operators.clustering import grouped_kmeans
+
+    got = {
+        (r.label, r.cluster): (r.n_points, r.inertia)
+        for r in grouped_kmeans(embeddings, k=2, iters=8).collect()
+    }
+    pdf = embeddings.select("vec_id", "embedding", "label").toPandas()
+    for label, g in pdf.groupby("label"):
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        kk = min(2, len(X))
+        C = X[:kk].copy()
+        for _ in range(8):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(kk):
+                m = X[a == c]
+                if len(m):
+                    C[c] = m.mean(axis=0)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(kk):
+            n, inertia = got[(label, c)]
+            assert n == int((a == c).sum())
+            assert abs(inertia - d[a == c, c].sum()) < 1e-3
+    # every group emitted k clusters
+    n_labels = embeddings.select("label").distinct().count()
+    assert len(got) == 2 * n_labels

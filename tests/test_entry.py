@@ -32,6 +32,7 @@ def test_every_oracle_key_has_query():
         "q_count_distinct_approx",
         "q_hll_mergeable",
         "q_kmeans_fit",
+        "q_grouped_kmeans",
         "q_dedup_minhash",
     }
 
