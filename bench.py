@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_sim_search_batch",
     "q_sim_search_filtered",
     "q_winsorize",
+    "q_chi_square",
     "q_label_centroids",
     "q_embed_normalize",
     "q_embed_quantize",

@@ -342,3 +342,64 @@ def winsorize(events: DataFrame) -> DataFrame:
             (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
         ).alias("was_clipped"),
     )
+
+
+def chi_square_independence(events: DataFrame) -> DataFrame:
+    """Chi-square test of independence between event_type and weekday —
+    the categorical-association check a feature-audit runs before
+    trusting a segmentation.
+
+    Observed counts are exact integers from one grouped aggregate;
+    expected counts are row_total*col_total/N. The chi-square sum runs
+    as a FIXED-ORDER fold over the (type, weekday)-sorted cell array —
+    cell order is deterministic, so the IEEE addition order (and the
+    statistic) is bit-identical on any engine; a plain SUM over doubles
+    would be partition-order dependent at the last ulp.
+    """
+    dow = F.dayofweek("ts").cast("long")
+    cells = events.groupBy(
+        F.col("event_type"), dow.alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colsd = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    scored = (
+        cells.join(rows, "event_type")
+        .join(colsd, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            (
+                (F.col("o") - F.col("rt") * F.col("ct") / F.col("n"))
+                * (F.col("o") - F.col("rt") * F.col("ct") / F.col("n"))
+                / (F.col("rt") * F.col("ct") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    folded = scored.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type").alias("et"),
+                            F.col("dow").alias("dw"),
+                            F.col("term").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("dow").cast("long").alias("n_dows"),
+    )
+    return folded.select(
+        round_det(F.col("chi2"), 4).alias("chi2"),
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).cast("long").alias("dof"),
+        "n_cells",
+    )

@@ -2128,3 +2128,36 @@ SELECT user_id,
               ELSE list_reduce(vs, (acc, x) -> acc * (1.0 - {a}) + x * {a})
          END, 6) AS ewma
 FROM ord"""
+
+
+def q_chi_square() -> str:
+    """Mirrors operators/validation.chi_square_independence (fixed-order
+    fold over sorted cells keeps the double sum bit-stable)."""
+    return """WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts::TIMESTAMP) + 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+), ct AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), scored AS (
+  SELECT c.event_type, c.dow,
+         (c.o - rt.rt * ct.ct / n.n) * (c.o - rt.rt * ct.ct / n.n)
+           / (rt.rt * ct.ct / n.n) AS term
+  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(term ORDER BY event_type, dow)),
+           (acc, x) -> acc + x) AS chi2,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+  FROM scored
+)
+SELECT round(chi2, 4) AS chi2,
+       (n_types - 1) * (n_dows - 1) AS dof,
+       n_cells
+FROM folded"""

@@ -115,3 +115,21 @@ def test_winsorize_matches_numpy_nearest_rank(spark, events):
             r = got[row.event_id]
             assert (r.lo, r.hi) == (lo, hi)
             assert r.value_winsorized == min(max(row.value, lo), hi)
+
+
+def test_chi_square_matches_pandas(spark, events):
+    import numpy as np
+
+    from clusterforge_spark.operators.validation import chi_square_independence
+
+    row = chi_square_independence(events).collect()[0]
+    pdf = events.selectExpr("event_type", "dayofweek(ts) AS dow").toPandas()
+    ct = pdf.groupby(["event_type", "dow"]).size().unstack(fill_value=0)
+    o = ct.to_numpy().astype(float)
+    rt = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    e = rt @ c / o.sum()
+    mask = o > 0  # only observed cells enter the operator's sum
+    chi2 = (((o - e) ** 2 / e)[mask]).sum()
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert row.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
