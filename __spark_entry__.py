@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_nb_classify"] = lambda spark, sf: TX.nb_classify(_t(spark, sf, "documents"))
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
+    q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
+        _t(spark, sf, "events")
+    )
     q["q_decile_stats"] = lambda spark, sf: R.decile_stats(_t(spark, sf, "events"))
     q["q_inverted_index"] = lambda spark, sf: TX.inverted_index(
         _t(spark, sf, "documents")
@@ -422,6 +425,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_session_paths": OSQL.q_session_paths(),
+        "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_decile_stats": OSQL.q_decile_stats(),
         "q_inverted_index": OSQL.q_inverted_index(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),

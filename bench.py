@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_reservoir_per_group",
     "q_nb_classify",
     "q_session_paths",
+    "q_session_cooccurrence",
     "q_decile_stats",
     "q_inverted_index",
     "q_zscore_outliers",

@@ -1523,3 +1523,86 @@ def ewma_per_user(events: DataFrame) -> DataFrame:
         F.size("vs").cast("long").alias("n_events"),
         round_det(fold, 6).alias("ewma"),
     )
+
+
+def session_cooccurrence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Market-basket association over gap sessions: for every pair of
+    event types that co-occur in a session, the co-occurrence count and
+    pointwise mutual information — "users who do A in a session also do
+    B" without a dedicated mining library.
+
+    Sessions come from the same lag/cumsum window as sessionize_gap;
+    the pair join is a self-equi-join on the session key with a < b
+    ordering (each unordered pair once, never n² across sessions).
+    PMI = log2(N·n_ab / (n_a·n_b)) on exact integer counts, rounded
+    6dp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60_000_000
+    with_new = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > F.lit(gap_us)
+        )
+        .cast("int")
+        .alias("is_new"),
+    ).fillna({"is_new": 1})
+    sess = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sets = sess.select("user_id", "session_seq", "event_type").distinct()
+    # total session count as a broadcast 1-row frame: keeps the operator
+    # fully lazy (no driver-side action at plan-build time)
+    nsess = (
+        sets.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_sessions"))
+    )
+    singles = sets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sess")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_sess").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_sess").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nsess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            round_det(
+                F.log2(
+                    F.col("n_sessions")
+                    * F.col("n_ab").cast("double")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -2161,3 +2161,45 @@ SELECT round(chi2, 4) AS chi2,
        (n_types - 1) * (n_dows - 1) AS dof,
        n_cells
 FROM folded"""
+
+
+def q_session_cooccurrence(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         sum(coalesce(is_new, 0)) OVER
+           (PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+), sets AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM s
+), nsess AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM
+    (SELECT DISTINCT user_id, session_seq FROM sets)
+), singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sess
+  FROM sets GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM sets a JOIN sets b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       sa.n_sess AS n_a, sb.n_sess AS n_b,
+       round(log2(CAST(nsess.n AS DOUBLE) * CAST(p.n_ab AS DOUBLE)
+                  / (CAST(sa.n_sess AS DOUBLE) * CAST(sb.n_sess AS DOUBLE))), 6)
+         AS pmi
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN nsess"""

@@ -245,3 +245,41 @@ def test_ewma_matches_python_recurrence(spark, events):
         n, e = got[uid]
         assert n == len(g)
         assert abs(e - s) < 1e-6
+
+
+def test_session_cooccurrence_counts_match_python(spark, events):
+    import math
+    from collections import Counter
+
+    from clusterforge_spark.operators.relational import session_cooccurrence
+
+    got = {(r.type_a, r.type_b): r for r in session_cooccurrence(events).collect()}
+    pdf = events.selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", "event_type"
+    ).toPandas()
+    gap = 30 * 60_000_000
+    sessions = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        cur, last = None, None
+        for _, row in g.iterrows():
+            if last is None or row.us - last > gap:
+                cur = set()
+                sessions.append(cur)
+            cur.add(row.event_type)
+            last = row.us
+    n_sess = len(sessions)
+    singles = Counter(t for s in sessions for t in s)
+    pairs = Counter(
+        (a, b)
+        for s in sessions
+        for a in s
+        for b in s
+        if a < b
+    )
+    assert set(got) == set(pairs)
+    for (a, b), n_ab in pairs.items():
+        r = got[(a, b)]
+        assert (r.n_ab, r.n_a, r.n_b) == (n_ab, singles[a], singles[b])
+        want_pmi = math.log2(n_sess * n_ab / (singles[a] * singles[b]))
+        assert abs(r.pmi - want_pmi) < 1e-5
