@@ -357,3 +357,28 @@ def test_tpch_q18_semi_aggregate_join(spark):
     assert X.has_take_ordered(df)
     rows = df.collect()
     assert all(r.total_qty > 207.0 for r in rows)
+
+
+def test_corr_matrix_single_aggregate_pass(spark):
+    df = R.corr_matrix(_t(spark, "lineitem"))
+    # all sufficient statistics from ONE scan: a single 1-row exchange
+    assert X.exchange_count(df) <= 1
+
+
+def test_grouped_linreg_single_shuffle(spark):
+    df = R.grouped_linreg(_t(spark, "lineitem"))
+    assert X.exchange_count(df) == 1
+
+
+def test_event_transitions_two_keyed_shuffles(spark):
+    from clusterforge_spark.sources.readers import load_table
+
+    df = R.event_transitions(load_table(spark, SF_DIR, "events"))
+    # one shuffle by user for the window, one by (prev,next) for the agg
+    # (+ the tiny partition-total window reuses the agg partitioning)
+    assert X.exchange_count(df) <= 3
+
+
+def test_scd2_single_shuffle(spark):
+    df = R.scd2_build(_t(spark, "orders"))
+    assert X.exchange_count(df) == 1
