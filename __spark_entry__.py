@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_chi_square"] = lambda spark, sf: VA.chi_square_independence(
         _t(spark, sf, "events")
     )
+    q["q_group_percentile_bands"] = lambda spark, sf: VA.group_percentile_bands(
+        _t(spark, sf, "events")
+    )
     q["q_label_centroids"] = lambda spark, sf: SIM.label_centroids(
         _t(spark, sf, "embeddings")
     )
@@ -482,6 +485,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_filtered": OSQL.q_sim_search_filtered(),
         "q_winsorize": OSQL.q_winsorize(),
         "q_chi_square": OSQL.q_chi_square(),
+        "q_group_percentile_bands": OSQL.q_group_percentile_bands(),
         "q_label_centroids": OSQL.q_label_centroids(),
         "q_embed_normalize": OSQL.q_embed_normalize(),
         "q_embed_quantize": OSQL.q_embed_quantize(),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_sim_search_filtered",
     "q_winsorize",
     "q_chi_square",
+    "q_group_percentile_bands",
     "q_label_centroids",
     "q_embed_normalize",
     "q_embed_quantize",

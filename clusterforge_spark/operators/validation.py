@@ -403,3 +403,38 @@ def chi_square_independence(events: DataFrame) -> DataFrame:
         ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).cast("long").alias("dof"),
         "n_cells",
     )
+
+
+#: nearest-rank percentile bands reported per group
+BAND_PS = (0.25, 0.5, 0.75)
+
+
+def group_percentile_bands(events: DataFrame) -> DataFrame:
+    """Exact per-group p25/p50/p75 bands by NEAREST-RANK (value at rank
+    ceil(p*n) of the (value, event_id) total order) — the deterministic
+    complement to q_percentiles' interpolated quantiles: every band edge
+    is an actual data value picked by integer rank, so the output is
+    bit-exact on any engine with no rounding tolerance at all.
+
+    One window sort per group; the three ranks are selected in the same
+    pass (no per-percentile jobs).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = events.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+    agg_cols = [F.max("_n").cast("long").alias("n")]
+    cond = None
+    for p in BAND_PS:
+        kp = F.ceil(F.lit(p) * F.col("_n")).cast("int")
+        hit = F.col("_rn") == kp
+        cond = hit if cond is None else (cond | hit)
+        agg_cols.append(
+            F.min(F.when(hit, F.col("value"))).alias(f"p{int(p * 100)}")
+        )
+    return ranked.filter(cond).groupBy("event_type").agg(*agg_cols)

@@ -2203,3 +2203,29 @@ FROM pairs p
 JOIN singles sa ON p.type_a = sa.event_type
 JOIN singles sb ON p.type_b = sb.event_type
 CROSS JOIN nsess"""
+
+
+def q_group_percentile_bands() -> str:
+    from clusterforge_spark.operators.validation import BAND_PS
+
+    hits = " OR ".join(
+        f"_rn = CAST(ceil({p!r} * _n) AS INTEGER)" for p in BAND_PS
+    )
+    sels = ",\n       ".join(
+        f"min(CASE WHEN _rn = CAST(ceil({p!r} * _n) AS INTEGER) THEN value END)"
+        f" AS p{int(p * 100)}"
+        for p in BAND_PS
+    )
+    return f"""WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS _rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(_n) AS BIGINT) AS n,
+       {sels}
+FROM ranked
+WHERE {hits}
+GROUP BY event_type"""

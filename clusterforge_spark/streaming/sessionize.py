@@ -740,3 +740,76 @@ def run_stream_scd2_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA (stateful recursive statistic)
+# ---------------------------------------------------------------------------
+
+def ewma_stream(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Incremental per-user EWMA — the streaming form of
+    operators/relational.ewma_per_user's recursive fold: state is ONE
+    (ewma, n_events, tiebreak) triple per user, updated by folding each
+    trigger's events in (ts, event_id) order.
+
+    Emits the running ewma after every trigger that touches the user
+    (update semantics via append of per-trigger snapshots; the final
+    snapshot equals the batch fold — asserted by the parity test). Same
+    ordering contract as the gap sessionizer: within a trigger all of a
+    key's chunks are concatenated and sorted before folding; across
+    triggers arrival must be event-time ordered.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def step(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        ewma, n = state.get if state.exists else (None, 0)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = (
+                pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ).sort_values(["ts_us", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                ewma = v if ewma is None else ewma * (1.0 - alpha) + v * alpha
+                n += 1
+            state.update((ewma, n))
+            yield pd.DataFrame(
+                [(user_id, n, ewma)], columns=["user_id", "n_events", "ewma"]
+            )
+
+    prepared = events_stream.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="ewma double, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_ewma_stream_batchlike(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 180
+) -> DataFrame:
+    """availableNow replay of the events file through the stateful EWMA;
+    returns the final per-user snapshot."""
+    out = ewma_stream(read_events_stream(spark, sf_dir))
+    name = "ewma_stream_result"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    snap = spark.table(name)
+    # keep the last snapshot per user (multi-trigger replays emit several)
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max_by("ewma", "n_events").alias("ewma"),
+    )

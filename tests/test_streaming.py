@@ -312,3 +312,20 @@ def test_stream_scd2_apply_matches_batch(spark, orders, tmp_path):
     got = run_stream_scd2_batchlike(spark, feed, out)
     want = scd2_build(orders)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ewma_stream_matches_batch(spark, events):
+    from clusterforge_spark.operators.relational import ewma_per_user
+    from clusterforge_spark.streaming.sessionize import run_ewma_stream_batchlike
+
+    got = {
+        r.user_id: (r.n_events, round(r.ewma, 6))
+        for r in run_ewma_stream_batchlike(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma) for r in ewma_per_user(events).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, e) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - e) < 1e-6
