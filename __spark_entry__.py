@@ -169,6 +169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
     )
+    q["q_path_pattern"] = lambda spark, sf: R.path_pattern_match(
+        _t(spark, sf, "events")
+    )
+    q["q_kl_by_source"] = lambda spark, sf: TX.kl_divergence_by_source(
+        _t(spark, sf, "documents")
+    )
     q["q_decile_stats"] = lambda spark, sf: R.decile_stats(_t(spark, sf, "events"))
     q["q_inverted_index"] = lambda spark, sf: TX.inverted_index(
         _t(spark, sf, "documents")
@@ -429,6 +435,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
+        "q_path_pattern": OSQL.q_path_pattern(),
+        "q_kl_by_source": OSQL.q_kl_by_source(),
         "q_decile_stats": OSQL.q_decile_stats(),
         "q_inverted_index": OSQL.q_inverted_index(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),

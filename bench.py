@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_nb_classify",
     "q_session_paths",
     "q_session_cooccurrence",
+    "q_path_pattern",
+    "q_kl_by_source",
     "q_decile_stats",
     "q_inverted_index",
     "q_zscore_outliers",

@@ -1273,7 +1273,7 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
     return stacked.select("p.*")
 
 
-def session_paths(events: DataFrame, gap_minutes: int = 30, k: int = 20) -> DataFrame:
+def _session_path_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Top-k session paths: the ordered event_type sequence of each gap
     session, counted across all sessions — the navigation-mining query
     behind "what do users do before purchasing".
@@ -1324,12 +1324,17 @@ def session_paths(events: DataFrame, gap_minutes: int = 30, k: int = 20) -> Data
             F.count(F.lit(1)).cast("long").alias("path_len"),
         )
     )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("path_len").cast("long").alias("path_len"),
+    )
+
+
+def session_paths(events: DataFrame, gap_minutes: int = 30, k: int = 20) -> DataFrame:
+    """Top-k session paths (see _session_path_counts for the path
+    construction); top-k lands as TakeOrderedAndProject."""
     return (
-        paths.groupBy("path")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.max("path_len").cast("long").alias("path_len"),
-        )
+        _session_path_counts(events, gap_minutes=gap_minutes)
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
@@ -1606,3 +1611,47 @@ def session_cooccurrence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+#: path-pattern funnels counted per session (anchored regex over the
+#: '>'-joined event-type path)
+PATH_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("view_then_purchase", "view>.*purchase"),
+    ("starts_signup", "^signup"),
+    ("pure_browse", "^(view|click)(>(view|click))*$"),
+)
+
+
+def path_pattern_match(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count gap sessions whose event-type path
+    matches each declared regex — sequence-pattern analytics (did the
+    user view then later purchase within one session?) without a
+    dedicated CEP engine.
+
+    Builds the same deterministic per-session path string as
+    session_paths, then one map-only regex pass per pattern (ASCII
+    regexes — Java and RE2 dialects agree). Output: pattern,
+    n_sessions_matched, pct of all sessions (4dp).
+    """
+    paths = _session_path_counts(events, gap_minutes=gap_minutes).select(
+        "path", "n_sessions"
+    )
+    agg_cols = [F.sum("n_sessions").cast("long").alias("n_total")]
+    for name, pat in PATH_PATTERNS:
+        agg_cols.append(
+            F.sum(F.when(F.col("path").rlike(pat), F.col("n_sessions")).otherwise(0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    one = paths.agg(*agg_cols)
+    entries = [
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.col(f"n_{name}").alias("n_matched"),
+            round_det(
+                F.col(f"n_{name}").cast("double") / F.col("n_total").cast("double"), 4
+            ).alias("pct"),
+        )
+        for name, _ in PATH_PATTERNS
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -750,3 +750,48 @@ def inverted_index(documents: DataFrame, max_postings: int = 50) -> DataFrame:
             F.transform(postings, lambda d: d.cast("string")), ","
         ).alias("postings"),
     )
+
+
+def kl_divergence_by_source(documents: DataFrame) -> DataFrame:
+    """Domain-shift detector: KL(P_source || P_corpus) over token
+    unigram distributions, one row per source — the drift signal a
+    training pipeline watches when a new crawl slice arrives.
+
+    Counts are exact integers from two grouped aggregates; each token's
+    contribution p_s·log2(p_s/p_c) is computed identically on both
+    engines, and the per-source sum runs as a FIXED-ORDER fold over the
+    token-sorted term array (same bit-stability rule as chi-square:
+    plain SUM of doubles is partition-order dependent in the last ulp).
+    """
+    toks = H.tokens_col("text")
+    ex = documents.select("source", F.explode(toks).alias("token"))
+    st = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    corpus = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    n_all = corpus.agg(F.sum("n_t").alias("n"))
+    p_s = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("n_t").cast("double") / F.col("n").cast("double")
+    terms = (
+        st.join(s_tot, "source")
+        .join(corpus, "token")
+        .crossJoin(F.broadcast(n_all))
+        .select("source", "token", (p_s * F.log2(p_s / p_c)).alias("term"))
+    )
+    folded = terms.groupBy("source").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("token").alias("tk"), F.col("term").alias("t"))
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("kl"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_distinct"),
+    )
+    return folded.select(
+        "source", "n_tokens_distinct", round_det(F.col("kl"), 6).alias("kl_bits")
+    )

@@ -2229,3 +2229,75 @@ SELECT event_type,
 FROM ranked
 WHERE {hits}
 GROUP BY event_type"""
+
+
+def q_kl_by_source() -> str:
+    t = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT source, unnest({t}) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n_st
+  FROM ex GROUP BY 1, 2
+), s_tot AS (
+  SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+), corpus AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_t FROM ex GROUP BY 1
+), n_all AS (
+  SELECT CAST(sum(n_t) AS BIGINT) AS n FROM corpus
+), terms AS (
+  SELECT st.source, st.token,
+         (CAST(st.n_st AS DOUBLE) / CAST(s_tot.n_s AS DOUBLE))
+           * log2((CAST(st.n_st AS DOUBLE) / CAST(s_tot.n_s AS DOUBLE))
+                  / (CAST(c.n_t AS DOUBLE) / CAST(n_all.n AS DOUBLE))) AS term
+  FROM st JOIN s_tot USING (source) JOIN corpus c USING (token)
+  CROSS JOIN n_all
+), folded AS (
+  SELECT source,
+         list_reduce(list_prepend(0.0, list(term ORDER BY token)),
+                     (acc, x) -> acc + x) AS kl,
+         CAST(count(*) AS BIGINT) AS n_tokens_distinct
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens_distinct, round(kl, 6) AS kl_bits FROM folded"""
+
+
+def q_path_pattern(gap_minutes: int = 30) -> str:
+    from clusterforge_spark.operators.relational import PATH_PATTERNS
+
+    gap_us = gap_minutes * 60_000_000
+    n_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN regexp_matches(path, '{pat}') THEN n_sessions"
+        f" ELSE 0 END) AS BIGINT) AS n_{name}"
+        for name, pat in PATH_PATTERNS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS pattern, n_{name} AS n_matched,"
+        f" round(CAST(n_{name} AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS pct"
+        f" FROM one"
+        for name, _ in PATH_PATTERNS
+    )
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, tsu, event_id, event_type,
+         sum(coalesce(is_new, 0)) OVER
+           (PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+), p AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+  FROM s GROUP BY user_id, session_idx
+), pc AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+), one AS (
+  SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total,
+         {n_cols}
+  FROM pc
+)
+{unions}"""

@@ -283,3 +283,24 @@ def test_session_cooccurrence_counts_match_python(spark, events):
         assert (r.n_ab, r.n_a, r.n_b) == (n_ab, singles[a], singles[b])
         want_pmi = math.log2(n_sess * n_ab / (singles[a] * singles[b]))
         assert abs(r.pmi - want_pmi) < 1e-5
+
+
+def test_path_pattern_counts_match_python(spark, events):
+    import re as _re
+
+    from clusterforge_spark.operators.relational import (
+        PATH_PATTERNS,
+        _session_path_counts,
+        path_pattern_match,
+    )
+
+    got = {r.pattern: (r.n_matched, r.pct) for r in path_pattern_match(events).collect()}
+    paths = {r.path: r.n_sessions for r in _session_path_counts(events).collect()}
+    total = sum(paths.values())
+    assert set(got) == {name for name, _ in PATH_PATTERNS}
+    any_matched = False
+    for name, pat in PATH_PATTERNS:
+        want = sum(n for p, n in paths.items() if _re.search(pat, p))
+        assert got[name][0] == want
+        any_matched = any_matched or want > 0
+    assert any_matched  # patterns are live against the real event types

@@ -296,3 +296,28 @@ def test_inverted_index_df_and_postings(documents):
         )
         assert rows[token].df == len(containing)
         assert rows[token].postings == ",".join(str(x) for x in containing[:7])
+
+
+def test_kl_by_source_nonnegative_and_matches_python(documents):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from clusterforge_spark.operators.text import kl_divergence_by_source
+
+    got = {r.source: r.kl_bits for r in kl_divergence_by_source(documents).collect()}
+    docs = documents.select("source", "text").collect()
+    per_src, corpus = {}, Counter()
+    for d in docs:
+        toks = [t for t in _re.split(r"\s+", d.text.lower()) if t]
+        per_src.setdefault(d.source, Counter()).update(toks)
+        corpus.update(toks)
+    n_all = sum(corpus.values())
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * math.log2((c / n_s) / (corpus[t] / n_all))
+            for t, c in cnt.items()
+        )
+        assert abs(got[src] - kl) < 1e-5
+        assert got[src] > -1e-9  # KL >= 0 up to rounding
