@@ -813,3 +813,23 @@ def run_ewma_stream_batchlike(
         F.max("n_events").cast("long").alias("n_events"),
         F.max_by("ewma", "n_events").alias("ewma"),
     )
+
+
+def enrich_stream_with_dim(
+    events_stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: every event joined to the (batch)
+    customer dimension — the bread-and-butter streaming join. The static
+    side is broadcast per micro-batch (no state, no watermark needed;
+    contrast with the stateful stream-stream interval join), so the
+    stream stays append-only and the dim can be swapped between
+    triggers."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return (
+        events_stream.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .join(F.broadcast(dim), "user_id", "left")
+    )

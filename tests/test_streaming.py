@@ -329,3 +329,41 @@ def test_ewma_stream_matches_batch(spark, events):
     for uid, (n, e) in want.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - e) < 1e-6
+
+
+def test_stream_static_dim_join_matches_batch(spark, events, tmp_path):
+    from clusterforge_spark.sources.readers import load_table
+    from clusterforge_spark.streaming.sessionize import (
+        enrich_stream_with_dim,
+        read_events_stream,
+        _await_or_raise,
+    )
+
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    out = enrich_stream_with_dim(
+        read_events_stream(spark, "/root/testdata/sf0.001"), customer
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dim_join_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 180)
+    got = spark.table("dim_join_result")
+    assert got.count() == events.count()
+    # spot-check enrichment against the batch join
+    import pyspark.sql.functions as F
+
+    batch = events.join(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        ),
+        "user_id",
+        "left",
+    )
+    assert (
+        got.filter(F.col("c_name").isNotNull()).count()
+        == batch.filter(F.col("c_name").isNotNull()).count()
+    )
