@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_cohort_retention"] = lambda spark, sf: R.cohort_retention(
         _t(spark, sf, "events")
     )
+    q["q_user_growth"] = lambda spark, sf: R.user_growth(_t(spark, sf, "events"))
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
         _t(spark, sf, "events")
     )
@@ -463,6 +464,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_arg_minmax": OSQL.q_arg_minmax(),
         "q_funnel": OSQL.q_funnel(),
         "q_cohort_retention": OSQL.q_cohort_retention(),
+        "q_user_growth": OSQL.q_user_growth(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
         "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
         "q_unpivot_part": OSQL.q_unpivot_part(),

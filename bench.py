@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_arg_minmax",
     "q_funnel",
     "q_cohort_retention",
+    "q_user_growth",
     "q_range_join_bands",
     "q_pivot_event_counts",
     "q_unpivot_part",

@@ -1655,3 +1655,41 @@ def path_pattern_match(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         for name, _ in PATH_PATTERNS
     ]
     return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def user_growth(events: DataFrame) -> DataFrame:
+    """Growth accounting: per day, active users, NEW users (first ever
+    seen that day), returning users, and the cumulative unique-user
+    count — the DAU/new/returning curve every product dashboard leads
+    with.
+
+    Two aggregates (per-(user, day) activity, per-user first day) and
+    one small per-day window for the running total — the cumulative
+    count comes from summing the new-user counts, NOT from a cumulative
+    distinct (which would need O(users) window state). All integer
+    arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    user_days = events.select("user_id", day.alias("day")).distinct()
+    first_day = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    new_daily = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_daily, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0).cast("long")).alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", (F.col("active_users") - F.col("new_users")).cast("long")
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+    )

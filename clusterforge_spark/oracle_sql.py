@@ -2301,3 +2301,24 @@ def q_path_pattern(gap_minutes: int = 30) -> str:
   FROM pc
 )
 {unions}"""
+
+
+def q_user_growth() -> str:
+    return """WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day
+  FROM events
+), fd AS (
+  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS active_users FROM ud GROUP BY day
+), nd AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM fd GROUP BY first_day
+)
+SELECT d.day, d.active_users,
+       coalesce(nd.new_users, 0) AS new_users,
+       d.active_users - coalesce(nd.new_users, 0) AS returning_users,
+       CAST(sum(coalesce(nd.new_users, 0)) OVER
+            (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily d LEFT JOIN nd USING (day)"""

@@ -304,3 +304,18 @@ def test_path_pattern_counts_match_python(spark, events):
         assert got[name][0] == want
         any_matched = any_matched or want > 0
     assert any_matched  # patterns are live against the real event types
+
+
+def test_user_growth_invariants(spark, events):
+    from clusterforge_spark.operators.relational import user_growth
+
+    rows = sorted(user_growth(events).collect(), key=lambda r: r.day)
+    n_users = events.select("user_id").distinct().count()
+    assert rows[-1].cum_users == n_users
+    assert sum(r.new_users for r in rows) == n_users
+    cum = 0
+    for r in rows:
+        assert r.active_users == r.new_users + r.returning_users
+        assert r.returning_users >= 0
+        cum += r.new_users
+        assert r.cum_users == cum
