@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_user_growth"] = lambda spark, sf: R.user_growth(_t(spark, sf, "events"))
+    q["q_rfm_segments"] = lambda spark, sf: FE.rfm_segments(_rfm(spark, sf))
+    q["q_skyline_orders"] = lambda spark, sf: R.skyline_orders(_t(spark, sf, "orders"))
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
         _t(spark, sf, "events")
     )
@@ -465,6 +467,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_funnel": OSQL.q_funnel(),
         "q_cohort_retention": OSQL.q_cohort_retention(),
         "q_user_growth": OSQL.q_user_growth(),
+        "q_rfm_segments": OSQL.q_rfm_segments(),
+        "q_skyline_orders": OSQL.q_skyline_orders(),
         "q_range_join_bands": OSQL.q_range_join_bands(),
         "q_pivot_event_counts": OSQL.q_pivot_event_counts(),
         "q_unpivot_part": OSQL.q_unpivot_part(),

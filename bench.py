@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_cohort_retention",
     "q_user_growth",
+    "q_rfm_segments",
+    "q_skyline_orders",
     "q_range_join_bands",
     "q_pivot_event_counts",
     "q_unpivot_part",

@@ -118,3 +118,56 @@ def scale_point(
     return [
         (x - params_row[f"{c}_mean"]) / params_row[f"{c}_std"] for c, x in zip(cols, point)
     ]
+
+
+#: quintile-score → business-segment rules (classic RFM playbook): keys
+#: are (min_rf_avg, label) evaluated in order on (R_score+F_score)/2 and
+#: M_score — deterministic CASE cascade.
+RFM_SEGMENT_RULES: tuple[tuple[str, str], ...] = (
+    ("champion", "r_score >= 4 AND f_score >= 4 AND m_score >= 4"),
+    ("loyal", "f_score >= 4"),
+    ("big_spender", "m_score >= 4"),
+    ("at_risk", "r_score <= 2 AND f_score >= 3"),
+    ("hibernating", "r_score <= 2"),
+    ("regular", "true"),
+)
+
+
+def rfm_segments(rfm: DataFrame) -> DataFrame:
+    """Rule-based RFM segmentation — the classic quintile-score playbook
+    (Champions / Loyal / At-Risk...) that sits beside the K-means
+    clustering as the interpretable alternative on the same features.
+
+    Each of R/F/M is scored 1-5 by ntile over a TOTAL order (metric +
+    user_id tie-break, recency reversed so fresher = higher), then a
+    deterministic CASE cascade assigns the first matching segment. One
+    global sort per metric (three ntiles share one window stage); at
+    100 TB swap exact ntile for approx-quantile range bounds.
+    """
+    from pyspark.sql.window import Window
+
+    scored = rfm.select(
+        "user_id",
+        "recency",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency").desc(), F.col("user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    seg = None
+    for label, cond in reversed(RFM_SEGMENT_RULES):
+        if seg is None:
+            seg = F.lit(label)
+        else:
+            seg = F.when(F.expr(cond), F.lit(label)).otherwise(seg)
+    return scored.withColumn("segment", seg)

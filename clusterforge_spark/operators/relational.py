@@ -1693,3 +1693,37 @@ def user_growth(events: DataFrame) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
     )
+
+
+def skyline_orders(orders: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (newer o_orderdate, higher o_totalprice) — "most recent AND most
+    valuable" trade-off analysis without scoring weights.
+
+    The scalable formulation: sort by date desc (tie: price desc, key
+    asc), keep a row iff its price strictly exceeds the running max
+    price of everything newer — one window pass instead of the naive
+    all-pairs dominance join. Deterministic output; at 100 TB the sort
+    is a single global ordering of the already-aggregated candidates.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(
+            F.col("o_orderdate").desc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.max("o_totalprice").over(w)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            running.alias("best_newer"),
+        )
+        .filter(F.col("best_newer").isNull() | (F.col("o_totalprice") > F.col("best_newer")))
+        .select("o_orderkey", "o_orderdate_us", "o_totalprice")
+    )

@@ -2322,3 +2322,38 @@ SELECT d.day, d.active_users,
        CAST(sum(coalesce(nd.new_users, 0)) OVER
             (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM daily d LEFT JOIN nd USING (day)"""
+
+
+def q_rfm_segments() -> str:
+    from clusterforge_spark.operators.features import RFM_SEGMENT_RULES
+
+    seg = "'regular'"
+    for label, cond in [r for r in reversed(RFM_SEGMENT_RULES)][1:]:
+        seg = f"CASE WHEN {cond} THEN '{label}' ELSE {seg} END"
+    return f"""WITH scored AS (
+  SELECT user_id, recency, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency DESC, user_id) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS BIGINT) AS m_score
+  FROM ({rfm_cte().split('AS (', 1)[1].rsplit(')', 1)[0]})
+)
+SELECT user_id, recency, frequency, monetary,
+       r_score, f_score, m_score,
+       {seg} AS segment
+FROM scored"""
+
+
+def q_skyline_orders() -> str:
+    return """WITH s AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate) AS o_orderdate_us,
+         o_totalprice,
+         max(o_totalprice) OVER (
+           ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_newer
+  FROM orders
+)
+SELECT o_orderkey, o_orderdate_us, o_totalprice
+FROM s
+WHERE best_newer IS NULL OR o_totalprice > best_newer"""

@@ -86,3 +86,25 @@ def test_recency_fractional_days(events, rfm):
     expected_min = (ref - last.replace(tzinfo=None)).total_seconds() / 86400.0
     min_rec = rfm.agg(F.min("recency").alias("r")).collect()[0].r
     assert math.isclose(min_rec, expected_min, rel_tol=1e-9)
+
+
+def test_rfm_segments_rules_consistent(rfm):
+    from clusterforge_spark.operators.features import rfm_segments
+
+    rows = rfm_segments(rfm).collect()
+    assert len(rows) == rfm.count()
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        # first matching rule wins
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            assert r.segment == "champion"
+        elif r.f_score >= 4:
+            assert r.segment == "loyal"
+        elif r.m_score >= 4:
+            assert r.segment == "big_spender"
+        elif r.r_score <= 2 and r.f_score >= 3:
+            assert r.segment == "at_risk"
+        elif r.r_score <= 2:
+            assert r.segment == "hibernating"
+        else:
+            assert r.segment == "regular"

@@ -319,3 +319,22 @@ def test_user_growth_invariants(spark, events):
         assert r.returning_users >= 0
         cum += r.new_users
         assert r.cum_users == cum
+
+
+def test_skyline_is_pareto_frontier(spark, orders):
+    from clusterforge_spark.operators.relational import skyline_orders
+
+    sky = {(r.o_orderkey) for r in skyline_orders(orders).collect()}
+    rows = orders.selectExpr(
+        "o_orderkey", "unix_micros(o_orderdate) AS d", "o_totalprice AS p"
+    ).collect()
+    # brute-force dominance: dominated iff another row is strictly newer
+    # (or equal date, by the operator's sort tie-break) with >= price and
+    # strictly better in at least one dim
+    for r in rows:
+        dominated = any(
+            (o.d > r.d and o.p >= r.p) or (o.d == r.d and o.p > r.p)
+            for o in rows
+            if o.o_orderkey != r.o_orderkey
+        )
+        assert (r.o_orderkey not in sky) == dominated, r
