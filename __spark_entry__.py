@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_nb_classify"] = lambda spark, sf: TX.nb_classify(_t(spark, sf, "documents"))
+    q["q_nb_confusion"] = lambda spark, sf: TX.nb_confusion(_t(spark, sf, "documents"))
+    q["q_ab_test"] = lambda spark, sf: VA.ab_test_proportions(_t(spark, sf, "events"))
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -436,6 +438,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_event_transitions": OSQL.q_event_transitions(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
+        "q_nb_confusion": OSQL.q_nb_confusion(),
+        "q_ab_test": OSQL.q_ab_test(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

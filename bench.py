@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_reservoir_per_group",
     "q_nb_classify",
+    "q_nb_confusion",
+    "q_ab_test",
     "q_session_paths",
     "q_session_cooccurrence",
     "q_path_pattern",

@@ -795,3 +795,41 @@ def kl_divergence_by_source(documents: DataFrame) -> DataFrame:
     return folded.select(
         "source", "n_tokens_distinct", round_det(F.col("kl"), 6).alias("kl_bits")
     )
+
+
+def nb_confusion(documents: DataFrame) -> DataFrame:
+    """Per-class evaluation of the NB classifier on its held-out fold:
+    confusion counts plus per-true-class precision/recall — the eval
+    table that turns "a model ran" into "a model is this good".
+
+    Pure aggregation over nb_classify's output: one count per
+    (true, predicted) cell, window totals for the margins. Ratios are
+    exact-integer divisions rounded 4dp.
+    """
+    from pyspark.sql.window import Window
+
+    pred = nb_classify(documents)
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_true = Window.partitionBy("true_lang")
+    w_pred = Window.partitionBy("predicted_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        round_det(
+            F.when(
+                F.col("true_lang") == F.col("predicted_lang"),
+                F.col("n").cast("double") / F.sum("n").over(w_true).cast("double"),
+            ),
+            4,
+        ).alias("recall"),
+        round_det(
+            F.when(
+                F.col("true_lang") == F.col("predicted_lang"),
+                F.col("n").cast("double") / F.sum("n").over(w_pred).cast("double"),
+            ),
+            4,
+        ).alias("precision"),
+    )

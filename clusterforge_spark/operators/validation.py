@@ -438,3 +438,58 @@ def group_percentile_bands(events: DataFrame) -> DataFrame:
             F.min(F.when(hit, F.col("value"))).alias(f"p{int(p * 100)}")
         )
     return ranked.filter(cond).groupBy("event_type").agg(*agg_cols)
+
+
+def ab_test_proportions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Two-proportion z-test: per-SESSION purchase conversion of an A/B
+    split (deterministic assignment: even vs odd user_id) — the
+    experimentation-analytics primitive. Sessions are the gap sessions
+    the rest of the engine uses; per-user units would saturate (every
+    heavy user eventually converts) and degenerate the pooled variance.
+
+    Conversion counts are exact integers; the pooled z-statistic is
+    O(1) IEEE arithmetic on them, bit-identical anywhere. Output: one
+    row with both arms' rates and the z statistic (4dp).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60_000_000
+    with_new = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > F.lit(gap_us)
+        )
+        .cast("int")
+        .alias("is_new"),
+    ).fillna({"is_new": 1})
+    sess = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    )
+    arm = F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    counts = per_session.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    one = counts.groupBy().pivot("arm", ["A", "B"]).agg(
+        F.first("n").alias("n"), F.first("conv").alias("conv")
+    )
+    n1, c1 = F.col("A_n").cast("double"), F.col("A_conv").cast("double")
+    n2, c2 = F.col("B_n").cast("double"), F.col("B_conv").cast("double")
+    p1, p2 = c1 / n1, c2 / n2
+    pool = (c1 + c2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n2))
+    return one.select(
+        F.col("A_n").alias("n_a"),
+        F.col("A_conv").alias("conv_a"),
+        F.col("B_n").alias("n_b"),
+        F.col("B_conv").alias("conv_b"),
+        round_det(p1, 4).alias("rate_a"),
+        round_det(p2, 4).alias("rate_b"),
+        round_det(z, 4).alias("z_stat"),
+    )

@@ -2357,3 +2357,68 @@ def q_skyline_orders() -> str:
 SELECT o_orderkey, o_orderdate_us, o_totalprice
 FROM s
 WHERE best_newer IS NULL OR o_totalprice > best_newer"""
+
+
+def q_nb_confusion() -> str:
+    nb = q_nb_classify()
+    return f"""WITH nb AS (
+{nb}
+), cells AS (
+  SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM nb GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n,
+       round(CASE WHEN true_lang = predicted_lang
+             THEN CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+             END, 4) AS recall,
+       round(CASE WHEN true_lang = predicted_lang
+             THEN CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY predicted_lang) AS DOUBLE)
+             END, 4) AS precision
+FROM cells"""
+
+
+def q_ab_test(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         sum(coalesce(is_new, 0)) OVER
+           (PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+), per_session AS (
+  SELECT user_id, session_seq,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM s GROUP BY user_id, session_seq
+), counts AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM per_session GROUP BY 1
+), one AS (
+  SELECT
+    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+    max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+    max(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+  FROM counts
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS rate_b,
+       round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+         AS z_stat
+FROM one"""

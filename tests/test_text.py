@@ -321,3 +321,17 @@ def test_kl_by_source_nonnegative_and_matches_python(documents):
         )
         assert abs(got[src] - kl) < 1e-5
         assert got[src] > -1e-9  # KL >= 0 up to rounding
+
+
+def test_nb_confusion_margins(documents):
+    from clusterforge_spark.operators.text import nb_classify, nb_confusion
+
+    cells = nb_confusion(documents).collect()
+    total = sum(r.n for r in cells)
+    assert total == nb_classify(documents).count()
+    for r in cells:
+        if r.true_lang == r.predicted_lang:
+            assert r.recall is not None and 0 <= r.recall <= 1
+            assert r.precision is not None and 0 <= r.precision <= 1
+        else:
+            assert r.recall is None and r.precision is None

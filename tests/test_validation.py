@@ -133,3 +133,41 @@ def test_chi_square_matches_pandas(spark, events):
     chi2 = (((o - e) ** 2 / e)[mask]).sum()
     assert abs(row.chi2 - chi2) < 1e-3
     assert row.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+
+
+def test_ab_test_matches_python(spark, events):
+    import math
+
+    from clusterforge_spark.operators.validation import ab_test_proportions
+
+    row = ab_test_proportions(events).collect()[0]
+    # recompute conversion on the operator's own session definition
+    from clusterforge_spark.operators.relational import sessionize_gap
+
+    sess = sessionize_gap(events).collect()
+    # sessionize_gap emits per-session aggregates; conversion needs types —
+    # recompute sessions directly instead
+    pdf = events.selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", "event_type"
+    ).toPandas()
+    arms = {"A": [0, 0], "B": [0, 0]}
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        arm = "A" if uid % 2 == 0 else "B"
+        last, conv = None, False
+        for _, r in g.iterrows():
+            if last is None or r.us - last > 1_800_000_000:
+                if last is not None:
+                    arms[arm][0] += 1
+                    arms[arm][1] += int(conv)
+                conv = False
+            conv = conv or (r.event_type == "purchase")
+            last = r.us
+        arms[arm][0] += 1
+        arms[arm][1] += int(conv)
+    (n_a, c_a), (n_b, c_b) = arms["A"], arms["B"]
+    assert (row.n_a, row.conv_a, row.n_b, row.conv_b) == (n_a, c_a, n_b, c_b)
+    p1, p2 = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (p1 - p2) / math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert abs(row.z_stat - z) < 1e-3
