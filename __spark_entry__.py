@@ -254,6 +254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_user_growth"] = lambda spark, sf: R.user_growth(_t(spark, sf, "events"))
+    q["q_cohort_ltv"] = lambda spark, sf: R.cohort_ltv(_t(spark, sf, "events"))
+    q["q_order_reconciliation"] = lambda spark, sf: R.order_reconciliation(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["q_vocabulary_growth"] = lambda spark, sf: TX.vocabulary_growth(
+        _t(spark, sf, "documents")
+    )
+    q["q_embedding_dim_stats"] = lambda spark, sf: SIM.embedding_dim_stats(
+        _t(spark, sf, "embeddings")
+    )
     q["q_rfm_segments"] = lambda spark, sf: FE.rfm_segments(_rfm(spark, sf))
     q["q_skyline_orders"] = lambda spark, sf: R.skyline_orders(_t(spark, sf, "orders"))
     q["q_range_join_bands"] = lambda spark, sf: R.range_join_bands(
@@ -471,6 +481,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_funnel": OSQL.q_funnel(),
         "q_cohort_retention": OSQL.q_cohort_retention(),
         "q_user_growth": OSQL.q_user_growth(),
+        "q_cohort_ltv": OSQL.q_cohort_ltv(),
+        "q_order_reconciliation": OSQL.q_order_reconciliation(),
+        "q_vocabulary_growth": OSQL.q_vocabulary_growth(),
+        "q_embedding_dim_stats": OSQL.q_embedding_dim_stats(),
         "q_rfm_segments": OSQL.q_rfm_segments(),
         "q_skyline_orders": OSQL.q_skyline_orders(),
         "q_range_join_bands": OSQL.q_range_join_bands(),

@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_cohort_retention",
     "q_user_growth",
+    "q_cohort_ltv",
+    "q_order_reconciliation",
+    "q_vocabulary_growth",
+    "q_embedding_dim_stats",
     "q_rfm_segments",
     "q_skyline_orders",
     "q_range_join_bands",

@@ -1727,3 +1727,77 @@ def skyline_orders(orders: DataFrame) -> DataFrame:
         .filter(F.col("best_newer").isNull() | (F.col("o_totalprice") > F.col("best_newer")))
         .select("o_orderkey", "o_orderdate_us", "o_totalprice")
     )
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Cohort lifetime value: cumulative revenue per first-seen-week
+    cohort as it ages — the revenue companion to cohort_retention
+    (retention says who comes back; LTV says what they're worth).
+
+    Same cohort/offset derivation (min window on the user partition,
+    integer µs week arithmetic); revenue accumulates in DECIMAL per
+    (cohort, offset), then one tiny running-sum window over the matrix
+    yields cumulative LTV — exact at every cell.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    d = events.select("user_id", us.alias("us"), "value")
+    d = d.withColumn("first_us", F.min("us").over(w))
+    cohort = F.floor(F.col("first_us") / WEEK_US).cast("long")
+    offset = (
+        F.floor(F.col("us") / WEEK_US) - F.floor(F.col("first_us") / WEEK_US)
+    ).cast("long")
+    cell = (
+        d.select(
+            cohort.alias("cohort_week"),
+            offset.alias("week_offset"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("v").alias("week_value"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        F.col("week_value").cast("double").alias("week_value"),
+        F.sum("week_value").over(wc).cast("double").alias("cum_value"),
+    )
+
+
+def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Numeric reconciliation: does each order's header total match the
+    sum of its line net amounts? Reports only mismatching orders with
+    the exact DECIMAL delta — the financial-close check that FK
+    expectations don't cover (keys can resolve while amounts drift).
+
+    One keyed aggregate + one equi-join; deltas stay in DECIMAL until
+    output so the mismatch SET is exact. (The synthetic data generates
+    o_totalprice independently of lineitem, so at any SF this reports
+    nearly every order — the query's value is the exact delta audit.)
+    """
+    line_tot = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(28,4)")
+        ).alias("line_net")
+    )
+    j = orders.join(line_tot, orders.o_orderkey == line_tot.l_orderkey, "inner")
+    delta = F.col("o_totalprice").cast("decimal(28,4)") - F.col("line_net")
+    return (
+        j.select(
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("line_net").cast("double").alias("line_net"),
+            delta.cast("double").alias("delta"),
+        )
+        .filter(F.col("delta") != 0.0)
+    )

@@ -335,3 +335,41 @@ def filtered_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension embedding health stats: mean, min, max, and the
+    dead-dimension flag (all values ~0) — the sanity profile run before
+    trusting any similarity index built on the vectors.
+
+    posexplode fans each vector into (dim, value) rows — map-side only —
+    and one grouped aggregate per dimension does the rest. Values are
+    scaled to exact 1e-6 BIGINT micro-units before summing, so the
+    means are order-independent integers divided once at the end
+    (float sums would drift with partition order).
+    """
+    ex = embeddings.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_micro").alias("sum_micro"),
+        F.min("v_micro").alias("min_micro"),
+        F.max("v_micro").alias("max_micro"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        round_det(
+            F.col("sum_micro").cast("double") / F.lit(1e6) / F.col("n").cast("double"),
+            6,
+        ).alias("mean_v"),
+        (F.col("min_micro").cast("double") / F.lit(1e6)).alias("min_v"),
+        (F.col("max_micro").cast("double") / F.lit(1e6)).alias("max_v"),
+        ((F.abs("min_micro") < 1000) & (F.abs("max_micro") < 1000)).alias("is_dead"),
+    )

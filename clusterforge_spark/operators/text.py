@@ -833,3 +833,40 @@ def nb_confusion(documents: DataFrame) -> DataFrame:
             4,
         ).alias("precision"),
     )
+
+
+def vocabulary_growth(documents: DataFrame) -> DataFrame:
+    """Heaps'-law curve: distinct vocabulary size vs cumulative tokens
+    as the corpus grows in doc_id order — the saturation signal that
+    tells a data pipeline when more of the same source stops adding new
+    vocabulary.
+
+    Same one-pass shape as user_growth: each token's FIRST doc
+    (min doc_id) marks where it enters the vocabulary; per-doc new-token
+    counts and token totals then fold into running sums with one tiny
+    ordered window. No cumulative-distinct state anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = H.tokens_col("text")
+    ex = documents.select("doc_id", F.explode(toks).alias("token"))
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    firsts = (
+        ex.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_vocab", F.lit(0).cast("long")).alias("new_vocab"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("vocab_size", F.sum("new_vocab").over(w).cast("long"))
+    )

@@ -2422,3 +2422,81 @@ SELECT n_a, conv_a, n_b, conv_b,
                     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
          AS z_stat
 FROM one"""
+
+
+def q_cohort_ltv() -> str:
+    from clusterforge_spark.operators.relational import WEEK_US
+
+    return f"""WITH d AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value,
+         min(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id) AS first_us
+  FROM events
+), cell AS (
+  SELECT CAST(first_us // {WEEK_US} AS BIGINT) AS cohort_week,
+         CAST(us // {WEEK_US} - first_us // {WEEK_US} AS BIGINT) AS week_offset,
+         sum(value::DECIMAL(18,2)) AS week_value
+  FROM d GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset,
+       CAST(week_value AS DOUBLE) AS week_value,
+       CAST(sum(week_value) OVER (
+         PARTITION BY cohort_week ORDER BY week_offset
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM cell"""
+
+
+def q_order_reconciliation() -> str:
+    return """WITH lt AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice::DECIMAL(18,2)
+                  * (CAST(1 AS DECIMAL(18,2)) - l_discount::DECIMAL(18,2))
+                  AS DECIMAL(28,4))) AS line_net
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_totalprice,
+       CAST(line_net AS DOUBLE) AS line_net,
+       CAST(o_totalprice::DECIMAL(28,4) - line_net AS DOUBLE) AS delta
+FROM orders JOIN lt ON o_orderkey = l_orderkey
+WHERE CAST(o_totalprice::DECIMAL(28,4) - line_net AS DOUBLE) != 0.0"""
+
+
+def q_vocabulary_growth() -> str:
+    t = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT doc_id, unnest({t}) AS token FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM ex GROUP BY doc_id
+), firsts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_vocab FROM (
+    SELECT token, min(doc_id) AS doc_id FROM ex GROUP BY token
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       coalesce(f.new_vocab, 0) AS new_vocab,
+       CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(f.new_vocab, 0)) OVER (ORDER BY p.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM per_doc p LEFT JOIN firsts f USING (doc_id)"""
+
+
+def q_embedding_dim_stats() -> str:
+    return """WITH ex AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS v_micro
+  FROM embeddings
+), agg AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+         CAST(min(v_micro) AS BIGINT) AS min_micro,
+         CAST(max(v_micro) AS BIGINT) AS max_micro
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       round(CAST(sum_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS mean_v,
+       CAST(min_micro AS DOUBLE) / 1e6 AS min_v,
+       CAST(max_micro AS DOUBLE) / 1e6 AS max_v,
+       (abs(min_micro) < 1000 AND abs(max_micro) < 1000) AS is_dead
+FROM agg"""

@@ -338,3 +338,35 @@ def test_skyline_is_pareto_frontier(spark, orders):
             if o.o_orderkey != r.o_orderkey
         )
         assert (r.o_orderkey not in sky) == dominated, r
+
+
+def test_cohort_ltv_cumulative_monotone(spark, events):
+    from clusterforge_spark.operators.relational import cohort_ltv
+
+    rows = cohort_ltv(events).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    total = 0.0
+    for cohort, cells in by_cohort.items():
+        cells.sort(key=lambda r: r.week_offset)
+        cum = 0.0
+        for c in cells:
+            cum += c.week_value
+            assert abs(c.cum_value - cum) < 1e-6
+        total += cum
+    import pyspark.sql.functions as F
+
+    want = events.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert abs(total - want) < 1e-6
+
+
+def test_order_reconciliation_deltas_exact(spark, orders, lineitem):
+    from clusterforge_spark.operators.relational import order_reconciliation
+
+    rows = order_reconciliation(orders, lineitem).collect()
+    for r in rows[:50]:
+        assert abs(r.delta - (r.o_totalprice - r.line_net)) < 1e-9
+        assert r.delta != 0.0

@@ -161,3 +161,21 @@ def test_filtered_topk_respects_label_and_subsets_brute_force(embeddings):
     }
     want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r.vec_id, r.cos_sim) for r in out] == want
+
+
+def test_embedding_dim_stats_matches_numpy(embeddings):
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import embedding_dim_stats
+
+    got = {r.dim: r for r in embedding_dim_stats(embeddings).collect()}
+    X = np.stack(
+        embeddings.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    micro = np.floor(X * 1e6 + 0.5)
+    for d in range(X.shape[1]):
+        r = got[d]
+        assert r.n == X.shape[0]
+        assert abs(r.mean_v - micro[:, d].sum() / 1e6 / X.shape[0]) < 1e-4
+        assert r.min_v == micro[:, d].min() / 1e6
+        assert r.max_v == micro[:, d].max() / 1e6

@@ -335,3 +335,14 @@ def test_nb_confusion_margins(documents):
             assert r.precision is not None and 0 <= r.precision <= 1
         else:
             assert r.recall is None and r.precision is None
+
+
+def test_vocabulary_growth_monotone_and_total(documents):
+    from clusterforge_spark.operators.text import vocabulary_growth
+
+    rows = sorted(vocabulary_growth(documents).collect(), key=lambda r: r.doc_id)
+    assert rows[-1].vocab_size == sum(r.new_vocab for r in rows)
+    prev_v, prev_t = 0, 0
+    for r in rows:
+        assert r.vocab_size >= prev_v and r.cum_tokens > prev_t
+        prev_v, prev_t = r.vocab_size, r.cum_tokens
