@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_ewma_per_user"] = lambda spark, sf: R.ewma_per_user(_t(spark, sf, "events"))
     q["q_upsert_orders"] = lambda spark, sf: R.upsert_orders(_t(spark, sf, "orders"))
     q["q_scd2_build"] = lambda spark, sf: R.scd2_build(_t(spark, sf, "orders"))
+    q["q_order_backlog"] = lambda spark, sf: R.order_backlog(_t(spark, sf, "orders"))
     q["q_profile_columns"] = lambda spark, sf: VA.profile_columns(
         _t(spark, sf, "lineitem")
     )
@@ -336,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         DD.dedup_minhash_banded(_dup_docs(spark, sf))
     )
+    q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
+        DD.dedup_components(DD.dedup_minhash_banded(_dup_docs(spark, sf)))
+    )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_canonical"] = lambda spark, sf: DD.dedup_canonical(
         _dup_docs(spark, sf), DD.dedup_minhash_banded(_dup_docs(spark, sf))
@@ -435,6 +439,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_ewma_per_user": OSQL.q_ewma_per_user(),
         "q_upsert_orders": OSQL.q_upsert_orders(),
         "q_scd2_build": OSQL.q_scd2_build(),
+        "q_order_backlog": OSQL.q_order_backlog(),
         "q_profile_columns": OSQL.q_profile_columns(),
         "q_expectation_checks": OSQL.q_expectation_checks(),
         "q_snapshot_diff": OSQL.q_snapshot_diff(),
@@ -505,6 +510,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
+        "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),

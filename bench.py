@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_ewma_per_user",
     "q_upsert_orders",
     "q_scd2_build",
+    "q_order_backlog",
     "q_profile_columns",
     "q_expectation_checks",
     "q_snapshot_diff",
@@ -125,6 +126,7 @@ BENCH_QUERIES = [
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
     "q_dedup_components",
+    "q_component_size_stats",
     "q_dedup_triangles",
     "q_dedup_canonical",
     "q_dedup_embedding",

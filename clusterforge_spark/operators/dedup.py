@@ -631,3 +631,26 @@ def dedup_triangles(pairs: DataFrame) -> DataFrame:
         .join(e3, ["a", "c"])
         .select("a", "b", "c")
     )
+
+
+def component_size_stats(components: DataFrame) -> DataFrame:
+    """Distribution of near-dup cluster sizes: how many components of
+    each size the dedup pass found, plus the docs removed if one
+    canonical per component is kept — the dedup-report numbers a data
+    pipeline publishes after every pass.
+
+    Two tiny aggregations over the component labels (size per
+    component, then count per size) — the report stays a few rows no
+    matter the corpus.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .withColumn(
+            "docs_removed_if_deduped",
+            ((F.col("size") - 1) * F.col("n_components")).cast("long"),
+        )
+    )

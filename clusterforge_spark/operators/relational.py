@@ -1801,3 +1801,28 @@ def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .filter(F.col("delta") != 0.0)
     )
+
+
+def order_backlog(orders: DataFrame) -> DataFrame:
+    """Order backlog curve: per week, orders entering the book, orders
+    in terminal state ('F' filled), and the running open backlog —
+    the operations dashboard's supply/demand balance.
+
+    One grouped aggregate over integer week keys + one ordered window
+    over the tiny weekly series. Status semantics: 'F' is terminal;
+    'O'/'P' stay open. All integer arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    week = F.floor(F.unix_micros("o_orderdate") / F.lit(WEEK_US)).cast("long")
+    weekly = orders.groupBy(week.alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long"))
+        .cast("long")
+        .alias("n_filled"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return weekly.withColumn(
+        "open_backlog",
+        (F.sum("n_orders").over(w) - F.sum("n_filled").over(w)).cast("long"),
+    )

@@ -2500,3 +2500,33 @@ SELECT dim, n,
        CAST(max_micro AS DOUBLE) / 1e6 AS max_v,
        (abs(min_micro) < 1000 AND abs(max_micro) < 1000) AS is_dead
 FROM agg"""
+
+
+def q_component_size_stats(n: int = 3, threshold: float = 0.2) -> str:
+    comps = q_dedup_components(n=n, threshold=threshold)
+    return f"""WITH comps AS (
+{comps}
+), sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size
+  FROM comps GROUP BY component
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+       CAST((size - 1) * count(*) AS BIGINT) AS docs_removed_if_deduped
+FROM sizes GROUP BY size"""
+
+
+def q_order_backlog() -> str:
+    from clusterforge_spark.operators.relational import WEEK_US
+
+    return f"""WITH weekly AS (
+  SELECT CAST(epoch_us(o_orderdate::TIMESTAMP) // {WEEK_US} AS BIGINT) AS week,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_filled
+  FROM orders GROUP BY 1
+)
+SELECT week, n_orders, n_filled,
+       CAST(sum(n_orders) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING)
+            - sum(n_filled) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_backlog
+FROM weekly"""

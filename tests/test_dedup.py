@@ -160,3 +160,16 @@ def test_triangles_on_constructed_graph(spark):
     )
     tris = sorted(map(tuple, dedup_triangles(pairs).collect()))
     assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_component_size_stats_accounting(spark):
+    from clusterforge_spark.operators.dedup import component_size_stats
+
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "doc_id long, component long",
+    )
+    rows = {r.size: r for r in component_size_stats(comps).collect()}
+    assert rows[3].n_components == 1 and rows[3].docs_removed_if_deduped == 2
+    assert rows[2].n_components == 1 and rows[2].docs_removed_if_deduped == 1
+    assert rows[1].n_components == 1 and rows[1].docs_removed_if_deduped == 0

@@ -370,3 +370,14 @@ def test_order_reconciliation_deltas_exact(spark, orders, lineitem):
     for r in rows[:50]:
         assert abs(r.delta - (r.o_totalprice - r.line_net)) < 1e-9
         assert r.delta != 0.0
+
+
+def test_order_backlog_invariants(spark, orders):
+    from clusterforge_spark.operators.relational import order_backlog
+
+    rows = sorted(order_backlog(orders).collect(), key=lambda r: r.week)
+    assert sum(r.n_orders for r in rows) == orders.count()
+    n_filled = orders.filter("o_orderstatus = 'F'").count()
+    assert rows[-1].open_backlog == orders.count() - n_filled
+    for r in rows:
+        assert 0 <= r.n_filled <= r.n_orders
