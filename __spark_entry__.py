@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_vocabulary_growth"] = lambda spark, sf: TX.vocabulary_growth(
         _t(spark, sf, "documents")
     )
+    q["q_zipf_slope"] = lambda spark, sf: TX.zipf_slope(_t(spark, sf, "documents"))
     q["q_embedding_dim_stats"] = lambda spark, sf: SIM.embedding_dim_stats(
         _t(spark, sf, "embeddings")
     )
@@ -489,6 +490,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_cohort_ltv": OSQL.q_cohort_ltv(),
         "q_order_reconciliation": OSQL.q_order_reconciliation(),
         "q_vocabulary_growth": OSQL.q_vocabulary_growth(),
+        "q_zipf_slope": OSQL.q_zipf_slope(),
         "q_embedding_dim_stats": OSQL.q_embedding_dim_stats(),
         "q_rfm_segments": OSQL.q_rfm_segments(),
         "q_skyline_orders": OSQL.q_skyline_orders(),

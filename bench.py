@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_cohort_ltv",
     "q_order_reconciliation",
     "q_vocabulary_growth",
+    "q_zipf_slope",
     "q_embedding_dim_stats",
     "q_rfm_segments",
     "q_skyline_orders",

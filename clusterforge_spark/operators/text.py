@@ -870,3 +870,58 @@ def vocabulary_growth(documents: DataFrame) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .withColumn("vocab_size", F.sum("new_vocab").over(w).cast("long"))
     )
+
+
+def zipf_slope(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf rank-frequency slope: regress log2(frequency) on log2(rank)
+    over the top-k vocabulary — natural language sits near slope -1, so
+    a drifting slope flags template spam or synthetic filler in a crawl
+    slice.
+
+    Frequencies and ranks are exact integers; both logs are rounded to
+    6dp micro-unit BIGINTs, so the regression's sufficient statistics
+    are order-independent INTEGER sums (products stay < 2^63 for any
+    realistic k) and the slope is bit-stable. One token aggregate + a
+    k-row window; the regression is O(1) arithmetic on one row.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = (
+        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = vocab.select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+    def micro_log2(c):
+        return F.floor(F.log2(c.cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    pts = ranked.select(
+        micro_log2(F.col("rank")).alias("x"), micro_log2(F.col("n")).alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_, sx, sy = (
+        F.col("cnt").cast("double"),
+        F.col("sx").cast("double") / 1e6,
+        F.col("sy").cast("double") / 1e6,
+    )
+    sxy = F.col("sxy").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    slope = (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx)
+    return s.select(
+        F.col("cnt").cast("long").alias("k"),
+        round_det(slope, 6).alias("slope"),
+        round_det((sy - slope * sx) / n_, 6).alias("intercept"),
+    )

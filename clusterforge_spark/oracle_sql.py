@@ -2530,3 +2530,38 @@ SELECT week, n_orders, n_filled,
             - sum(n_filled) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS open_backlog
 FROM weekly"""
+
+
+def q_zipf_slope(k: int = 100) -> str:
+    t = _H.tokens_sql("text")
+    ml = "CAST(floor(log2(CAST({c} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    return f"""WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest({t}) AS token FROM documents
+  ) GROUP BY token
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM vocab
+  QUALIFY rank <= {k}
+), pts AS (
+  SELECT {ml.format(c="rank")} AS x, {ml.format(c="n")} AS y FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT cnt AS k,
+       round((CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+              - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+             / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)), 6)
+         AS slope,
+       round(((CAST(sy AS DOUBLE) / 1e6)
+              - ((CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+                * (CAST(sx AS DOUBLE) / 1e6))
+             / CAST(cnt AS DOUBLE), 6) AS intercept
+FROM s"""

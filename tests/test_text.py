@@ -346,3 +346,23 @@ def test_vocabulary_growth_monotone_and_total(documents):
     for r in rows:
         assert r.vocab_size >= prev_v and r.cum_tokens > prev_t
         prev_v, prev_t = r.vocab_size, r.cum_tokens
+
+
+def test_zipf_slope_matches_numpy(documents):
+    import numpy as np
+    import re as _re
+    from collections import Counter
+
+    from clusterforge_spark.operators.text import zipf_slope
+
+    row = zipf_slope(documents, k=100).collect()[0]
+    cnt = Counter()
+    for d in documents.select("text").collect():
+        cnt.update(t for t in _re.split(r"\s+", d.text.lower()) if t)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.floor(np.log2(np.arange(1, len(top) + 1)) * 1e6 + 0.5) / 1e6
+    y = np.floor(np.log2([n for _, n in top]) * 1e6 + 0.5) / 1e6
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.k == len(top)
+    assert abs(row.slope - slope) < 1e-4
+    assert row.slope < 0  # frequency decreases with rank
