@@ -382,3 +382,24 @@ def test_event_transitions_two_keyed_shuffles(spark):
 def test_scd2_single_shuffle(spark):
     df = R.scd2_build(_t(spark, "orders"))
     assert X.exchange_count(df) == 1
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned at planning — only matching directories are scanned), not a
+    post-scan predicate."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.sources.readers import load_table
+
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF_DIR, "events")
+    events.write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = X.plan_string(df)
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("event_type" in l for l in pf_lines), pf_lines
+    got = df.count()
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert got == want
