@@ -341,6 +341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
         DD.dedup_components(DD.dedup_minhash_banded(_dup_docs(spark, sf)))
     )
+    q["q_dup_rate_by_source"] = lambda spark, sf: DD.dup_rate_by_source(
+        _dup_docs(spark, sf),
+        DD.dedup_components(DD.dedup_minhash_banded(_dup_docs(spark, sf))),
+    )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_canonical"] = lambda spark, sf: DD.dedup_canonical(
         _dup_docs(spark, sf), DD.dedup_minhash_banded(_dup_docs(spark, sf))
@@ -513,6 +517,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
+        "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash_banded",
     "q_dedup_components",
     "q_component_size_stats",
+    "q_dup_rate_by_source",
     "q_dedup_triangles",
     "q_dedup_canonical",
     "q_dedup_embedding",

@@ -654,3 +654,27 @@ def component_size_stats(components: DataFrame) -> DataFrame:
             ((F.col("size") - 1) * F.col("n_components")).cast("long"),
         )
     )
+
+
+def dup_rate_by_source(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Near-dup rate segmented by source: which crawl slices are
+    polluting the corpus with duplicates — the targeting signal that
+    turns a dedup pass into a data-sourcing decision.
+
+    Left join of the corpus against the (doc_id, component) membership
+    (docs absent from any pair are singletons), then one grouped count.
+    Join key is the doc id; output is one row per source.
+    """
+    membership = components.select("doc_id", "component")
+    joined = docs.select("doc_id", "source").join(membership, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("component").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_in_dup_cluster"),
+        round_det(
+            F.sum(F.col("component").isNotNull().cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_rate"),
+    )

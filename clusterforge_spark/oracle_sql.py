@@ -2565,3 +2565,19 @@ SELECT cnt AS k,
                 * (CAST(sx AS DOUBLE) / 1e6))
              / CAST(cnt AS DOUBLE), 6) AS intercept
 FROM s"""
+
+
+def q_dup_rate_by_source(n: int = 3, threshold: float = 0.2) -> str:
+    comps = q_dedup_components(n=n, threshold=threshold)
+    dup = dup_corpus_cte()
+    return f"""WITH comps AS (
+{comps}
+), {dup}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_cluster,
+       round(CAST(sum(CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM dup_corpus d LEFT JOIN comps c USING (doc_id)
+GROUP BY d.source"""

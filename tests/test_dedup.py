@@ -173,3 +173,19 @@ def test_component_size_stats_accounting(spark):
     assert rows[3].n_components == 1 and rows[3].docs_removed_if_deduped == 2
     assert rows[2].n_components == 1 and rows[2].docs_removed_if_deduped == 1
     assert rows[1].n_components == 1 and rows[1].docs_removed_if_deduped == 0
+
+
+def test_dup_rate_by_source_accounting(spark):
+    from clusterforge_spark.operators.dedup import dup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4)], "doc_id long, component long"
+    )
+    rows = {r.source: r for r in dup_rate_by_source(docs, comps).collect()}
+    assert rows["a"].n_docs == 3 and rows["a"].n_in_dup_cluster == 2
+    assert abs(rows["a"].dup_rate - 2 / 3) < 1e-4
+    assert rows["b"].n_docs == 2 and rows["b"].n_in_dup_cluster == 1
