@@ -37,14 +37,29 @@ def _ref_us(ref_instant: str) -> F.Column:
     return F.unix_micros(F.to_timestamp(F.lit(ref_instant)))
 
 
-def compute_rfm(events: DataFrame, ref_instant: str = DEFAULT_REF_INSTANT) -> DataFrame:
+def compute_rfm(
+    events: DataFrame,
+    ref_instant: str = DEFAULT_REF_INSTANT,
+    single_exchange: bool = True,
+) -> DataFrame:
     """Per-user RFM features over the events table (O6-O12).
 
     events columns used: user_id (customer key), ts (event time), event_id
-    (invoice analog), value (amount analog). One hash-aggregate shuffle on
-    user_id computes all three features; countDistinct adds the expand
-    step Catalyst plans for exact distinct together with grouped aggs.
+    (invoice analog), value (amount analog).
+
+    ``single_exchange`` (default): pre-partition the events by ``user_id``
+    before the aggregate. Catalyst plans a grouped exact COUNT(DISTINCT)
+    as two aggregation levels — (user_id, event_id) then (user_id) — and
+    ``hashpartitioning(user_id)`` satisfies BOTH levels' clustered
+    distributions, so the whole chain runs on ONE exchange instead of two
+    (measured 0.39 s vs 0.58 s median at sf0.1). The trade-off is that
+    the shuffle carries raw rows rather than map-side partial aggregates;
+    with near-unique (user_id, event_id) keys the volumes are identical,
+    but for corpora with heavy per-invoice row duplication pass ``False``
+    to restore the classic two-phase partial-agg plan.
     """
+    if single_exchange:
+        events = events.repartition("user_id")
     return (
         events.groupBy("user_id")
         .agg(

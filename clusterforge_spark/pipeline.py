@@ -161,7 +161,20 @@ def run_full_pipeline(
     # distributed regime: discard the probe rows (bounded waste,
     # ≤ threshold+1) and compute the TRUE customer count with an agg-only
     # job so PipelineResult.n_customers is never the clipped threshold+1.
-    rows = rfm.select("user_id", *FE.RFM_COLS).limit(driver_fit_threshold + 1).collect()
+    # Interactive small-query fast path: AQE's per-exchange
+    # materialization barriers (each a separate re-optimized job) cost
+    # more than they can save on this fixed two-stage bounded probe —
+    # measured 0.37 s vs 0.71 s median at sf0.1. Scoped + restored:
+    # everything at corpus scale (the distributed MLlib branch, dedup,
+    # joins) still runs under AQE.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = (
+            rfm.select("user_id", *FE.RFM_COLS).limit(driver_fit_threshold + 1).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     if len(rows) > driver_fit_threshold:
         rows = []
         n = rfm.count()

@@ -44,6 +44,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     # bloom_filter_agg semi-filter before the shuffle — the 100 TB
     # star-join saver (plan asserted in tests/test_plans.py).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Bounded-probe pattern (pipeline.py limit(threshold+1).collect()):
+    # run the limit in ONE task wave instead of the default incremental
+    # 1 → 4× → 16× partition escalation, which costs a sequential job
+    # per wave. Over-limit results are truncated executor-side either
+    # way, so this only changes scheduling, not memory posture.
+    "spark.sql.limit.initialNumPartitions": "10000",
 }
 
 
