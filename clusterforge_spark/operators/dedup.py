@@ -249,8 +249,34 @@ def dedup_simhash(
     Banded blocking: two hashes within hamming h < bands must agree on
     ≥1 of the ``bands`` disjoint 15-bit bands (pigeonhole) — the
     candidate join is on (band_idx, band_value), never all-pairs.
+
+    Two-level structure (hash-group, then doc): the join, hamming
+    computation, and band-collision dedup all run on DISTINCT simhash
+    values (≤ #docs, typically far fewer on dup-heavy corpora), and doc
+    pairs are produced last by expanding each hash-pair against the two
+    groups' doc-id lists via broadcast. On a corpus with near-identical
+    cliques this removes the pairwise ``distinct()`` over the (quadratic)
+    output — the only quadratic step left is emitting the answer itself.
+    Scale note: the per-hash doc-id list is linear in the largest clique;
+    the output is quadratic in it, so the list is never the bottleneck.
     """
     fp = simhash_fingerprints(docs).select("doc_id", "simhash")
+    # cache: the group table is referenced five times below (intra pairs,
+    # both sides of the banded join, two broadcast expansions); uncached,
+    # each reference re-runs the 60-sum fingerprint aggregate. One row per
+    # distinct hash — tiny relative to the corpus.
+    groups = fp.groupBy("simhash").agg(F.collect_list("doc_id").alias("ids")).cache()
+
+    # (a) identical-hash cliques: hamming 0, every band trivially equal.
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+
+    # (b) distinct-hash pairs through the banded join.
     band_arr = F.array(
         *[
             F.struct(
@@ -262,26 +288,45 @@ def dedup_simhash(
             for i in range(bands)
         ]
     )
-    banded = fp.select("doc_id", "simhash", F.explode(band_arr).alias("bv")).select(
-        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    banded = groups.select("simhash", F.explode(band_arr).alias("bv")).select(
+        "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct()  # hash-level: tiny vs the doc-pair set
     )
+    inter = (
+        hash_pairs.join(
+            F.broadcast(groups.select(F.col("simhash").alias("h_a"), F.col("ids").alias("ids_a"))),
+            "h_a",
+        )
+        .join(
+            F.broadcast(groups.select(F.col("simhash").alias("h_b"), F.col("ids").alias("ids_b"))),
+            "h_b",
+        )
+        .select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
+        .select("da", F.explode("ids_b").alias("db"), "hamming")
+        # h_a != h_b ⇒ each doc pair appears exactly once; canonicalize order.
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 def embs_with_dups(embeddings: DataFrame, n_copy: int = 100) -> DataFrame:

@@ -481,9 +481,19 @@ def ab_test_proportions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
     n1, c1 = F.col("A_n").cast("double"), F.col("A_conv").cast("double")
     n2, c2 = F.col("B_n").cast("double"), F.col("B_conv").cast("double")
-    p1, p2 = c1 / n1, c2 / n2
-    pool = (c1 + c2) / (n1 + n2)
-    z = (p1 - p2) / F.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n2))
+    # ANSI-safe: a degenerate split (missing arm, or pooled rate 0/1 →
+    # zero variance) yields NULL instead of DIVIDE_BY_ZERO under Spark 4's
+    # ANSI default.
+    p1, p2 = F.try_divide(c1, n1), F.try_divide(c2, n2)
+    pool = F.try_divide(c1 + c2, n1 + n2)
+    z = F.try_divide(
+        p1 - p2,
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.try_divide(F.lit(1.0), n1) + F.try_divide(F.lit(1.0), n2))
+        ),
+    )
     return one.select(
         F.col("A_n").alias("n_a"),
         F.col("A_conv").alias("conv_a"),

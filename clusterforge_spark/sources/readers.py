@@ -11,6 +11,8 @@ inference as an opt-in convenience for ad-hoc CSVs
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,13 +87,15 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
-    # (epoch nanos) under spark.sql.legacy.parquet.nanosAsLong=true;
-    # load_table converts it to a microsecond TimestampType column.
+    # events.ts canonical logical type is TimestampType (µs). The physical
+    # parquet encoding has varied across testdata generations — currently
+    # TIMESTAMP(MICROS), previously TIMESTAMP(NANOS) — so load_table sniffs
+    # the footer and only applies the ns→µs conversion when the file really
+    # stores INT64 nanos (see events_ts_is_nanos).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -117,21 +121,63 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """Events schema with the given physical ``ts`` read type."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: True iff ``ts`` is stored as INT64 nanos.
+
+    Spark's vectorized reader can't decode TIMESTAMP(NANOS) natively; under
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as an
+    epoch-nanos long, which we floor-truncate to µs (the same truncation
+    DuckDB applies, so oracle comparisons agree exactly). Any other
+    timestamp unit (µs/ms/s) Spark reads natively as TimestampType.
+    Footer read is one metadata fetch, cached per path — no data scan.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        try:  # directory-of-files layout
+            import glob
+
+            import pyarrow.parquet as pq
+
+            part = sorted(glob.glob(f"{path}/*.parquet"))[0]
+            t = str(pq.read_schema(part).field("ts").type)
+        except Exception:
+            return False
+    return t == "int64" or t.startswith("timestamp[ns")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its declared schema.
 
-    Timestamp normalization: ``events.ts`` arrives as epoch-nanos long
-    (see TABLE_SCHEMAS); it is floor-truncated to microseconds (``div
-    1000``) — the same truncation DuckDB's ``epoch_us`` applies to its
-    TIMESTAMP_NS values, so oracle comparisons agree exactly.
+    Timestamp normalization: ``events.ts`` is canonically TimestampType.
+    When the footer says the column is physically INT64 nanos (older
+    testdata generations), it is read as LongType and floor-truncated to
+    microseconds (``div 1000``); otherwise Spark decodes it natively.
     """
     if name not in TABLE_SCHEMAS:
         raise ValueError(f"unknown table {name!r}; expected one of {sorted(TABLE_SCHEMAS)}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    if name == "events" and events_ts_is_nanos(path):
+        df = spark.read.schema(_events_schema(T.LongType())).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 # ---------------------------------------------------------------------------

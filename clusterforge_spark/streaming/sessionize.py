@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as PW
 
-from clusterforge_spark.sources.readers import TABLE_SCHEMAS
+from clusterforge_spark.sources.readers import (
+    TABLE_SCHEMAS,
+    _events_schema,
+    events_ts_is_nanos,
+)
 
 
 def _await_or_raise(query, timeout_s: int) -> None:
@@ -34,16 +38,26 @@ def _await_or_raise(query, timeout_s: int) -> None:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned; the
-    ns-epoch ts converted exactly as the batch reader does)."""
+    """File-source stream over the events parquet (schema pinned; the ts
+    physical encoding sniffed exactly as the batch reader does)."""
     # the file source requires a directory; glob-filter to the events file
-    raw = (
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if events_ts_is_nanos(path):
+        from pyspark.sql import types as _T
+
+        raw = (
+            spark.readStream.schema(_events_schema(_T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_user_counts(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
