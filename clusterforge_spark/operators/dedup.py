@@ -557,10 +557,16 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     Levenshtein is the right detector for small in-place edits
     (OCR noise, typo-level mutations) that shingle-set Jaccard
     under-weights. Blocked on (lang, source, len_bucket) like
-    :func:`dedup_ngram_jaccard` — pair count Σ_block m², never n² — and
-    distances run on a ``LEV_PREFIX``-char prefix so per-pair cost is a
-    constant. rel_dist = lev / max(prefix lengths); both engines ship a
-    bit-identical integer levenshtein, making this oracle-exact.
+    :func:`dedup_ngram_jaccard`, but with ADJACENT-bucket probing: side
+    ``a`` is exploded to probe buckets {b−1, b, b+1}, so a near-dup pair
+    straddling a 100-char bucket boundary (e.g. 99 vs 101 chars) is still
+    reachable — fixed-bucket blocking misses exactly those. Each unordered
+    pair still joins once (when ``a`` is the lower doc_id, exactly one of
+    its three probes hits ``b``'s bucket), and pair count stays Σ_block
+    m·(m + neighbors) — never n². Distances run on a ``LEV_PREFIX``-char
+    prefix so per-pair cost is a constant. rel_dist = lev / max(prefix
+    lengths); both engines ship a bit-identical integer levenshtein,
+    making this oracle-exact.
     """
     base = docs.select(
         "doc_id",
@@ -569,7 +575,18 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    probing = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "prefix",
+        F.explode(
+            F.array(
+                F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1
+            )
+        ).alias("probe_bucket"),
+    )
+    a, b = probing.alias("a"), base.alias("b")
     # emit the candidate PAIRS first (cheap columns only), spread them
     # across all cores, and only then run the O(P²) levenshtein: AQE
     # coalesces the post-join stage by BYTES, and a CPU-bound distance
@@ -579,7 +596,7 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.probe_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),

@@ -1007,7 +1007,8 @@ pairs AS (
          round(levenshtein(a.prefix, b.prefix)::DOUBLE
                / greatest(len(a.prefix), len(b.prefix)), 6) AS rel_dist
   FROM lb a JOIN lb b ON a.lang = b.lang AND a.source = b.source
-       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       AND b.len_bucket BETWEEN a.len_bucket - 1 AND a.len_bucket + 1
+       AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, lev, rel_dist
 FROM pairs WHERE rel_dist <= {flit(threshold)}"""

@@ -189,3 +189,25 @@ def test_dup_rate_by_source_accounting(spark):
     assert rows["a"].n_docs == 3 and rows["a"].n_in_dup_cluster == 2
     assert abs(rows["a"].dup_rate - 2 / 3) < 1e-4
     assert rows["b"].n_docs == 2 and rows["b"].n_in_dup_cluster == 1
+
+
+def test_levenshtein_catches_bucket_straddling_pair(spark):
+    """A near-dup pair whose lengths straddle a 100-char bucket edge
+    (99 vs 101 chars → buckets 0 and 1) must still be found: the blocked
+    join probes adjacent len_buckets, not just the doc's own."""
+    from clusterforge_spark.operators.dedup import dedup_levenshtein
+
+    rows = [
+        (1, "a" * 99, "en", "src0", 99),
+        (2, "a" * 101, "en", "src0", 101),
+        (3, "b" * 350, "en", "src0", 350),  # non-adjacent bucket, dissimilar
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup_levenshtein(df, threshold=0.2).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # adjacent-bucket probing must not double-emit a pair
+    assert len(out) == len(pairs)
