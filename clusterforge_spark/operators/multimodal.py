@@ -66,7 +66,8 @@ DECODE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, width: int, height: int):  # pragma: no cover
-    """Real image decode — unavailable in this container by design."""
+    """Single-payload real decode (kept for the stub-contract test);
+    the batch operator is :func:`decode_real_features`."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
@@ -74,7 +75,78 @@ def _decode_real(payload: bytes, width: int, height: int):  # pragma: no cover
             "real image decode requires pillow; use the deterministic "
             "fake decoder (decode_features) in this environment"
         ) from exc
-    raise NotImplementedError("real decode path not wired in this container")
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_real_features(frames: DataFrame, thumb_size: int = 8) -> DataFrame:
+    """Real image decode via pillow — the optional-extra codec path.
+
+    Same Spark shape as :func:`decode_features` (spread → Arrow-batched
+    ``mapInPandas``, schema declared up front, map-only); the Python body
+    actually decodes each payload as an image, extracts (width, height,
+    mode), the grayscale pixel mean, and a ``thumb_size``² grayscale
+    thumbnail vector — the standard perceptual-hash precursor. Raises
+    NotImplementedError at PLAN TIME when pillow is absent (this test
+    container), so callers fail fast rather than per-task.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires pillow; use the deterministic "
+            "fake decoder (decode_features) in this environment"
+        ) from exc
+
+    import pandas as pd
+
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    frames = spread_partitions(frames, "doc_id")
+
+    def _real_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                gray = np.asarray(img.convert("L"), dtype=np.float64)
+                thumb = np.asarray(
+                    img.convert("L").resize((thumb_size, thumb_size)),
+                    dtype=np.float64,
+                )
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(img.width),
+                        "height": int(img.height),
+                        "mode": str(img.mode),
+                        "mean_pixel": float(gray.mean()),
+                        "thumb": [float(v) for v in thumb.ravel()],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in REAL_DECODE_SCHEMA.fields])
+
+    return frames.mapInPandas(_real_decode_batch, REAL_DECODE_SCHEMA)
 
 
 def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
@@ -104,36 +176,62 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
 
     def _fake_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = []
-            for doc_id, payload, n_frames in zip(
-                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
-            ):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(arr.size)
-                counts = np.bincount(arr >> 5, minlength=8)
-                # entropy accumulated in FIXED bucket order with
-                # math.log2 (glibc, bit-identical to DuckDB's log2) so
-                # the SQL oracle reproduces it exactly; zero buckets add
-                # an exact 0.0 and do not perturb the chain
+            n_rows = len(pdf)
+            if n_rows == 0:
+                yield pd.DataFrame(
+                    {f.name: [] for f in DECODE_SCHEMA.fields},
+                    columns=[f.name for f in DECODE_SCHEMA.fields],
+                )
+                continue
+            # Vectorize the O(total bytes) scan across the WHOLE Arrow
+            # batch: one concatenated uint8 view, per-row byte counts via
+            # a single bincount over (row*8 + bucket) — C-speed regardless
+            # of row count. Integer arithmetic throughout, so results are
+            # identical to a per-row pass in any order.
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_rows)
+            big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+            counts = np.bincount(
+                row_ids * 8 + (big >> 5), minlength=n_rows * 8
+            ).reshape(n_rows, 8)
+            # byte sums per row: float64-weighted bincount is exact here
+            # (integer-valued weights, totals far below 2^53)
+            sums = np.bincount(row_ids, weights=big.astype(np.float64), minlength=n_rows)
+            safe_n = np.maximum(lengths, 1)
+            hist = counts / safe_n[:, None]
+            hist[lengths == 0] = 0.0
+            # floor-form rounding is a fixed IEEE op sequence — vectorizing
+            # it is bit-identical to the scalar version
+            hist_r = np.floor(hist * 1e6 + 0.5) / 1e6
+            mean_r = np.floor(np.where(lengths > 0, sums / safe_n, 0.0) * 1e6 + 0.5) / 1e6
+            # entropy stays a SCALAR chain per row, accumulated in FIXED
+            # bucket order with math.log2 (glibc, bit-identical to DuckDB's
+            # log2) so the SQL oracle reproduces it exactly; np.log2's SIMD
+            # path differs by ULPs and would break hash parity. O(8) per
+            # row — the O(bytes) work happened above.
+            ent = np.empty(n_rows, dtype=np.float64)
+            for i in range(n_rows):
+                n = int(lengths[i])
                 acc = 0.0
-                for c in counts:
+                for c in counts[i]:
                     if c > 0:
                         p = float(c) / n
                         acc += p * math.log2(p)
-                mean = (float(int(arr.sum())) / n) if n else 0.0
-                out.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "n_bytes": n,
-                        "mean_byte": _round6(mean),
-                        "byte_entropy": _round6(-acc),
-                        "histogram": [
-                            _round6(float(c) / n if n else 0.0) for c in counts
-                        ],
-                        "n_frames_sampled": (int(n_frames) + frame_stride - 1)
-                        // frame_stride,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+                ent[i] = _round6(-acc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "n_bytes": lengths,
+                    "mean_byte": mean_r,
+                    "byte_entropy": ent,
+                    "histogram": list(hist_r),
+                    "n_frames_sampled": (
+                        pdf["n_frames"].astype("int64").to_numpy() + frame_stride - 1
+                    )
+                    // frame_stride,
+                },
+                columns=[f.name for f in DECODE_SCHEMA.fields],
+            )
 
     return frames.mapInPandas(_fake_decode_batch, DECODE_SCHEMA)

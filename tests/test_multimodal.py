@@ -46,3 +46,51 @@ def test_decode_features_match_numpy(documents):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_real(b"xx", 4, 4)
+
+
+def test_real_decode_batch_raises_without_pillow(documents):
+    """Plan-time failure contract when the optional codec dep is absent."""
+    PIL = None
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pass
+    if PIL is not None:
+        pytest.skip("pillow installed; covered by test_real_decode_with_pillow")
+    from clusterforge_spark.operators.multimodal import decode_real_features
+
+    with pytest.raises(NotImplementedError):
+        decode_real_features(attach_payload(documents.limit(1)))
+
+
+def test_real_decode_with_pillow(spark):
+    """Exercises the REAL codec path end-to-end when pillow is present
+    (skipped in this container): encode a 2-color PNG, run it through the
+    mapInPandas decode, check dimensions and grayscale mean."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from clusterforge_spark.operators.multimodal import (
+        REAL_DECODE_SCHEMA,
+        decode_real_features,
+    )
+
+    buf = io.BytesIO()
+    img = Image.new("L", (16, 16), color=0)
+    for x in range(8):
+        for y in range(16):
+            img.putpixel((x, y), 255)
+    img.save(buf, format="PNG")
+    frames = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), 16, 16, 1)],
+        "doc_id long, payload binary, width long, height long, n_frames long",
+    )
+    out = decode_real_features(frames).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert set(r.asDict()) == {f.name for f in REAL_DECODE_SCHEMA.fields}
+    assert r.width == 16 and r.height == 16 and r.mode == "L"
+    assert abs(r.mean_pixel - 127.5) < 1e-9
+    assert len(r.thumb) == 64
