@@ -57,9 +57,19 @@ def compute_rfm(
     with near-unique (user_id, event_id) keys the volumes are identical,
     but for corpora with heavy per-invoice row duplication pass ``False``
     to restore the classic two-phase partial-agg plan.
+
+    The exchange's partition count is sized from the source file bytes
+    (partitioning.suggest_agg_partitions): megabyte-scale inputs get a
+    handful of reduce tasks instead of the session conf's count
+    (283 ms vs 462 ms for the sf0.1 probe), while large inputs keep the
+    conf — the explicit repartition is otherwise invisible to AQE's
+    coalescing.
     """
     if single_exchange:
-        events = events.repartition("user_id")
+        from clusterforge_spark.functions.partitioning import suggest_agg_partitions
+
+        n = suggest_agg_partitions(events)
+        events = events.repartition(n, "user_id") if n else events.repartition("user_id")
     return (
         events.groupBy("user_id")
         .agg(
