@@ -363,6 +363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_dedup_components"] = _components
+    # same contract via the O(log n)-round large/small-star algorithm —
+    # shares q_dedup_components' oracle (identical deterministic output)
+    q["q_dedup_components_star"] = lambda spark, sf: DD.dedup_components_star(
+        _banded_pairs(spark, sf)
+    )
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
@@ -542,6 +547,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
         "q_dedup_components": OSQL.q_dedup_components(),
+        "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
     "q_dedup_components",
+    "q_dedup_components_star",
     "q_component_size_stats",
     "q_dup_rate_by_source",
     "q_dedup_triangles",

@@ -426,10 +426,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     component (deterministic). Rounds needed = graph diameter — tiny for
     dup clusters (near-clique). Each round is one join + one min-agg,
     both shuffling on the vertex key only; the per-round convergence
-    check is a count (cheap action). At petabyte scale with adversarial
-    diameters you would switch to the large-star/small-star algorithm
-    (same primitive ops, O(log n) rounds); labels are localCheckpointed
-    every few rounds to truncate the growing lineage either way.
+    check is a count (cheap action). If the loop exhausts ``max_iter``
+    without reaching the fixpoint (diameter > max_iter — an adversarial
+    chain rather than a dup near-clique), it hands off to
+    :func:`dedup_components_star` (same primitive ops, O(log n) rounds)
+    instead of returning silently-fragmented components; labels are
+    localCheckpointed every few rounds to truncate the growing lineage
+    either way.
 
     Output: (doc_id, component, component_size) for every doc that
     appears in at least one pair.
@@ -459,6 +462,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # near-star case) the loop exits after ONE confirming round instead
     # of two — labels only decrease, so equal sums ⇔ no change.
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for it in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.v).select(
             F.col("dst").alias("v"), F.col("lbl")
@@ -478,13 +482,122 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # diameter > max_iter (an adversarial chain, not a dup
+        # near-clique): returning the unconverged labels would be
+        # SILENTLY WRONG (fragmented components). Hand off to the
+        # O(log n)-round star algorithm instead of failing or looping
+        # linearly in the diameter.
+        labels.unpersist()
+        edges.unpersist()
+        return dedup_components_star(pairs)
     comp = labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("component_size")
     )
     edges.unpersist()
+    return comp.join(sizes, "component").select("doc_id", "component", "component_size")
+
+
+def dedup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star —
+    the O(log n)-round algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SOCC'14) for graphs whose diameter is NOT
+    tiny.
+
+    :func:`dedup_components`' min-label propagation needs diameter-many
+    rounds — perfect for near-clique dup clusters, quadratic-time for an
+    adversarial chain (A≈B≈C≈…≈Z from a sliding near-dup window over a
+    template family). Star operations instead contract toward each
+    node's minimum in logarithmically many rounds:
+
+    * large-star: every node points its LARGER neighbors at the minimum
+      of its closed neighborhood — edge (v, m(u)) for v ∈ N(u), v > u,
+      with m(u) = min(N(u) ∪ {u}).
+    * small-star: every node points its smaller-or-equal neighbors (and
+      itself) at its minimum smaller neighbor.
+
+    Both are one groupBy(min) + one join per round, shuffling on the
+    node key only — the same primitives as the propagation loop, so the
+    same 100 TB posture. Convergence = the small-star edge set is a
+    fixpoint (every edge already (v → its component min)); checked with
+    a scalar (count, Σa, Σb) signature, one cheap action per round.
+
+    Output contract identical to :func:`dedup_components`:
+    (doc_id, component, component_size), component = min doc_id — the
+    two algorithms are interchangeable and tested equivalent.
+    """
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        # (count, Σa, Σb, Σa·b): a set-level fingerprint strong enough
+        # that two consecutive DISTINCT edge sets matching on all four
+        # while differing is not a practical concern
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+        ).collect()[0]
+        return (r.n, r.sa, r.sb, r.sab)
+
+    sig = _signature(edges)
+    for it in range(max_iter):
+        # large-star: symmetric neighborhoods
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select(F.col("a").alias("u"), F.least("a", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, sym.a == mins.u)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient high → low, point the low side (and the hub)
+        # at the hub's minimum neighbor
+        dird = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = dird.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dird.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        small = small.localCheckpoint(eager=False).cache()
+        new_sig = _signature(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges are (node → component min); add the centers
+    comp = (
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component"))
+        .unionByName(
+            edges.select(F.col("b").alias("doc_id"), F.col("b").alias("component"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
     return comp.join(sizes, "component").select("doc_id", "component", "component_size")
 
 

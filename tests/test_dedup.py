@@ -211,3 +211,53 @@ def test_levenshtein_catches_bucket_straddling_pair(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # adjacent-bucket probing must not double-emit a pair
     assert len(out) == len(pairs)
+
+
+def test_star_components_equal_propagation(spark):
+    """large/small-star must produce the identical component assignment
+    as min-label propagation — on a long chain (adversarial diameter for
+    propagation), on random graphs, and with multi-edge/self-ish input."""
+    import random
+
+    from clusterforge_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_star,
+    )
+
+    rng = random.Random(7)
+    # 200-node chain offset by 1000, plus two random graphs, plus a clique
+    cases = []
+    cases.append([(1000 + i, 1000 + i + 1) for i in range(200)])
+    for _ in range(2):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(150)
+        ]
+        cases.append([(a, b) for a, b in edges if a != b])
+    cases.append([(i, j) for i in range(20) for j in range(i + 1, 20)])
+
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop = {
+            r.doc_id: (r.component, r.component_size)
+            for r in dedup_components(pairs).collect()
+        }
+        star = {
+            r.doc_id: (r.component, r.component_size)
+            for r in dedup_components_star(pairs).collect()
+        }
+        assert star == prop
+
+
+def test_star_components_log_rounds_on_chain(spark):
+    """The star loop must converge in far fewer than diameter rounds."""
+    from clusterforge_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    out = DD.dedup_components_star(pairs, max_iter=10).collect()
+    comps = {r.component for r in out}
+    assert comps == {0}
+    assert len(out) == 65
