@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_pack_chunks",
     "q_hash_split",
+    "q_chunk_sliding",
+    "q_cross_source_contamination",
     "q_multimodal_meta",
     "q_multimodal_decode",
 ]

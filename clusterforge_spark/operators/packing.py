@@ -85,3 +85,44 @@ def hash_split(documents: DataFrame, train_pct: int = TRAIN_PCT) -> DataFrame:
         bucket.alias("hash_bucket"),
         F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val")).alias("split"),
     )
+
+
+def chunk_sliding(
+    documents: DataFrame, chunk_size: int = 200, overlap: int = 50
+) -> DataFrame:
+    """Sliding-window character chunking with overlap — the RAG /
+    long-context preparation step (each chunk starts ``chunk_size −
+    overlap`` characters after the previous one, so every boundary
+    region appears in two chunks).
+
+    Map-only: one integer-sequence explode per document, then a
+    substring projection — no shuffle, no UDF; scales as a pure scan at
+    any corpus size. Deterministic strings + integer math, so the DuckDB
+    oracle reproduces it bit-for-bit. Empty documents produce no chunks
+    (the filter also guards Spark's ``sequence``, whose step is inferred
+    as −1 when start > stop).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((F.length("text") - 1) / stride).cast("int"))
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    return (
+        documents.filter(F.length("text") > 0)
+        .select("doc_id", "text", idx.alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("chunk_start"),
+            F.expr(f"substring(text, chunk_idx * {stride} + 1, {chunk_size})").alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.expr(f"substring(text, chunk_idx * {stride} + 1, {chunk_size})")
+            )
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )

@@ -925,3 +925,62 @@ def zipf_slope(documents: DataFrame, k: int = 100) -> DataFrame:
         round_det(slope, 6).alias("slope"),
         round_det((sy - slope * sx) / n_, 6).alias("intercept"),
     )
+
+
+def cross_source_contamination(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Pairwise corpus-overlap between sources: shared distinct
+    ``n``-gram shingles and the shingle-set Jaccard, one row per
+    unordered source pair — the crawl-slice contamination report a
+    training pipeline checks before mixing corpora (same measure as
+    benchmark-contamination, lifted from doc-level to corpus-level).
+
+    Shingles are md5-hashed to 60-bit ints up front (the engine's
+    standard shingle idiom — one hash per shingle, then integer set
+    ops); the working set is DISTINCT (source, shingle) rows, so volume
+    is the per-source vocabulary, not the corpus; the pair join is on
+    the shingle-hash key and emits at most #sources² rows per shingle.
+    Exact integer counts + one rounded division → oracle-exact.
+    """
+    sh = (
+        documents.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        H.shingles_col("text", n=n),
+                        lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_shingles_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_shingles_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            "n_shared",
+            round_det(
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_shingles_a") + F.col("n_shingles_b") - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("shingle_jaccard"),
+        )
+    )

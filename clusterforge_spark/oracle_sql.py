@@ -2582,3 +2582,48 @@ SELECT d.source,
                   AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
 FROM dup_corpus d LEFT JOIN comps c USING (doc_id)
 GROUP BY d.source"""
+
+
+def q_chunk_sliding(chunk_size: int = 200, overlap: int = 50) -> str:
+    stride = chunk_size - overlap
+    return f"""SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * {stride} + 1 AS INT), {chunk_size}) AS chunk_text,
+       CAST(length(substr(text, CAST(i * {stride} + 1 AS INT), {chunk_size}))
+            AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(floor((length(text) - 1) / {stride}) AS BIGINT))) AS i
+  FROM documents WHERE length(text) > 0
+)"""
+
+
+def q_cross_source_contamination(n: int = 5) -> str:
+    toks = _H.tokens_sql("text")
+    sh = _H.shingles_sql("text", n=n)
+    return f"""WITH sh AS (
+  SELECT DISTINCT source, s AS sh
+  FROM (SELECT source,
+               unnest(list_distinct(list_transform({sh},
+                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS s
+        FROM (SELECT source, {toks} AS t FROM documents))
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       sa.n_sh AS n_shingles_a, sb.n_sh AS n_shingles_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_shared AS DOUBLE), 6)
+         AS shingle_jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b"""

@@ -366,3 +366,67 @@ def test_zipf_slope_matches_numpy(documents):
     assert row.k == len(top)
     assert abs(row.slope - slope) < 1e-4
     assert row.slope < 0  # frequency decreases with rank
+
+
+def test_chunk_sliding_overlap_semantics(spark):
+    from clusterforge_spark.operators.packing import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_sliding(docs, chunk_size=6, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 4 → starts 0, 4, 8; overlap region appears twice
+    c1 = by_doc[1]
+    assert [(r.chunk_start, r.chunk_text) for r in c1] == [
+        (0, "abcdef"),
+        (4, "efghij"),
+        (8, "ij"),
+    ]
+    # every character position is covered
+    covered = set()
+    for r in c1:
+        covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
+    assert covered == set(range(10))
+    # short doc → one chunk; empty doc → none
+    assert [(r.chunk_start, r.chunk_text) for r in by_doc[2]] == [(0, "abc")]
+    assert 3 not in by_doc
+
+
+def test_chunk_sliding_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from clusterforge_spark.operators.packing import chunk_sliding
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_sliding(docs, chunk_size=5, overlap=5)
+
+
+def test_cross_source_contamination_counts(spark):
+    from clusterforge_spark.operators.text import cross_source_contamination
+
+    docs = spark.createDataFrame(
+        [
+            # srcA and srcB share the 5-gram "a b c d e"; srcC shares nothing
+            (1, "a b c d e f", "en", "srcA", 11),
+            (2, "a b c d e g", "en", "srcB", 11),
+            (3, "q r s t u v", "en", "srcC", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_contamination(docs, n=5).collect()
+    }
+    ab = rows[("srcA", "srcB")]
+    assert ab.n_shared == 1  # exactly the shared "a b c d e" shingle
+    assert ab.n_shingles_a == 2 and ab.n_shingles_b == 2
+    assert abs(ab.shingle_jaccard - 1 / 3) < 1e-6
+    assert not any("srcC" in k for k in rows)
