@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_minhash_banded"] = lambda spark, sf: DD.dedup_minhash_banded(
         _dup_docs(spark, sf)
     )
+    q["q_minhash_estimate_error"] = lambda spark, sf: DD.minhash_estimate_error(
+        _dup_docs(spark, sf)
+    )
     def _banded_pairs(spark, sf):
         return _memo(
             spark, sf, "banded_pairs",
@@ -550,6 +553,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         # q_dedup_minhash: MLlib MinHashLSH hash family — rows-only by design
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
+        "q_minhash_estimate_error": OSQL.q_minhash_estimate_error(),
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),

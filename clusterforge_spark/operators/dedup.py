@@ -853,3 +853,62 @@ def dup_rate_by_source(docs: DataFrame, components: DataFrame) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+def minhash_estimate_error(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH quality evaluation: signature-estimated Jaccard vs the exact
+    shingle-set Jaccard for every banded candidate pair — the
+    calibration report that justifies a MinHash deployment (how biased
+    is est = matching-components/K at this corpus's similarity range,
+    and is the band design catching what it should).
+
+    Same candidate generation as :func:`dedup_minhash_banded` (shared
+    cached shingle table, banded bucket join — never n²); the verify
+    join carries both the signature arrays (K ints) and the shingle
+    sets, so estimate and truth come from one pass over candidates.
+    Integer component-match counts + two rounded divisions →
+    oracle-exact.
+    """
+    sh = shingle_hash_table(docs, n=n).select("doc_id", "sh")
+    sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
+    banded = sig.select(
+        "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    va = sh.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    vb = sh.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = matches.cast("double") / F.lit(float(H.MINHASH_K))
+    exact = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("n_matching_components"),
+            round_det(est, 6).alias("est_jaccard"),
+            round_det(exact, 6).alias("exact_jaccard"),
+            round_det(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

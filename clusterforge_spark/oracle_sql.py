@@ -2627,3 +2627,57 @@ SELECT i.source_a, i.source_b,
 FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b"""
+
+
+def q_minhash_estimate_error(n: int = 3) -> str:
+    toks = _H.tokens_sql("text")
+    shingles = _H.shingles_sql("text", n=n)
+    sig = _H.minhash_signature_sql("sh")
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_H.band_key_sql('sig', b)} AS key FROM sig"
+        for b in range(_H.MINHASH_BANDS)
+    )
+    k = _H.MINHASH_K
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+  FROM (SELECT doc_id, {toks} AS t FROM dup_corpus)
+  WHERE len({shingles}) > 0
+),
+sig AS (
+  SELECT doc_id, {sig} AS sig FROM sh
+),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(
+              list_zip(ga.sig, gb.sig), z -> z[1] = z[2])) AS BIGINT)
+         AS n_matching_components,
+       round(CAST(len(list_filter(
+               list_zip(ga.sig, gb.sig), z -> z[1] = z[2])) AS DOUBLE)
+             / {k}.0, 6) AS est_jaccard,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS exact_jaccard,
+       round(abs(CAST(len(list_filter(
+                   list_zip(ga.sig, gb.sig), z -> z[1] = z[2])) AS DOUBLE)
+                 / {k}.0
+                 - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)))), 6) AS abs_err
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+JOIN sig ga ON ga.doc_id = cand.doc_a
+JOIN sig gb ON gb.doc_id = cand.doc_b"""
+    )

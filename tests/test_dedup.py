@@ -261,3 +261,26 @@ def test_star_components_log_rounds_on_chain(spark):
     comps = {r.component for r in out}
     assert comps == {0}
     assert len(out) == 65
+
+
+def test_minhash_estimate_tracks_exact_jaccard(dup_docs):
+    """Signature estimate must be unbiased-ish on the planted exact dups
+    (est = 1 when sets are identical) and within coarse LSH error
+    (K=12 components) elsewhere."""
+    from clusterforge_spark.operators.dedup import minhash_estimate_error
+
+    rows = minhash_estimate_error(dup_docs).collect()
+    assert rows, "banded candidates expected on the dup corpus"
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    exact_copies = [
+        r
+        for (a, b), r in by_pair.items()
+        if a < EXACT_DUP_OFFSET and b == a + EXACT_DUP_OFFSET
+    ]
+    assert exact_copies, "planted exact copies must be candidates"
+    for r in exact_copies:
+        assert r.exact_jaccard == 1.0
+        assert r.est_jaccard == 1.0 and r.n_matching_components == 12
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-6

@@ -158,6 +158,13 @@ def test_pack_chunks_single_shuffle(spark):
     assert X.exchange_count(PK.pack_chunks(_t(spark, "documents"))) == 1
 
 
+def test_chunk_sliding_map_only(spark):
+    from clusterforge_spark.operators import packing as PK
+
+    # sequence-explode + substring projection: a pure scan, zero exchanges
+    assert X.exchange_count(PK.chunk_sliding(_t(spark, "documents"))) == 0
+
+
 def test_hash_split_map_only_and_stable(spark):
     from clusterforge_spark.operators import packing as PK
 
