@@ -245,11 +245,57 @@ def main() -> int:
             qtimes[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    # --- output -----------------------------------------------------------
+    # The driver keeps only a ~2 KB TAIL of stdout and json-parses it; a
+    # "queries" map over the full 131-entry inventory (~3.5 KB) pushed the
+    # head of the r2 JSON line out of the window and the driver recorded
+    # parsed: null. So: full per-query detail goes to a sidecar file AND an
+    # early stdout line (safe to truncate), while the FINAL line — the one
+    # the tail window is guaranteed to hold — is compact: headline queries
+    # only (the SURVEY §2.2 r1 contract plus one representative per heavy
+    # family).
+    detail = {
+        "metric": "per_query_sec_full_inventory",
+        "queries": qtimes,
+        "sf": SF_DIR,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_local.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+
+    headline = [
+        "q_scan_project",
+        "q_filter_conjunctive",
+        "q_timestamp_parse",
+        "q_rfm_features",
+        "q_having_filter",
+        "q_count_distinct_exact",
+        "q_top_k_revenue",
+        "q_join_enrich",
+        "q_window_sessionize",
+        "q_session_gap",
+        "q_grouping_sets",
+        "q_scaler_params",
+        "q_standard_scaler",
+        "q_kmeans_fit",
+        "q_silhouette_mean",
+        "q_tpch_pricing",
+        "q_dedup_minhash_banded",
+        "q_dedup_simhash",
+        "q_sim_search_topk",
+        "q_multimodal_decode",
+    ]
     out = {
         "metric": "end_to_end_rfm_kmeans_pipeline",
         "value": round(pipeline_total, 3),
         "unit": "sec",
-        "queries": qtimes,
+        "queries": {k: qtimes[k] for k in headline if k in qtimes},
         "sf": SF_DIR,
         "stages": {k: round(v, 3) for k, v in stages.items()},
         "cold_pipeline_sec": round(cold_total, 3),
@@ -258,6 +304,8 @@ def main() -> int:
         "rows_per_sec": round(n_rows / pipeline_total, 1),
         "inertia": res.inertia,
         "silhouette": res.silhouette,
+        "n_queries_timed": len(qtimes),
+        "detail": "BENCH_DETAIL_local.json",
     }
     print(json.dumps(out))
     spark.stop()

@@ -122,3 +122,57 @@ def test_lsh_bucket_stable_under_scaling(spark):
     df = spark.createDataFrame([(1, base), (2, scaled)], "id long, embedding array<float>")
     out = {r.id: r.b for r in df.select("id", V.lsh_bucket("embedding").alias("b")).collect()}
     assert out[1] == out[2]
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=8),
+    chunk_size=st.integers(min_value=2, max_value=300),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_sliding_reconstructs_text(spark, lengths, chunk_size, overlap_frac):
+    """Chunks must tile the document exactly: taking the first `stride`
+    chars of every chunk plus the last chunk's tail reconstructs the
+    original text, for any chunk_size/overlap and any length mix."""
+    from clusterforge_spark.operators.packing import chunk_sliding
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    stride = chunk_size - overlap
+    rows = [
+        (i, "".join(chr(ord("a") + (i + j) % 26) for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_sliding(docs, chunk_size=chunk_size, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in rows:
+        if not text:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # contiguous indices starting at 0; starts spaced by stride
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.chunk_start == c.chunk_idx * stride for c in chunks)
+        rebuilt = "".join(c.chunk_text[:stride] for c in chunks[:-1])
+        rebuilt += chunks[-1].chunk_text
+        assert rebuilt == text
+
+
+def test_suggest_agg_partitions_clamps(spark):
+    """File-size heuristic: small scans → floor, huge byte counts → conf
+    cap, non-file inputs → None (caller keeps the conf default)."""
+    from clusterforge_spark.functions.partitioning import suggest_agg_partitions
+    from clusterforge_spark.sources.readers import load_table
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = suggest_agg_partitions(ev)
+    assert n == min(4, conf)  # kilobyte-scale file → the floor
+    # tiny bytes_per_partition simulates a huge input: clamps at the conf
+    n_big = suggest_agg_partitions(ev, bytes_per_partition=1)
+    assert n_big == conf
+    # in-memory frame: no files → None
+    local = spark.createDataFrame([(1,)], "x long")
+    assert suggest_agg_partitions(local) is None
