@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_hash_split",
     "q_chunk_sliding",
     "q_cross_source_contamination",
+    "q_source_mixing_weights",
     "q_multimodal_meta",
     "q_multimodal_decode",
 ]

@@ -984,3 +984,33 @@ def cross_source_contamination(documents: DataFrame, n: int = 5) -> DataFrame:
             ).alias("shingle_jaccard"),
         )
     )
+
+
+def source_mixing_weights(documents: DataFrame) -> DataFrame:
+    """Static data-mixing rebalance: per-source token shares and the
+    sampling weight that moves the mix to a UNIFORM token budget across
+    sources (the DoReMi-style reweighting's closed-form baseline) — the
+    report a pipeline computes before drawing a training mixture.
+
+    One grouped aggregate (source → docs, whitespace tokens) plus a
+    broadcast 1-row total; weight = target_share / current_share with
+    ``try_divide`` so an empty source yields NULL, not an ANSI error.
+    Exact integer counts, two rounded divisions → oracle-exact.
+    """
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(H.tokens_col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_det(share, 6).alias("token_share"),
+        round_det(F.try_divide(target, share), 6).alias("mix_weight"),
+    )

@@ -2681,3 +2681,26 @@ JOIN sh sb ON sb.doc_id = cand.doc_b
 JOIN sig ga ON ga.doc_id = cand.doc_a
 JOIN sig gb ON gb.doc_id = cand.doc_b"""
     )
+
+
+def q_source_mixing_weights() -> str:
+    toks = _H.tokens_sql("text")
+    return f"""WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM (SELECT source, {toks} AS t FROM documents)
+  GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS tot_tokens,
+         CAST(count(*) AS DOUBLE) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+         AS token_share,
+       round((1.0 / n_sources)
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+         AS mix_weight
+FROM per, tot"""

@@ -430,3 +430,24 @@ def test_cross_source_contamination_counts(spark):
     assert ab.n_shingles_a == 2 and ab.n_shingles_b == 2
     assert abs(ab.shingle_jaccard - 1 / 3) < 1e-6
     assert not any("srcC" in k for k in rows)
+
+
+def test_source_mixing_weights_sum_to_target(spark):
+    from clusterforge_spark.operators.text import source_mixing_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # 4 tokens
+            (2, "a b", "s1"),       # 2
+            (3, "a b c d e f", "s2"),  # 6
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in source_mixing_weights(docs).collect()}
+    assert rows["s1"].n_tokens == 6 and rows["s2"].n_tokens == 6
+    assert rows["s1"].token_share == 0.5 and rows["s2"].token_share == 0.5
+    # already uniform → weights 1.0
+    assert rows["s1"].mix_weight == 1.0 and rows["s2"].mix_weight == 1.0
+    # share-weighted mix weights always sum to 1 (closed-form property)
+    total = sum(r.token_share * r.mix_weight for r in rows.values())
+    assert abs(total - 1.0) < 1e-6
