@@ -38,7 +38,10 @@ def suggest_agg_partitions(
     plans it re-optimizes, but explicit ``repartition(col)`` counts are
     fixed at plan time — so derive the count from the scan's file sizes.
     Returns None (caller keeps the conf default) when the input isn't a
-    simple file scan.
+    simple file scan — including when the scan has been CACHED
+    (CacheManager substitution empties ``inputFiles()``), where the
+    exchange is over the in-memory relation and the conf is the right
+    size anyway.
     """
     try:
         files = df.inputFiles()

@@ -162,12 +162,15 @@ def test_chunk_sliding_reconstructs_text(spark, lengths, chunk_size, overlap_fra
 
 def test_suggest_agg_partitions_clamps(spark):
     """File-size heuristic: small scans → floor, huge byte counts → conf
-    cap, non-file inputs → None (caller keeps the conf default)."""
+    cap, non-file inputs (in-memory frames, CACHED scans — the session
+    fixtures cache the testdata tables, which empties inputFiles()) →
+    None, i.e. the caller keeps the conf default."""
     from clusterforge_spark.functions.partitioning import suggest_agg_partitions
-    from clusterforge_spark.sources.readers import load_table
 
     conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # schema-free direct read: a DIFFERENT plan from any cached fixture
+    # table, so CacheManager never substitutes an InMemoryRelation here
+    ev = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
     n = suggest_agg_partitions(ev)
     assert n == min(4, conf)  # kilobyte-scale file → the floor
     # tiny bytes_per_partition simulates a huge input: clamps at the conf
@@ -176,3 +179,11 @@ def test_suggest_agg_partitions_clamps(spark):
     # in-memory frame: no files → None
     local = spark.createDataFrame([(1,)], "x long")
     assert suggest_agg_partitions(local) is None
+    # cached scan: file provenance hidden → None (conf default applies)
+    cached = spark.read.parquet("/root/testdata/sf0.001/region.parquet").cache()
+    try:
+        cached.count()
+        again = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        assert suggest_agg_partitions(again) is None
+    finally:
+        cached.unpersist()
