@@ -83,8 +83,22 @@ def simhash_sql(hashes_col: str, bits: int = SIMHASH_BITS) -> str:
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) of lowercased text."""
-    toks = tokens_col(text_col)
+    """Distinct word n-gram shingles (space-joined) of lowercased text.
+
+    NOTE: inlines the tokenization, which Catalyst re-evaluates once per
+    ``element_at`` — fine for a single pass over short docs, quadratic
+    for long ones. Hot paths should materialize ``tokens_col`` into a
+    real column first (projection below an exchange, or a cached frame)
+    and use :func:`shingles_from_tokens`.
+    """
+    return shingles_from_tokens(tokens_col(text_col), n=n)
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column — each element_at indexes the stored array instead of
+    re-running the tokenizer (the long-document scale path)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,

@@ -139,9 +139,15 @@ def shingle_hash_table(docs: DataFrame, n: int = 3) -> DataFrame:
     1 s at sf0.1. The token-count predicate is cheap to evaluate anywhere
     and keeps the expensive projection above the exchange, on all cores.
     """
-    pre = docs.select("doc_id", "lang", "source", "text", "n_chars").filter(
-        F.size(H.tokens_col("text")) >= n
-    )
+    # Tokenize BELOW the spread exchange (one split per doc) and build
+    # shingles from the materialized token column ABOVE it: the inline
+    # H.shingles_col form re-runs the whole tokenization once per
+    # element_at inside the projection — invisible on ~60-token testdata
+    # docs, quadratic on the 10k-token documents real corpora contain
+    # (a 20k-token doc took minutes inline vs seconds materialized).
+    pre = docs.select(
+        "doc_id", "lang", "source", "n_chars", H.tokens_col("text").alias("t")
+    ).filter(F.size("t") >= n)
     return (
         _spread(pre, "doc_id")
         .select(
@@ -151,7 +157,7 @@ def shingle_hash_table(docs: DataFrame, n: int = 3) -> DataFrame:
             F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
             F.array_distinct(
                 F.transform(
-                    H.shingles_col("text", n=n),
+                    H.shingles_from_tokens("t", n=n),
                     lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
                 )
             ).alias("sh"),

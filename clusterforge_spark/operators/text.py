@@ -421,7 +421,14 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
 def _grams_col(text_col: str, n: int) -> Column:
     """ALL word n-grams (non-distinct, order-preserving) — the repetition
     metrics need multiplicity, unlike hashing.shingles_col's distinct set."""
-    toks = H.tokens_col(text_col)
+    return _grams_from_tokens(H.tokens_col(text_col), n)
+
+
+def _grams_from_tokens(toks: Column | str, n: int) -> Column:
+    """Non-distinct n-grams from a materialized token array column —
+    same long-document rule as hashing.shingles_from_tokens (an inline
+    tokens expression re-runs the tokenizer once per element_at)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -447,19 +454,23 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     """
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    # spread BEFORE the gram construction: the testdata parquet is one
-    # row-group (scan parallelism 1) and the per-row gram build is the
-    # CPU-heavy stage — same rule as dedup.shingle_hash_table.
-    sp = spread_partitions(documents, "doc_id")
+    # Tokenize BELOW the spread exchange, grams from the materialized
+    # token column above it (hashing.shingles_from_tokens rule: inline
+    # grams re-tokenize per element_at — quadratic on long documents).
+    # The testdata parquet is one row-group (scan parallelism 1), so the
+    # spread also parallelizes the gram build itself.
+    sp = spread_partitions(
+        documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+    )
     # each union branch builds ONLY its own gram array: one projection
     # holding both 2- and 3-gram expressions overflows whole-stage
     # codegen and falls back to interpreted evaluation — measured 18.4 s
     # vs 1.1 s for this stage at sf0.1
     exploded = sp.select(
-        "doc_id", F.lit(2).alias("n"), F.explode(_grams_col("text", 2)).alias("gram")
+        "doc_id", F.lit(2).alias("n"), F.explode(_grams_from_tokens("t", 2)).alias("gram")
     ).unionAll(
         sp.select(
-            "doc_id", F.lit(3).alias("n"), F.explode(_grams_col("text", 3)).alias("gram")
+            "doc_id", F.lit(3).alias("n"), F.explode(_grams_from_tokens("t", 3)).alias("gram")
         )
     )
     counts = exploded.groupBy("doc_id", "n", "gram").agg(
@@ -955,24 +966,12 @@ def cross_source_contamination(documents: DataFrame, n: int = 5) -> DataFrame:
         documents.select("doc_id", "source", H.tokens_col("text").alias("t")),
         "doc_id",
     )
-    grams = F.when(
-        F.size("t") >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("t"), (i + j + 1).cast("int")) for j in range(n)],
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sh = (
         pre.select(
             "source",
             F.explode(
                 F.transform(
-                    grams,
+                    H.shingles_from_tokens("t", n=n),
                     lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
                 )
             ).alias("sh"),

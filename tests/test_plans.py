@@ -11,12 +11,26 @@ unconditional and OOM at scale).
 
 from __future__ import annotations
 
+import pytest
+
 from clusterforge_spark.operators import dedup as DD
 from clusterforge_spark.operators import relational as R
 from clusterforge_spark.plans import explain as X
 from clusterforge_spark.sources.readers import load_table
 
 from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _uncached_scans(spark):
+    """Pushdown/pruning assertions need REAL FileScans: if another module
+    ran first and materialized the session fixtures' .cache(), the
+    CacheManager substitutes InMemoryRelations into these plans and every
+    scan-level assertion fails order-dependently. Clearing the cache at
+    module entry makes the assertions order-independent (later modules
+    simply re-materialize lazily)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def _t(spark, name):
