@@ -97,10 +97,12 @@ def dedup_minhash_lsh(
     # shingle expression itself gets pushed below the spread exchange and
     # re-evaluates the whole shingling on the unspread scan partition
     # (see shingle_hash_table).
-    shingled = (
-        _spread(docs.filter(F.size(H.tokens_col("text")) >= 5), "doc_id")
-        .select("doc_id", H.shingles_col("text", n=5).alias("shingles"))
-    )
+    shingled = _spread(
+        docs.select("doc_id", H.tokens_col("text").alias("t")).filter(
+            F.size("t") >= 5
+        ),
+        "doc_id",
+    ).select("doc_id", H.shingles_from_tokens("t", n=5).alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     # cache: approxSimilarityJoin references the featurized frame twice
     feats = tf.transform(shingled).cache()

@@ -228,10 +228,18 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     winnowing-style compact document signature)."""
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    with_arrays = spread_partitions(documents, "doc_id").select(
+    # tokens materialize below the spread exchange; hashes + shingles
+    # derive from the stored array (long-document rule — see
+    # hashing.shingles_from_tokens)
+    with_arrays = spread_partitions(
+        documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+    ).select(
         "doc_id",
-        H.token_hashes_col("text").alias("th"),
-        H.shingles_col("text", n=5).alias("sh5"),
+        F.transform(
+            F.array_distinct(F.col("t")),
+            lambda tk: F.conv(F.md5(tk).substr(1, 15), 16, 10).cast("long"),
+        ).alias("th"),
+        H.shingles_from_tokens("t", n=5).alias("sh5"),
     )
     shingle_hashes = F.transform(
         F.col("sh5"), lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long")
@@ -528,18 +536,21 @@ def contamination_check(documents: DataFrame) -> DataFrame:
     """
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    sh = H.shingles_col("text", n=CONTAM_NGRAM)
     # spread first (single-row-group source would serialize the shingle
-    # build onto one core), then CACHE the shingle table: the bench and
-    # train branches both read it, and — decisively — the explode's
-    # inferred size(sh)>0 predicate then filters the materialized arrays
-    # instead of being pushed below the exchange where it re-evaluates
-    # the whole shingle expression interpreted on the unspread scan
-    # (measured 27 s vs 1 s for the train branch at sf0.1; same barrier
-    # rule as dedup.shingle_hash_table).
+    # build onto one core), tokens materialized below the exchange and
+    # shingles from the stored array (long-document rule — see
+    # hashing.shingles_from_tokens), then CACHE the shingle table: the
+    # bench and train branches both read it, and — decisively — the
+    # explode's inferred size(sh)>0 predicate then filters the
+    # materialized arrays instead of being pushed below the exchange
+    # where it re-evaluates the whole shingle expression interpreted on
+    # the unspread scan (measured 27 s vs 1 s for the train branch at
+    # sf0.1; same barrier rule as dedup.shingle_hash_table).
     with_sh = (
-        spread_partitions(documents, "doc_id")
-        .select("doc_id", sh.alias("sh"))
+        spread_partitions(
+            documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+        )
+        .select("doc_id", H.shingles_from_tokens("t", n=CONTAM_NGRAM).alias("sh"))
         .cache()
     )
     bench = (
