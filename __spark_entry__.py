@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pack_chunks"] = lambda spark, sf: PK.pack_chunks(_t(spark, sf, "documents"))
     q["q_hash_split"] = lambda spark, sf: PK.hash_split(_t(spark, sf, "documents"))
     q["q_chunk_sliding"] = lambda spark, sf: PK.chunk_sliding(_t(spark, sf, "documents"))
+    q["q_quality_funnel"] = lambda spark, sf: TX.quality_funnel(
+        _t(spark, sf, "documents")
+    )
     q["q_source_mixing_weights"] = lambda spark, sf: TX.source_mixing_weights(
         _t(spark, sf, "documents")
     )
@@ -594,6 +597,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_chunk_sliding": OSQL.q_chunk_sliding(),
         "q_cross_source_contamination": OSQL.q_cross_source_contamination(),
         "q_source_mixing_weights": OSQL.q_source_mixing_weights(),
+        "q_quality_funnel": OSQL.q_quality_funnel(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
         # glibc-log2 entropy chain makes the byte statistics bit-exact

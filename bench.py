@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q_chunk_sliding",
     "q_cross_source_contamination",
     "q_source_mixing_weights",
+    "q_quality_funnel",
     "q_multimodal_meta",
     "q_multimodal_decode",
 ]

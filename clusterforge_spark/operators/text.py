@@ -1049,3 +1049,71 @@ def source_mixing_weights(documents: DataFrame) -> DataFrame:
         round_det(share, 6).alias("token_share"),
         round_det(F.try_divide(target, share), 6).alias("mix_weight"),
     )
+
+
+#: Quality-funnel gate thresholds (standard curation defaults).
+FUNNEL_QUALITY_MIN = 0.5
+FUNNEL_TOP2_MAX = 0.2
+FUNNEL_DUP3_MAX = 0.3
+
+
+def quality_funnel(documents: DataFrame) -> DataFrame:
+    """End-to-end curation funnel: the sequential gate pipeline a
+    training corpus actually goes through — language filter, benchmark
+    holdout removal, quality floor, Gopher repetition caps, n-gram
+    decontamination — with per-gate attrition counts (the report every
+    data-curation run ships).
+
+    Composes the existing per-doc signals (quality_score,
+    repetition_stats, contamination_check) via doc_id joins — three
+    linear passes at any scale — then ONE aggregate computes every
+    gate's sequential survivor count (sum of flag products); the funnel
+    rows unpivot from that 1-row result. Exact integer counts →
+    oracle-exact.
+    """
+    q = quality_score(documents).select("doc_id", "quality")
+    r = repetition_stats(documents).select(
+        "doc_id", "top_2gram_frac", "dup_3gram_frac"
+    )
+    c = contamination_check(documents).select("doc_id", "is_contaminated")
+    flags = (
+        documents.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(c, "doc_id", "left")
+        .select(
+            (F.col("lang") == "en").alias("f1"),
+            (F.col("doc_id") % CONTAM_BENCH_MOD != 0).alias("f2"),
+            (F.col("quality") >= FUNNEL_QUALITY_MIN).alias("f3"),
+            (
+                (F.col("top_2gram_frac") <= FUNNEL_TOP2_MAX)
+                & (F.col("dup_3gram_frac") <= FUNNEL_DUP3_MAX)
+            ).alias("f4"),
+            (~F.coalesce("is_contaminated", F.lit(False))).alias("f5"),
+        )
+    )
+    surv = [F.count(F.lit(1)).cast("long").alias("n0")]
+    running = None
+    for i in range(1, 6):
+        running = F.col(f"f{i}") if running is None else (running & F.col(f"f{i}"))
+        surv.append(F.sum(running.cast("long")).cast("long").alias(f"k{i}"))
+    one = flags.agg(*surv)
+    gates = ["lang_en", "not_benchmark", "quality", "repetition", "decontaminated"]
+    rows = []
+    prev = F.col("n0")
+    for i, g in enumerate(gates, start=1):
+        kept = F.col(f"k{i}")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("gate_idx"),
+                F.lit(g).alias("gate"),
+                prev.alias("n_in"),
+                kept.alias("n_kept"),
+                (prev - kept).alias("n_dropped"),
+            )
+        )
+        prev = kept
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+    )

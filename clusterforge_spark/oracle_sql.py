@@ -2704,3 +2704,51 @@ SELECT source, n_docs, n_tokens,
              / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
          AS mix_weight
 FROM per, tot"""
+
+
+def q_quality_funnel() -> str:
+    from clusterforge_spark.operators.text import (
+        CONTAM_BENCH_MOD,
+        FUNNEL_DUP3_MAX,
+        FUNNEL_QUALITY_MIN,
+        FUNNEL_TOP2_MAX,
+    )
+
+    quality = q_quality_score()
+    repetition = q_repetition_stats()
+    contamination = q_contamination()
+    return f"""WITH qy AS (
+  SELECT doc_id, quality FROM ({quality})
+), rp AS (
+  SELECT doc_id, top_2gram_frac, dup_3gram_frac FROM ({repetition})
+), ct AS (
+  SELECT doc_id, is_contaminated FROM ({contamination})
+), fl AS (
+  SELECT (d.lang = 'en') AS f1,
+         (d.doc_id % {CONTAM_BENCH_MOD} != 0) AS f2,
+         (qy.quality >= {flit(FUNNEL_QUALITY_MIN)}) AS f3,
+         (rp.top_2gram_frac <= {flit(FUNNEL_TOP2_MAX)}
+          AND rp.dup_3gram_frac <= {flit(FUNNEL_DUP3_MAX)}) AS f4,
+         (NOT coalesce(ct.is_contaminated, false)) AS f5
+  FROM documents d
+  JOIN qy USING (doc_id)
+  JOIN rp USING (doc_id)
+  LEFT JOIN ct USING (doc_id)
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+         CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS k5
+  FROM fl
+)
+SELECT CAST(1 AS BIGINT) AS gate_idx, 'lang_en' AS gate, n0 AS n_in, k1 AS n_kept, n0 - k1 AS n_dropped FROM s
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'not_benchmark', k1, k2, k1 - k2 FROM s
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'quality', k2, k3, k2 - k3 FROM s
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'repetition', k3, k4, k3 - k4 FROM s
+UNION ALL
+SELECT CAST(5 AS BIGINT), 'decontaminated', k4, k5, k4 - k5 FROM s"""

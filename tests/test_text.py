@@ -451,3 +451,23 @@ def test_source_mixing_weights_sum_to_target(spark):
     # share-weighted mix weights always sum to 1 (closed-form property)
     total = sum(r.token_share * r.mix_weight for r in rows.values())
     assert abs(total - 1.0) < 1e-6
+
+
+def test_quality_funnel_invariants(documents):
+    from clusterforge_spark.operators.text import quality_funnel
+
+    rows = sorted(quality_funnel(documents).collect(), key=lambda r: r.gate_idx)
+    assert [r.gate for r in rows] == [
+        "lang_en",
+        "not_benchmark",
+        "quality",
+        "repetition",
+        "decontaminated",
+    ]
+    n_docs = documents.count()
+    assert rows[0].n_in == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept  # sequential funnel chaining
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_in
+        assert r.n_dropped == r.n_in - r.n_kept
