@@ -1077,15 +1077,18 @@ def linreg_price_vs_qty(lineitem: DataFrame) -> DataFrame:
         F.sum(x * y).cast("double").alias("sxy"),
         F.sum(x * x).cast("double").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: identical IEEE division on real data, NULL instead of
+    # an ANSI DIVIDE_BY_ZERO on a zero-variance or empty input
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.select(
         F.col("n").cast("long").alias("n"),
         round_det(slope, 6).alias("slope"),
-        round_det((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        round_det(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 6
+        ).alias("intercept"),
     )
 
 
@@ -1178,16 +1181,17 @@ def grouped_linreg(lineitem: DataFrame) -> DataFrame:
         F.sum(x * y).cast("double").alias("sxy"),
         F.sum(x * x).cast("double").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
         round_det(slope, 6).alias("slope"),
-        round_det((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        round_det(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 6
+        ).alias("intercept"),
     )
 
 
@@ -1254,7 +1258,8 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
         cov = n * F.col(f"sp_{a}__{b}") - sa * sb
         va = n * F.col(f"ss_{a}") - sa * sa
         vb = n * F.col(f"ss_{b}") - sb * sb
-        return cov / (F.sqrt(va) * F.sqrt(vb))
+        # NULL (not DIVIDE_BY_ZERO) when a column is constant
+        return F.try_divide(cov, F.sqrt(va) * F.sqrt(vb))
 
     stacked = one.select(
         F.explode(

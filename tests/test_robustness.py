@@ -66,3 +66,24 @@ def test_packing_family_survives_adversarial_docs(adversarial_docs):
     assert all(1 <= r.chunk_len <= 200 for r in chunks)
     assert pack_chunks(adversarial_docs).count() == 6
     assert hash_split(adversarial_docs).count() == 6
+
+
+def test_stats_family_null_on_zero_variance(spark):
+    """Zero-variance / single-row inputs must yield NULL coefficients,
+    not an ANSI DIVIDE_BY_ZERO (the same failure class the A/B z-test
+    had on degenerate splits)."""
+    from clusterforge_spark.operators import relational as R
+
+    li1 = spark.createDataFrame(
+        [(1, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    r = R.linreg_price_vs_qty(li1).collect()[0]
+    assert r.n == 1 and r.slope is None and r.intercept is None
+    g = R.grouped_linreg(li1).collect()[0]
+    assert g.slope is None and g.intercept is None
+    corr = {(x.col_a, x.col_b): x.corr for x in R.corr_matrix(li1).collect()}
+    assert all(v is None or v == 0.0 for v in corr.values())
