@@ -167,7 +167,9 @@ def embed_normalize(embeddings: DataFrame) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        (F.col("x").cast("double") / F.col("nrm")).alias("nval"),
+        # NULL components for an all-zero vector (undefined direction)
+        # instead of an ANSI DIVIDE_BY_ZERO
+        F.try_divide(F.col("x").cast("double"), F.col("nrm")).alias("nval"),
     )
 
 

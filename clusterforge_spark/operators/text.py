@@ -941,11 +941,13 @@ def zipf_slope(documents: DataFrame, k: int = 100) -> DataFrame:
     )
     sxy = F.col("sxy").cast("double") / 1e12
     sxx = F.col("sxx").cast("double") / 1e12
-    slope = (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx)
+    # try_divide: identical IEEE division on real corpora, NULL instead
+    # of an ANSI DIVIDE_BY_ZERO on a degenerate (single-rank) vocabulary
+    slope = F.try_divide(n_ * sxy - sx * sy, n_ * sxx - sx * sx)
     return s.select(
         F.col("cnt").cast("long").alias("k"),
         round_det(slope, 6).alias("slope"),
-        round_det((sy - slope * sx) / n_, 6).alias("intercept"),
+        round_det(F.try_divide(sy - slope * sx, n_), 6).alias("intercept"),
     )
 
 

@@ -215,7 +215,9 @@ def zscore_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     mu = F.col("sv") / F.col("n")
     sigma = F.sqrt(F.col("svv") / F.col("n") - mu * mu)
     enriched = events.join(F.broadcast(stats), "event_type")
-    z = (F.col("value") - mu) / sigma
+    # try_divide: NULL z (never an outlier) when a type's values are
+    # constant (sigma 0) instead of an ANSI DIVIDE_BY_ZERO
+    z = F.try_divide(F.col("value") - mu, sigma)
     return (
         enriched.filter((z > F.lit(threshold)) | (z < -F.lit(threshold)))
         .select(

@@ -87,3 +87,32 @@ def test_stats_family_null_on_zero_variance(spark):
     assert g.slope is None and g.intercept is None
     corr = {(x.col_a, x.col_b): x.corr for x in R.corr_matrix(li1).collect()}
     assert all(v is None or v == 0.0 for v in corr.values())
+
+
+def test_more_zero_variance_paths_return_null(spark):
+    """Zipf on a single-rank vocabulary, z-score on constant values, and
+    L2-normalize on an all-zero vector: NULL / empty, never an ANSI
+    DIVIDE_BY_ZERO."""
+    from clusterforge_spark.operators import similarity as SIM
+    from clusterforge_spark.operators import text as TX
+    from clusterforge_spark.operators import validation as V
+
+    docs1 = spark.createDataFrame(
+        [(1, "word word word", "en", "s1", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    z = TX.zipf_slope(docs1).collect()[0]
+    assert z.k == 1 and z.slope is None and z.intercept is None
+
+    ev = spark.createDataFrame(
+        [(i, None, 1, "click", 5.0, "{}") for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert V.zscore_outliers(ev).count() == 0  # NULL z is never an outlier
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    rows = SIM.embed_normalize(embs).collect()
+    assert len(rows) == 2 and all(r.nval is None for r in rows)
