@@ -847,3 +847,61 @@ def enrich_stream_with_dim(
         )
         .join(F.broadcast(dim), "user_id", "left")
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema pinned)."""
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
+def stream_quality_filter(
+    docs_stream: DataFrame, quality_min: float = 0.5
+) -> DataFrame:
+    """Streaming curation: the STATELESS quality gates (language filter +
+    heuristic quality floor) applied to a document stream — the ingest
+    path of a training pipeline curating as data arrives, instead of in
+    nightly batches.
+
+    quality_score is a map-only projection (built-in expressions, no
+    aggregation), so it streams as-is with append semantics and zero
+    state; the corpus-relative gates (repetition percentile,
+    decontamination against a benchmark set) need corpus state and stay
+    batch — the standard split between per-record and corpus-level
+    curation. Output: the surviving docs with their scores, plus a
+    `gate` column naming the first failed gate for rejected docs
+    (emitting both lets a single stream feed the kept-sink and the
+    reject-audit sink via two filtered writers).
+    """
+    from clusterforge_spark.operators.text import quality_score
+
+    scored = quality_score(docs_stream.select("doc_id", "lang", "text")).join(
+        docs_stream.select("doc_id", "lang"), "doc_id"
+    )
+    gate = (
+        F.when(F.col("lang") != "en", F.lit("lang_en"))
+        .when(F.col("quality") < quality_min, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.select("doc_id", "lang", "quality", gate.alias("gate"))
+
+
+def run_quality_filter_batchlike(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 120
+) -> DataFrame:
+    """Drive the streaming quality filter over the documents file with
+    availableNow and return the complete result (parity-test harness)."""
+    out = stream_quality_filter(read_documents_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+    return spark.table("q_stream_quality")

@@ -412,3 +412,28 @@ def test_checkpoint_resume_processes_only_new_files(spark, events, tmp_path):
     assert final.count() == events.count()
     # no duplicates: every event_id exactly once
     assert final.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_quality_filter_matches_batch(spark, documents):
+    from clusterforge_spark.streaming.sessionize import run_quality_filter_batchlike
+    from clusterforge_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.lang, r.quality, r.gate)
+        for r in run_quality_filter_batchlike(spark, SF_DIR).collect()
+    }
+    scored = quality_score(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    gate = (
+        F.when(F.col("lang") != "en", F.lit("lang_en"))
+        .when(F.col("quality") < 0.5, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    want = {
+        r.doc_id: (r.lang, r.quality, r.gate)
+        for r in scored.select("doc_id", "lang", "quality", gate.alias("gate")).collect()
+    }
+    assert got == want and len(got) > 0
+    assert {g for _, (_, _, g) in got.items()} >= {"kept"}
