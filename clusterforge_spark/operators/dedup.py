@@ -269,11 +269,20 @@ def dedup_simhash(
     the output is quadratic in it, so the list is never the bottleneck.
     """
     fp = simhash_fingerprints(docs).select("doc_id", "simhash")
-    # cache: the group table is referenced five times below (intra pairs,
-    # both sides of the banded join, two broadcast expansions); uncached,
-    # each reference re-runs the 60-sum fingerprint aggregate. One row per
-    # distinct hash — tiny relative to the corpus.
-    groups = fp.groupBy("simhash").agg(F.collect_list("doc_id").alias("ids")).cache()
+    # localCheckpoint(eager): the group table is referenced five times
+    # below (intra pairs, both sides of the banded join, two expansion
+    # joins); unmaterialized, each reference re-runs the 60-sum
+    # fingerprint aggregate. Eager checkpoint materializes it ONCE and —
+    # unlike .cache(), which pins executor storage until an explicit
+    # unpersist the lazy return value makes impossible to place — its
+    # blocks are released by the ContextCleaner as soon as the returned
+    # DataFrame is garbage collected, so repeated invocations in a
+    # long-lived session don't accrue storage memory.
+    groups = (
+        fp.groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .localCheckpoint(eager=True)
+    )
 
     # (a) identical-hash cliques: hamming 0, every band trivially equal.
     intra = (
@@ -316,13 +325,18 @@ def dedup_simhash(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # hash-level: tiny vs the doc-pair set
     )
+    # No broadcast hints on the expansion joins: on a low-duplication
+    # corpus the distinct-hash group table is ~corpus-sized, and a forced
+    # broadcast of it would OOM driver and executors at 100 TB. Plain
+    # equi-joins let AQE broadcast at runtime only when the table is
+    # actually small.
     inter = (
         hash_pairs.join(
-            F.broadcast(groups.select(F.col("simhash").alias("h_a"), F.col("ids").alias("ids_a"))),
+            groups.select(F.col("simhash").alias("h_a"), F.col("ids").alias("ids_a")),
             "h_a",
         )
         .join(
-            F.broadcast(groups.select(F.col("simhash").alias("h_b"), F.col("ids").alias("ids_b"))),
+            groups.select(F.col("simhash").alias("h_b"), F.col("ids").alias("ids_b")),
             "h_b",
         )
         .select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
@@ -469,7 +483,11 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # Σlbl₀ up front: when lbl₀ is already the fixpoint (the common
     # near-star case) the loop exits after ONE confirming round instead
     # of two — labels only decrease, so equal sums ⇔ no change.
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # decimal(38,0) sum: exact and order-independent like BIGINT, but
+    # does not hit ANSI ARITHMETIC_OVERFLOW when labels are 64-bit
+    # hashed doc ids (n·2⁶³ ≫ BIGINT range, < 10³⁸ for any real corpus).
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).collect()[0][0]
     converged = False
     for it in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.v).select(
@@ -486,7 +504,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # convergence: labels only ever decrease (lbl' = min(lbl, nbrs)),
         # so Σlbl is strictly monotone until the fixpoint — one scalar
         # agg per round instead of a change-detection join
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        new_sum = new_labels.agg(_lbl_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
@@ -546,16 +564,20 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
     def _signature(e: DataFrame) -> tuple:
-        # (count, Σa, Σb, Σa·b): a set-level fingerprint strong enough
-        # that two consecutive DISTINCT edge sets matching on all four
-        # while differing is not a practical concern
+        # (count, XOR of xxhash64(a,b), min a, max a): a set-level
+        # fingerprint strong enough that two consecutive DISTINCT edge
+        # sets matching on all four while differing is not a practical
+        # concern. XOR-of-hashes instead of Σa·b: with 64-bit doc ids
+        # (any id ≥ 2³²) the product overflows BIGINT and aborts the job
+        # under Spark 4's ANSI default; XOR is overflow-free, exact, and
+        # order-independent (safe under distributed aggregation order).
         r = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("a").alias("sa"),
-            F.sum("b").alias("sb"),
-            F.sum(F.col("a") * F.col("b")).alias("sab"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("hx"),
+            F.min("a").alias("mn"),
+            F.max("a").alias("mx"),
         ).collect()[0]
-        return (r.n, r.sa, r.sb, r.sab)
+        return (r.n, r.hx, r.mn, r.mx)
 
     sig = _signature(edges)
     for it in range(max_iter):
@@ -588,7 +610,13 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        small = small.localCheckpoint(eager=False).cache()
+        # eager checkpoint (not .cache()): materializes this round's edge
+        # set once — the signature action and next round both read the
+        # stored blocks — and, unlike cache(), the blocks are released by
+        # the ContextCleaner as soon as the round's frame is garbage
+        # collected, so storage memory does NOT accrue one pinned frame
+        # per star round (or across invocations in a long-lived session).
+        small = small.localCheckpoint(eager=True)
         new_sig = _signature(small)
         edges = small
         if new_sig == sig:

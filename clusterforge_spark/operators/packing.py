@@ -102,8 +102,15 @@ def chunk_sliding(
     (the filter also guards Spark's ``sequence``, whose step is inferred
     as −1 when start > stop).
     """
-    if overlap >= chunk_size:
-        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    if not 0 <= overlap < chunk_size:
+        # a negative overlap would make stride > chunk_size and silently
+        # drop the characters between consecutive chunks, violating the
+        # full-coverage tiling property documented above
+        raise ValueError(
+            f"overlap ({overlap}) must satisfy 0 <= overlap < chunk_size ({chunk_size})"
+        )
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size ({chunk_size}) must be positive")
     stride = chunk_size - overlap
     idx = F.explode(
         F.sequence(F.lit(0), F.floor((F.length("text") - 1) / stride).cast("int"))

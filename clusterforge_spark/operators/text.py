@@ -110,11 +110,19 @@ def lang_id(documents: DataFrame) -> DataFrame:
     ).withColumn("is_match", (F.col("predicted_lang") == F.col("lang")).cast("boolean"))
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(
+    documents: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality: length, punctuation, stopword density.
 
     score = 0.4·min(1, tokens/64) + 0.3·(1 − punct_ratio)
           + 0.3·min(1, 4·stopword_ratio)   — rounded to 4dp.
+
+    ``passthrough`` columns are carried into the output unchanged so
+    consumers that need them (e.g. the streaming quality gate, which
+    filters on ``lang``) stay a single map-only projection instead of
+    joining the score back to the input — on a stream, that join would
+    be a stateful stream-stream self-join with unbounded state.
     """
     toks = H.tokens_col("text")
     n_tokens = F.size(toks).cast("double")
@@ -130,6 +138,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     return documents.select(
         "doc_id",
+        *passthrough,
         F.size(toks).cast("long").alias("n_tokens"),
         round_det(punct_ratio, 4).alias("punct_ratio"),
         round_det(stop_ratio, 4).alias("stopword_ratio"),

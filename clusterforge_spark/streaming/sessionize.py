@@ -876,11 +876,17 @@ def stream_quality_filter(
     `gate` column naming the first failed gate for rejected docs
     (emitting both lets a single stream feed the kept-sink and the
     reject-audit sink via two filtered writers).
+
+    ``lang`` rides through quality_score's projection (its
+    ``passthrough`` parameter) — recovering it with a join of the stream
+    against itself would silently create a stateful stream-stream join
+    with unbounded state retention, the opposite of the zero-state claim
+    above.
     """
     from clusterforge_spark.operators.text import quality_score
 
-    scored = quality_score(docs_stream.select("doc_id", "lang", "text")).join(
-        docs_stream.select("doc_id", "lang"), "doc_id"
+    scored = quality_score(
+        docs_stream.select("doc_id", "lang", "text"), passthrough=("lang",)
     )
     gate = (
         F.when(F.col("lang") != "en", F.lit("lang_en"))
