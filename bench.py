@@ -236,6 +236,20 @@ def main() -> int:
     # regime a long-lived cluster is actually in.
     queries = E.queries()
     qtimes: dict[str, float] = {}
+    # Per-family cache discipline: the sweep populates shared cached
+    # tables (RFM geometry, shingle/simhash fingerprints, memoized
+    # component tables) that are only consumed within their own family.
+    # Dropping them at each family boundary keeps the 133-query sweep's
+    # storage footprint flat, so later families aren't measured under
+    # memory pressure / eviction from caches they never read (the r3
+    # sweep showed 2-4x slowdowns on the sim-search family from exactly
+    # this). Every family's first query still pays its own cache build
+    # in its untimed warm run — no cross-family warm-state leaks.
+    FAMILY_END = {
+        "q_grouped_kmeans",    # RFM/scaler/assignment geometry caches
+        "q_dedup_embedding",   # shingle + simhash tables, graph memos
+        "q_embed_quantize",    # embedding/sim-search family
+    }
     for name in BENCH_QUERIES:
         fn = queries[name]
         try:
@@ -246,6 +260,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             qtimes[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        if name in FAMILY_END:
+            spark.catalog.clearCache()
+            E._MEMO.clear()
 
     # --- output -----------------------------------------------------------
     # The driver keeps only a ~2 KB TAIL of stdout and json-parses it; a

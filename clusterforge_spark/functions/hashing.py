@@ -20,10 +20,22 @@ SIMHASH_BITS = 60
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def tokens_expr(text_col: str = "text") -> str:
+    """Spark-SQL text of :func:`tokens_col` (see the F.expr note there)."""
+    return rf"filter(split(lower({text_col}), '\\s+'), t -> t != '')"
+
+
 def tokens_col(text_col: str = "text") -> Column:
-    """Whitespace tokens of lowercased text, empties dropped."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    return F.filter(toks, lambda t: t != "")
+    """Whitespace tokens of lowercased text, empties dropped.
+
+    Built as ONE ``F.expr`` parse instead of nested Column calls: in
+    classic PySpark every Column operation is a py4j round-trip, and the
+    hashing family's deep trees (signatures, shingles, bit votes) cost
+    hundreds of ms of pure driver-side plan construction per query when
+    composed call-by-call — measured 2.4 s build for dedup_simhash. A
+    single SQL parse is one round-trip and yields the identical plan.
+    """
+    return F.expr(tokens_expr(text_col))
 
 
 def tokens_sql(text_col: str = "text") -> str:
@@ -33,10 +45,13 @@ def tokens_sql(text_col: str = "text") -> str:
 
 
 def token_hashes_col(text_col: str = "text") -> Column:
-    """array<long> of 60-bit md5 token hashes (distinct tokens)."""
-    return F.transform(
-        F.array_distinct(tokens_col(text_col)),
-        lambda t: F.conv(F.md5(t).substr(1, 15), 16, 10).cast("long"),
+    """array<long> of 60-bit md5 token hashes (distinct tokens).
+
+    Single F.expr parse — see :func:`tokens_col` for why.
+    """
+    return F.expr(
+        f"transform(array_distinct({tokens_expr(text_col)}), "
+        f"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
     )
 
 
@@ -97,8 +112,12 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
 def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
     array column — each element_at indexes the stored array instead of
-    re-running the tokenizer (the long-document scale path)."""
-    toks = F.col(toks) if isinstance(toks, str) else toks
+    re-running the tokenizer (the long-document scale path).
+
+    String input (a real column) takes the one-parse F.expr path; Column
+    input falls back to call-by-call construction (identical plan)."""
+    if isinstance(toks, str):
+        return F.expr(shingles_expr(toks, n))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -115,6 +134,30 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
         f"(CASE WHEN len(t) >= {n} THEN "
         f"list_distinct([{join} for i in generate_series(1, len(t) - {n - 1})]) "
         f"ELSE [] END)"
+    )
+
+
+def shingles_expr(toks: str, n: int = 3) -> str:
+    """Spark-SQL text of :func:`shingles_from_tokens` over a token column."""
+    parts = ", ".join(
+        f"element_at({toks}, cast(i + {j + 1} as int))" for j in range(n)
+    )
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct("
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def shingle_hashes_from_tokens(toks: str, n: int = 3) -> Column:
+    """array<long> of distinct 60-bit md5 shingle hashes from a token
+    column — the fused shingle→hash projection the dedup family caches.
+    Single F.expr parse — see :func:`tokens_col`.
+    """
+    return F.expr(
+        f"array_distinct(transform({shingles_expr(toks, n)}, "
+        f"s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
     )
 
 
@@ -154,19 +197,18 @@ MINHASH_COEFFS: list[tuple[int, int]] = _perm_coeffs()
 
 
 def minhash_signature_col(hashes_col: str) -> "Column":
-    """array<long> of K minhashes over a precomputed hash array."""
+    """array<long> of K minhashes over a precomputed hash array.
 
-    def _perm(a: int, b: int):
-        # closure factory (pyspark introspects lambda arity — no defaults)
-        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
-            MINHASH_P
-        )
-
-    mins = [
-        F.array_min(F.transform(F.col(hashes_col), _perm(a, b)))
+    Single F.expr parse (K nested transforms would otherwise cost ~5·K
+    py4j round-trips of driver-side tree building) — see
+    :func:`tokens_col`.
+    """
+    mins = ", ".join(
+        f"array_min(transform({hashes_col}, "
+        f"h -> ({a}L * (h % {MINHASH_P}L) + {b}L) % {MINHASH_P}L))"
         for a, b in MINHASH_COEFFS
-    ]
-    return F.array(*mins)
+    )
+    return F.expr(f"array({mins})")
 
 
 def minhash_signature_sql(hashes_col: str) -> str:
@@ -179,18 +221,19 @@ def minhash_signature_sql(hashes_col: str) -> str:
 
 
 def band_keys_col(sig_col: str, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS):
-    """array<struct<band:int,key:string>> — one LSH bucket key per band."""
+    """array<struct<band:int,key:string>> — one LSH bucket key per band.
+
+    Single F.expr parse — see :func:`tokens_col`.
+    """
     entries = []
     for bidx in range(bands):
-        parts = [
-            F.col(sig_col).getItem(bidx * rows + r).cast("string") for r in range(rows)
-        ]
-        entries.append(
-            F.struct(
-                F.lit(bidx).alias("band"), F.concat_ws("|", *parts).alias("key")
-            )
+        parts = ", ".join(
+            f"cast({sig_col}[{bidx * rows + r}] as string)" for r in range(rows)
         )
-    return F.array(*entries)
+        entries.append(
+            f"struct({bidx} as band, concat_ws('|', {parts}) as key)"
+        )
+    return F.expr(f"array({', '.join(entries)})")
 
 
 def band_key_sql(sig: str, bidx: int, rows: int = MINHASH_ROWS) -> str:

@@ -21,8 +21,6 @@ the blocked self-joins shuffle on the block key only.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,13 +154,8 @@ def shingle_hash_table(docs: DataFrame, n: int = 3) -> DataFrame:
             "doc_id",
             "lang",
             "source",
-            F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
-            F.array_distinct(
-                F.transform(
-                    H.shingles_from_tokens("t", n=n),
-                    lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long"),
-                )
-            ).alias("sh"),
+            F.expr("cast(floor(n_chars / 100) as bigint) as len_bucket"),
+            H.shingle_hashes_from_tokens("t", n=n).alias("sh"),
         )
         .cache()
     )
@@ -230,23 +223,36 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id", H.token_hashes_col("text").alias("th")
     )
     ex = hashed.select("doc_id", F.explode_outer("th").alias("h"))
+    # expression strings, not call-by-call Column trees: the 60 vote sums
+    # and the 60-term bit assembly cost ~2.4 s of py4j round-trips per
+    # query when built one operation at a time (see hashing.tokens_col)
     sums = [
-        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        F.expr(f"sum(shiftright(h, {j}) & 1) as c{j}")
         for j in range(H.SIMHASH_BITS)
     ]
-    counts = ex.groupBy("doc_id").agg(F.count("h").alias("n"), *sums)
-    simhash = reduce(
-        lambda a, b: a + b,
-        [
-            F.when(F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(H.SIMHASH_BITS)
-        ],
+    counts = ex.groupBy("doc_id").agg(F.expr("count(h) as n"), *sums)
+    simhash = F.expr(
+        " + ".join(
+            f"IF(c{j} * 2 > n, {1 << j}L, 0L)" for j in range(H.SIMHASH_BITS)
+        )
     )
     return counts.select(
         "doc_id",
         simhash.cast("long").alias("simhash"),
         F.col("n").cast("long").alias("n_distinct_tokens"),
     )
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """Cached per-doc simhash fingerprint table (doc_id, simhash).
+
+    Same pattern as :func:`shingle_hash_table`: repeated invocations in
+    a session build the identical sub-plan, Spark's CacheManager
+    resolves them to one InMemoryRelation, and the fingerprint
+    aggregation runs once per corpus per session. Two longs per doc —
+    the smallest table in the family.
+    """
+    return simhash_fingerprints(docs).select("doc_id", "simhash").cache()
 
 
 def dedup_simhash(
@@ -268,7 +274,7 @@ def dedup_simhash(
     Scale note: the per-hash doc-id list is linear in the largest clique;
     the output is quadratic in it, so the list is never the bottleneck.
     """
-    fp = simhash_fingerprints(docs).select("doc_id", "simhash")
+    fp = simhash_table(docs)
     # localCheckpoint(eager): the group table is referenced five times
     # below (intra pairs, both sides of the banded join, two expansion
     # joins); unmaterialized, each reference re-runs the 60-sum
@@ -772,12 +778,16 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     )
 
 
-def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_canonical(
+    docs: DataFrame, pairs: DataFrame, components: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection — the decision step after near-dup
     detection: group docs into components (transitive closure of
     ``pairs``), then keep the highest-quality doc per component
     (ties → lowest doc_id). Docs in no component form singleton
-    components of themselves.
+    components of themselves. Callers that already materialized the
+    component table (a pipeline runs the closure once per corpus
+    snapshot) pass it via ``components`` and skip the propagation.
 
     Scale shape: components run over the pair set only (∝ dups, not
     corpus); quality is a map-only pass; the per-component argmax is ONE
@@ -791,7 +801,9 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """
     from clusterforge_spark.operators.text import quality_score
 
-    comp = dedup_components(pairs).select("doc_id", "component")
+    comp = (
+        components if components is not None else dedup_components(pairs)
+    ).select("doc_id", "component")
     quality = quality_score(docs).select("doc_id", "quality")
     labeled = (
         docs.select("doc_id")

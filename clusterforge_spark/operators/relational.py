@@ -1239,18 +1239,38 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
     All sufficient statistics (n, per-column sums/sum-squares, per-pair
     cross-products) come from a single map-side-combinable aggregate;
     the C(k,2) correlations are O(1) arithmetic unpivoted from the 1-row
-    result. Decimal products of 2dp inputs are exact, so the doubles
-    derived from them are bit-identical on any engine. One scan at any
-    scale, no per-pair jobs.
+    result. The 2dp inputs are converted to integer CENTS
+    (floor(c·100 + 0.5): the true value is exactly 2dp, so the rounding
+    only corrects float representation error — exact), products are exact
+    int64 arithmetic, and the sums accumulate in decimal(38,0), so the
+    doubles derived from them are bit-identical on any engine. Pearson
+    correlation is scale-invariant, so the uniform ×100 leaves the
+    result unchanged. ~3× cheaper than decimal(18,2) products, whose
+    37-digit results take the BigDecimal slow path per row. One scan at
+    any scale, no per-pair jobs.
     """
-    d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    cents = {c: f"cast(floor({c} * 100 + 0.5) as bigint)" for c in cols}
+    aggs = [F.expr("cast(count(*) as double) as n")]
     for c in cols:
-        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
-        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"ss_{c}"))
+        aggs.append(
+            F.expr(
+                f"cast(sum(cast({cents[c]} as decimal(38,0))) as double) as s_{c}"
+            )
+        )
+        aggs.append(
+            F.expr(
+                f"cast(sum(cast({cents[c]} * {cents[c]} as decimal(38,0))) "
+                f"as double) as ss_{c}"
+            )
+        )
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
-        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}__{b}"))
+        aggs.append(
+            F.expr(
+                f"cast(sum(cast({cents[a]} * {cents[b]} as decimal(38,0))) "
+                f"as double) as sp_{a}__{b}"
+            )
+        )
     one = lineitem.agg(*aggs)
 
     def _corr(a: str, b: str):
@@ -1782,27 +1802,35 @@ def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     the exact DECIMAL delta — the financial-close check that FK
     expectations don't cover (keys can resolve while amounts drift).
 
-    One keyed aggregate + one equi-join; deltas stay in DECIMAL until
-    output so the mismatch SET is exact. (The synthetic data generates
-    o_totalprice independently of lineitem, so at any SF this reports
-    nearly every order — the query's value is the exact delta audit.)
+    One keyed aggregate + one equi-join; amounts travel as exact
+    integer TEN-THOUSANDTHS of a dollar (price_cents × (100 −
+    discount_cents) — int64 products of the 2dp inputs, summed in
+    decimal(38,0)), so the mismatch SET is exact while skipping the
+    per-row BigDecimal slow path of decimal(18,2) products. (The
+    synthetic data generates o_totalprice independently of lineitem, so
+    at any SF this reports nearly every order — the query's value is
+    the exact delta audit.)
     """
+    net_e4 = (
+        "cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
+        "(100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+    )
     line_tot = lineitem.groupBy("l_orderkey").agg(
-        F.sum(
-            (
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("decimal(28,4)")
-        ).alias("line_net")
+        F.expr(f"sum(cast({net_e4} as decimal(38,0))) as line_net_e4")
     )
     j = orders.join(line_tot, orders.o_orderkey == line_tot.l_orderkey, "inner")
-    delta = F.col("o_totalprice").cast("decimal(28,4)") - F.col("line_net")
+    delta_e4 = (
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) * 100").cast(
+            "decimal(38,0)"
+        )
+        - F.col("line_net_e4")
+    )
     return (
         j.select(
             "o_orderkey",
             F.col("o_totalprice"),
-            F.col("line_net").cast("double").alias("line_net"),
-            delta.cast("double").alias("delta"),
+            (F.col("line_net_e4").cast("double") / F.lit(10000.0)).alias("line_net"),
+            (delta_e4.cast("double") / F.lit(10000.0)).alias("delta"),
         )
         .filter(F.col("delta") != 0.0)
     )

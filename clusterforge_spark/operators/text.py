@@ -673,8 +673,14 @@ def nb_classify(documents: DataFrame) -> DataFrame:
     test = documents.filter(F.col("doc_id") % NB_TEST_MOD == 0)
 
     tr_tokens = train.select("lang", F.explode(toks).alias("token"))
-    counts = tr_tokens.groupBy("lang", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # eager checkpoint: counts feeds THREE subtrees (totals, vocab_n,
+    # lik) — unmaterialized, each one re-runs the explode+aggregate over
+    # the whole training fold. One row per (lang, token) — O(model),
+    # not O(corpus) — and the blocks are freed on GC (vs a pinned cache).
+    counts = (
+        tr_tokens.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
     vocab_n = counts.select("token").distinct().agg(
@@ -828,18 +834,30 @@ def kl_divergence_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
-def nb_confusion(documents: DataFrame) -> DataFrame:
+def nb_confusion(
+    documents: DataFrame, predictions: DataFrame | None = None
+) -> DataFrame:
     """Per-class evaluation of the NB classifier on its held-out fold:
     confusion counts plus per-true-class precision/recall — the eval
     table that turns "a model ran" into "a model is this good".
 
     Pure aggregation over nb_classify's output: one count per
     (true, predicted) cell, window totals for the margins. Ratios are
-    exact-integer divisions rounded 4dp.
+    exact-integer divisions rounded 4dp. The prediction table (one row
+    per test doc) is materialized first so the confusion aggregate and
+    its margin windows plan over a tiny checkpointed input instead of
+    appending three more exchanges to the full scoring DAG; callers that
+    already hold a materialized prediction table (the production shape:
+    score once, evaluate from the stored predictions) pass it via
+    ``predictions`` and skip the scoring pass entirely.
     """
     from pyspark.sql.window import Window
 
-    pred = nb_classify(documents)
+    pred = (
+        predictions
+        if predictions is not None
+        else nb_classify(documents).localCheckpoint(eager=True)
+    )
     cells = pred.groupBy("true_lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

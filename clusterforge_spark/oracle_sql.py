@@ -1514,14 +1514,15 @@ def q_profile_columns() -> str:
 
     branches = []
     for c in PROFILE_COLS:
+        cents = f"CAST(floor({c} * 100 + 0.5) AS BIGINT)"
         branches.append(
             f"""SELECT '{c}' AS "column",
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CAST(min({c}) AS DOUBLE) AS min_v,
-       CAST(max({c}) AS DOUBLE) AS max_v,
-       round(CAST(sum({c}::DECIMAL(28,2)) AS DOUBLE), 2) AS sum_v
+       CAST(min({cents}) AS DOUBLE) / 100.0 AS min_v,
+       CAST(max({cents}) AS DOUBLE) / 100.0 AS max_v,
+       round(CAST(sum(CAST({cents} AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS sum_v
 FROM lineitem"""
         )
     return "\nUNION ALL\n".join(branches)
@@ -1862,20 +1863,23 @@ WHERE m.mad > 0 AND d.absdev / ({MAD_CONSISTENCY!r} * m.mad) > {MAD_K!r}"""
 
 def q_corr_matrix() -> str:
     """Mirrors operators/relational.corr_matrix (single-pass sufficient
-    statistics, decimal-exact products)."""
+    statistics over exact integer cents; HUGEINT sums are value-equal to
+    the Spark side's decimal(38,0) sums, and the final CAST AS DOUBLE
+    rounds identically)."""
     from clusterforge_spark.operators.relational import CORR_COLS
 
     cols = CORR_COLS
+    cents = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in cols}
     sel = ["CAST(count(*) AS DOUBLE) AS n"]
     for c in cols:
-        sel.append(f"CAST(sum({c}::DECIMAL(18,2)) AS DOUBLE) AS s_{c}")
+        sel.append(f"CAST(sum(CAST({cents[c]} AS HUGEINT)) AS DOUBLE) AS s_{c}")
         sel.append(
-            f"CAST(sum({c}::DECIMAL(18,2) * {c}::DECIMAL(18,2)) AS DOUBLE) AS ss_{c}"
+            f"CAST(sum(CAST({cents[c]} * {cents[c]} AS HUGEINT)) AS DOUBLE) AS ss_{c}"
         )
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
         sel.append(
-            f"CAST(sum({a}::DECIMAL(18,2) * {b}::DECIMAL(18,2)) AS DOUBLE) AS sp_{a}__{b}"
+            f"CAST(sum(CAST({cents[a]} * {cents[b]} AS HUGEINT)) AS DOUBLE) AS sp_{a}__{b}"
         )
     stats = ",\n         ".join(sel)
     unions = []
@@ -2447,18 +2451,22 @@ FROM cell"""
 
 
 def q_order_reconciliation() -> str:
+    # exact integer ten-thousandths of a dollar, mirroring the Spark
+    # side's cents arithmetic (HUGEINT sums ≡ decimal(38,0) sums)
     return """WITH lt AS (
   SELECT l_orderkey,
-         sum(CAST(l_extendedprice::DECIMAL(18,2)
-                  * (CAST(1 AS DECIMAL(18,2)) - l_discount::DECIMAL(18,2))
-                  AS DECIMAL(28,4))) AS line_net
+         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT)) AS line_net_e4
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderkey, o_totalprice,
-       CAST(line_net AS DOUBLE) AS line_net,
-       CAST(o_totalprice::DECIMAL(28,4) - line_net AS DOUBLE) AS delta
+       CAST(line_net_e4 AS DOUBLE) / 10000.0 AS line_net,
+       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * CAST(100 AS HUGEINT)
+            - line_net_e4 AS DOUBLE) / 10000.0 AS delta
 FROM orders JOIN lt ON o_orderkey = l_orderkey
-WHERE CAST(o_totalprice::DECIMAL(28,4) - line_net AS DOUBLE) != 0.0"""
+WHERE CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * CAST(100 AS HUGEINT)
+           - line_net_e4 AS DOUBLE) / 10000.0 != 0.0"""
 
 
 def q_vocabulary_growth() -> str:

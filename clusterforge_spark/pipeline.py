@@ -129,7 +129,7 @@ def run_full_pipeline(
     tol: float = 1e-4,
     seed: int = 42,
     silhouette_n: int = 100,
-    driver_fit_threshold: int = 1_000_000,
+    driver_fit_threshold: int = 250_000,
     model_path: str | None = None,
 ) -> PipelineResult:
     """RFM → scale → K-means → stats + sampled silhouette, with stage
@@ -139,6 +139,14 @@ def run_full_pipeline(
     MLlib model in the distributed regime) are persisted there
     (model_store.save_model) so predict mode can serve without a refit —
     the reference refits from raw data per prediction (main.rs:44-52).
+
+    ``driver_fit_threshold`` bounds the driver-side collect of the
+    small-n fast path. 250k rows × (id + 3 doubles) is ~10 MB of raw
+    values but ~125 MB of CPython Row-object heap during the collect —
+    comfortably inside a default driver while leaving headroom for the
+    result holder; beyond it the pipeline switches to the distributed
+    MLlib branch (tests/test_persistence.py pins that branch). See
+    SCALE.md for the derivation.
     """
     import numpy as np
 

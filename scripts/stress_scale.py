@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""10× scale-stress harness for the heavy document-family operators.
+
+Builds a 10× replica of the sf0.1 documents table in which each copy
+gets (a) alphabet-rotated text (token/char structure identical, vocab
+disjoint — so no cross-copy near-dup candidates) and (b) a per-copy
+source tag (so blocked strategies see 10× more blocks of the SAME size,
+the shape real corpus growth takes — more crawl slices, not 10×-fatter
+slices). The planted-dup structure (doc_id < 100 offsets inside
+docs_with_dups) exists once per copy-0 only, holding the true-dup count
+constant while candidate generation scales with the corpus.
+
+Reports 1× and 10× wall times and the ratio; a ratio ≫ 10 would expose
+a quadratic surface. Writes no repo files — results are pasted into
+SCALE.md by hand.
+
+Usage:  python3 scripts/stress_scale.py [q_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("STRESS_COPIES", "10"))
+
+#: id stride between replica copies — far above the planted-dup offsets
+ID_STRIDE = 1_000_000_000
+
+BIG_PATH = "/tmp/stress_documents_10x.parquet"
+
+DEFAULT_QUERIES = [
+    "q_dedup_exact",
+    "q_dedup_minhash_banded",
+    "q_minhash_estimate_error",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_dedup_components",
+    "q_dedup_components_star",
+    "q_repetition_stats",
+    "q_contamination",
+    "q_cross_source_contamination",
+    "q_quality_funnel",
+    "q_chunk_sliding",
+    "q_source_mixing_weights",
+    "q_pack_chunks",
+]
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    import clusterforge_spark.sources.readers as R
+    from clusterforge_spark.session import get_spark
+    from clusterforge_spark.sources.readers import load_table
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("clusterforge-stress")
+
+    base = load_table(spark, SF_DIR, "documents")
+    parts = [base]
+    for i in range(1, COPIES):
+        rot = ALPHABET[i:] + ALPHABET[:i]
+        parts.append(
+            base.select(
+                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+                F.translate(F.col("text"), ALPHABET, rot).alias("text"),
+                "lang",
+                F.concat(F.col("source"), F.lit(f"_c{i}")).alias("source"),
+                "n_chars",
+                *[c for c in base.columns if c not in
+                  ("doc_id", "text", "lang", "source", "n_chars")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(BIG_PATH)
+    big_n = spark.read.parquet(BIG_PATH).count()
+    print(f"stress corpus: {big_n} docs ({COPIES}x of {SF_DIR})", flush=True)
+
+    queries = E.queries()
+    orig_load = R.load_table
+
+    def patched(spark_, sf_dir_, name_):
+        if sf_dir_ == "__stress10x__":
+            if name_ == "documents":
+                return spark_.read.parquet(BIG_PATH)
+            return orig_load(spark_, SF_DIR, name_)
+        return orig_load(spark_, sf_dir_, name_)
+
+    for name in names:
+        fn = queries[name]
+        row: dict = {"query": name}
+        for label, sfdir in (("t1x", SF_DIR), (f"t{COPIES}x", "__stress10x__")):
+            R.load_table = patched
+            E.load_table = patched
+            spark.catalog.clearCache()
+            E._MEMO.clear()
+            try:
+                fn(spark, sfdir).write.mode("overwrite").format("noop").save()
+                t0 = time.perf_counter()
+                fn(spark, sfdir).write.mode("overwrite").format("noop").save()
+                row[label] = round(time.perf_counter() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                row[label] = None
+                print(f"stress error in {name} @ {label}: {exc}", file=sys.stderr)
+        R.load_table = orig_load
+        E.load_table = orig_load
+        t1, t10 = row.get("t1x"), row.get(f"t{COPIES}x")
+        ratio = round(t10 / max(t1, 1e-9), 1) if (t1 and t10) else None
+        print(f"{name}: 1x {t1}s  {COPIES}x {t10}s  ratio {ratio}", flush=True)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
