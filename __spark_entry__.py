@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_cross_source_contamination"] = lambda spark, sf: TX.cross_source_contamination(
         _t(spark, sf, "documents")
     )
+    q["q_bm25_topk"] = lambda spark, sf: TX.bm25_topk(_t(spark, sf, "documents"))
     q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
     q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
         MM.attach_payload(_t(spark, sf, "documents"))
@@ -620,6 +621,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_cross_source_contamination": OSQL.q_cross_source_contamination(),
         "q_source_mixing_weights": OSQL.q_source_mixing_weights(),
         "q_quality_funnel": OSQL.q_quality_funnel(),
+        "q_bm25_topk": OSQL.q_bm25_topk(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
         # glibc-log2 entropy chain makes the byte statistics bit-exact

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q_quality_funnel",
     "q_multimodal_meta",
     "q_multimodal_decode",
+    "q_bm25_topk",
 ]
 
 

@@ -1146,3 +1146,85 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
         one.select(F.explode(F.array(*rows)).alias("p"))
         .select("p.*")
     )
+
+
+#: BM25 parameters (the standard Robertson defaults) and the fixed
+#: benchmark query used by the contract query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "spark")
+BM25_TOPK = 50
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a term query — the
+    lexical-search primitive behind corpus exploration and RAG hybrid
+    retrieval.
+
+    score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(q) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-style
+    non-negative idf).
+
+    Scale shape: the term filter lands directly under the explode, so
+    the tf table is ∝ query-term postings, not the corpus; df and the
+    (N, Σ|d|) scalars are tiny aggregates broadcast into the scoring
+    join; top-k is ORDER BY + LIMIT (TakeOrderedAndProject — no global
+    sort materialization). Determinism: each (doc, term) partial score
+    is rounded to 6dp micro-units and summed as exact BIGINTs (the
+    unigram_logprob trick), so the per-doc sum is order-independent and
+    the (score, doc_id) ranking is bit-stable on any engine.
+    """
+    terms = list(query_terms)
+    k1p1 = k1 + 1.0
+    docs = documents.select("doc_id", H.tokens_col("text").alias("t"))
+    lens = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.sum("dl").cast("double").alias("sum_dl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    ex = docs.select("doc_id", F.explode("t").alias("token")).filter(
+        F.col("token").isin(*terms)
+    )
+    tf = ex.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1p1) / den)
+    micro = F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(df), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", micro.alias("m"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("m").alias("score_micro"),
+        )
+    )
+    return (
+        per_doc.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            "n_terms_matched",
+            round_det(F.col("score_micro").cast("double") / F.lit(1e6), 6).alias(
+                "score"
+            ),
+        )
+    )

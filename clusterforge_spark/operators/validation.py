@@ -278,15 +278,23 @@ def mad_outliers(events: DataFrame) -> DataFrame:
     cross-engine); deviations, the MAD, and the score are plain IEEE
     arithmetic on those exact medians, so the flagged SET is
     deterministic. Everything is keyed by event_type: two per-group
-    sorts + two equi-joins, linear at scale.
+    sorts + two equi-joins, linear at scale. The two median frames are
+    eagerly checkpointed: ``dev`` feeds both the MAD sort and the final
+    score join, and without the checkpoint each reference re-runs the
+    per-group median sort buried under it — the frames are one row per
+    event_type, so materializing them is free.
     """
-    med = _group_median(events.select("event_type", "event_id", "value"),
-                        "event_type", "value", "med")
+    med = _group_median(
+        events.select("event_type", "event_id", "value"),
+        "event_type", "value", "med",
+    ).localCheckpoint(eager=True)
     dev = events.join(med, "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = _group_median(dev.select("event_type", "event_id", F.col("absdev").alias("value")),
-                        "event_type", "value", "mad")
+    mad = _group_median(
+        dev.select("event_type", "event_id", F.col("absdev").alias("value")),
+        "event_type", "value", "mad",
+    ).localCheckpoint(eager=True)
     scored = dev.join(mad, "event_type").withColumn(
         "score", F.col("absdev") / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
     )

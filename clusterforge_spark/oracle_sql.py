@@ -1686,6 +1686,65 @@ FROM scored
 GROUP BY doc_id"""
 
 
+def q_bm25_topk() -> str:
+    """Mirrors operators/text.bm25_topk: Lucene-style BM25 over the
+    fixed benchmark query, 6dp micro-unit partial scores summed as
+    exact BIGINTs, ranked by (score_micro desc, doc_id)."""
+    from clusterforge_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+    )
+
+    toks = _H.tokens_sql("text")
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b, k1p1 = flit(BM25_K1), flit(BM25_B), flit(BM25_K1 + 1.0)
+    half, one = flit(0.5), flit(1.0)
+    idf = f"ln((n_docs - df + {half}) / (df + {half}) + {one})"
+    den = (
+        f"(tf.tf + {k1} * ({one} - {b} + {b} * "
+        f"(CAST(lens.dl AS DOUBLE) / (sum_dl / n_docs))))"
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d
+),
+stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         CAST(count(*) AS DOUBLE) AS n_docs
+  FROM lens
+),
+ex AS (
+  SELECT doc_id, unnest(t) AS token FROM d
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM ex WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+pd AS (
+  SELECT tf.doc_id, lens.dl,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         sum(CAST(floor({idf} * (tf.tf * {k1p1} / {den}) * {flit(1e6)}
+                        + {half}) AS BIGINT)) AS score_micro
+  FROM tf
+  JOIN df USING (token)
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, lens.dl
+)
+SELECT doc_id, dl AS n_tokens, n_terms_matched,
+       round(CAST(score_micro AS DOUBLE) / {flit(1e6)}, 6) AS score
+FROM pd
+ORDER BY score_micro DESC, doc_id
+LIMIT {BM25_TOPK}"""
+
+
 def q_repetition_stats() -> str:
     """Mirrors operators/text.repetition_stats: Gopher repetition metrics."""
     t = _H.tokens_sql("text")

@@ -471,3 +471,53 @@ def test_quality_funnel_invariants(documents):
     for r in rows:
         assert 0 <= r.n_kept <= r.n_in
         assert r.n_dropped == r.n_in - r.n_kept
+
+
+def test_bm25_topk_matches_python(spark):
+    """BM25 scores equal a straight Python reimplementation on a tiny
+    corpus with known tf/df structure, including ordering and ties."""
+    import math
+
+    from clusterforge_spark.operators.text import BM25_B, BM25_K1, bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash", "en", "s", 25),
+        (2, "join spark filter scan scan scan", "en", "s", 30),
+        (3, "filter scan row batch", "en", "s", 20),   # no query terms
+        (4, "spark spark spark hash", "en", "s", 22),
+        (5, "hash", "en", "s", 4),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = bm25_topk(docs, k=10).collect()
+
+    toks = {d: t.split() for d, t, *_ in rows}
+    dls = {d: len(t) for d, t in toks.items()}
+    n_docs = float(len(rows))
+    avgdl = sum(dls.values()) / n_docs
+    expected = {}
+    for d, t in toks.items():
+        micro = 0
+        matched = 0
+        for q in ("hash", "join", "spark"):
+            tf = float(t.count(q))
+            if tf == 0:
+                continue
+            matched += 1
+            df = float(sum(1 for tt in toks.values() if q in tt))
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            den = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls[d] / avgdl))
+            micro += math.floor(idf * (tf * (BM25_K1 + 1.0) / den) * 1e6 + 0.5)
+        if matched:
+            expected[d] = (micro, matched)
+
+    assert {r.doc_id for r in got} == set(expected)  # doc 3 excluded
+    for r in got:
+        micro, matched = expected[r.doc_id]
+        assert r.n_terms_matched == matched
+        assert r.n_tokens == dls[r.doc_id]
+        assert r.score == math.floor(micro / 1e6 * 1e6 + 0.5) / 1e6
+    # ranking: by score desc then doc_id asc
+    scores = [(-expected[r.doc_id][0], r.doc_id) for r in got]
+    assert scores == sorted(scores)
