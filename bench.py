@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q_multimodal_meta",
     "q_multimodal_decode",
     "q_bm25_topk",
+    "q_sim_search_pq",
 ]
 
 

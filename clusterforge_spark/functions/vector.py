@@ -39,9 +39,40 @@ HYPERPLANES: list[list[float]] = [_det_vec(DIM, 3.77 + 0.613 * j, 1.0 + j) for j
 IVF_CENTROIDS: list[list[float]] = [_det_vec(DIM, 7.13 + 1.27 * j, 2.0 + 3 * j) for j in range(8)]
 
 
+#: Product-quantization geometry: DIM split into PQ_M subspaces of
+#: PQ_SUBDIM dims, PQ_KS deterministic literal centroids per subspace
+#: (3-bit codes). Literal codebooks keep encoding a pure codegen
+#: projection and make the whole PQ/ADC path oracle-checkable.
+PQ_M = 8
+PQ_SUBDIM = DIM // PQ_M
+PQ_KS = 8
+PQ_CODEBOOKS: list[list[list[float]]] = [
+    [_det_vec(PQ_SUBDIM, 2.51 + 0.733 * m + 1.97 * c, 4.0 + m + 3 * c) for c in range(PQ_KS)]
+    for m in range(PQ_M)
+]
+
+
 def py_dot(a: list[float], b: list[float]) -> float:
     """Python-side dot with engine-identical left-to-right association."""
     return reduce(lambda acc, t: acc + t, (x * y for x, y in zip(a, b)))
+
+
+def py_dist2(a: list[float], b: list[float]) -> float:
+    """Python-side squared L2 with engine-identical association."""
+    return reduce(lambda acc, t: acc + t, ((x - y) * (x - y) for x, y in zip(a, b)))
+
+
+def pq_adc_table(query: list[float]) -> list[list[float]]:
+    """ADC lookup table: table[m][c] = dist²(query subvector m,
+    codebook[m][c]) — PQ_M × PQ_KS literal doubles computed once on the
+    driver with engine-identical math."""
+    return [
+        [
+            py_dist2(query[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM], PQ_CODEBOOKS[m][c])
+            for c in range(PQ_KS)
+        ]
+        for m in range(PQ_M)
+    ]
 
 
 QUERY_NORM: float = math.sqrt(py_dot(QUERY_VEC, QUERY_VEC))

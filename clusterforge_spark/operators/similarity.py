@@ -307,6 +307,86 @@ def ivf_trained_topk(
     return _ranked_topk(scored, k)
 
 
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization encoder: each vector → PQ_M 3-bit codes
+    (nearest codebook centroid per subspace, strict-< tie → lowest
+    code) — the 21× memory compression (64 floats → 8 codes) that makes
+    billion-vector ANN serving fit in RAM.
+
+    Pure codegen projection: per subspace, an array_min over
+    struct(dist², code) against the literal codebook — no shuffle, no
+    UDF, no collected model. At 100 TB the codebooks would come from
+    sampled k-means exactly like ivf_trained_cells; the literal-array
+    broadcast shape is identical.
+    """
+    cols = []
+    for m in range(V.PQ_M):
+        sub = F.slice(F.col("embedding"), m * V.PQ_SUBDIM + 1, V.PQ_SUBDIM)
+        entries = [
+            F.struct(
+                V.dist2_cols(sub, V._lit_arr(cb)).alias("d"), F.lit(c).alias("c")
+            )
+            for c, cb in enumerate(V.PQ_CODEBOOKS[m])
+        ]
+        cols.append(
+            F.array_min(F.array(*entries)).getField("c").cast("long").alias(f"code_{m}")
+        )
+    return embeddings.select("vec_id", "embedding", *cols)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ/ADC similarity search: rank by asymmetric-distance lookup
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11), then exact-rerank the top ``rerank·k`` candidates.
+
+    The query precomputes its PQ_M × PQ_KS distance table on the driver
+    (literal doubles, engine-identical math); each row's approximate
+    distance is then PQ_M table lookups + a fixed-order sum — no float
+    arithmetic that could diverge across engines, so the candidate CUT
+    is deterministic and the whole query oracle-checkable. Scale shape:
+    encoding + ADC scoring are one map-only projection over the coded
+    table; the only ordering work is two TakeOrderedAndProject top-ks
+    (candidates, then reranked) — never a global sort.
+    """
+    from functools import reduce as _red
+
+    query = query or V.QUERY_VEC
+    table = V.pq_adc_table(query)
+    coded = pq_codes(embeddings)
+    adc = _red(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                V._lit_arr(table[m]), (F.col(f"code_{m}") + 1).cast("int")
+            )
+            for m in range(V.PQ_M)
+        ],
+    )
+    cand = (
+        coded.select("vec_id", "embedding", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(rerank * k)
+    )
+    scored = cand.select(
+        "vec_id",
+        round_det(F.col("adc_dist"), 6).alias("adc_dist"),
+        round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def filtered_topk(
     embeddings: DataFrame,
     query: list[float] | None = None,

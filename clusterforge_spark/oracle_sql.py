@@ -522,6 +522,81 @@ WHERE cell IN ({", ".join(str(c) for c in cells)})""",
     )
 
 
+def q_sim_search_pq(k: int = 10, rerank: int = 4) -> str:
+    """Mirrors operators/similarity.pq_topk: PQ encode (argmin per
+    subspace, strict-< tie-break), ADC candidate cut by literal
+    table-lookup sums, exact cosine rerank."""
+    from clusterforge_spark.functions.vector import (
+        PQ_CODEBOOKS,
+        PQ_KS,
+        PQ_M,
+        PQ_SUBDIM,
+        pq_adc_table,
+    )
+
+    table = pq_adc_table(_V.QUERY_VEC)
+
+    def sub_dist(m: int, c: int) -> str:
+        cb = PQ_CODEBOOKS[m][c]
+        return "(" + " + ".join(
+            f"({_V._elem_sql('embedding', m * PQ_SUBDIM + i)} - {_V._flit_sql(v)})"
+            f" * ({_V._elem_sql('embedding', m * PQ_SUBDIM + i)} - {_V._flit_sql(v)})"
+            for i, v in enumerate(cb)
+        ) + ")"
+
+    dist_cols = ",\n         ".join(
+        f"{sub_dist(m, c)} AS d{m}_{c}" for m in range(PQ_M) for c in range(PQ_KS)
+    )
+
+    def argmin(m: int) -> str:
+        whens = []
+        for i in range(PQ_KS - 1):
+            conds = " AND ".join(f"d{m}_{i} <= d{m}_{j}" for j in range(i + 1, PQ_KS))
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {PQ_KS - 1} END"
+
+    code_cols = ",\n         ".join(
+        f"CAST({argmin(m)} AS BIGINT) AS code_{m}" for m in range(PQ_M)
+    )
+    lookups = " + ".join(
+        "(CASE "
+        + " ".join(
+            f"WHEN code_{m} = {c} THEN {_V._flit_sql(table[m][c])}"
+            for c in range(PQ_KS)
+        )
+        + " END)"
+        for m in range(PQ_M)
+    )
+    cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
+    return f"""WITH dists AS (
+  SELECT vec_id, embedding,
+         {dist_cols}
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, embedding,
+         {code_cols}
+  FROM dists
+),
+cand AS (
+  SELECT vec_id, embedding, {lookups} AS adc_dist
+  FROM codes
+  ORDER BY adc_dist ASC, vec_id
+  LIMIT {rerank * k}
+),
+scored AS (
+  SELECT vec_id,
+         round(adc_dist, 6) AS adc_dist,
+         round({cos}, 6) AS cos_sim
+  FROM cand
+)
+SELECT vec_id, adc_dist, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}"""
+
+
 def q_text_stats() -> str:
     toks = _H.tokens_sql("text")
     return f"""WITH per AS (

@@ -179,3 +179,50 @@ def test_embedding_dim_stats_matches_numpy(embeddings):
         assert abs(r.mean_v - micro[:, d].sum() / 1e6 / X.shape[0]) < 1e-4
         assert r.min_v == micro[:, d].min() / 1e6
         assert r.max_v == micro[:, d].max() / 1e6
+
+
+def test_pq_codes_match_numpy(embeddings, emb_np):
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import pq_codes
+
+    ids, X = emb_np
+    got = pq_codes(embeddings).orderBy("vec_id").collect()
+    for r in got:
+        x = X[list(ids).index(r.vec_id)]
+        for m in range(V.PQ_M):
+            sub = x[m * V.PQ_SUBDIM : (m + 1) * V.PQ_SUBDIM]
+            d = [
+                float(np.sum((sub - np.array(cb)) ** 2))
+                for cb in V.PQ_CODEBOOKS[m]
+            ]
+            # strict-< tie-break: lowest code among minima
+            want = min(range(len(d)), key=lambda c: (d[c], c))
+            assert getattr(r, f"code_{m}") == want
+
+
+def test_pq_topk_rerank_is_exact_cosine_on_candidates(embeddings):
+    from clusterforge_spark.functions.rounding import round_det
+    from clusterforge_spark.operators.similarity import pq_codes, pq_topk
+
+    from pyspark.sql import functions as F
+
+    out = pq_topk(embeddings, k=10, rerank=4).collect()
+    assert len(out) == 10
+    # ranks dense, ordering by (cos_sim desc, vec_id)
+    assert [r.rank for r in out] == list(range(1, 11))
+    keys = [(-r.cos_sim, r.vec_id) for r in out]
+    assert keys == sorted(keys)
+    # every returned cos_sim equals the exact cosine for that vector
+    ids = [r.vec_id for r in out]
+    exact = {
+        r.vec_id: r.s
+        for r in embeddings.filter(F.col("vec_id").isin(ids))
+        .select(
+            "vec_id",
+            round_det(V.cosine_lit("embedding", V.QUERY_VEC), 6).alias("s"),
+        )
+        .collect()
+    }
+    for r in out:
+        assert r.cos_sim == exact[r.vec_id]
