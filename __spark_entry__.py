@@ -481,6 +481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
         MM.attach_payload(_t(spark, sf, "documents"))
     ).drop("histogram")
+    q["q_multimodal_frames"] = lambda spark, sf: MM.frame_sample(
+        MM.attach_payload(_t(spark, sf, "documents"))
+    )
+    q["q_multimodal_resize"] = lambda spark, sf: MM.resize_plan(
+        MM.attach_payload(_t(spark, sf, "documents"))
+    )
     return q
 
 
@@ -628,4 +634,6 @@ def _oracle_sql_raw() -> dict[str, str]:
         # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
         # glibc-log2 entropy chain makes the byte statistics bit-exact
         "q_multimodal_decode": OSQL.q_multimodal_decode(),
+        "q_multimodal_frames": OSQL.q_multimodal_frames(),
+        "q_multimodal_resize": OSQL.q_multimodal_resize(),
     }

@@ -235,3 +235,75 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
             )
 
     return frames.mapInPandas(_fake_decode_batch, DECODE_SCHEMA)
+
+
+#: every FRAME_STRIDE-th frame is sampled (video keyframe thinning)
+FRAME_STRIDE = 4
+
+#: square target for the resize plan (the usual vision-model input side)
+RESIZE_TARGET = 224
+
+
+def frame_sample(frames: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video-frame sampling plumbing: one row per SAMPLED frame with the
+    byte window that frame owns inside the payload — the partition-of-
+    work a real decoder consumes (the codec itself is the stubbed step;
+    see decode_real_features for the import-guard pattern).
+
+    Frame k of n over B payload bytes owns bytes [⌊k·B/n⌋, ⌊(k+1)·B/n⌋);
+    sampling keeps k = 0, stride, 2·stride, …. Exact BIGINT division
+    (div/`//`) everywhere, map-only sequence-explode — no shuffle, no
+    UDF, linear at any scale, oracle-exact.
+    """
+    if stride <= 0:
+        raise ValueError(f"stride ({stride}) must be positive")
+    b = F.octet_length("payload").cast("long")
+    return (
+        frames.select(
+            "doc_id",
+            b.alias("n_bytes"),
+            F.col("n_frames"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("n_frames") - 1,
+                    F.lit(stride).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_frames",
+            F.expr("div(frame_idx * n_bytes, n_frames)").alias("byte_start"),
+            (
+                F.expr("div((frame_idx + 1) * n_bytes, n_frames)")
+                - F.expr("div(frame_idx * n_bytes, n_frames)")
+            ).alias("byte_len"),
+        )
+    )
+
+
+def resize_plan(frames: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize + letterbox plan per image: output dims,
+    padding, and whether the image is upscaled — the geometry a resize
+    kernel executes (the kernel itself is the stubbed codec step).
+
+    out = max(1, ⌊side·target/long_side⌋) per side, centered padding.
+    Pure BIGINT arithmetic in one map-only projection; oracle-exact.
+    """
+    if target <= 0:
+        raise ValueError(f"target ({target}) must be positive")
+    long_side = F.greatest("width", "height")
+    out_w = F.greatest(F.lit(1).cast("long"), F.expr(f"div(width * {target}, greatest(width, height))"))
+    out_h = F.greatest(F.lit(1).cast("long"), F.expr(f"div(height * {target}, greatest(width, height))"))
+    return frames.select(
+        "doc_id",
+        "width",
+        "height",
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        F.expr(f"div({target} - greatest(1L, div(width * {target}, greatest(width, height))), 2)").alias("pad_x"),
+        F.expr(f"div({target} - greatest(1L, div(height * {target}, greatest(width, height))), 2)").alias("pad_y"),
+        (long_side < target).alias("is_upscaled"),
+    )

@@ -761,6 +761,51 @@ SELECT doc_id,
 FROM w"""
 
 
+def q_multimodal_frames() -> str:
+    """Mirrors operators/multimodal.frame_sample over attach_payload's
+    deterministic fake payloads (exact integer byte windows)."""
+    from clusterforge_spark.operators.multimodal import FRAME_STRIDE
+
+    return f"""WITH f AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(1 + n_chars % 16 AS BIGINT) AS n_frames
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, n_bytes, n_frames,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+  FROM f
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       n_frames,
+       CAST((frame_idx * n_bytes) // n_frames AS BIGINT) AS byte_start,
+       CAST(((frame_idx + 1) * n_bytes) // n_frames
+            - (frame_idx * n_bytes) // n_frames AS BIGINT) AS byte_len
+FROM ex"""
+
+
+def q_multimodal_resize() -> str:
+    """Mirrors operators/multimodal.resize_plan (pure BIGINT geometry)."""
+    from clusterforge_spark.operators.multimodal import RESIZE_TARGET
+
+    t = RESIZE_TARGET
+    return f"""WITH f AS (
+  SELECT doc_id,
+         CAST(64 + doc_id % 192 AS BIGINT) AS width,
+         CAST(64 + (doc_id * 7) % 128 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       greatest(CAST(1 AS BIGINT), (width * {t}) // greatest(width, height)) AS out_width,
+       greatest(CAST(1 AS BIGINT), (height * {t}) // greatest(width, height)) AS out_height,
+       CAST(({t} - greatest(1, (width * {t}) // greatest(width, height))) // 2 AS BIGINT) AS pad_x,
+       CAST(({t} - greatest(1, (height * {t}) // greatest(width, height))) // 2 AS BIGINT) AS pad_y,
+       greatest(width, height) < {t} AS is_upscaled
+FROM f"""
+
+
 def q_multimodal_meta() -> str:
     return """SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

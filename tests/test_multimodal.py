@@ -94,3 +94,57 @@ def test_real_decode_with_pillow(spark):
     assert r.width == 16 and r.height == 16 and r.mode == "L"
     assert abs(r.mean_pixel - 127.5) < 1e-9
     assert len(r.thumb) == 64
+
+
+def test_frame_sample_windows_tile_payload(documents):
+    import pytest as _pytest
+
+    from clusterforge_spark.operators.multimodal import attach_payload, frame_sample
+
+    sub = attach_payload(documents.limit(50))
+    rows = frame_sample(sub, stride=1).collect()  # every frame
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    meta = {r.doc_id: r for r in sub.collect()}
+    for doc_id, frames in by_doc.items():
+        frames.sort(key=lambda r: r.frame_idx)
+        m = meta[doc_id]
+        n_bytes = len(bytes(m.payload))
+        assert len(frames) == m.n_frames
+        # full tiling: windows are contiguous and cover [0, n_bytes)
+        assert frames[0].byte_start == 0
+        assert sum(f.byte_len for f in frames) == n_bytes
+        for a, b in zip(frames, frames[1:]):
+            assert a.byte_start + a.byte_len == b.byte_start
+        # exact integer windows
+        for f in frames:
+            assert f.byte_start == f.frame_idx * n_bytes // m.n_frames
+    # sampled variant is the stride subset
+    sampled = frame_sample(sub, stride=3).collect()
+    assert all(r.frame_idx % 3 == 0 for r in sampled)
+    with _pytest.raises(ValueError):
+        frame_sample(sub, stride=0)
+
+
+def test_resize_plan_geometry(documents):
+    import pytest as _pytest
+
+    from clusterforge_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        attach_payload,
+        resize_plan,
+    )
+
+    sub = attach_payload(documents.limit(100))
+    for r in resize_plan(sub).collect():
+        long_side = max(r.width, r.height)
+        assert r.out_width == max(1, r.width * RESIZE_TARGET // long_side)
+        assert r.out_height == max(1, r.height * RESIZE_TARGET // long_side)
+        # aspect preserved within integer truncation; no side exceeds target
+        assert max(r.out_width, r.out_height) <= RESIZE_TARGET
+        assert r.pad_x == (RESIZE_TARGET - r.out_width) // 2
+        assert r.pad_y == (RESIZE_TARGET - r.out_height) // 2
+        assert r.is_upscaled == (long_side < RESIZE_TARGET)
+    with _pytest.raises(ValueError):
+        resize_plan(sub, target=0)
