@@ -424,3 +424,44 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     got = df.count()
     want = events.filter(F.col("event_type") == "purchase").count()
     assert got == want
+
+
+def test_pq_encode_map_only_and_topk_take_ordered(spark):
+    from clusterforge_spark.operators import similarity as SIM
+
+    emb = _t(spark, "embeddings")
+    # encoding is a pure projection: zero exchanges
+    assert X.exchange_count(SIM.pq_codes(emb)) == 0
+    # candidate cut and rerank both plan as TakeOrderedAndProject
+    assert X.has_take_ordered(SIM.pq_topk(emb))
+
+
+def test_bm25_term_filter_below_aggregate(spark):
+    from clusterforge_spark.operators import text as TX
+
+    df = TX.bm25_topk(_t(spark, "documents"))
+    plan = X.plan_string(df)
+    # the query-term IN filter must sit under the tf aggregate (postings
+    # pruning), and the final k is a TakeOrderedAndProject, not a sort
+    assert plan.index("Filter") > -1
+    assert "token IN" in plan or "token#" in plan
+    assert X.has_take_ordered(df)
+
+
+def test_frame_sample_and_resize_map_only(spark):
+    from clusterforge_spark.operators import multimodal as MM
+
+    frames = MM.attach_payload(_t(spark, "documents"))
+    assert X.exchange_count(MM.frame_sample(frames)) == 0
+    assert X.exchange_count(MM.resize_plan(frames)) == 0
+
+
+def test_profile_columns_two_level_agg_single_unified_shuffle(spark):
+    from clusterforge_spark.operators import validation as VA
+
+    df = VA.profile_columns(_t(spark, "lineitem"))
+    # one shuffle for the (column, value) level, one for the per-column
+    # fold — and no (N+1)-way Expand anywhere
+    plan = X.plan_string(df)
+    assert "Expand" not in plan
+    assert X.exchange_count(df) == 2
