@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_bm25_topk"] = lambda spark, sf: TX.bm25_topk(_t(spark, sf, "documents"))
+    q["q_bigram_logprob"] = lambda spark, sf: TX.bigram_logprob(
+        _t(spark, sf, "documents")
+    )
     q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
     q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
         MM.attach_payload(_t(spark, sf, "documents"))
@@ -630,6 +633,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_source_mixing_weights": OSQL.q_source_mixing_weights(),
         "q_quality_funnel": OSQL.q_quality_funnel(),
         "q_bm25_topk": OSQL.q_bm25_topk(),
+        "q_bigram_logprob": OSQL.q_bigram_logprob(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
         # glibc-log2 entropy chain makes the byte statistics bit-exact

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q_sim_search_pq",
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_bigram_logprob",
 ]
 
 

@@ -1228,3 +1228,74 @@ def bm25_topk(
             ),
         )
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-self BIGRAM log-probability per document — the next step up
+    from :func:`unigram_logprob` on the LM-quality ladder: documents with
+    plausible word ORDER score higher than bags of frequent words, which
+    is exactly what separates fluent text from keyword spam.
+
+    P(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V)   (add-one smoothing over
+    the corpus vocabulary), reported as the per-doc mean log2 P over its
+    bigrams. Same determinism scheme as the unigram scorer: each
+    bigram's log2-probability is floor-rounded to 6dp BIGINT micro-units
+    so the per-doc sum is order-independent exact arithmetic.
+
+    Scale shape: one spread exchange materializes tokens (the
+    long-document rule), then two count aggregates (bigram table,
+    first-token table) and one scalar vocab count; the scoring join is
+    a plain equi-join on the bigram string that AQE broadcasts while the
+    model fits — at 100 TB it degrades to a shuffle join instead of
+    OOMing. Docs with < 2 tokens have no bigrams and are excluded.
+    """
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    toked = spread_partitions(
+        documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+    ).filter(F.size("t") >= 2)
+    ex = toked.select(
+        "doc_id", F.explode(_grams_from_tokens("t", 2)).alias("bg")
+    )
+    bg_counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = (
+        ex.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    vocab_n = (
+        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        .select("token")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    lp = F.log2(
+        (F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")).cast("double")
+    )
+    lp_micro = F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        ex.join(bg_counts, "bg")
+        .join(
+            w1_counts,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab_n))
+        .select("doc_id", lp_micro.alias("m"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("m").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round_det(
+                F.col("sum_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).alias("mean_log2p"),
+        )
+    )

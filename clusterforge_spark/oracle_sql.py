@@ -1806,6 +1806,44 @@ FROM scored
 GROUP BY doc_id"""
 
 
+def q_bigram_logprob() -> str:
+    """Mirrors operators/text.bigram_logprob: add-one-smoothed bigram LM,
+    6dp micro-unit log2 probabilities summed as exact BIGINTs."""
+    toks = _H.tokens_sql("text")
+    bg = "[t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]"
+    return f"""WITH tk AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest({bg}) AS bg FROM tk WHERE len(t) >= 2
+),
+bgc AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM ex GROUP BY bg
+),
+w1c AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS c_w1
+  FROM ex GROUP BY split_part(bg, ' ', 1)
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT unnest({toks}) AS token FROM documents)
+),
+scored AS (
+  SELECT ex.doc_id,
+         CAST(floor(log2((c_bg + 1)::DOUBLE / (c_w1 + v)::DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS m
+  FROM ex
+  JOIN bgc USING (bg)
+  JOIN w1c ON split_part(ex.bg, ' ', 1) = w1c.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(m) AS DOUBLE) / 1e6 / count(*), 4) AS mean_log2p
+FROM scored
+GROUP BY doc_id"""
+
+
 def q_bm25_topk() -> str:
     """Mirrors operators/text.bm25_topk: Lucene-style BM25 over the
     fixed benchmark query, 6dp micro-unit partial scores summed as

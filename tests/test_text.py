@@ -521,3 +521,44 @@ def test_bm25_topk_matches_python(spark):
     # ranking: by score desc then doc_id asc
     scores = [(-expected[r.doc_id][0], r.doc_id) for r in got]
     assert scores == sorted(scores)
+
+
+def test_bigram_logprob_matches_python(spark):
+    import math
+
+    from clusterforge_spark.operators.text import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s", 20),
+        (2, "the cat ran", "en", "s", 11),
+        (3, "mat", "en", "s", 3),          # < 2 tokens: excluded
+        (4, "on the mat the cat sat", "en", "s", 20),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert 3 not in got
+
+    toks = {d: t.split() for d, t, *_ in rows}
+    all_bgs = []
+    for d, t in toks.items():
+        if len(t) >= 2:
+            all_bgs += [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+    from collections import Counter
+
+    c_bg = Counter(all_bgs)
+    c_w1 = Counter(w1 for w1, _ in all_bgs)
+    v = len({w for t in toks.values() for w in t})
+    for d, t in toks.items():
+        if len(t) < 2:
+            continue
+        micro = 0
+        bgs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        for bgm in bgs:
+            lp = math.log2((c_bg[bgm] + 1) / (c_w1[bgm[0]] + v))
+            micro += math.floor(lp * 1e6 + 0.5)
+        mean = micro / 1e6 / len(bgs)
+        want = math.floor(mean * 1e4 + 0.5) / 1e4
+        assert got[d].n_bigrams == len(bgs)
+        assert got[d].mean_log2p == want
