@@ -114,9 +114,15 @@ def norm_col(col: str, dim: int = DIM) -> Column:
 
 
 def cosine_lit(col: str, vals: list[float]) -> Column:
-    """cosine(embedding, literal query) — norm of the literal precomputed."""
+    """cosine(embedding, literal query) — norm of the literal precomputed.
+
+    try_divide: a zero-norm vector has undefined direction → NULL cosine
+    (sorts last under DESC) instead of an ANSI DIVIDE_BY_ZERO abort; for
+    every non-degenerate vector the value is identical to plain division
+    (the oracle corpus contains no zero vectors, so parity holds).
+    """
     qnorm = math.sqrt(py_dot(vals, vals))
-    return dot_lit(col, vals) / (norm_col(col, len(vals)) * F.lit(qnorm))
+    return F.try_divide(dot_lit(col, vals), norm_col(col, len(vals)) * F.lit(qnorm))
 
 
 def dist2_lit(col: str, vals: list[float]) -> Column:
@@ -128,11 +134,12 @@ def dist2_lit(col: str, vals: list[float]) -> Column:
 
 
 def cosine_cols(col_a: str, col_b: str, dim: int = DIM) -> Column:
-    """cosine between two embedding columns (for pairwise near-dup)."""
+    """cosine between two embedding columns (for pairwise near-dup).
+    NULL (not DIVIDE_BY_ZERO) when either vector is zero-norm."""
     prods = F.zip_with(
         F.col(col_a), F.col(col_b), lambda x, y: x.cast("double") * y.cast("double")
     )
-    return _fold(prods) / (norm_col(col_a, dim) * norm_col(col_b, dim))
+    return F.try_divide(_fold(prods), norm_col(col_a, dim) * norm_col(col_b, dim))
 
 
 def lsh_bucket(col: str, planes: list[list[float]] = HYPERPLANES) -> Column:

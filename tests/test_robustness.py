@@ -116,3 +116,43 @@ def test_more_zero_variance_paths_return_null(spark):
     )
     rows = SIM.embed_normalize(embs).collect()
     assert len(rows) == 2 and all(r.nval is None for r in rows)
+
+
+def test_round4_additions_survive_adversarial_docs(adversarial_docs):
+    from clusterforge_spark.operators import multimodal as MM
+    from clusterforge_spark.operators import text as TX
+
+    # BM25: null/empty docs carry no query terms; giant docs must not blow up
+    assert TX.bm25_topk(adversarial_docs).count() == 0  # no query terms present
+    # bigram LM: null/empty/1-token docs excluded, the rest score
+    bl = {r.doc_id for r in TX.bigram_logprob(adversarial_docs).collect()}
+    assert 1 not in bl and 2 not in bl and 4 not in bl  # null, empty, one token
+    assert 5 in bl and 6 in bl
+    # frame/resize plumbing over fake payloads built from adversarial text
+    frames = MM.attach_payload(adversarial_docs.filter("text IS NOT NULL"))
+    fs = MM.frame_sample(frames).collect()
+    assert all(r.byte_len >= 0 and r.byte_start >= 0 for r in fs)
+    assert MM.resize_plan(frames).count() == 5
+
+
+def test_pq_handles_zero_and_constant_vectors(spark):
+    from clusterforge_spark.operators.similarity import pq_codes, pq_topk
+
+    rows = [
+        (1, [0.0] * 64, 0),           # zero vector: NaN cosine, still encodable
+        (2, [1.0] * 64, 0),           # constant vector
+        (3, [float(i) / 64 for i in range(64)], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    codes = pq_codes(emb).collect()
+    assert len(codes) == 3
+    for r in codes:
+        for m in range(8):
+            assert 0 <= getattr(r, f"code_{m}") <= 7
+    out = pq_topk(emb, k=3).collect()
+    # zero vector's cosine is NULL/NaN-free handling: it must not rank above
+    # real vectors; the two non-degenerate vectors must be present
+    ids = [r.vec_id for r in out]
+    assert 2 in ids and 3 in ids
