@@ -28,6 +28,7 @@ from clusterforge_spark.operators import multimodal as MM
 from clusterforge_spark.operators import packing as PK
 from clusterforge_spark.operators import layout as LY
 from clusterforge_spark.operators import relational as R
+from clusterforge_spark.operators import sketches as SK
 from clusterforge_spark.operators import similarity as SIM
 from clusterforge_spark.operators import text as TX
 from clusterforge_spark.operators import validation as VA
@@ -480,6 +481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_bigram_logprob"] = lambda spark, sf: TX.bigram_logprob(
         _t(spark, sf, "documents")
     )
+    q["q_countmin_freq"] = lambda spark, sf: SK.countmin_estimate(
+        _t(spark, sf, "documents")
+    )
+    q["q_bloom_membership"] = lambda spark, sf: SK.bloom_membership(
+        _t(spark, sf, "documents")
+    )
     q["q_multimodal_meta"] = lambda spark, sf: MM.payload_meta(_t(spark, sf, "documents"))
     q["q_multimodal_decode"] = lambda spark, sf: MM.decode_features(
         MM.attach_payload(_t(spark, sf, "documents"))
@@ -634,6 +641,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_quality_funnel": OSQL.q_quality_funnel(),
         "q_bm25_topk": OSQL.q_bm25_topk(),
         "q_bigram_logprob": OSQL.q_bigram_logprob(),
+        "q_countmin_freq": OSQL.q_countmin_freq(),
+        "q_bloom_membership": OSQL.q_bloom_membership(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),
         # pandas-UDF decode IS oracle-checkable: ASCII corpus + fixed-order
         # glibc-log2 entropy chain makes the byte statistics bit-exact

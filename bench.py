@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_bigram_logprob",
+    "q_countmin_freq",
+    "q_bloom_membership",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Mergeable frequency/membership sketches, cross-engine exact.
+
+Production pipelines summarize 100 TB token streams with sketches whose
+partial states merge associatively across executors. Spark's built-ins
+(approx_count_distinct, Bloom pushdown) are JVM-private — correct but
+not oracle-checkable. These operators build the two classic sketches
+from md5 arithmetic that is bit-identical in any engine, so the whole
+construction AND its error behavior are verified against DuckDB exactly:
+
+* Count-Min (Cormode & Muthukrishnan, J.Alg'05): D independent hash
+  rows × W counters; est(x) = min_j counter[j][h_j(x)] ≥ true count,
+  overestimate bounded by collisions.
+* Bloom filter (Bloom, CACM'70): K bit positions per key over a W-bit
+  space; membership = all K bits set; false positives possible, false
+  negatives impossible.
+
+Both build as ONE explode + hash-aggregate pass (map-side combine does
+the heavy lifting; the shuffle carries ≤ D·W / ≤ W rows), and the
+sketch tables broadcast into any consumer — the exact merge shape a
+1000-executor aggregation uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clusterforge_spark.functions import hashing as H
+
+#: Count-Min geometry: D hash rows × W counters (ε ≈ e/W, δ ≈ e^-D).
+CMS_D = 4
+CMS_W = 1024
+
+#: Bloom geometry: W bits, K hashes per key.
+BLOOM_W = 2048
+BLOOM_K = 3
+
+#: fixed probe set for the contract queries: frequent tokens, a rare
+#: one, and one absent from the corpus (exercises the FP path).
+PROBE_TOKENS = ("hash", "join", "spark", "zanzibar", "quetzalcoatl")
+
+
+def _bucket(token_expr: str, salt: int, width: int) -> str:
+    """Spark/DuckDB-identical bucket: md5 of 'salt|token', 60-bit prefix
+    mod width — one expression string, engine-exact."""
+    return (
+        f"cast(conv(substr(md5(concat('{salt}|', {token_expr})), 1, 15), 16, 10) "
+        f"as bigint) % {width}"
+    )
+
+
+def _bucket_sql(token_expr: str, salt: int, width: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}|' || {token_expr}), 1, 15))::BIGINT) % {width}"
+    )
+
+
+def countmin_build(documents: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """The Count-Min sketch table: (row, bucket, counter) over all token
+    occurrences. One explode + one hash aggregate; ≤ d·w rows out."""
+    ex = documents.select(F.explode(H.tokens_col("text")).alias("token"))
+    rows = ex.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({j} as row, {_bucket('token', j, w)} as bucket)"
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb")
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("counter")
+    )
+
+
+def countmin_estimate(
+    documents: DataFrame,
+    probes: tuple[str, ...] = PROBE_TOKENS,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Count-Min point queries vs ground truth for the probe tokens:
+    (token, est, true_count, overestimate). est ≥ true always; the gap
+    is the collision mass the sketch's ε·N bound promises to cap.
+
+    The sketch table (≤ d·w rows) broadcasts into the probe join; truth
+    is one filtered aggregate over the same scan.
+    """
+    sk = countmin_build(documents, d=d, w=w)
+    spark = documents.sparkSession
+    probe_rows = spark.createDataFrame(
+        [(t,) for t in probes], "token string"
+    )
+    lookups = probe_rows.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({j} as row, {_bucket('token', j, w)} as bucket)"
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        lookups.join(F.broadcast(sk), ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("counter", F.lit(0))).cast("long").alias("est"))
+    )
+    truth = (
+        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        .filter(F.col("token").isin(*probes))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return (
+        est.join(truth, "token", "left")
+        .select(
+            "token",
+            "est",
+            F.coalesce("true_count", F.lit(0)).cast("long").alias("true_count"),
+            (F.col("est") - F.coalesce("true_count", F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+def bloom_membership(
+    documents: DataFrame,
+    probes: tuple[str, ...] = PROBE_TOKENS,
+    w: int = BLOOM_W,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter membership report for the probe tokens:
+    (token, in_filter, actually_present, is_false_positive).
+
+    The filter is the DISTINCT set-bit table (≤ w rows) built in one
+    explode+distinct pass over the corpus vocabulary; membership checks
+    whether all k probe positions are present (count of matched
+    positions = k). No false negatives by construction — pinned by the
+    pytest; false positives are reported, not hidden.
+    """
+    bits = (
+        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        .select(
+            F.explode(
+                F.array(*[F.expr(_bucket("token", j, w)) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    spark = documents.sparkSession
+    probe_rows = spark.createDataFrame([(t,) for t in probes], "token string")
+    probe_bits = probe_rows.select(
+        "token",
+        F.explode(
+            F.array(*[F.expr(_bucket("token", j, w)) for j in range(k)])
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    present = (
+        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        .filter(F.col("token").isin(*probes))
+        .select("token")
+        .distinct()
+        .withColumn("actually_present", F.lit(True))
+    )
+    return (
+        probe_rows.join(hits, "token", "left")
+        .join(present, "token", "left")
+        .select(
+            "token",
+            (F.coalesce("n_hits", F.lit(0)) == k).alias("in_filter"),
+            F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
+            (
+                (F.coalesce("n_hits", F.lit(0)) == k)
+                & ~F.coalesce("actually_present", F.lit(False))
+            ).alias("is_false_positive"),
+        )
+    )

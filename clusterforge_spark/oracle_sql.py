@@ -1806,6 +1806,112 @@ FROM scored
 GROUP BY doc_id"""
 
 
+def _md5_bucket(token: str, salt: int, width: int) -> int:
+    """Python twin of sketches._bucket — hashlib md5 is bit-identical to
+    Spark's md5() and DuckDB's md5() on the same utf-8 string."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{token}".encode()).hexdigest()
+    return int(h[:15], 16) % width
+
+
+def q_countmin_freq() -> str:
+    """Mirrors operators/sketches.countmin_estimate: D×W md5 Count-Min
+    sketch, probe estimates vs exact counts. Probe bucket positions are
+    precomputed in Python (identical md5 arithmetic)."""
+    from clusterforge_spark.operators.sketches import CMS_D, CMS_W, PROBE_TOKENS
+    from clusterforge_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql("text")
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {j} AS row, (('0x' || substr(md5('{j}|' || token), 1, 15))::BIGINT)"
+        f" % {CMS_W} AS bucket FROM ex"
+        for j in range(CMS_D)
+    )
+    probe_sel = []
+    for t in PROBE_TOKENS:
+        lookups = ", ".join(
+            f"coalesce((SELECT counter FROM sk WHERE row = {j} "
+            f"AND bucket = {_md5_bucket(t, j, CMS_W)}), 0)"
+            for j in range(CMS_D)
+        )
+        probe_sel.append(f"SELECT '{t}' AS token, least({lookups}) AS est")
+    probes = "\nUNION ALL\n".join(probe_sel)
+    in_list = ", ".join(f"'{t}'" for t in PROBE_TOKENS)
+    return f"""WITH ex AS (
+  SELECT unnest({toks}) AS token FROM documents
+),
+sk AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS counter
+  FROM ({branches})
+  GROUP BY row, bucket
+),
+est AS (
+{probes}
+),
+truth AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_count
+  FROM ex WHERE token IN ({in_list}) GROUP BY token
+)
+SELECT est.token,
+       CAST(est AS BIGINT) AS est,
+       CAST(coalesce(true_count, 0) AS BIGINT) AS true_count,
+       CAST(est - coalesce(true_count, 0) AS BIGINT) AS overestimate
+FROM est LEFT JOIN truth ON est.token = truth.token"""
+
+
+def q_bloom_membership() -> str:
+    """Mirrors operators/sketches.bloom_membership (K md5 positions over
+    a W-bit space; probe positions precomputed in Python)."""
+    from clusterforge_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_W,
+        PROBE_TOKENS,
+    )
+    from clusterforge_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql("text")
+    branches = "\nUNION ALL\n".join(
+        f"SELECT (('0x' || substr(md5('{j}|' || token), 1, 15))::BIGINT)"
+        f" % {BLOOM_W} AS bit FROM ex"
+        for j in range(BLOOM_K)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS token, {_md5_bucket(t, j, BLOOM_W)} AS bit"
+        for t in PROBE_TOKENS
+        for j in range(BLOOM_K)
+    )
+    in_list = ", ".join(f"'{t}'" for t in PROBE_TOKENS)
+    return f"""WITH ex AS (
+  SELECT unnest({toks}) AS token FROM documents
+),
+bits AS (
+  SELECT DISTINCT bit FROM ({branches})
+),
+pb AS (
+{probe_rows}
+),
+hits AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_hits
+  FROM pb WHERE bit IN (SELECT bit FROM bits) GROUP BY token
+),
+present AS (
+  SELECT DISTINCT token, TRUE AS actually_present
+  FROM ex WHERE token IN ({in_list})
+),
+probes AS (
+  SELECT DISTINCT token FROM pb
+)
+SELECT probes.token,
+       coalesce(n_hits, 0) = {BLOOM_K} AS in_filter,
+       coalesce(actually_present, FALSE) AS actually_present,
+       (coalesce(n_hits, 0) = {BLOOM_K}) AND NOT coalesce(actually_present, FALSE)
+         AS is_false_positive
+FROM probes
+LEFT JOIN hits ON probes.token = hits.token
+LEFT JOIN present ON probes.token = present.token"""
+
+
 def q_bigram_logprob() -> str:
     """Mirrors operators/text.bigram_logprob: add-one-smoothed bigram LM,
     6dp micro-unit log2 probabilities summed as exact BIGINTs."""

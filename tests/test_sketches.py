@@ -1,0 +1,70 @@
+"""Sketch guarantees: Count-Min never underestimates; Bloom has no
+false negatives; both match brute-force on known corpora."""
+
+from __future__ import annotations
+
+from clusterforge_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    bloom_membership,
+    countmin_build,
+    countmin_estimate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_countmin_never_underestimates_and_is_tight_here(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hash hash hash join", "en", "s", 20),
+            (2, "join spark hash", "en", "s", 15),
+            (3, "scan filter row", "en", "s", 15),
+        ],
+    )
+    got = {r.token: r for r in countmin_estimate(docs).collect()}
+    truth = {"hash": 4, "join": 2, "spark": 1, "zanzibar": 0, "quetzalcoatl": 0}
+    for tok, want in truth.items():
+        assert got[tok].true_count == want
+        assert got[tok].est >= want          # the CMS guarantee
+        assert got[tok].overestimate == got[tok].est - want
+    # 7 distinct tokens in a 4x1024 sketch: collisions are implausible,
+    # so the estimates should be exact on this corpus
+    assert all(r.overestimate == 0 for r in got.values())
+
+
+def test_countmin_sketch_mass_conserved(spark):
+    docs = _docs(spark, [(1, "a b c a b a", "en", "s", 11)])
+    sk = countmin_build(docs).collect()
+    # every hash row absorbs the full token mass (6 occurrences)
+    by_row: dict = {}
+    for r in sk:
+        by_row[r.row] = by_row.get(r.row, 0) + r.counter
+    assert set(by_row) == set(range(CMS_D))
+    assert all(v == 6 for v in by_row.values())
+    assert all(0 <= r.bucket < CMS_W for r in sk)
+
+
+def test_bloom_no_false_negatives(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hash join", "en", "s", 9),
+            (2, "spark streams", "en", "s", 13),
+        ],
+    )
+    got = {r.token: r for r in bloom_membership(docs).collect()}
+    # every actually-present probe MUST be in the filter
+    for tok in ("hash", "join", "spark"):
+        assert got[tok].actually_present
+        assert got[tok].in_filter
+        assert not got[tok].is_false_positive
+    # absent probes: either correctly out, or flagged as false positives
+    for tok in ("zanzibar", "quetzalcoatl"):
+        assert not got[tok].actually_present
+        assert got[tok].is_false_positive == got[tok].in_filter
