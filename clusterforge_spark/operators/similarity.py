@@ -319,17 +319,27 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     sampled k-means exactly like ivf_trained_cells; the literal-array
     broadcast shape is identical.
     """
+    # single F.expr parse per subspace: 64 lambda-built zip_with folds
+    # cost ~3 s of py4j round-trips per query (see hashing.tokens_col);
+    # the SQL text yields the identical plan. `D`-suffixed literals parse
+    # through Double.parseDouble — the same correctly-rounded strtod the
+    # Column-literal path uses.
     cols = []
     for m in range(V.PQ_M):
-        sub = F.slice(F.col("embedding"), m * V.PQ_SUBDIM + 1, V.PQ_SUBDIM)
-        entries = [
-            F.struct(
-                V.dist2_cols(sub, V._lit_arr(cb)).alias("d"), F.lit(c).alias("c")
+        sub = f"slice(embedding, {m * V.PQ_SUBDIM + 1}, {V.PQ_SUBDIM})"
+        entries = []
+        for c, cb in enumerate(V.PQ_CODEBOOKS[m]):
+            lits = ", ".join(f"{v!r}D" for v in cb)
+            d = (
+                f"aggregate(zip_with({sub}, array({lits}), "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"0.0D, (a, v) -> a + v)"
             )
-            for c, cb in enumerate(V.PQ_CODEBOOKS[m])
-        ]
+            entries.append(f"struct({d} as d, {c} as c)")
         cols.append(
-            F.array_min(F.array(*entries)).getField("c").cast("long").alias(f"code_{m}")
+            F.expr(
+                f"cast(array_min(array({', '.join(entries)})).c as bigint)"
+            ).alias(f"code_{m}")
         )
     return embeddings.select("vec_id", "embedding", *cols)
 

@@ -26,6 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clusterforge_spark.functions import hashing as H
+from clusterforge_spark.functions.partitioning import spread_partitions as _spread
+
+
+def _all_tokens(documents: DataFrame) -> DataFrame:
+    """(token) rows for every occurrence, tokenized ABOVE a spread
+    exchange — a single-file scan is one partition, and the md5 bucket
+    hashing below would otherwise serialize onto one core."""
+    return _spread(documents.select("doc_id", "text"), "doc_id").select(
+        F.explode(H.tokens_col("text")).alias("token")
+    )
 
 #: Count-Min geometry: D hash rows × W counters (ε ≈ e/W, δ ≈ e^-D).
 CMS_D = 4
@@ -58,7 +68,7 @@ def _bucket_sql(token_expr: str, salt: int, width: int) -> str:
 def countmin_build(documents: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
     """The Count-Min sketch table: (row, bucket, counter) over all token
     occurrences. One explode + one hash aggregate; ≤ d·w rows out."""
-    ex = documents.select(F.explode(H.tokens_col("text")).alias("token"))
+    ex = _all_tokens(documents)
     rows = ex.select(
         F.explode(
             F.array(
@@ -113,7 +123,7 @@ def countmin_estimate(
         .agg(F.min(F.coalesce("counter", F.lit(0))).cast("long").alias("est"))
     )
     truth = (
-        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        _all_tokens(documents)
         .filter(F.col("token").isin(*probes))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
@@ -147,7 +157,7 @@ def bloom_membership(
     pytest; false positives are reported, not hidden.
     """
     bits = (
-        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        _all_tokens(documents)
         .select(
             F.explode(
                 F.array(*[F.expr(_bucket("token", j, w)) for j in range(k)])
@@ -169,7 +179,7 @@ def bloom_membership(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     present = (
-        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        _all_tokens(documents)
         .filter(F.col("token").isin(*probes))
         .select("token")
         .distinct()

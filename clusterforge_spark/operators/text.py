@@ -1180,9 +1180,15 @@ def bm25_topk(
     unigram_logprob trick), so the per-doc sum is order-independent and
     the (score, doc_id) ranking is bit-stable on any engine.
     """
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
     terms = list(query_terms)
     k1p1 = k1 + 1.0
-    docs = documents.select("doc_id", H.tokens_col("text").alias("t"))
+    # tokenize above a spread exchange: single-file scans are one
+    # partition and the tokenizer would otherwise run on one core
+    docs = spread_partitions(
+        documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", H.tokens_col("text").alias("t"))
     lens = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = lens.agg(
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -1264,7 +1270,8 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_w1"))
     )
     vocab_n = (
-        documents.select(F.explode(H.tokens_col("text")).alias("token"))
+        spread_partitions(documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(H.tokens_col("text")).alias("token"))
         .select("token")
         .distinct()
         .agg(F.count(F.lit(1)).alias("v"))
