@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"),
         _t(spark, sf, "customer"),
     )
+    q["q_tpch_forecast_revenue"] = lambda spark, sf: R.tpch_forecast_revenue(
+        _t(spark, sf, "lineitem")
+    )
     q["q_tpch_large_volume"] = lambda spark, sf: R.tpch_large_volume_customer(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
@@ -557,6 +560,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_tpch_shipping_priority": OSQL.q_tpch_shipping_priority(),
+        "q_tpch_forecast_revenue": OSQL.q_tpch_forecast_revenue(),
         "q_tpch_large_volume": OSQL.q_tpch_large_volume(),
         "q_zorder_events": OSQL.q_zorder_events(),
         "q_cube_revenue": OSQL.q_cube_revenue(),

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_countmin_freq",
     "q_bloom_membership",
+    "q_tpch_forecast_revenue",
 ]
 
 

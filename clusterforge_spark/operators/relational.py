@@ -928,6 +928,44 @@ def tpch_pricing_summary(
     )
 
 
+def tpch_forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the canonical SELECTIVE
+    filter + single-agg shape — every predicate must reach the parquet
+    scan (PushedFilters carries shipdate/discount/quantity), and the
+    aggregate is one map-side-combinable sum with a 1-row shuffle.
+
+    revenue = Σ l_extendedprice·l_discount over the qualifying rows, in
+    exact integer ten-thousandths (price_cents × discount_cents,
+    decimal(38,0) accumulate) — bit-stable across engines and
+    partitionings.
+    """
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev_e4 = (
+        "cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
+        "cast(floor(l_discount * 100 + 0.5) as bigint)"
+    )
+    return f.agg(
+        round_det(
+            F.expr(f"cast(sum(cast({rev_e4} as decimal(38,0))) as double) / 10000.0"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 def tpch_local_supplier_volume(
     lineitem: DataFrame,
     orders: DataFrame,

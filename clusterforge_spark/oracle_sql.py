@@ -761,6 +761,23 @@ SELECT doc_id,
 FROM w"""
 
 
+def q_tpch_forecast_revenue() -> str:
+    """Mirrors operators/relational.tpch_forecast_revenue (Q6) with the
+    exact integer ten-thousandths revenue sum."""
+    rev = (
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    )
+    return f"""SELECT
+  round(CAST(sum(CAST({rev} AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0"""
+
+
 def q_multimodal_frames() -> str:
     """Mirrors operators/multimodal.frame_sample over attach_payload's
     deterministic fake payloads (exact integer byte windows)."""
@@ -1819,13 +1836,17 @@ def q_countmin_freq() -> str:
     """Mirrors operators/sketches.countmin_estimate: D×W md5 Count-Min
     sketch, probe estimates vs exact counts. Probe bucket positions are
     precomputed in Python (identical md5 arithmetic)."""
-    from clusterforge_spark.operators.sketches import CMS_D, CMS_W, PROBE_TOKENS
+    from clusterforge_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        PROBE_TOKENS,
+        _bucket_sql,
+    )
     from clusterforge_spark.functions.hashing import tokens_sql
 
     toks = tokens_sql("text")
     branches = "\nUNION ALL\n".join(
-        f"SELECT {j} AS row, (('0x' || substr(md5('{j}|' || token), 1, 15))::BIGINT)"
-        f" % {CMS_W} AS bucket FROM ex"
+        f"SELECT {j} AS row, {_bucket_sql('token', j, CMS_W)} AS bucket FROM ex"
         for j in range(CMS_D)
     )
     probe_sel = []
@@ -1867,13 +1888,13 @@ def q_bloom_membership() -> str:
         BLOOM_K,
         BLOOM_W,
         PROBE_TOKENS,
+        _bucket_sql,
     )
     from clusterforge_spark.functions.hashing import tokens_sql
 
     toks = tokens_sql("text")
     branches = "\nUNION ALL\n".join(
-        f"SELECT (('0x' || substr(md5('{j}|' || token), 1, 15))::BIGINT)"
-        f" % {BLOOM_W} AS bit FROM ex"
+        f"SELECT {_bucket_sql('token', j, BLOOM_W)} AS bit FROM ex"
         for j in range(BLOOM_K)
     )
     probe_rows = "\nUNION ALL\n".join(

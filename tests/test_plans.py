@@ -465,3 +465,12 @@ def test_profile_columns_two_level_agg_single_unified_shuffle(spark):
     plan = X.plan_string(df)
     assert "Expand" not in plan
     assert X.exchange_count(df) == 2
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    df = R.tpch_forecast_revenue(_t(spark, "lineitem"))
+    pushed = X.pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    schema = X.read_schema(df)
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
