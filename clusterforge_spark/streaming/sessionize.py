@@ -911,3 +911,72 @@ def run_quality_filter_batchlike(
     )
     _await_or_raise(q, timeout_s)
     return spark.table("q_stream_quality")
+
+
+# ---------------------------------------------------------------------------
+# incrementally maintained Count-Min sketch (mergeable-state streaming)
+# ---------------------------------------------------------------------------
+
+def run_stream_countmin_batchlike(
+    spark: SparkSession,
+    docs_path_glob: str,
+    sketch_path: str,
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Maintain the md5 Count-Min sketch (operators/sketches) over a
+    DOCUMENT STREAM: each micro-batch builds its own partial sketch and
+    merges it into the persisted one by (row, bucket) counter addition —
+    the canonical mergeable-sketch property, exercised as streaming
+    state kept OUTSIDE the streaming engine (foreachBatch + parquet
+    stage-and-swap, the same pattern as the streaming MERGE).
+
+    Because counter addition is associative and commutative, any batch
+    split of the corpus converges to exactly the batch-built sketch —
+    pinned by the multi-batch parity pytest. Replays of a batch are NOT
+    idempotent on plain parquet (counts would double); production runs
+    put batch_id-keyed dedup or a transactional table format underneath,
+    exactly as the docstring of run_stream_upsert_batchlike notes.
+    """
+    from clusterforge_spark.operators.sketches import countmin_build
+
+    docs = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path_glob)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = countmin_build(batch_df)
+        try:
+            base = spark.read.parquet(sketch_path)
+            have_base = True
+        except Exception:  # first batch
+            have_base = False
+        if have_base:
+            b, p = base.alias("b"), partial.alias("p")
+            merged = b.join(
+                p,
+                (F.col("b.row") == F.col("p.row"))
+                & (F.col("b.bucket") == F.col("p.bucket")),
+                "full_outer",
+            ).select(
+                F.coalesce(F.col("p.row"), F.col("b.row")).alias("row"),
+                F.coalesce(F.col("p.bucket"), F.col("b.bucket")).alias("bucket"),
+                (
+                    F.coalesce(F.col("p.counter"), F.lit(0))
+                    + F.coalesce(F.col("b.counter"), F.lit(0))
+                ).cast("long").alias("counter"),
+            )
+        else:
+            merged = partial
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(sketch_path)
+
+    query = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.read.parquet(sketch_path)

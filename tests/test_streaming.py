@@ -437,3 +437,32 @@ def test_stream_quality_filter_matches_batch(spark, documents):
     }
     assert got == want and len(got) > 0
     assert {g for _, (_, _, g) in got.items()} >= {"kept"}
+
+
+def test_stream_countmin_multibatch_equals_batch_sketch(spark, tmp_path):
+    """The streamed Count-Min sketch, merged across 3 micro-batches,
+    is bit-identical to the sketch built in one batch pass — the
+    mergeable-state guarantee the operator exists for."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.sketches import countmin_build
+    from clusterforge_spark.sources.readers import load_table
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_countmin_batchlike,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_in")
+    # three files => three availableNow micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sketch_path = str(tmp_path / "sketch")
+    streamed = run_stream_countmin_batchlike(spark, src, sketch_path)
+    want = {
+        (r.row, r.bucket): r.counter for r in countmin_build(docs).collect()
+    }
+    got = {(r.row, r.bucket): r.counter for r in streamed.collect()}
+    assert got == want
