@@ -398,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
+    q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
+        _banded_pairs(spark, sf)
+    )
     q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
         _components(spark, sf)
     )
@@ -607,6 +610,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
+        "q_pair_degree_stats": OSQL.q_pair_degree_stats(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

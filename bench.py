@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q_countmin_freq",
     "q_bloom_membership",
     "q_tpch_forecast_revenue",
+    "q_pair_degree_stats",
 ]
 
 

@@ -960,3 +960,25 @@ def minhash_estimate_error(docs: DataFrame, n: int = 3) -> DataFrame:
             round_det(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+def pair_degree_stats(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the near-dup pair graph: how many docs
+    participate in exactly ``degree`` candidate pairs — the graph-shape
+    report that distinguishes star-shaped template families (a few
+    high-degree hubs) from uniform near-duplicate noise, and the sanity
+    check that catches a mis-tuned banding config (degrees exploding)
+    before the quadratic pair expansion does.
+
+    Two keyed count aggregates over the (tiny, candidate-bounded) pair
+    set; output is a handful of rows at any corpus size.
+    """
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

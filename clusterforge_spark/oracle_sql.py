@@ -2461,6 +2461,26 @@ JOIN pairs e2 ON e1.doc_b = e2.doc_a
 JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"""
 
 
+def q_pair_degree_stats(n: int = 3, threshold: float = 0.2) -> str:
+    """Mirrors operators/dedup.pair_degree_stats over the banded-minhash
+    pair set (two keyed count aggregates)."""
+    pairs = q_dedup_minhash_banded(n=n, threshold=threshold)
+    return f"""WITH pairs AS (
+{pairs}
+),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  )
+  GROUP BY doc_id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree"""
+
+
 def q_ewma_per_user() -> str:
     from clusterforge_spark.operators.relational import EWMA_ALPHA
 
