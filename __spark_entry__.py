@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_mad_outliers"] = lambda spark, sf: VA.mad_outliers(_t(spark, sf, "events"))
     q["q_corr_matrix"] = lambda spark, sf: R.corr_matrix(_t(spark, sf, "lineitem"))
+    q["q_spearman_matrix"] = lambda spark, sf: R.spearman_matrix(
+        _t(spark, sf, "lineitem")
+    )
     q["q_resample_daily"] = lambda spark, sf: R.resample_daily(
         _t(spark, sf, "events")
     )
@@ -560,6 +563,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_mad_outliers": OSQL.q_mad_outliers(),
         "q_corr_matrix": OSQL.q_corr_matrix(),
+        "q_spearman_matrix": OSQL.q_spearman_matrix(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_tpch_shipping_priority": OSQL.q_tpch_shipping_priority(),

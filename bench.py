@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q_bloom_membership",
     "q_tpch_forecast_revenue",
     "q_pair_degree_stats",
+    "q_spearman_matrix",
 ]
 
 

@@ -1336,6 +1336,92 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
     return stacked.select("p.*")
 
 
+def spearman_matrix(
+    lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation — the outlier-robust companion
+    to :func:`corr_matrix` (monotone association instead of linear).
+
+    Ranks are built from each column's VALUE HISTOGRAM, not a global
+    sort: per column, one grouped count over distinct cent values, a
+    cumulative window over that (distinct-value-sized, bounded for 2dp
+    money domains) yields the doubled average tie rank
+    r2 = 2·cum_before + cnt + 1 — an exact BIGINT. Rows join their ranks
+    back by value (AQE-sized equi-joins), and Pearson-on-ranks runs as
+    the same single sufficient-statistics aggregate as corr_matrix,
+    with decimal(38,0) sums. Doubling the ranks keeps every tie-average
+    integral, and correlation is scale-invariant, so the result equals
+    textbook average-rank Spearman exactly. int64 rank products are
+    exact to ~1.5e9 rows per table; beyond that, widen the product term
+    to decimal — noted here so the limit is explicit.
+    """
+    from pyspark.sql.window import Window
+
+    cents = {c: f"cast(floor({c} * 100 + 0.5) as bigint)" for c in cols}
+    base = lineitem.select(*[F.expr(f"{cents[c]} as v_{c}") for c in cols])
+    joined = base
+    for c in cols:
+        vc = base.groupBy(f"v_{c}").agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.orderBy(F.col(f"v_{c}"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranks = vc.select(
+            f"v_{c}",
+            (
+                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(f"r2_{c}"),
+        )
+        joined = joined.join(ranks, f"v_{c}")
+
+    aggs = [F.expr("cast(count(*) as double) as n")]
+    for c in cols:
+        aggs.append(
+            F.expr(f"cast(sum(cast(r2_{c} as decimal(38,0))) as double) as s_{c}")
+        )
+        aggs.append(
+            F.expr(
+                f"cast(sum(cast(r2_{c} * r2_{c} as decimal(38,0))) as double) as ss_{c}"
+            )
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.expr(
+                f"cast(sum(cast(r2_{a} * r2_{b} as decimal(38,0))) as double) "
+                f"as sp_{a}__{b}"
+            )
+        )
+    one = joined.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n, sa, sb = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
+        cov = n * F.col(f"sp_{a}__{b}") - sa * sb
+        va = n * F.col(f"ss_{a}") - sa * sa
+        vb = n * F.col(f"ss_{b}") - sb * sb
+        return F.try_divide(cov, F.sqrt(va) * F.sqrt(vb))
+
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        round_det(_corr(a, b), 6).alias("rho"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
 def _session_path_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Top-k session paths: the ordered event_type sequence of each gap
     session, counted across all sessions — the navigation-mining query

@@ -2243,6 +2243,63 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_spearman_matrix() -> str:
+    """Mirrors operators/relational.spearman_matrix: histogram-built
+    doubled average ranks (exact BIGINT), Pearson-on-ranks via HUGEINT
+    sufficient statistics."""
+    from clusterforge_spark.operators.relational import CORR_COLS
+
+    cols = CORR_COLS
+    cents = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in cols}
+    base_sel = ", ".join(f"{cents[c]} AS v_{c}" for c in cols)
+    rank_ctes = []
+    for c in cols:
+        rank_ctes.append(
+            f"""rk_{c} AS (
+  SELECT v_{c},
+         CAST(2 * coalesce(sum(cnt) OVER (ORDER BY v_{c}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS BIGINT) AS r2_{c}
+  FROM (SELECT v_{c}, count(*) AS cnt FROM base GROUP BY v_{c})
+)"""
+        )
+    joins = " ".join(f"JOIN rk_{c} USING (v_{c})" for c in cols)
+    sel = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sel.append(f"CAST(sum(CAST(r2_{c} AS HUGEINT)) AS DOUBLE) AS s_{c}")
+        sel.append(
+            f"CAST(sum(CAST(r2_{c} * r2_{c} AS HUGEINT)) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sel.append(
+            f"CAST(sum(CAST(r2_{a} * r2_{b} AS HUGEINT)) AS DOUBLE) AS sp_{a}__{b}"
+        )
+    stats = ",\n         ".join(sel)
+    unions = []
+    for a, b in pairs:
+        corr = (
+            f"(n * sp_{a}__{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        unions.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, round({corr}, 6) AS rho FROM s"
+        )
+    u = "\nUNION ALL\n".join(unions)
+    ctes = ",\n".join(rank_ctes)
+    return f"""WITH base AS (
+  SELECT {base_sel} FROM lineitem
+),
+{ctes},
+j AS (
+  SELECT * FROM base {joins}
+),
+s AS (
+  SELECT {stats} FROM j
+)
+{u}"""
+
+
 def q_nb_classify() -> str:
     """Mirrors operators/text.nb_classify: multinomial NB with add-one
     smoothing, 6dp-micro-unit integer log2 scores, argmax with lang

@@ -381,3 +381,50 @@ def test_order_backlog_invariants(spark, orders):
     assert rows[-1].open_backlog == orders.count() - n_filled
     for r in rows:
         assert 0 <= r.n_filled <= r.n_orders
+
+
+def test_spearman_matrix_matches_numpy_rank_pearson(spark):
+    """Spearman via histogram ranks == Pearson over scipy-style average
+    ranks computed in numpy, including ties."""
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import spearman_matrix
+
+    rng = [
+        (1.00, 10.00, 0.05, 0.01),
+        (2.00, 20.00, 0.05, 0.02),
+        (2.00, 15.00, 0.00, 0.02),
+        (3.00, 30.00, 0.10, 0.03),
+        (4.00, 25.00, 0.10, 0.00),
+        (4.00, 40.00, 0.05, 0.04),
+        (5.00, 35.00, 0.00, 0.04),
+    ]
+    df = spark.createDataFrame(
+        rng,
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    got = {(r.col_a, r.col_b): r.rho for r in spearman_matrix(df).collect()}
+
+    def avg_ranks(x):
+        x = np.asarray(x)
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x), dtype=np.float64)
+        i = 0
+        sorted_x = x[order]
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and sorted_x[j + 1] == sorted_x[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    cols = list(zip(*rng))
+    names = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    R = {n: avg_ranks(c) for n, c in zip(names, cols)}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ra, rb = R[a], R[b]
+            want = np.corrcoef(ra, rb)[0, 1]
+            # operator output is 6dp-rounded
+            assert abs(got[(a, b)] - want) < 5e-7, (a, b, got[(a, b)], want)
