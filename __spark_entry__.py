@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), predictions=_nb_pred(spark, sf)
     )
     q["q_ab_test"] = lambda spark, sf: VA.ab_test_proportions(_t(spark, sf, "events"))
+    q["q_mannwhitney"] = lambda spark, sf: VA.mannwhitney_value(
+        _t(spark, sf, "events")
+    )
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -554,6 +557,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_nb_confusion": OSQL.q_nb_confusion(),
         "q_ab_test": OSQL.q_ab_test(),
+        "q_mannwhitney": OSQL.q_mannwhitney_value(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_tpch_forecast_revenue",
     "q_pair_degree_stats",
     "q_spearman_matrix",
+    "q_mannwhitney",
 ]
 
 

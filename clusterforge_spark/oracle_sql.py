@@ -2243,6 +2243,52 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_mannwhitney_value() -> str:
+    """Mirrors operators/validation.mannwhitney_value: histogram-built
+    doubled average ranks, tie-corrected normal approximation."""
+    return """WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         user_id % 2 = 0 AS is_a
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT v, count(*) AS cnt FROM base GROUP BY v
+),
+rk AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS BIGINT) AS r2
+  FROM hist
+),
+j AS (
+  SELECT is_a, r2 FROM base JOIN rk USING (v)
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CAST(CASE WHEN is_a THEN r2 ELSE 0 END AS HUGEINT)) AS DOUBLE)
+           AS r2_a
+  FROM j
+),
+t AS (
+  SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tie_term
+  FROM hist
+)
+SELECT n_a, n_b,
+       round((r2_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0, 4)
+         AS u_a,
+       round(((r2_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                       - tie_term
+                         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))),
+             4) AS z_u
+FROM m CROSS JOIN t"""
+
+
 def q_spearman_matrix() -> str:
     """Mirrors operators/relational.spearman_matrix: histogram-built
     doubled average ranks (exact BIGINT), Pearson-on-ranks via HUGEINT

@@ -171,3 +171,41 @@ def test_ab_test_matches_python(spark, events):
     pool = (c_a + c_b) / (n_a + n_b)
     z = (p1 - p2) / math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
     assert abs(row.z_stat - z) < 1e-3
+
+
+def test_mannwhitney_matches_scipy_style_reference(spark):
+    """U and tie-corrected z match a direct Python computation with
+    average ranks (the scipy.stats.mannwhitneyu formulation)."""
+    import math
+
+    from clusterforge_spark.operators.validation import mannwhitney_value
+
+    rows = []
+    vals_a = [1.00, 2.00, 2.00, 5.00, 7.00]   # even user_ids
+    vals_b = [2.00, 3.00, 4.00, 4.00]         # odd user_ids
+    eid = 0
+    for v in vals_a:
+        rows.append((eid, 2 * eid, v)); eid += 1
+    for v in vals_b:
+        rows.append((eid, 2 * eid + 1, v)); eid += 1
+    events = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    r = mannwhitney_value(events).collect()[0]
+
+    allv = vals_a + vals_b
+    sv = sorted(allv)
+    def avg_rank(x):
+        lo = sv.index(x) + 1
+        hi = len(sv) - sv[::-1].index(x)
+        return (lo + hi) / 2
+    n_a, n_b = len(vals_a), len(vals_b)
+    n = n_a + n_b
+    r_a = sum(avg_rank(v) for v in vals_a)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    mu = n_a * n_b / 2
+    from collections import Counter
+    tie_term = sum(t**3 - t for t in Counter(allv).values())
+    var = (n_a * n_b / 12) * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u_a - mu) / math.sqrt(var)
+    assert r.n_a == n_a and r.n_b == n_b
+    assert abs(r.u_a - u_a) < 1e-9
+    assert abs(r.z_u - z) < 5e-5
