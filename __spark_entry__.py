@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_decile_stats"] = lambda spark, sf: R.decile_stats(_t(spark, sf, "events"))
+    q["q_dow_seasonality"] = lambda spark, sf: R.dow_seasonality(
+        _t(spark, sf, "events")
+    )
+    q["q_time_to_convert"] = lambda spark, sf: R.time_to_convert(
+        _t(spark, sf, "events")
+    )
     q["q_inverted_index"] = lambda spark, sf: TX.inverted_index(
         _t(spark, sf, "documents")
     )
@@ -563,6 +569,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_path_pattern": OSQL.q_path_pattern(),
         "q_kl_by_source": OSQL.q_kl_by_source(),
         "q_decile_stats": OSQL.q_decile_stats(),
+        "q_dow_seasonality": OSQL.q_dow_seasonality(),
+        "q_time_to_convert": OSQL.q_time_to_convert(),
         "q_inverted_index": OSQL.q_inverted_index(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_mad_outliers": OSQL.q_mad_outliers(),

@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_pair_degree_stats",
     "q_spearman_matrix",
     "q_mannwhitney",
+    "q_dow_seasonality",
+    "q_time_to_convert",
 ]
 
 

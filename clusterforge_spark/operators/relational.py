@@ -1983,3 +1983,105 @@ def order_backlog(orders: DataFrame) -> DataFrame:
         "open_backlog",
         (F.sum("n_orders").over(w) - F.sum("n_filled").over(w)).cast("long"),
     )
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality per event type: activity share and value
+    index by weekday — the weekly-cycle profile behind staffing, anomaly
+    baselines, and traffic-mix decisions.
+
+    dow is computed ARITHMETICALLY ((epoch_days + 4) % 7, 0 = Sunday)
+    instead of with calendar functions, whose numbering conventions
+    differ across engines (Spark's dayofweek is 1-based-Sunday, DuckDB's
+    dow is 0-based). One grouped aggregate over (event_type, dow) plus a
+    per-type total joined back — both keyed, map-side combinable; the
+    output is ≤ 7·|event types| rows at any scale. Value sums accumulate
+    in exact cents; the seasonality index is (dow mean / type mean),
+    identical IEEE arithmetic on both engines.
+    """
+    dow = F.expr(
+        "cast((div(unix_micros(ts), 86400000000) + 4) % 7 as bigint)"
+    )
+    per = events.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "sum(cast(cast(floor(value * 100 + 0.5) as bigint) as decimal(38,0)))"
+        ).alias("sum_cents"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_total"),
+        F.sum("sum_cents").alias("cents_total"),
+    )
+    dmean = F.col("sum_cents").cast("double") / F.col("n_events").cast("double")
+    tmean = F.col("cents_total").cast("double") / F.col("n_total").cast("double")
+    return per.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        round_det(
+            F.col("n_events").cast("double") / F.col("n_total").cast("double"), 4
+        ).alias("share_of_type"),
+        round_det(dmean / F.lit(100.0), 4).alias("avg_value"),
+        round_det(F.try_divide(dmean, tmean), 4).alias("value_index"),
+    )
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST
+    'view' to their FIRST LATER 'purchase', summarized as nearest-rank
+    deciles — the activation-latency curve a growth team tracks.
+
+    Per-user firsts are conditional min aggregates in ONE pass over
+    events (no join, no window over the event stream); the decile
+    summary runs over the (one-row-per-converting-user) delta table
+    with the same ntile-free nearest-rank construction as decile_stats:
+    rank from a cumulative window over DISTINCT delta values — exact
+    integers, no global row sort.
+    """
+    from pyspark.sql.window import Window
+
+    firsts = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    deltas = (
+        firsts.filter(
+            F.col("first_view_us").isNotNull()
+            & F.col("first_purchase_us").isNotNull()
+            & (F.col("first_purchase_us") > F.col("first_view_us"))
+        )
+        .select(
+            F.expr(
+                "div(first_purchase_us - first_view_us, 60000000)"
+            ).alias("delta_min")
+        )
+    )
+    hist = deltas.groupBy("delta_min").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("delta_min")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "delta_min", F.sum("cnt").over(w).alias("cum"), F.col("cnt")
+    )
+    total = deltas.count()
+    rows = []
+    for d in range(1, 10):
+        # nearest-rank percentile: smallest value with cum >= ceil(p*n)
+        k = -(-d * total // 10)  # ceil(d*total/10) in exact ints
+        rows.append((d * 10, k))
+    spark = events.sparkSession
+    targets = spark.createDataFrame(rows, "pct int, k long")
+    matched = (
+        targets.crossJoin(cum)
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("pct")
+        .agg(F.min("delta_min").alias("delta_min"))
+    )
+    return matched.select(
+        F.col("pct").cast("long").alias("pct"),
+        F.col("delta_min").cast("long").alias("minutes_to_convert"),
+    )

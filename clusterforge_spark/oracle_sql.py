@@ -2243,6 +2243,65 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_dow_seasonality() -> str:
+    """Mirrors operators/relational.dow_seasonality (arithmetic dow,
+    cents-exact sums)."""
+    return """WITH per AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sum_cents
+  FROM events
+  GROUP BY event_type, ((epoch_us(ts) // 86400000000) + 4) % 7
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_total,
+         sum(sum_cents) AS cents_total
+  FROM per GROUP BY event_type
+)
+SELECT per.event_type, dow, n_events,
+       round(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS share_of_type,
+       round(CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0, 4)
+         AS avg_value,
+       round((CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE))
+             / (CAST(cents_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 4)
+         AS value_index
+FROM per JOIN tot ON per.event_type = tot.event_type"""
+
+
+def q_time_to_convert() -> str:
+    """Mirrors operators/relational.time_to_convert (nearest-rank deciles
+    over the first-view→first-purchase latency)."""
+    pcts = ", ".join(f"({d * 10})" for d in range(1, 10))
+    return f"""WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+  FROM events GROUP BY user_id
+),
+deltas AS (
+  SELECT (fp - fv) // 60000000 AS delta_min
+  FROM firsts
+  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
+),
+hist AS (
+  SELECT delta_min, count(*) AS cnt FROM deltas GROUP BY delta_min
+),
+cum AS (
+  SELECT delta_min,
+         sum(cnt) OVER (ORDER BY delta_min ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT count(*) AS n FROM deltas),
+targets AS (SELECT pct FROM (VALUES {pcts}) AS t(pct))
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(min(delta_min) AS BIGINT) AS minutes_to_convert
+FROM targets CROSS JOIN cum CROSS JOIN tot
+WHERE cum >= (pct * n + 99) // 100
+GROUP BY pct"""
+
+
 def q_mannwhitney_value() -> str:
     """Mirrors operators/validation.mannwhitney_value: histogram-built
     doubled average ranks, tie-corrected normal approximation."""

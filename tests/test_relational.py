@@ -428,3 +428,29 @@ def test_spearman_matrix_matches_numpy_rank_pearson(spark):
             want = np.corrcoef(ra, rb)[0, 1]
             # operator output is 6dp-rounded
             assert abs(got[(a, b)] - want) < 5e-7, (a, b, got[(a, b)], want)
+
+
+def test_dow_seasonality_shares_and_index(spark, events):
+    from clusterforge_spark.operators.relational import dow_seasonality
+
+    rows = dow_seasonality(events).collect()
+    assert rows and all(0 <= r.dow <= 6 for r in rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert abs(sum(r.share_of_type for r in rs) - 1.0) < 1e-3
+        # weighted mean of value_index is ~1 by construction
+        n = sum(r.n_events for r in rs)
+        widx = sum(r.value_index * r.n_events for r in rs) / n
+        assert abs(widx - 1.0) < 1e-3
+
+
+def test_time_to_convert_deciles_monotone(spark, events):
+    from clusterforge_spark.operators.relational import time_to_convert
+
+    rows = sorted(time_to_convert(events).collect(), key=lambda r: r.pct)
+    assert [r.pct for r in rows] == [d * 10 for d in range(1, 10)]
+    vals = [r.minutes_to_convert for r in rows]
+    assert vals == sorted(vals)
+    assert all(v >= 0 for v in vals)
