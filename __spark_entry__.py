@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_mannwhitney"] = lambda spark, sf: VA.mannwhitney_value(
         _t(spark, sf, "events")
     )
+    q["q_benford_check"] = lambda spark, sf: VA.benford_check(
+        _t(spark, sf, "orders")
+    )
+    q["q_gini_concentration"] = lambda spark, sf: VA.gini_concentration(
+        _t(spark, sf, "events")
+    )
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -564,6 +570,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_nb_confusion": OSQL.q_nb_confusion(),
         "q_ab_test": OSQL.q_ab_test(),
         "q_mannwhitney": OSQL.q_mannwhitney_value(),
+        "q_benford_check": OSQL.q_benford_check(),
+        "q_gini_concentration": OSQL.q_gini_concentration(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "q_mannwhitney",
     "q_dow_seasonality",
     "q_time_to_convert",
+    "q_benford_check",
+    "q_gini_concentration",
 ]
 
 

@@ -592,3 +592,96 @@ def mannwhitney_value(events: DataFrame) -> DataFrame:
         round_det(u_a, 4).alias("u_a"),
         round_det(F.try_divide(u_a - mu, F.sqrt(var)), 4).alias("z_u"),
     )
+
+
+def benford_check(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-numbers screen for financial feeds: organic multi-scale
+    amounts follow P(d) = log10(1 + 1/d); synthetic or clipped data
+    doesn't (this corpus's uniform totals intentionally fail it).
+
+    First digits extracted textually (no float log games), one grouped
+    count, expected shares as driver-side literals, and the chi-square
+    contribution per digit — a single scan, 9 rows out at any scale.
+    """
+    import math
+
+    first = F.expr(
+        "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) "
+        "as string), 1, 1) as bigint)"
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(first.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("n_total"))
+    expected = F.array(
+        *[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    )
+    j = counts.crossJoin(F.broadcast(total))
+    exp_n = F.element_at(expected, F.col("digit").cast("int")) * F.col("n_total")
+    return j.select(
+        "digit",
+        "n",
+        round_det(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+            "observed_share"
+        ),
+        round_det(F.element_at(expected, F.col("digit").cast("int")), 6).alias(
+            "benford_share"
+        ),
+        round_det(
+            (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n)
+            / exp_n,
+            4,
+        ).alias("chi2_term"),
+    )
+
+
+def gini_concentration(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user value concentration — "what share of
+    revenue comes from the top users" as a single audited number, the
+    inequality metric behind whale-risk and abuse dashboards.
+
+    Per-user totals are one keyed aggregate (exact cents); the Gini
+    rank-weighted sum G = (2·Σrᵢxᵢ)/(n·Σx) − (n+1)/n uses average ties
+    ranks from the DISTINCT-total histogram (same no-global-sort
+    construction as spearman_matrix). Doubled ranks keep everything an
+    exact integer until the final O(1) division. Output: one row
+    (n_users, total_value, gini 6dp).
+    """
+    from pyspark.sql.window import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.expr(
+            "sum(cast(cast(floor(value * 100 + 0.5) as bigint) as decimal(38,0)))"
+        ).alias("cents")
+    )
+    hist = per_user.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.select(
+        "cents",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    j = per_user.join(ranks, "cents")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr("cast(sum(cents) as double) as sum_x"),
+        # Σ r2·x in decimal: r2 ≤ 2n+1, x exact cents
+        F.expr(
+            "cast(sum(cast(r2 as decimal(38,0)) * cents) as double) as sum_r2x"
+        ),
+    )
+    n = F.col("n_users").cast("double")
+    gini = (F.col("sum_r2x") / (n * F.col("sum_x"))) - (n + F.lit(1.0)) / n
+    return agg.select(
+        "n_users",
+        round_det(F.col("sum_x") / F.lit(100.0), 2).alias("total_value"),
+        round_det(gini, 6).alias("gini"),
+    )

@@ -2243,6 +2243,69 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_benford_check() -> str:
+    """Mirrors operators/validation.benford_check (textual first digit,
+    literal Benford shares, per-digit chi-square terms)."""
+    import math
+
+    share = {d: flit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    share_case = (
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN {share[d]}" for d in range(1, 10))
+        + " END"
+    )
+    exp_n = f"(({share_case}) * n_total)"
+    return f"""WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM counts)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / n_total, 6) AS observed_share,
+       round({share_case}, 6) AS benford_share,
+       round((CAST(n AS DOUBLE) - {exp_n}) * (CAST(n AS DOUBLE) - {exp_n})
+             / {exp_n}, 4) AS chi2_term
+FROM counts CROSS JOIN tot"""
+
+
+def q_gini_concentration() -> str:
+    """Mirrors operators/validation.gini_concentration (histogram ranks,
+    exact HUGEINT rank-weighted sum)."""
+    return """WITH per_user AS (
+  SELECT user_id,
+         sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS cents
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT cents, count(*) AS cnt FROM per_user GROUP BY cents
+),
+rk AS (
+  SELECT cents,
+         CAST(2 * coalesce(sum(cnt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS BIGINT) AS r2
+  FROM hist
+),
+j AS (
+  SELECT per_user.cents, r2 FROM per_user JOIN rk ON per_user.cents = rk.cents
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS DOUBLE) AS sum_x,
+         CAST(sum(CAST(r2 AS HUGEINT) * cents) AS DOUBLE) AS sum_r2x
+  FROM j
+)
+SELECT n_users,
+       round(sum_x / 100.0, 2) AS total_value,
+       round((sum_r2x / (CAST(n_users AS DOUBLE) * sum_x))
+             - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6)
+         AS gini
+FROM a"""
+
+
 def q_dow_seasonality() -> str:
     """Mirrors operators/relational.dow_seasonality (arithmetic dow,
     cents-exact sums)."""

@@ -209,3 +209,36 @@ def test_mannwhitney_matches_scipy_style_reference(spark):
     assert r.n_a == n_a and r.n_b == n_b
     assert abs(r.u_a - u_a) < 1e-9
     assert abs(r.z_u - z) < 5e-5
+
+
+def test_benford_check_shares_and_chi2(spark, orders):
+    import math
+
+    from clusterforge_spark.operators.validation import benford_check
+
+    rows = benford_check(orders).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        want = math.log10(1.0 + 1.0 / r.digit)
+        assert abs(r.benford_share - want) < 1e-6
+        assert r.chi2_term >= 0
+
+
+def test_gini_concentration_bounds_and_uniform_case(spark):
+    from clusterforge_spark.operators.validation import gini_concentration
+
+    # perfectly uniform values -> gini == 0 exactly
+    uni = spark.createDataFrame(
+        [(i, i, 10.00) for i in range(50)], "event_id long, user_id long, value double"
+    )
+    r = gini_concentration(uni).collect()[0]
+    assert r.n_users == 50
+    assert r.gini == 0.0
+    # one whale holding all value -> gini -> (n-1)/n
+    whale = spark.createDataFrame(
+        [(0, 0, 1000.00)] + [(i, i, 0.00) for i in range(1, 10)],
+        "event_id long, user_id long, value double",
+    )
+    r2 = gini_concentration(whale).collect()[0]
+    assert abs(r2.gini - 0.9) < 1e-6
