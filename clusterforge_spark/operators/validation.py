@@ -679,7 +679,12 @@ def gini_concentration(events: DataFrame) -> DataFrame:
         ),
     )
     n = F.col("n_users").cast("double")
-    gini = (F.col("sum_r2x") / (n * F.col("sum_x"))) - (n + F.lit(1.0)) / n
+    # try_divide: an all-zero value column has no defined concentration —
+    # NULL instead of an ANSI DIVIDE_BY_ZERO abort (found by the
+    # hypothesis sweep; same convention as every degenerate ratio here)
+    gini = F.try_divide(F.col("sum_r2x"), n * F.col("sum_x")) - (
+        n + F.lit(1.0)
+    ) / n
     return agg.select(
         "n_users",
         round_det(F.col("sum_x") / F.lit(100.0), 2).alias("total_value"),

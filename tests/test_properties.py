@@ -187,3 +187,85 @@ def test_suggest_agg_partitions_clamps(spark):
         assert suggest_agg_partitions(again) is None
     finally:
         cached.unpersist()
+
+
+@given(
+    toks_a=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    toks_b=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+)
+@settings(max_examples=100, deadline=None)
+def test_minhash_estimate_in_unit_range_and_exact_on_equal_sets(toks_a, toks_b):
+    """k-permutation minhash over any two shingle-hash sets: the match
+    fraction is in [0,1] and equals 1 exactly when the sets are equal —
+    the algebraic guarantees the banded-LSH candidate logic leans on."""
+    import hashlib
+
+    from clusterforge_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+    def hset(toks):
+        return {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+        }
+
+    def sig(hs):
+        if not hs:
+            return None
+        return [
+            min((a * (h % MINHASH_P) + b) % MINHASH_P for h in hs)
+            for a, b in MINHASH_COEFFS
+        ]
+
+    sa, sb = sig(hset(toks_a)), sig(hset(toks_b))
+    if sa is None or sb is None:
+        return
+    matches = sum(1 for x, y in zip(sa, sb) if x == y)
+    assert 0 <= matches <= len(MINHASH_COEFFS)
+    if hset(toks_a) == hset(toks_b):
+        assert matches == len(MINHASH_COEFFS)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50).map(lambda c: c / 10.0),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_gini_matches_bruteforce_definition(spark, vals):
+    """Histogram-rank Gini == the O(n²) mean-absolute-difference
+    definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·x̄) for any value multiset."""
+    from clusterforge_spark.operators.validation import gini_concentration
+
+    events = spark.createDataFrame(
+        [(i, i, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, value double",
+    )
+    r = gini_concentration(events).collect()[0]
+    n = len(vals)
+    total = sum(vals)
+    if total == 0:
+        return  # undefined mean: operator yields whatever 0-sum algebra gives
+    mad = sum(abs(a - b) for a in vals for b in vals)
+    want = mad / (2.0 * n * n * (total / n))
+    assert abs(r.gini - want) < 1e-4
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=40),
+    n_bytes=st.integers(min_value=0, max_value=500),
+    stride=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=80, deadline=None)
+def test_frame_window_arithmetic_tiles_exactly(n_frames, n_bytes, stride):
+    """The frame byte-window formula partitions [0, n_bytes) exactly for
+    ANY (frames, bytes) combination — pure-Python twin of the SQL."""
+    starts = [k * n_bytes // n_frames for k in range(n_frames)]
+    ends = [(k + 1) * n_bytes // n_frames for k in range(n_frames)]
+    assert starts[0] == 0 and ends[-1] == n_bytes
+    for s, e, s2 in zip(starts, ends, starts[1:] + [None]):
+        assert e >= s
+        if s2 is not None:
+            assert e == s2
+    sampled = list(range(0, n_frames, stride))
+    assert all(0 <= k < n_frames for k in sampled)
