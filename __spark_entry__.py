@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_gini_concentration"] = lambda spark, sf: VA.gini_concentration(
         _t(spark, sf, "events")
     )
+    q["q_ks_test"] = lambda spark, sf: VA.ks_test_value(_t(spark, sf, "events"))
+    q["q_cramers_v"] = lambda spark, sf: VA.cramers_v_association(
+        _t(spark, sf, "events")
+    )
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -572,6 +576,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mannwhitney": OSQL.q_mannwhitney_value(),
         "q_benford_check": OSQL.q_benford_check(),
         "q_gini_concentration": OSQL.q_gini_concentration(),
+        "q_ks_test": OSQL.q_ks_test_value(),
+        "q_cramers_v": OSQL.q_cramers_v(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "q_time_to_convert",
     "q_benford_check",
     "q_gini_concentration",
+    "q_ks_test",
+    "q_cramers_v",
 ]
 
 

@@ -690,3 +690,114 @@ def gini_concentration(events: DataFrame) -> DataFrame:
         round_det(F.col("sum_x") / F.lit(100.0), 2).alias("total_value"),
         round_det(gini, 6).alias("gini"),
     )
+
+
+def ks_test_value(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on event ``value`` between the
+    A/B arms (even/odd user_id) — the distribution-shape companion to
+    :func:`mannwhitney_value`: D = max |F_A(x) − F_B(x)| detects ANY
+    distributional difference (variance, shape), not just location.
+
+    Both empirical CDFs come from one grouped (value, arm) count and a
+    cumulative window over DISTINCT cent values (bounded; same
+    construction as the rank family). D is an exact rational
+    max |cumA·n_b − cumB·n_a| / (n_a·n_b) evaluated in integer
+    arithmetic before ONE final division; the asymptotic statistic
+    λ = D·√(n_a·n_b/(n_a+n_b)) follows in O(1) IEEE ops. Output: one
+    row (n_a, n_b, d_stat 6dp, ks_lambda 4dp).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.filter(F.col("value").isNotNull()).select(
+        F.expr("cast(floor(value * 100 + 0.5) as bigint) as v"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy(F.col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    # D's numerator needs the arm totals, so they come from their own
+    # tiny aggregate and broadcast into the max over the CDF rows
+    totals = base.agg(
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("n_b"),
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    num = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    d_rows = j.groupBy("n_a", "n_b").agg(F.max(num).alias("max_num"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("max_num").cast("double") / (na * nb)
+    lam = d * F.sqrt(na * nb / (na + nb))
+    return d_rows.select(
+        "n_a",
+        "n_b",
+        round_det(d, 6).alias("d_stat"),
+        round_det(lam, 4).alias("ks_lambda"),
+    )
+
+
+def cramers_v_association(events: DataFrame) -> DataFrame:
+    """Cramér's V between event_type and day-of-week — "is traffic mix
+    weekday-dependent" as one audited effect size in [0, 1], the
+    categorical-association companion to the chi-square independence
+    test (which only answers yes/no).
+
+    One (event_type, dow) contingency count (arithmetic dow — engine-
+    neutral), marginals by two tiny re-aggregations, χ² from exact
+    integer counts with expected = row·col/n, and
+    V = √(χ²/(n·(min(r,c)−1))). Output: one row
+    (n_events, n_rows, n_cols, chi2 4dp, cramers_v 6dp).
+    """
+    dow = F.expr("cast((div(unix_micros(ts), 86400000000) + 4) % 7 as bigint)")
+    cells = events.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    col_m = cells.groupBy("dow").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("dow").cast("long").alias("n_cols"),
+    )
+    # FULL grid: unobserved (type, dow) combinations are real zero cells
+    # whose (0 − exp)²/exp = exp contribution chi-square requires —
+    # aggregating only observed cells silently underestimates (caught by
+    # the perfect-dependence pytest). The grid is rows × cols (tiny).
+    grid = row_m.crossJoin(F.broadcast(col_m))
+    j = (
+        grid.join(cells, ["event_type", "dow"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n_events").cast("double")
+    )
+    term = (F.col("n").cast("double") - exp) * (F.col("n").cast("double") - exp) / exp
+    # micro-unit sum: a float Σ over the cells depends on aggregation
+    # order; 6dp-rounded BIGINT terms make χ² order-independent exactly
+    term_micro = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per = j.groupBy("n_events", "n_rows", "n_cols").agg(
+        (F.sum(term_micro).cast("double") / F.lit(1e6)).alias("chi2")
+    )
+    denom = F.col("n_events").cast("double") * (
+        F.least(F.col("n_rows"), F.col("n_cols")).cast("double") - F.lit(1.0)
+    )
+    return per.select(
+        "n_events",
+        "n_rows",
+        "n_cols",
+        round_det(F.col("chi2"), 4).alias("chi2"),
+        round_det(F.sqrt(F.try_divide(F.col("chi2"), denom)), 6).alias("cramers_v"),
+    )

@@ -2243,6 +2243,98 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_ks_test_value() -> str:
+    """Mirrors operators/validation.ks_test_value (exact-integer D
+    numerator over the distinct-value CDF rows)."""
+    return """WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         user_id % 2 = 0 AS is_a
+  FROM events WHERE value IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_v
+),
+totals AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM base
+),
+d AS (
+  SELECT n_a, n_b,
+         max(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+           AS max_num
+  FROM cum CROSS JOIN totals
+  GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       round(CAST(max_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+       round((CAST(max_num AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 4)
+         AS ks_lambda
+FROM d"""
+
+
+def q_cramers_v() -> str:
+    """Mirrors operators/validation.cramers_v_association (arithmetic
+    dow contingency, exact-integer chi-square inputs)."""
+    return """WITH cells AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, ((epoch_us(ts) // 86400000000) + 4) % 7
+),
+row_m AS (SELECT event_type, sum(n) AS row_n FROM cells GROUP BY event_type),
+col_m AS (SELECT dow, sum(n) AS col_n FROM cells GROUP BY dow),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_cols
+  FROM cells
+),
+grid AS (
+  -- full contingency grid: unobserved combinations are zero cells whose
+  -- (0 - exp)^2 / exp contribution the statistic requires
+  SELECT event_type, dow, row_n, col_n,
+         coalesce(n, 0) AS n
+  FROM (SELECT * FROM row_m CROSS JOIN col_m) g
+  LEFT JOIN cells USING (event_type, dow)
+),
+per AS (
+  SELECT n_events, n_rows, n_cols,
+         CAST(sum(CAST(floor(
+           (CAST(n AS DOUBLE)
+            - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n_events AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(n_events AS DOUBLE))
+           / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n_events AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e6 AS chi2
+  FROM grid
+  CROSS JOIN tot
+  GROUP BY n_events, n_rows, n_cols
+)
+SELECT n_events, n_rows, n_cols,
+       round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (CAST(n_events AS DOUBLE)
+                          * (CAST(least(n_rows, n_cols) AS DOUBLE) - 1.0))), 6)
+         AS cramers_v
+FROM per"""
+
+
 def q_benford_check() -> str:
     """Mirrors operators/validation.benford_check (textual first digit,
     literal Benford shares, per-digit chi-square terms)."""

@@ -242,3 +242,64 @@ def test_gini_concentration_bounds_and_uniform_case(spark):
     )
     r2 = gini_concentration(whale).collect()[0]
     assert abs(r2.gini - 0.9) < 1e-6
+
+
+def test_ks_test_matches_scipy_style_reference(spark):
+    import math
+
+    from clusterforge_spark.operators.validation import ks_test_value
+
+    vals_a = [1.00, 2.00, 2.00, 5.00, 7.00]
+    vals_b = [2.00, 3.00, 4.00, 4.00, 9.00]
+    rows = []
+    eid = 0
+    for v in vals_a:
+        rows.append((eid, 2 * eid, v)); eid += 1
+    for v in vals_b:
+        rows.append((eid, 2 * eid + 1, v)); eid += 1
+    events = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    r = ks_test_value(events).collect()[0]
+
+    xs = sorted(set(vals_a + vals_b))
+    def cdf(vs, x):
+        return sum(1 for v in vs if v <= x) / len(vs)
+    d = max(abs(cdf(vals_a, x) - cdf(vals_b, x)) for x in xs)
+    lam = d * math.sqrt(len(vals_a) * len(vals_b) / (len(vals_a) + len(vals_b)))
+    assert r.n_a == 5 and r.n_b == 5
+    assert abs(r.d_stat - d) < 1e-9
+    assert abs(r.ks_lambda - lam) < 5e-5
+
+
+def test_cramers_v_bounds_and_independence(spark):
+    from clusterforge_spark.operators.validation import cramers_v_association
+
+    # perfectly independent 2x2 grid replicated => V == 0
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for day in range(2):          # two distinct dows
+        for et in ("click", "view"):
+            for _ in range(10):   # equal cell counts -> independence
+                rows.append((eid, base + datetime.timedelta(days=day), eid, et, 1.0))
+                eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = cramers_v_association(events).collect()[0]
+    assert r.n_rows == 2 and r.n_cols == 2
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    # perfectly dependent: each type on its own day => V == 1
+    rows2 = []
+    eid = 0
+    for day, et in ((0, "click"), (1, "view")):
+        for _ in range(10):
+            rows2.append((eid, base + datetime.timedelta(days=day), eid, et, 1.0))
+            eid += 1
+    events2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r2 = cramers_v_association(events2).collect()[0]
+    assert abs(r2.cramers_v - 1.0) < 1e-6
