@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q_gini_concentration",
     "q_ks_test",
     "q_cramers_v",
+    "q_k_anonymity",
 ]
 
 

@@ -801,3 +801,40 @@ def cramers_v_association(events: DataFrame) -> DataFrame:
         round_det(F.col("chi2"), 4).alias("chi2"),
         round_det(F.sqrt(F.try_divide(F.col("chi2"), denom)), 6).alias("cramers_v"),
     )
+
+
+#: quasi-identifier columns for the k-anonymity audit of documents
+QI_COLS = ("lang", "source")
+K_ANON_K = 5
+
+
+def k_anonymity(documents: DataFrame, k: int = K_ANON_K) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier columns (lang,
+    source, length bucket): how re-identifiable are records if this
+    table were released — the privacy gate a data-release pipeline runs
+    before sharing corpus slices.
+
+    One grouped count over the QI tuple, then a histogram of equivalence
+    class sizes bucketed by k: classes of size < k violate k-anonymity
+    and their member rows are the re-identification risk. Output: one
+    row per (is_violating) bucket with class/row counts plus min/max
+    class size — tiny at any scale; the audit is a single
+    map-side-combinable aggregate chain.
+    """
+    qi = [
+        F.col("lang"),
+        F.col("source"),
+        F.expr("cast(floor(n_chars / 500) as bigint)").alias("len_bucket"),
+    ]
+    classes = documents.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        classes.groupBy((F.col("class_size") < k).alias("is_violating"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+            F.max("class_size").cast("long").alias("max_class_size"),
+        )
+    )

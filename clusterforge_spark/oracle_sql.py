@@ -2243,6 +2243,25 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_k_anonymity() -> str:
+    """Mirrors operators/validation.k_anonymity."""
+    from clusterforge_spark.operators.validation import K_ANON_K
+
+    return f"""WITH classes AS (
+  SELECT lang, source, CAST(floor(n_chars / 500) AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM documents
+  GROUP BY lang, source, floor(n_chars / 500)
+)
+SELECT class_size < {K_ANON_K} AS is_violating,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(max(class_size) AS BIGINT) AS max_class_size
+FROM classes
+GROUP BY class_size < {K_ANON_K}"""
+
+
 def q_ks_test_value() -> str:
     """Mirrors operators/validation.ks_test_value (exact-integer D
     numerator over the distinct-value CDF rows)."""

@@ -980,3 +980,85 @@ def run_stream_countmin_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.read.parquet(sketch_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming distribution-drift monitor (PSI per micro-batch)
+# ---------------------------------------------------------------------------
+
+#: fixed value-bucket width for the drift monitor's histograms
+PSI_BUCKET_WIDTH = 100.0
+
+#: Laplace-style smoothing share for empty buckets (standard PSI practice)
+PSI_EPS = 1e-6
+
+
+def _psi_buckets(df: DataFrame) -> DataFrame:
+    b = F.floor(F.col("value") / F.lit(PSI_BUCKET_WIDTH)).cast("long")
+    return df.filter(F.col("value").isNotNull()).groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def run_stream_psi_batchlike(
+    spark: SparkSession,
+    sf_dir: str,
+    log_path: str,
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Population-stability-index drift monitor: each micro-batch's
+    event-value histogram is compared to a reference histogram (built
+    once from the static table — in production, from the training
+    snapshot) and PSI = Σ (p−q)·ln(p/q) is appended to a parquet log —
+    the standard "is live traffic still shaped like what we trained on"
+    alarm, run incrementally.
+
+    The reference is a tiny bucket table broadcast into each batch's
+    aggregate; empty buckets take an ε share (standard PSI smoothing).
+    A batch drawn from the reference distribution itself scores ~0 —
+    pinned by the parity pytest, along with PSI > 0 under a real shift.
+    """
+    ref = _psi_buckets(
+        spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+            f"{sf_dir.rstrip('/')}/events.parquet"
+        )
+        if not events_ts_is_nanos(f"{sf_dir.rstrip('/')}/events.parquet")
+        else spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+            "event_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id", "event_type", "value", "props"
+        )
+    ).localCheckpoint(eager=True)
+    ref_total = ref.agg(F.sum("n")).collect()[0][0] or 0
+
+    events = read_events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _psi_buckets(batch_df)
+        cur_total = cur.agg(F.sum("n")).collect()[0][0] or 0
+        if cur_total == 0:
+            return
+        j = ref.alias("r").join(cur.alias("c"), "bucket", "full_outer")
+        p = F.coalesce(F.col("c.n"), F.lit(0)).cast("double") / F.lit(
+            float(cur_total)
+        )
+        q = F.coalesce(F.col("r.n"), F.lit(0)).cast("double") / F.lit(
+            float(ref_total)
+        )
+        p_s = F.greatest(p, F.lit(PSI_EPS))
+        q_s = F.greatest(q, F.lit(PSI_EPS))
+        term = (p_s - q_s) * F.log(p_s / q_s)
+        row = j.agg(F.sum(term).alias("psi")).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(int(cur_total)).cast("long").alias("n_events"),
+            F.round(F.col("psi"), 6).alias("psi"),
+        )
+        row.write.mode("append").parquet(log_path)
+
+    query = (
+        events.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.read.parquet(log_path)

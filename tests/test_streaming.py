@@ -466,3 +466,56 @@ def test_stream_countmin_multibatch_equals_batch_sketch(spark, tmp_path):
     }
     got = {(r.row, r.bucket): r.counter for r in streamed.collect()}
     assert got == want
+
+
+def test_stream_psi_zero_on_reference_and_positive_on_shift(spark, tmp_path):
+    """PSI ~0 when the stream replays the reference distribution; PSI
+    clearly positive when the value distribution shifts."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.streaming.sessionize import run_stream_psi_batchlike
+
+    log1 = str(tmp_path / "psi_ref")
+    out = run_stream_psi_batchlike(spark, SF_DIR, log1)
+    rows = out.collect()
+    assert len(rows) == 1  # one parquet file -> one micro-batch
+    assert abs(rows[0].psi) < 1e-6  # identical distribution
+
+    # shifted copy: double every value -> different bucket occupancy.
+    # Written as a single parquet FILE via pyarrow to mirror the
+    # testdata layout read_events_stream expects.
+    import pyarrow.parquet as pq
+
+    shifted_dir = tmp_path / "shifted"
+    shifted_dir.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    import pyarrow as pa
+
+    vals = tbl.column("value").to_pylist()
+    shifted_vals = pa.array(
+        [None if v is None else v * 2 + 500 for v in vals], type=pa.float64()
+    )
+    tbl = tbl.set_column(tbl.schema.get_field_index("value"), "value", shifted_vals)
+    pq.write_table(tbl, str(shifted_dir / "events.parquet"))
+    log2 = str(tmp_path / "psi_shift")
+    from clusterforge_spark.streaming import sessionize as SZ
+
+    ref_dir = SF_DIR
+    # stream the SHIFTED data against the ORIGINAL reference: monkeying
+    # the source dir for the stream while the reference stays SF_DIR is
+    # exactly the production layout (reference from the training
+    # snapshot, stream from live traffic)
+    import clusterforge_spark.streaming.sessionize as S
+
+    orig_read = S.read_events_stream
+
+    def patched(spark_, sf_dir_):
+        return orig_read(spark_, str(shifted_dir))
+
+    S.read_events_stream = patched
+    try:
+        out2 = run_stream_psi_batchlike(spark, ref_dir, log2)
+    finally:
+        S.read_events_stream = orig_read
+    rows2 = out2.collect()
+    assert rows2 and all(r.psi > 0.1 for r in rows2)
