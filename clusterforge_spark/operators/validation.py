@@ -583,8 +583,11 @@ def mannwhitney_value(events: DataFrame) -> DataFrame:
     n = na + nb
     u_a = (F.col("r2_a") - na * (na + F.lit(1.0))) / F.lit(2.0)
     mu = na * nb / F.lit(2.0)
+    # try_divide in the tie correction: a 1-row input makes n(n−1) = 0
+    # and the statistic undefined — NULL, not an ANSI abort
     var = (na * nb / F.lit(12.0)) * (
-        (n + F.lit(1.0)) - F.col("tie_term") / (n * (n - F.lit(1.0)))
+        (n + F.lit(1.0))
+        - F.try_divide(F.col("tie_term"), n * (n - F.lit(1.0)))
     )
     return main.crossJoin(F.broadcast(ties)).select(
         "n_a",
@@ -682,9 +685,9 @@ def gini_concentration(events: DataFrame) -> DataFrame:
     # try_divide: an all-zero value column has no defined concentration —
     # NULL instead of an ANSI DIVIDE_BY_ZERO abort (found by the
     # hypothesis sweep; same convention as every degenerate ratio here)
-    gini = F.try_divide(F.col("sum_r2x"), n * F.col("sum_x")) - (
-        n + F.lit(1.0)
-    ) / n
+    gini = F.try_divide(F.col("sum_r2x"), n * F.col("sum_x")) - F.try_divide(
+        n + F.lit(1.0), n
+    )
     return agg.select(
         "n_users",
         round_det(F.col("sum_x") / F.lit(100.0), 2).alias("total_value"),
@@ -736,8 +739,10 @@ def ks_test_value(events: DataFrame) -> DataFrame:
     d_rows = j.groupBy("n_a", "n_b").agg(F.max(num).alias("max_num"))
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    d = F.col("max_num").cast("double") / (na * nb)
-    lam = d * F.sqrt(na * nb / (na + nb))
+    # try_divide: an empty arm (all users in one parity class) has no
+    # defined two-sample statistic — NULL, not an ANSI abort
+    d = F.try_divide(F.col("max_num").cast("double"), na * nb)
+    lam = d * F.sqrt(F.try_divide(na * nb, na + nb))
     return d_rows.select(
         "n_a",
         "n_b",

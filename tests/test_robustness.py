@@ -156,3 +156,39 @@ def test_pq_handles_zero_and_constant_vectors(spark):
     # real vectors; the two non-degenerate vectors must be present
     ids = [r.vec_id for r in out]
     assert 2 in ids and 3 in ids
+
+
+def test_stats_family_degenerate_arms_return_null_not_abort(spark):
+    """Empty arms / single rows / all-zero values: every round-4
+    statistic yields NULLs (or empty results) instead of ANSI aborts."""
+    from clusterforge_spark.operators.validation import (
+        gini_concentration,
+        ks_test_value,
+        mannwhitney_value,
+    )
+
+    one_arm = spark.createDataFrame(
+        [(i, 2 * i, float(i)) for i in range(5)],  # all even user_ids -> arm A only
+        "event_id long, user_id long, value double",
+    )
+    r = ks_test_value(one_arm).collect()
+    assert len(r) == 1 and r[0].n_b == 0 and r[0].d_stat is None
+    r2 = mannwhitney_value(one_arm).collect()
+    assert len(r2) == 1 and r2[0].z_u is None
+
+    single = spark.createDataFrame(
+        [(0, 1, 3.0)], "event_id long, user_id long, value double"
+    )
+    r3 = mannwhitney_value(single).collect()
+    assert len(r3) == 1  # tie-corrected variance undefined -> NULL z
+    assert r3[0].z_u is None
+
+    zeros = spark.createDataFrame(
+        [(i, i, 0.0) for i in range(4)], "event_id long, user_id long, value double"
+    )
+    r4 = gini_concentration(zeros).collect()
+    assert len(r4) == 1 and r4[0].gini is None
+
+    empty = spark.createDataFrame([], "event_id long, user_id long, value double")
+    assert ks_test_value(empty).collect() == []
+    assert gini_concentration(empty).collect()[0].n_users == 0
