@@ -1,0 +1,137 @@
+"""End-to-end corpus curation run: gates → dedup → canonical → outputs.
+
+The LLM-era analog of the reference's segmentation pipeline
+(pipeline.py / main.rs): one orchestrated pass that takes a raw document
+table and materializes
+
+* ``curated/``  — the documents a training run would consume,
+* ``rejects/``  — every dropped document with the FIRST gate that
+  rejected it (the audit trail a data-governance review needs),
+* a small report DataFrame (one row per pipeline stage with counts),
+
+by chaining the operators this engine already ships: the sequential
+quality gates of :func:`operators.text.quality_funnel` (language,
+benchmark holdout, quality floor, Gopher repetition caps, n-gram
+decontamination), banded-MinHash near-dup detection, connected
+components, and per-component canonical selection.
+
+Scale posture: every stage is the same candidate-bounded /
+map-side-combinable shape as its underlying operator; the only
+materializations are the two output writes and the (tiny) component
+table the canonical join consumes. Nothing here collects the corpus.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterforge_spark.operators import dedup as DD
+from clusterforge_spark.operators.text import (
+    CONTAM_BENCH_MOD,
+    FUNNEL_DUP3_MAX,
+    FUNNEL_QUALITY_MIN,
+    FUNNEL_TOP2_MAX,
+    contamination_check,
+    quality_score,
+    repetition_stats,
+)
+
+
+@dataclass
+class CurationResult:
+    n_input: int
+    n_kept: int
+    n_rejected: int
+    report: DataFrame
+    timings: dict = field(default_factory=dict)
+
+
+def _gate_labels(documents: DataFrame) -> DataFrame:
+    """(doc_id, gate) — 'kept' or the FIRST failed gate, mirroring
+    quality_funnel's sequential semantics exactly."""
+    q = quality_score(documents).select("doc_id", "quality")
+    r = repetition_stats(documents).select(
+        "doc_id", "top_2gram_frac", "dup_3gram_frac"
+    )
+    c = contamination_check(documents).select("doc_id", "is_contaminated")
+    j = (
+        documents.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(c, "doc_id", "left")
+    )
+    gate = (
+        F.when(F.col("lang") != "en", F.lit("lang_en"))
+        .when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, F.lit("benchmark_holdout"))
+        .when(F.col("quality") < FUNNEL_QUALITY_MIN, F.lit("quality"))
+        .when(
+            (F.col("top_2gram_frac") > FUNNEL_TOP2_MAX)
+            | (F.col("dup_3gram_frac") > FUNNEL_DUP3_MAX),
+            F.lit("repetition"),
+        )
+        .when(F.coalesce("is_contaminated", F.lit(False)), F.lit("decontaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select("doc_id", gate.alias("gate"))
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+) -> CurationResult:
+    """Run the full curation pass and write curated/rejects parquet under
+    ``out_dir``. Returns counts, stage timings, and the report frame."""
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    n_input = documents.count()
+    labels = _gate_labels(documents).localCheckpoint(eager=True)
+    timings["gates"] = time.perf_counter() - t0
+
+    survivors = documents.join(
+        labels.filter(F.col("gate") == "kept").select("doc_id"), "doc_id"
+    )
+
+    t0 = time.perf_counter()
+    pairs = DD.dedup_minhash_banded(survivors)
+    canon = DD.dedup_canonical(survivors, pairs).localCheckpoint(eager=True)
+    timings["dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    kept_ids = canon.filter(F.col("is_canonical")).select("doc_id")
+    curated = documents.join(kept_ids, "doc_id")
+    curated.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/curated")
+
+    dup_rejects = (
+        canon.filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit("near_duplicate").alias("gate"))
+    )
+    gate_rejects = labels.filter(F.col("gate") != "kept").select("doc_id", "gate")
+    rejects = gate_rejects.unionByName(dup_rejects)
+    rejects.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/rejects")
+    timings["write"] = time.perf_counter() - t0
+
+    curated_back = spark.read.parquet(f"{out_dir.rstrip('/')}/curated")
+    rejects_back = spark.read.parquet(f"{out_dir.rstrip('/')}/rejects")
+    n_kept = curated_back.count()
+    n_rejected = rejects_back.count()
+
+    report = (
+        rejects_back.groupBy("gate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .unionByName(
+            spark.createDataFrame([("kept", n_kept)], "gate string, n_docs long")
+        )
+    )
+    return CurationResult(
+        n_input=n_input,
+        n_kept=n_kept,
+        n_rejected=n_rejected,
+        report=report,
+        timings=timings,
+    )
