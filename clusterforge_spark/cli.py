@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
         "there; predict mode loads it and skips the refit (the "
         "reference refits per predict, main.rs:44-52)",
     )
+    ap.add_argument(
+        "--curate",
+        default=None,
+        metavar="OUT_DIR",
+        help="engine extension (not in the reference CLI): run the "
+        "corpus-curation pipeline over --input's documents table and "
+        "write curated/ + rejects/ parquet plus a per-gate report "
+        "under OUT_DIR",
+    )
     return ap
 
 
@@ -83,6 +92,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("clusterforge-cli")
     try:
+        if args.curate:
+            if not os.path.isdir(args.input):
+                print("error: --curate requires --input to be a testdata dir "
+                      "containing documents.parquet", file=sys.stderr)
+                return 2
+            from clusterforge_spark.curation import run_curation_pipeline
+            from clusterforge_spark.sources.readers import load_table
+
+            docs = load_table(spark, args.input, "documents")
+            res = run_curation_pipeline(spark, docs, args.curate)
+            print(f"Curation complete: {res.n_input} in, "
+                  f"{res.n_kept} kept, {res.n_rejected} rejected")
+            for r in sorted(res.report.collect(), key=lambda r: -r.n_docs):
+                print(f"  {r.gate:<18} {r.n_docs}")
+            for stage, secs in res.timings.items():
+                print(f"  [{stage}] {secs:.2f}s")
+            return 0
         if os.path.isdir(args.input):
             rfm = load_events_rfm(spark, args.input)
             n_rows = -1

@@ -33,3 +33,27 @@ def test_parser_defaults():
     assert args.tolerance == 1e-4
     assert args.seed == 42
     assert args.predict is None
+
+
+def test_cli_curate_mode(tmp_path, capsys):
+    from clusterforge_spark.cli import main
+
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "curated_out")
+    rc = main(["--input", SF_DIR, "--curate", out])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Curation complete" in captured and "kept" in captured
+    import os
+
+    assert os.path.isdir(f"{out}/curated") and os.path.isdir(f"{out}/rejects")
+
+
+def test_cli_curate_rejects_csv_input(tmp_path, capsys):
+    from clusterforge_spark.cli import main
+
+    csv = tmp_path / "x.csv"
+    csv.write_text("a,b\n1,2\n")
+    rc = main(["--input", str(csv), "--curate", str(tmp_path / "o")])
+    assert rc == 2
