@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_spearman_matrix"] = lambda spark, sf: R.spearman_matrix(
         _t(spark, sf, "lineitem")
     )
+    q["q_normal_equations"] = lambda spark, sf: R.normal_equations(
+        _t(spark, sf, "lineitem")
+    )
     q["q_resample_daily"] = lambda spark, sf: R.resample_daily(
         _t(spark, sf, "events")
     )
@@ -594,6 +597,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mad_outliers": OSQL.q_mad_outliers(),
         "q_corr_matrix": OSQL.q_corr_matrix(),
         "q_spearman_matrix": OSQL.q_spearman_matrix(),
+        "q_normal_equations": OSQL.q_normal_equations(),
         "q_resample_daily": OSQL.q_resample_daily(),
         "q_tpch_local_volume": OSQL.q_tpch_local_volume(),
         "q_tpch_shipping_priority": OSQL.q_tpch_shipping_priority(),

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "q_ks_test",
     "q_cramers_v",
     "q_k_anonymity",
+    "q_normal_equations",
 ]
 
 

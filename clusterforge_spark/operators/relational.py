@@ -2085,3 +2085,48 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         F.col("pct").cast("long").alias("pct"),
         F.col("delta_min").cast("long").alias("minutes_to_convert"),
     )
+
+
+#: regressors (plus intercept) and target for the normal-equations query
+MULTIREG_X = ("l_quantity", "l_discount", "l_tax")
+MULTIREG_Y = "l_extendedprice"
+
+
+def normal_equations(
+    lineitem: DataFrame,
+    x_cols: tuple[str, ...] = MULTIREG_X,
+    y_col: str = MULTIREG_Y,
+) -> DataFrame:
+    """Multi-feature linear-regression SUFFICIENT STATISTICS: every
+    XᵀX and Xᵀy entry (intercept included) as exact integer cent
+    products — the distributed half of the closed-form solve. The
+    driver-side β = (XᵀX)⁻¹Xᵀy inversion is O(k³) on a k×k matrix and
+    belongs off-cluster; shipping the exact sums keeps the whole
+    distributed computation oracle-checkable (matrix inversion is not
+    SQL) and is precisely how production photon-style regressions
+    aggregate. One scan, one map-side-combinable aggregate, k(k+3)/2+1
+    output rows for k features.
+
+    Output: (term_a, term_b, sum_e4) where sum_e4 = Σ a·b in exact
+    1e-4-dollar² units ('1' denotes the intercept column) — solved and
+    validated against numpy.lstsq in the pytest.
+    """
+    terms = {"1": "cast(100 as bigint)"}
+    for c in (*x_cols, y_col):
+        terms[c] = f"cast(floor({c} * 100 + 0.5) as bigint)"
+    names = ["1", *x_cols]
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            pairs.append((a, b))
+    for a in names:
+        pairs.append((a, y_col))
+    structs = ", ".join(
+        f"struct('{a}' as term_a, '{b}' as term_b, "
+        f"cast({terms[a]} * {terms[b]} as decimal(38,0)) as prod)"
+        for a, b in pairs
+    )
+    ex = lineitem.select(F.expr(f"explode(array({structs})) as p")).select("p.*")
+    return ex.groupBy("term_a", "term_b").agg(
+        F.sum("prod").cast("double").alias("sum_e4")
+    )

@@ -2522,6 +2522,33 @@ SELECT n_a, n_b,
 FROM m CROSS JOIN t"""
 
 
+def q_normal_equations() -> str:
+    """Mirrors operators/relational.normal_equations (exact cent-product
+    sufficient statistics; HUGEINT sums)."""
+    from clusterforge_spark.operators.relational import MULTIREG_X, MULTIREG_Y
+
+    terms = {"1": "CAST(100 AS BIGINT)"}
+    for c in (*MULTIREG_X, MULTIREG_Y):
+        terms[c] = f"CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+    names = ["1", *MULTIREG_X]
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            pairs.append((a, b))
+    for a in names:
+        pairs.append((a, MULTIREG_Y))
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS term_a, '{b}' AS term_b, "
+        f"CAST({terms[a]} * {terms[b]} AS HUGEINT) AS prod FROM lineitem"
+        for a, b in pairs
+    )
+    return f"""WITH ex AS (
+{branches}
+)
+SELECT term_a, term_b, CAST(sum(prod) AS DOUBLE) AS sum_e4
+FROM ex GROUP BY term_a, term_b"""
+
+
 def q_spearman_matrix() -> str:
     """Mirrors operators/relational.spearman_matrix: histogram-built
     doubled average ranks (exact BIGINT), Pearson-on-ranks via HUGEINT

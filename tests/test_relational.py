@@ -454,3 +454,34 @@ def test_time_to_convert_deciles_monotone(spark, events):
     vals = [r.minutes_to_convert for r in rows]
     assert vals == sorted(vals)
     assert all(v >= 0 for v in vals)
+
+
+def test_normal_equations_solve_matches_numpy_lstsq(spark, lineitem):
+    """Solving the distributed sufficient statistics on the driver
+    recovers the same coefficients as numpy.lstsq on the raw data."""
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import (
+        MULTIREG_X,
+        MULTIREG_Y,
+        normal_equations,
+    )
+
+    stats = {
+        (r.term_a, r.term_b): r.sum_e4 for r in normal_equations(lineitem).collect()
+    }
+    names = ["1", *MULTIREG_X]
+    k = len(names)
+    xtx = np.zeros((k, k))
+    xty = np.zeros(k)
+    for i, a in enumerate(names):
+        for j, b in enumerate(names):
+            key = (a, b) if (a, b) in stats else (b, a)
+            xtx[i, j] = stats[key] / 1e4
+        xty[i] = stats[(a, MULTIREG_Y)] / 1e4
+    beta = np.linalg.solve(xtx, xty)
+
+    pdf = lineitem.select(*MULTIREG_X, MULTIREG_Y).toPandas().astype(float)
+    X = np.column_stack([np.ones(len(pdf)), *[pdf[c] for c in MULTIREG_X]])
+    want, *_ = np.linalg.lstsq(X, pdf[MULTIREG_Y].to_numpy(), rcond=None)
+    assert np.allclose(beta, want, rtol=1e-6, atol=1e-6)
