@@ -53,6 +53,33 @@ DEFAULT_QUERIES = [
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
+BIG_EVENTS_PATH = "/tmp/stress_events_10x.parquet"
+
+#: queries that read events (stats family) — stressed via an events
+#: replica: user/event ids shifted per copy, value/ts distributions
+#: preserved, so per-user structure and value histograms scale 10×.
+EVENTS_QUERIES = {
+    "q_mannwhitney",
+    "q_ks_test",
+    "q_gini_concentration",
+    "q_dow_seasonality",
+    "q_time_to_convert",
+    "q_cramers_v",
+}
+
+BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
+
+#: queries that read lineitem — replica shifts the join keys only, so
+#: every value distribution (and hence rank/product structure) scales.
+LINEITEM_QUERIES = {
+    "q_spearman_matrix",
+    "q_normal_equations",
+    "q_corr_matrix",
+    "q_profile_columns",
+    "q_tpch_pricing",
+    "q_tpch_forecast_revenue",
+}
+
 
 def main() -> int:
     from pyspark.sql import functions as F
@@ -87,6 +114,45 @@ def main() -> int:
     big_n = spark.read.parquet(BIG_PATH).count()
     print(f"stress corpus: {big_n} docs ({COPIES}x of {SF_DIR})", flush=True)
 
+    if any(n in EVENTS_QUERIES for n in names):
+        ev = load_table(spark, SF_DIR, "events")
+        eparts = [ev]
+        for i in range(1, COPIES):
+            eparts.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    *[c for c in ev.columns if c not in
+                      ("event_id", "ts", "user_id", "event_type", "value")],
+                )
+            )
+        bige = eparts[0]
+        for p in eparts[1:]:
+            bige = bige.unionByName(p)
+        bige.write.mode("overwrite").parquet(BIG_EVENTS_PATH)
+        n_ev = spark.read.parquet(BIG_EVENTS_PATH).count()
+        print(f"stress events: {n_ev} rows ({COPIES}x)", flush=True)
+
+    if any(n in LINEITEM_QUERIES for n in names):
+        li = load_table(spark, SF_DIR, "lineitem")
+        lparts = [li]
+        for i in range(1, COPIES):
+            lparts.append(
+                li.select(
+                    (F.col("l_orderkey") + F.lit(i * ID_STRIDE)).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+            )
+        bigl = lparts[0]
+        for p in lparts[1:]:
+            bigl = bigl.unionByName(p)
+        bigl.write.mode("overwrite").parquet(BIG_LINEITEM_PATH)
+        n_li = spark.read.parquet(BIG_LINEITEM_PATH).count()
+        print(f"stress lineitem: {n_li} rows ({COPIES}x)", flush=True)
+
     queries = E.queries()
     orig_load = R.load_table
 
@@ -94,6 +160,10 @@ def main() -> int:
         if sf_dir_ == "__stress10x__":
             if name_ == "documents":
                 return spark_.read.parquet(BIG_PATH)
+            if name_ == "events":
+                return spark_.read.parquet(BIG_EVENTS_PATH)
+            if name_ == "lineitem":
+                return spark_.read.parquet(BIG_LINEITEM_PATH)
             return orig_load(spark_, SF_DIR, name_)
         return orig_load(spark_, sf_dir_, name_)
 

@@ -474,3 +474,28 @@ def test_tpch_q6_all_predicates_pushed(spark):
         assert col in pushed
     schema = X.read_schema(df)
     assert "l_extendedprice" in schema and "l_returnflag" not in schema
+
+
+def test_stats_family_plan_shapes(spark):
+    from clusterforge_spark.operators import validation as VA
+
+    ev = _t(spark, "events")
+    # KS / Mann-Whitney: no cartesian products, no Expand — histogram +
+    # window + broadcast-scalar joins only
+    for df in (VA.ks_test_value(ev), VA.mannwhitney_value(ev)):
+        plan = X.plan_string(df)
+        assert "CartesianProduct" not in plan
+        assert "Expand" not in plan
+    # k-anonymity is a pure two-level aggregate: exactly 2 exchanges
+    docs = _t(spark, "documents")
+    assert X.exchange_count(VA.k_anonymity(docs)) == 2
+
+
+def test_normal_equations_single_unified_aggregate(spark):
+    from clusterforge_spark.operators.relational import normal_equations
+
+    df = normal_equations(_t(spark, "lineitem"))
+    plan = X.plan_string(df)
+    # one explode + one hash aggregate — no Expand, a single exchange
+    assert "Expand" not in plan
+    assert X.exchange_count(df) == 1
