@@ -17,8 +17,12 @@ components, and per-component canonical selection.
 
 Scale posture: every stage is the same candidate-bounded /
 map-side-combinable shape as its underlying operator; the only
-materializations are the two output writes and the (tiny) component
-table the canonical join consumes. Nothing here collects the corpus.
+materializations are the two output writes, the (tiny) component table
+the canonical join consumes, and two narrow corpus-sized checkpoints
+(the per-doc gate labels and canonical flags — two columns each, the
+intermediate a real pipeline would land as its own table; on a cluster,
+swap ``localCheckpoint`` for a parquet write of the same frame).
+Nothing here collects the corpus to the driver.
 """
 
 from __future__ import annotations
