@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_k_anonymity"] = lambda spark, sf: VA.k_anonymity(
         _t(spark, sf, "documents")
     )
+    q["q_psi_ab"] = lambda spark, sf: VA.psi_ab(_t(spark, sf, "events"))
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -585,6 +586,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_ks_test": OSQL.q_ks_test_value(),
         "q_cramers_v": OSQL.q_cramers_v(),
         "q_k_anonymity": OSQL.q_k_anonymity(),
+        "q_psi_ab": OSQL.q_psi_ab(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "q_cramers_v",
     "q_k_anonymity",
     "q_normal_equations",
+    "q_psi_ab",
 ]
 
 

@@ -843,3 +843,59 @@ def k_anonymity(documents: DataFrame, k: int = K_ANON_K) -> DataFrame:
             F.max("class_size").cast("long").alias("max_class_size"),
         )
     )
+
+
+#: PSI bucket width / smoothing for the batch drift query (mirrors the
+#: streaming monitor's constants)
+PSI_W = 100.0
+PSI_EPS_Q = 1e-6
+
+
+def psi_ab(events: DataFrame) -> DataFrame:
+    """Population-stability index between the A/B arms' value
+    distributions — the BATCH, oracle-checkable twin of the streaming
+    PSI drift monitor: PSI = Σ (p−q)·ln(p/q) over fixed-width value
+    buckets with ε-smoothed shares.
+
+    One grouped (bucket × arm) count; the full bucket set is the union
+    of both arms' buckets so a bucket empty on one side contributes its
+    smoothed term (dropping it understates drift — same class of bug as
+    the zero-cell chi-square). Per-bucket terms are floor-rounded to
+    1e-9 units and summed as exact BIGINTs — order-independent.
+    Output: one row (n_a, n_b, n_buckets, psi 6dp).
+    """
+    base = events.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") / F.lit(PSI_W)).cast("long").alias("bucket"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    per = base.groupBy("bucket").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    totals = base.agg(
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("n_b"),
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    p = F.greatest(
+        F.col("ca").cast("double") / F.col("n_a").cast("double"), F.lit(PSI_EPS_Q)
+    )
+    q = F.greatest(
+        F.col("cb").cast("double") / F.col("n_b").cast("double"), F.lit(PSI_EPS_Q)
+    )
+    term_nano = F.floor((p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        j.groupBy("n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(term_nano).alias("nano"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_buckets",
+            round_det(F.col("nano").cast("double") / F.lit(1e9), 6).alias("psi"),
+        )
+    )

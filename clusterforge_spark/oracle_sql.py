@@ -2243,6 +2243,39 @@ def q_corr_matrix() -> str:
 {u}"""
 
 
+def q_psi_ab() -> str:
+    """Mirrors operators/validation.psi_ab (ε-smoothed PSI with exact
+    1e-9-unit term sums)."""
+    from clusterforge_spark.operators.validation import PSI_EPS_Q, PSI_W
+
+    w, eps = flit(PSI_W), flit(PSI_EPS_Q)
+    p = f"greatest(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), {eps})"
+    q = f"greatest(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE), {eps})"
+    return f"""WITH base AS (
+  SELECT CAST(floor(value / {w}) AS BIGINT) AS bucket,
+         user_id % 2 = 0 AS is_a
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT bucket,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM base GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n_a, n_b,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(CAST(sum(CAST(floor(({p} - {q}) * ln({p} / {q}) * {flit(1e9)}
+                                 + 0.5) AS BIGINT)) AS DOUBLE) / {flit(1e9)}, 6)
+         AS psi
+FROM per CROSS JOIN totals
+GROUP BY n_a, n_b"""
+
+
 def q_k_anonymity() -> str:
     """Mirrors operators/validation.k_anonymity."""
     from clusterforge_spark.operators.validation import K_ANON_K

@@ -303,3 +303,27 @@ def test_cramers_v_bounds_and_independence(spark):
     )
     r2 = cramers_v_association(events2).collect()[0]
     assert abs(r2.cramers_v - 1.0) < 1e-6
+
+
+def test_psi_ab_zero_on_identical_and_positive_on_shift(spark):
+    from clusterforge_spark.operators.validation import psi_ab
+
+    # identical per-arm distributions -> PSI ~ 0 (exactly 0 at equal shares)
+    rows = []
+    eid = 0
+    for v in (50.0, 150.0, 250.0, 350.0):
+        for _ in range(10):
+            rows.append((eid, 2 * eid, v)); eid += 1       # arm A
+            rows.append((eid, 2 * eid + 1, v)); eid += 1   # arm B
+    events = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    r = psi_ab(events).collect()[0]
+    assert r.n_a == r.n_b == 40
+    assert r.psi == 0.0
+
+    # shifted arm B -> clearly positive PSI
+    rows2 = [(i, 2 * i, 50.0) for i in range(40)] + [
+        (100 + i, 2 * i + 1, 950.0) for i in range(40)
+    ]
+    events2 = spark.createDataFrame(rows2, "event_id long, user_id long, value double")
+    r2 = psi_ab(events2).collect()[0]
+    assert r2.psi > 1.0  # disjoint buckets: massive drift
