@@ -34,15 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clusterforge_spark.operators import dedup as DD
-from clusterforge_spark.operators.text import (
-    CONTAM_BENCH_MOD,
-    FUNNEL_DUP3_MAX,
-    FUNNEL_QUALITY_MIN,
-    FUNNEL_TOP2_MAX,
-    contamination_check,
-    quality_score,
-    repetition_stats,
-)
+from clusterforge_spark.operators.text import funnel_gate_labels
 
 
 @dataclass
@@ -52,35 +44,6 @@ class CurationResult:
     n_rejected: int
     report: DataFrame
     timings: dict = field(default_factory=dict)
-
-
-def _gate_labels(documents: DataFrame) -> DataFrame:
-    """(doc_id, gate) — 'kept' or the FIRST failed gate, mirroring
-    quality_funnel's sequential semantics exactly."""
-    q = quality_score(documents).select("doc_id", "quality")
-    r = repetition_stats(documents).select(
-        "doc_id", "top_2gram_frac", "dup_3gram_frac"
-    )
-    c = contamination_check(documents).select("doc_id", "is_contaminated")
-    j = (
-        documents.select("doc_id", "lang")
-        .join(q, "doc_id")
-        .join(r, "doc_id")
-        .join(c, "doc_id", "left")
-    )
-    gate = (
-        F.when(F.col("lang") != "en", F.lit("lang_en"))
-        .when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, F.lit("benchmark_holdout"))
-        .when(F.col("quality") < FUNNEL_QUALITY_MIN, F.lit("quality"))
-        .when(
-            (F.col("top_2gram_frac") > FUNNEL_TOP2_MAX)
-            | (F.col("dup_3gram_frac") > FUNNEL_DUP3_MAX),
-            F.lit("repetition"),
-        )
-        .when(F.coalesce("is_contaminated", F.lit(False)), F.lit("decontaminated"))
-        .otherwise(F.lit("kept"))
-    )
-    return j.select("doc_id", gate.alias("gate"))
 
 
 def run_curation_pipeline(
@@ -94,7 +57,7 @@ def run_curation_pipeline(
 
     t0 = time.perf_counter()
     n_input = documents.count()
-    labels = _gate_labels(documents).localCheckpoint(eager=True)
+    labels = funnel_gate_labels(documents).localCheckpoint(eager=True)
     timings["gates"] = time.perf_counter() - t0
 
     survivors = documents.join(

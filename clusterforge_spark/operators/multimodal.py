@@ -258,8 +258,13 @@ def frame_sample(frames: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     if stride <= 0:
         raise ValueError(f"stride ({stride}) must be positive")
     b = F.octet_length("payload").cast("long")
+    # n_frames <= 0 rows are dropped, not aborted: sequence(0, -1, +s)
+    # raises an Illegal-sequence-boundaries runtime error in Spark (and
+    # the byte-window division hits /0), while a zero-frame payload
+    # simply has no frames to sample — matching DuckDB's empty range()
     return (
-        frames.select(
+        frames.filter(F.col("n_frames") > 0)
+        .select(
             "doc_id",
             b.alias("n_bytes"),
             F.col("n_frames"),

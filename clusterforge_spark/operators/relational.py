@@ -1358,7 +1358,14 @@ def spearman_matrix(
     from pyspark.sql.window import Window
 
     cents = {c: f"cast(floor({c} * 100 + 0.5) as bigint)" for c in cols}
-    base = lineitem.select(*[F.expr(f"{cents[c]} as v_{c}") for c in cols])
+    # complete-case analysis: rows with a NULL in ANY column are dropped
+    # up front — engines disagree on NULL placement in window ordering
+    # (Spark nulls-first vs DuckDB nulls-last), so a NULL histogram group
+    # would shift every rank on one engine only
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    base = lineitem.filter(F.expr(notnull)).select(
+        *[F.expr(f"{cents[c]} as v_{c}") for c in cols]
+    )
     joined = base
     for c in cols:
         vc = base.groupBy(f"v_{c}").agg(F.count(F.lit(1)).alias("cnt"))

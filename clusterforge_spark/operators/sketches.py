@@ -32,9 +32,19 @@ from clusterforge_spark.functions.partitioning import spread_partitions as _spre
 def _all_tokens(documents: DataFrame) -> DataFrame:
     """(token) rows for every occurrence, tokenized ABOVE a spread
     exchange — a single-file scan is one partition, and the md5 bucket
-    hashing below would otherwise serialize onto one core."""
-    return _spread(documents.select("doc_id", "text"), "doc_id").select(
-        F.explode(H.tokens_col("text")).alias("token")
+    hashing below would otherwise serialize onto one core.
+
+    Eagerly checkpointed: each sketch operator consumes the token
+    stream twice (build + ground truth / bits + presence), and without
+    the materialization the second consumer re-runs the full
+    scan+tokenize. The blocks are narrow (one string column) and freed
+    on GC; a 100 TB deployment would land the token stream as its own
+    table once per corpus snapshot — this is that table, per call.
+    """
+    return (
+        _spread(documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(H.tokens_col("text")).alias("token"))
+        .localCheckpoint(eager=True)
     )
 
 #: Count-Min geometry: D hash rows × W counters (ε ≈ e/W, δ ≈ e^-D).
@@ -65,10 +75,17 @@ def _bucket_sql(token_expr: str, salt: int, width: int) -> str:
     )
 
 
-def countmin_build(documents: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+def countmin_build(
+    documents: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
     """The Count-Min sketch table: (row, bucket, counter) over all token
-    occurrences. One explode + one hash aggregate; ≤ d·w rows out."""
-    ex = _all_tokens(documents)
+    occurrences. One explode + one hash aggregate; ≤ d·w rows out.
+    Callers that already materialized the token stream pass it via
+    ``tokens`` so build and ground truth share one pass."""
+    ex = tokens if tokens is not None else _all_tokens(documents)
     rows = ex.select(
         F.explode(
             F.array(
@@ -99,7 +116,8 @@ def countmin_estimate(
     The sketch table (≤ d·w rows) broadcasts into the probe join; truth
     is one filtered aggregate over the same scan.
     """
-    sk = countmin_build(documents, d=d, w=w)
+    toks = _all_tokens(documents)
+    sk = countmin_build(documents, d=d, w=w, tokens=toks)
     spark = documents.sparkSession
     probe_rows = spark.createDataFrame(
         [(t,) for t in probes], "token string"
@@ -123,8 +141,7 @@ def countmin_estimate(
         .agg(F.min(F.coalesce("counter", F.lit(0))).cast("long").alias("est"))
     )
     truth = (
-        _all_tokens(documents)
-        .filter(F.col("token").isin(*probes))
+        toks.filter(F.col("token").isin(*probes))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
     )
@@ -156,8 +173,9 @@ def bloom_membership(
     positions = k). No false negatives by construction — pinned by the
     pytest; false positives are reported, not hidden.
     """
+    toks = _all_tokens(documents)
     bits = (
-        _all_tokens(documents)
+        toks
         .select(
             F.explode(
                 F.array(*[F.expr(_bucket("token", j, w)) for j in range(k)])
@@ -179,8 +197,7 @@ def bloom_membership(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     present = (
-        _all_tokens(documents)
-        .filter(F.col("token").isin(*probes))
+        toks.filter(F.col("token").isin(*probes))
         .select("token")
         .distinct()
         .withColumn("actually_present", F.lit(True))

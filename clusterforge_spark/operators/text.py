@@ -1086,6 +1086,55 @@ FUNNEL_TOP2_MAX = 0.2
 FUNNEL_DUP3_MAX = 0.3
 
 
+#: the funnel's gate names, in sequential order (shared with the
+#: curation pipeline's reject attribution)
+FUNNEL_GATES = (
+    "lang_en",
+    "not_benchmark",
+    "quality",
+    "repetition",
+    "decontaminated",
+)
+
+
+def funnel_gate_labels(documents: DataFrame) -> DataFrame:
+    """(doc_id, gate) — ``'kept'`` or the FIRST failed gate of the
+    sequential curation funnel. The SINGLE definition of the gate
+    predicates and their order: :func:`quality_funnel` derives its
+    attrition report from these labels and the curation pipeline
+    (clusterforge_spark.curation) partitions the corpus with them, so
+    the two can never silently diverge.
+
+    Composes the per-doc signals (quality_score, repetition_stats,
+    contamination_check) via doc_id joins — three linear passes at any
+    scale — then one first-failure when-chain.
+    """
+    q = quality_score(documents).select("doc_id", "quality")
+    r = repetition_stats(documents).select(
+        "doc_id", "top_2gram_frac", "dup_3gram_frac"
+    )
+    c = contamination_check(documents).select("doc_id", "is_contaminated")
+    j = (
+        documents.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(c, "doc_id", "left")
+    )
+    gate = (
+        F.when(F.col("lang") != "en", F.lit(FUNNEL_GATES[0]))
+        .when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, F.lit(FUNNEL_GATES[1]))
+        .when(F.col("quality") < FUNNEL_QUALITY_MIN, F.lit(FUNNEL_GATES[2]))
+        .when(
+            (F.col("top_2gram_frac") > FUNNEL_TOP2_MAX)
+            | (F.col("dup_3gram_frac") > FUNNEL_DUP3_MAX),
+            F.lit(FUNNEL_GATES[3]),
+        )
+        .when(F.coalesce("is_contaminated", F.lit(False)), F.lit(FUNNEL_GATES[4]))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select("doc_id", gate.alias("gate"))
+
+
 def quality_funnel(documents: DataFrame) -> DataFrame:
     """End-to-end curation funnel: the sequential gate pipeline a
     training corpus actually goes through — language filter, benchmark
@@ -1093,45 +1142,24 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
     decontamination — with per-gate attrition counts (the report every
     data-curation run ships).
 
-    Composes the existing per-doc signals (quality_score,
-    repetition_stats, contamination_check) via doc_id joins — three
-    linear passes at any scale — then ONE aggregate computes every
-    gate's sequential survivor count (sum of flag products); the funnel
-    rows unpivot from that 1-row result. Exact integer counts →
-    oracle-exact.
+    Derived from :func:`funnel_gate_labels` (the single gate
+    definition): one conditional aggregate counts each gate's
+    first-failures, and the sequential survivor counts fall out as
+    kᵢ = n₀ − Σ_{j≤i} cⱼ (a doc fails at gate ≤ i iff its first
+    failure is at gate ≤ i) — identical values to folding the flag
+    conjunctions directly. Exact integer counts → oracle-exact.
     """
-    q = quality_score(documents).select("doc_id", "quality")
-    r = repetition_stats(documents).select(
-        "doc_id", "top_2gram_frac", "dup_3gram_frac"
-    )
-    c = contamination_check(documents).select("doc_id", "is_contaminated")
-    flags = (
-        documents.select("doc_id", "lang")
-        .join(q, "doc_id")
-        .join(r, "doc_id")
-        .join(c, "doc_id", "left")
-        .select(
-            (F.col("lang") == "en").alias("f1"),
-            (F.col("doc_id") % CONTAM_BENCH_MOD != 0).alias("f2"),
-            (F.col("quality") >= FUNNEL_QUALITY_MIN).alias("f3"),
-            (
-                (F.col("top_2gram_frac") <= FUNNEL_TOP2_MAX)
-                & (F.col("dup_3gram_frac") <= FUNNEL_DUP3_MAX)
-            ).alias("f4"),
-            (~F.coalesce("is_contaminated", F.lit(False))).alias("f5"),
+    labels = funnel_gate_labels(documents)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n0")]
+    for i, g in enumerate(FUNNEL_GATES, start=1):
+        aggs.append(
+            F.sum((F.col("gate") == g).cast("long")).cast("long").alias(f"c{i}")
         )
-    )
-    surv = [F.count(F.lit(1)).cast("long").alias("n0")]
-    running = None
-    for i in range(1, 6):
-        running = F.col(f"f{i}") if running is None else (running & F.col(f"f{i}"))
-        surv.append(F.sum(running.cast("long")).cast("long").alias(f"k{i}"))
-    one = flags.agg(*surv)
-    gates = ["lang_en", "not_benchmark", "quality", "repetition", "decontaminated"]
+    one = labels.agg(*aggs)
     rows = []
     prev = F.col("n0")
-    for i, g in enumerate(gates, start=1):
-        kept = F.col(f"k{i}")
+    for i, g in enumerate(FUNNEL_GATES, start=1):
+        kept = prev - F.col(f"c{i}")
         rows.append(
             F.struct(
                 F.lit(i).cast("long").alias("gate_idx"),
@@ -1257,9 +1285,14 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     """
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    toked = spread_partitions(
+    # ONE tokenize pass, eagerly materialized: the bigram stream and the
+    # vocabulary count both read the checkpointed token arrays instead
+    # of each re-running scan+tokenize (the shingle-table pattern,
+    # per-call lifecycle)
+    toked_all = spread_partitions(
         documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
-    ).filter(F.size("t") >= 2)
+    ).localCheckpoint(eager=True)
+    toked = toked_all.filter(F.size("t") >= 2)
     ex = toked.select(
         "doc_id", F.explode(_grams_from_tokens("t", 2)).alias("bg")
     )
@@ -1270,8 +1303,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_w1"))
     )
     vocab_n = (
-        spread_partitions(documents.select("doc_id", "text"), "doc_id")
-        .select(F.explode(H.tokens_col("text")).alias("token"))
+        toked_all.select(F.explode("t").alias("token"))
         .select("token")
         .distinct()
         .agg(F.count(F.lit(1)).alias("v"))

@@ -613,8 +613,12 @@ def benford_check(orders: DataFrame) -> DataFrame:
         "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) "
         "as string), 1, 1) as bigint)"
     )
+    # filter on the CENTS being >= 1, not the raw amount: a sub-cent
+    # total (0 < v < 0.005) rounds to 0 cents, whose first digit '0'
+    # would hit element_at(expected, 0) — an ANSI INVALID_INDEX_OF_ZERO
+    # abort — and has no Benford-defined leading digit anyway
     counts = (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.filter(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) >= 1"))
         .groupBy(first.alias("digit"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -655,7 +659,11 @@ def gini_concentration(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    per_user = events.groupBy("user_id").agg(
+    # NULL values excluded up front: engines disagree on NULL placement
+    # in window ordering (Spark nulls-first vs DuckDB nulls-last), and an
+    # all-NULL user would otherwise shift every rank (same rule as the
+    # other rank-family operators)
+    per_user = events.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
         F.expr(
             "sum(cast(cast(floor(value * 100 + 0.5) as bigint) as decimal(38,0)))"
         ).alias("cents")
@@ -810,10 +818,19 @@ def cramers_v_association(events: DataFrame) -> DataFrame:
 
 #: quasi-identifier columns for the k-anonymity audit of documents
 QI_COLS = ("lang", "source")
+
+#: bucket width for the length quasi-identifier (coarse enough that a
+#: length alone rarely isolates a record, fine enough to matter)
+QI_LEN_BUCKET = 500
+
 K_ANON_K = 5
 
 
-def k_anonymity(documents: DataFrame, k: int = K_ANON_K) -> DataFrame:
+def k_anonymity(
+    documents: DataFrame,
+    k: int = K_ANON_K,
+    qi_cols: tuple[str, ...] = QI_COLS,
+) -> DataFrame:
     """k-anonymity audit over the quasi-identifier columns (lang,
     source, length bucket): how re-identifiable are records if this
     table were released — the privacy gate a data-release pipeline runs
@@ -827,9 +844,10 @@ def k_anonymity(documents: DataFrame, k: int = K_ANON_K) -> DataFrame:
     map-side-combinable aggregate chain.
     """
     qi = [
-        F.col("lang"),
-        F.col("source"),
-        F.expr("cast(floor(n_chars / 500) as bigint)").alias("len_bucket"),
+        *[F.col(c) for c in qi_cols],
+        F.expr(f"cast(floor(n_chars / {QI_LEN_BUCKET}) as bigint)").alias(
+            "len_bucket"
+        ),
     ]
     classes = documents.groupBy(*qi).agg(
         F.count(F.lit(1)).cast("long").alias("class_size")
@@ -845,8 +863,9 @@ def k_anonymity(documents: DataFrame, k: int = K_ANON_K) -> DataFrame:
     )
 
 
-#: PSI bucket width / smoothing for the batch drift query (mirrors the
-#: streaming monitor's constants)
+#: PSI bucket width / smoothing — the CANONICAL definition; the
+#: streaming drift monitor (streaming/sessionize) imports these so
+#: batch and streamed PSI stay comparable by construction
 PSI_W = 100.0
 PSI_EPS_Q = 1e-6
 

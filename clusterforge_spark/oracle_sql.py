@@ -2278,13 +2278,18 @@ GROUP BY n_a, n_b"""
 
 def q_k_anonymity() -> str:
     """Mirrors operators/validation.k_anonymity."""
-    from clusterforge_spark.operators.validation import K_ANON_K
+    from clusterforge_spark.operators.validation import (
+        K_ANON_K,
+        QI_COLS,
+        QI_LEN_BUCKET,
+    )
 
+    qi = ", ".join(QI_COLS)
     return f"""WITH classes AS (
-  SELECT lang, source, CAST(floor(n_chars / 500) AS BIGINT) AS len_bucket,
+  SELECT {qi}, CAST(floor(n_chars / {QI_LEN_BUCKET}) AS BIGINT) AS len_bucket,
          CAST(count(*) AS BIGINT) AS class_size
   FROM documents
-  GROUP BY lang, source, floor(n_chars / 500)
+  GROUP BY {qi}, floor(n_chars / {QI_LEN_BUCKET})
 )
 SELECT class_size < {K_ANON_K} AS is_violating,
        CAST(count(*) AS BIGINT) AS n_classes,
@@ -2403,7 +2408,7 @@ def q_benford_check() -> str:
   SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
          CAST(count(*) AS BIGINT) AS n
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= 1
   GROUP BY 1
 ),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM counts)
@@ -2421,7 +2426,7 @@ def q_gini_concentration() -> str:
     return """WITH per_user AS (
   SELECT user_id,
          sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS cents
-  FROM events GROUP BY user_id
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
 ),
 hist AS (
   SELECT cents, count(*) AS cnt FROM per_user GROUP BY cents
@@ -2591,6 +2596,7 @@ def q_spearman_matrix() -> str:
     cols = CORR_COLS
     cents = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in cols}
     base_sel = ", ".join(f"{cents[c]} AS v_{c}" for c in cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     rank_ctes = []
     for c in cols:
         rank_ctes.append(
@@ -2627,7 +2633,7 @@ def q_spearman_matrix() -> str:
     u = "\nUNION ALL\n".join(unions)
     ctes = ",\n".join(rank_ctes)
     return f"""WITH base AS (
-  SELECT {base_sel} FROM lineitem
+  SELECT {base_sel} FROM lineitem WHERE {notnull}
 ),
 {ctes},
 j AS (

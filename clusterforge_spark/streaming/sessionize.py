@@ -986,11 +986,13 @@ def run_stream_countmin_batchlike(
 # streaming distribution-drift monitor (PSI per micro-batch)
 # ---------------------------------------------------------------------------
 
-#: fixed value-bucket width for the drift monitor's histograms
-PSI_BUCKET_WIDTH = 100.0
-
-#: Laplace-style smoothing share for empty buckets (standard PSI practice)
-PSI_EPS = 1e-6
+# bucket geometry + smoothing SHARED with the batch twin
+# (validation.psi_ab): one definition keeps streamed and batch PSI
+# numbers comparable by construction
+from clusterforge_spark.operators.validation import (  # noqa: E402
+    PSI_EPS_Q as PSI_EPS,
+    PSI_W as PSI_BUCKET_WIDTH,
+)
 
 
 def _psi_buckets(df: DataFrame) -> DataFrame:
@@ -1018,16 +1020,14 @@ def run_stream_psi_batchlike(
     A batch drawn from the reference distribution itself scores ~0 —
     pinned by the parity pytest, along with PSI > 0 under a real shift.
     """
-    ref = _psi_buckets(
-        spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
-            f"{sf_dir.rstrip('/')}/events.parquet"
-        )
-        if not events_ts_is_nanos(f"{sf_dir.rstrip('/')}/events.parquet")
-        else spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
-            "event_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            "user_id", "event_type", "value", "props"
-        )
-    ).localCheckpoint(eager=True)
+    from clusterforge_spark.sources.readers import load_table
+
+    # the shared batch reader owns schema pinning + the ts-nanos
+    # normalization — re-implementing it here would be a second copy
+    # that can silently drift
+    ref = _psi_buckets(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     ref_total = ref.agg(F.sum("n")).collect()[0][0] or 0
 
     events = read_events_stream(spark, sf_dir)
