@@ -135,6 +135,45 @@ def top_k(lineitem: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+#: exact line revenue in 1e-4-dollar integer units:
+#: price_cents × (100 − discount_cents). Exact int64 per row (2dp money
+#: domain), summed in decimal(38,0) — the sums are order-independent at
+#: ANY row count, unlike a raw double Σ price·(1−disc), whose partial-agg
+#: reorder error at ~10⁹ rows exceeds the 2dp rounding guard and makes
+#: output nondeterministic across runs/engines.
+REVENUE_E4 = (
+    "cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
+    "(100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+)
+
+
+def _revenue_sum(alias_src: str = "revenue_e4"):
+    """round(Σ revenue_e4 / 1e4, 2) as an order-independent exact sum."""
+    return round_det(
+        F.expr(f"cast(sum(cast({alias_src} as decimal(38,0))) as double) / 10000.0"),
+        2,
+    )
+
+
+def _star_join(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """The shared lineitem⋈orders⋈customer⋈nation star prologue used by
+    join_enrich / rollup / cube / grouping-sets: facts pre-pruned to
+    join keys + the exact e4 revenue, dimensions broadcast. One
+    definition — a change to keys, hints, or the revenue expression
+    cannot silently diverge the four consumers."""
+    li = lineitem.select("l_orderkey", F.expr(f"{REVENUE_E4} as revenue_e4"))
+    od = orders.select("o_orderkey", "o_custkey")
+    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+    na = nation.select("n_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+
+
 def join_enrich(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -146,25 +185,37 @@ def join_enrich(
     columns). customer and nation are dimensions → explicit broadcast()
     hints make them map-side joins with no extra shuffle.
     """
-    li = lineitem.select(
-        "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    return _star_join(lineitem, orders, customer, nation).groupBy(
+        "n_name", "c_mktsegment"
+    ).agg(
+        _revenue_sum().alias("total_revenue"),
+        F.count("*").alias("lineitem_count"),
     )
-    od = orders.select("o_orderkey", "o_custkey")
-    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
-    na = nation.select("n_nationkey", "n_name")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .groupBy("n_name", "c_mktsegment")
-        .agg(
-            # revenue is a computed double (can't be decimal-exact without
-            # re-rounding inputs); 2dp output leaves ~7 orders of magnitude
-            # of headroom over double-sum reordering error
-            round_det(F.sum("revenue"), 2).alias("total_revenue"),
-            F.count("*").alias("lineitem_count"),
+
+
+def _with_session_seq(events: DataFrame, gap_minutes: int, cols: tuple[str, ...]):
+    """user_id/ts/event_id + ``cols`` + the gap-session index
+    ``session_seq`` — the ONE definition of the lag/cumsum session
+    boundary (previous event more than ``gap_minutes`` away starts a new
+    session). Shared by sessionize_gap, session-path mining, and
+    session co-occurrence so a boundary-semantics change cannot
+    silently desynchronize the sessionizers."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60_000_000
+    with_new = events.select(
+        "user_id", "ts", "event_id", *cols,
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > F.lit(gap_us)
         )
+        .cast("int")
+        .alias("is_new"),
+    ).fillna({"is_new": 1})
+    return with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
 
@@ -178,27 +229,13 @@ def sessionize_gap(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     per-session aggregate. The streaming analog with explicit state is
     streaming/sessionize.sessionize_gap_stream.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60_000_000
-    with_gap = events.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        (
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)) > gap_us
-        ).cast("int").alias("is_new"),
-    )
-    with_idx = with_gap.select(
+    # session_idx keeps its historical 0-base (the helper's session_seq
+    # counts each user's first event as a boundary, so it is exactly +1)
+    with_idx = _with_session_seq(events, gap_minutes, ("value",)).select(
         "user_id",
         "ts",
         "value",
-        F.sum(F.coalesce("is_new", F.lit(0)))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("session_idx"),
+        (F.col("session_seq") - 1).cast("long").alias("session_idx"),
     )
     return with_idx.groupBy("user_id", "session_idx").agg(
         F.unix_micros(F.min("ts")).alias("session_start_us"),
@@ -283,20 +320,9 @@ def rollup_revenue(
     """ROLLUP aggregation over the star join: revenue at (nation,
     segment), per-nation subtotal, and grand total in one pass (Catalyst
     plans Expand + single aggregate — not three jobs)."""
-    li = lineitem.select(
-        "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-    )
-    od = orders.select("o_orderkey", "o_custkey")
-    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
-    na = nation.select("n_nationkey", "n_name")
-    joined = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-    )
+    joined = _star_join(lineitem, orders, customer, nation)
     return joined.rollup("n_name", "c_mktsegment").agg(
-        round_det(F.sum("revenue"), 2).alias("total_revenue"),
+        _revenue_sum().alias("total_revenue"),
         F.count("*").alias("lineitem_count"),
     )
 
@@ -308,20 +334,9 @@ def cube_revenue(
     {(nation, segment), (nation), (segment), ()} in one Expand + one
     aggregate. grouping_id disambiguates the NULL-label rows exactly as
     SQL GROUPING() does (a real NULL group vs a subtotal row)."""
-    li = lineitem.select(
-        "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-    )
-    od = orders.select("o_orderkey", "o_custkey")
-    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
-    na = nation.select("n_nationkey", "n_name")
-    joined = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-    )
+    joined = _star_join(lineitem, orders, customer, nation)
     return joined.cube("n_name", "c_mktsegment").agg(
-        round_det(F.sum("revenue"), 2).alias("total_revenue"),
+        _revenue_sum().alias("total_revenue"),
         F.count("*").alias("lineitem_count"),
         F.grouping_id().cast("long").alias("gid"),
     )
@@ -853,23 +868,13 @@ def grouping_sets_revenue(
     {(n_name), (c_mktsegment)} WITHOUT the cross cells, which neither
     ROLLUP nor CUBE can express. One Expand + one aggregate, same
     single-shuffle shape as the rollup/cube variants."""
-    li = lineitem.select(
-        "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-    )
-    od = orders.select("o_orderkey", "o_custkey")
-    cu = customer.select("c_custkey", "c_nationkey", "c_mktsegment")
-    na = nation.select("n_nationkey", "n_name")
-    joined = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-    )
+    joined = _star_join(lineitem, orders, customer, nation)
     joined.createOrReplaceTempView("v_gs_star")
     return spark.sql(
         """
         SELECT n_name, c_mktsegment,
-               CAST(FLOOR(SUM(revenue) * 100 + 0.5) AS DOUBLE) / 100 AS total_revenue,
+               CAST(FLOOR((CAST(SUM(CAST(revenue_e4 AS DECIMAL(38,0))) AS DOUBLE)
+                           / 10000.0) * 100 + 0.5) AS DOUBLE) / 100 AS total_revenue,
                COUNT(*) AS lineitem_count,
                CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
         FROM v_gs_star
@@ -909,21 +914,36 @@ def tpch_pricing_summary(
 
     One hash aggregate over 6 groups — map-side partial agg does almost
     all the work, the shuffle moves 6 rows per partition regardless of
-    input size, so the plan is scan-bound at any scale. Averages are
-    written as sum/count (not avg) and rounded at 4dp for cross-engine
-    parity; money sums rounded at 2dp after the fold."""
+    input size, so the plan is scan-bound at any scale. All sums
+    accumulate in EXACT integer units (cents for money/qty, 1e-4 for
+    disc_price, 1e-6 for charge — per-row products fit int64 in the 2dp
+    money domain, sums in decimal(38,0)), so results are bit-identical
+    under any partial-agg order at any row count; a raw double Σ's
+    reorder error at ~10⁹ rows exceeds the 2dp rounding guard. Averages
+    are written as exact-sum/count and rounded at 4dp."""
     f = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qc = "cast(floor(l_quantity * 100 + 0.5) as bigint)"
+    pc = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+    dc = "cast(floor(l_discount * 100 + 0.5) as bigint)"
+    tc = "cast(floor(l_tax * 100 + 0.5) as bigint)"
+
+    def _esum(expr: str):
+        return F.expr(f"cast(sum(cast({expr} as decimal(38,0))) as double)")
+
     cnt = F.count(F.lit(1))
+    cntd = cnt.cast("double")
     return f.groupBy("l_returnflag", "l_linestatus").agg(
-        round_det(F.sum("l_quantity"), 2).alias("sum_qty"),
-        round_det(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        round_det(F.sum(disc_price), 2).alias("sum_disc_price"),
-        round_det(F.sum(charge), 2).alias("sum_charge"),
-        round_det(F.sum("l_quantity") / cnt, 4).alias("avg_qty"),
-        round_det(F.sum("l_extendedprice") / cnt, 4).alias("avg_price"),
-        round_det(F.sum("l_discount") / cnt, 4).alias("avg_disc"),
+        round_det(_esum(qc) / F.lit(100.0), 2).alias("sum_qty"),
+        round_det(_esum(pc) / F.lit(100.0), 2).alias("sum_base_price"),
+        round_det(_esum(f"{pc} * (100 - {dc})") / F.lit(1e4), 2).alias(
+            "sum_disc_price"
+        ),
+        round_det(
+            _esum(f"{pc} * (100 - {dc}) * (100 + {tc})") / F.lit(1e6), 2
+        ).alias("sum_charge"),
+        round_det(_esum(qc) / F.lit(100.0) / cntd, 4).alias("avg_qty"),
+        round_det(_esum(pc) / F.lit(100.0) / cntd, 4).alias("avg_price"),
+        round_det(_esum(dc) / F.lit(100.0) / cntd, 4).alias("avg_disc"),
         cnt.cast("long").alias("count_order"),
     )
 
@@ -1004,7 +1024,7 @@ def tpch_local_supplier_volume(
     li = lineitem.select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.expr(f"{REVENUE_E4} as revenue_e4"),
     )
     j = (
         li.join(od, li.l_orderkey == od.o_orderkey)
@@ -1013,7 +1033,7 @@ def tpch_local_supplier_volume(
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return j.groupBy("n_name").agg(
-        round_det(F.sum("revenue"), 2).alias("revenue"),
+        _revenue_sum().alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
 
@@ -1442,23 +1462,7 @@ def _session_path_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     TakeOrderedAndProject. Shuffles: one by user (window), one by
     session key, one by path — all narrow keys.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60_000_000
-    with_new = events.select(
-        "user_id", "ts", "event_id", "event_type",
-        (
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
-            > F.lit(gap_us)
-        )
-        .cast("int")
-        .alias("is_new"),
-    ).fillna({"is_new": 1})
-    sess = with_new.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _with_session_seq(events, gap_minutes, ("event_type",))
     paths = (
         sess.groupBy("user_id", "session_seq")
         .agg(
@@ -1542,9 +1546,9 @@ def tpch_shipping_priority(
     broken by orderkey — deterministic.
     """
     cut = F.lit(cutoff).cast("timestamp")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
         lineitem.filter(F.col("l_shipdate") > cut)
+        .withColumn("revenue_e4", F.expr(REVENUE_E4))
         .join(
             orders.filter(F.col("o_orderdate") < cut),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1556,7 +1560,7 @@ def tpch_shipping_priority(
     )
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round_det(F.sum(rev), 2).alias("revenue"))
+        .agg(_revenue_sum().alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -1698,23 +1702,7 @@ def session_cooccurrence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     PMI = log2(N·n_ab / (n_a·n_b)) on exact integer counts, rounded
     6dp.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60_000_000
-    with_new = events.select(
-        "user_id", "ts", "event_id", "event_type",
-        (
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
-            > F.lit(gap_us)
-        )
-        .cast("int")
-        .alias("is_new"),
-    ).fillna({"is_new": 1})
-    sess = with_new.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _with_session_seq(events, gap_minutes, ("event_type",))
     sets = sess.select("user_id", "session_seq", "event_type").distinct()
     # total session count as a broadcast 1-row frame: keeps the operator
     # fully lazy (no driver-side action at plan-build time)
@@ -1856,31 +1844,53 @@ def skyline_orders(orders: DataFrame) -> DataFrame:
     (newer o_orderdate, higher o_totalprice) — "most recent AND most
     valuable" trade-off analysis without scoring weights.
 
-    The scalable formulation: sort by date desc (tie: price desc, key
-    asc), keep a row iff its price strictly exceeds the running max
-    price of everything newer — one window pass instead of the naive
-    all-pairs dominance join. Deterministic output; at 100 TB the sort
-    is a single global ordering of the already-aggregated candidates.
+    The scalable formulation is two-phase: (1) a DISTRIBUTED per-date
+    pre-prune — within one date, only the max-price row (tie → lowest
+    key) can possibly survive the strictly-greater dominance test, so
+    one keyed aggregate reduces the corpus to one candidate per
+    DISTINCT date (bounded by the calendar, not the row count);
+    (2) the running-max window then sorts only those candidates. A
+    single unpartitioned window over the RAW table would move every row
+    to one task — the exact single-partition bottleneck the per-date
+    aggregate removes. Deterministic output, identical to the one-pass
+    form.
     """
     from pyspark.sql.window import Window
 
-    w = (
-        Window.orderBy(
-            F.col("o_orderdate").desc(),
-            F.col("o_totalprice").desc(),
-            F.col("o_orderkey").asc(),
+    # phase 1: per-date champion via min(struct(-price, key)) — one
+    # map-side-combinable aggregate, no sort over the raw table
+    cand = (
+        orders.groupBy("o_orderdate")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("np"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("b")
         )
+        .select(
+            F.col("b.k").alias("o_orderkey"),
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            (-F.col("b.np")).alias("o_totalprice"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("o_orderdate_us").desc(), F.col("o_orderkey").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     running = F.max("o_totalprice").over(w)
     return (
-        orders.select(
+        cand.select(
             "o_orderkey",
-            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderdate_us",
             "o_totalprice",
             running.alias("best_newer"),
         )
-        .filter(F.col("best_newer").isNull() | (F.col("o_totalprice") > F.col("best_newer")))
+        .filter(
+            F.col("best_newer").isNull()
+            | (F.col("o_totalprice") > F.col("best_newer"))
+        )
         .select("o_orderkey", "o_orderdate_us", "o_totalprice")
     )
 
@@ -1949,7 +1959,15 @@ def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     line_tot = lineitem.groupBy("l_orderkey").agg(
         F.expr(f"sum(cast({net_e4} as decimal(38,0))) as line_net_e4")
     )
-    j = orders.join(line_tot, orders.o_orderkey == line_tot.l_orderkey, "inner")
+    # LEFT join + coalesce-to-0: an order with NO lineitem rows is the
+    # most severe header/detail mismatch there is — an inner join would
+    # silently drop it from the very report meant to catch it
+    j = orders.join(
+        line_tot, orders.o_orderkey == line_tot.l_orderkey, "left"
+    ).withColumn(
+        "line_net_e4",
+        F.coalesce(F.col("line_net_e4"), F.lit(0).cast("decimal(38,0)")),
+    )
     delta_e4 = (
         F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) * 100").cast(
             "decimal(38,0)"
@@ -2074,17 +2092,21 @@ def time_to_convert(events: DataFrame) -> DataFrame:
     cum = hist.select(
         "delta_min", F.sum("cnt").over(w).alias("cum"), F.col("cnt")
     )
-    total = deltas.count()
-    rows = []
-    for d in range(1, 10):
-        # nearest-rank percentile: smallest value with cum >= ceil(p*n)
-        k = -(-d * total // 10)  # ceil(d*total/10) in exact ints
-        rows.append((d * 10, k))
+    # the total rides along as a broadcast 1-row frame — fully lazy, no
+    # driver-side action at plan-build time, and the delta lineage runs
+    # once instead of once for a count() and again for the histogram
+    total = cum.agg(F.max("cum").cast("long").alias("n"))
     spark = events.sparkSession
-    targets = spark.createDataFrame(rows, "pct int, k long")
+    targets = spark.createDataFrame(
+        [(d * 10,) for d in range(1, 10)], "pct int"
+    )
     matched = (
-        targets.crossJoin(cum)
-        .filter(F.col("cum") >= F.col("k"))
+        targets.crossJoin(F.broadcast(total))
+        .crossJoin(cum)
+        # nearest-rank percentile: smallest value with cum >= ceil(p·n/100)
+        # (exact integer division — a float divide would shift the rank
+        # threshold off the oracle's (pct·n + 99) // 100)
+        .filter(F.col("cum") >= F.expr("div(pct * n + 99, 100)"))
         .groupBy("pct")
         .agg(F.min("delta_min").alias("delta_min"))
     )

@@ -178,7 +178,7 @@ LIMIT {k}"""
 
 def q_join_enrich() -> str:
     return """SELECT n_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS total_revenue,
        count(*) AS lineitem_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1221,7 +1221,7 @@ GROUP BY user_id, session_idx"""
 
 def q_grouping_sets() -> str:
     return """SELECT n_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS total_revenue,
        count(*) AS lineitem_count,
        CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
 FROM lineitem
@@ -1318,7 +1318,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)"""
 
 def q_rollup_revenue() -> str:
     return """SELECT n_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS total_revenue,
        count(*) AS lineitem_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1329,7 +1329,7 @@ GROUP BY ROLLUP(n_name, c_mktsegment)"""
 
 def q_cube_revenue() -> str:
     return """SELECT n_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS total_revenue,
        count(*) AS lineitem_count,
        CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
 FROM lineitem
@@ -1457,13 +1457,13 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {flit(threshold)}"""
 
 def q_tpch_pricing() -> str:
     return """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(sum(l_quantity) / count(*), 4) AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
-       round(sum(l_discount) / count(*), 4) AS avg_disc,
+       round(CAST(sum(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 1e6, 2) AS sum_charge,
+       round(CAST(sum(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+       round(CAST(sum(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
@@ -1472,7 +1472,7 @@ GROUP BY l_returnflag, l_linestatus"""
 
 def q_tpch_local_volume() -> str:
     return """SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -2771,7 +2771,7 @@ def q_tpch_shipping_priority(
     cutoff: str = "1998-06-01", segment: str = "BUILDING", k: int = 10
 ) -> str:
     return f"""SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
        epoch_us(o_orderdate) AS o_orderdate_us,
        o_orderpriority
 FROM lineitem
@@ -3227,12 +3227,12 @@ def q_order_reconciliation() -> str:
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderkey, o_totalprice,
-       CAST(line_net_e4 AS DOUBLE) / 10000.0 AS line_net,
+       CAST(coalesce(line_net_e4, 0) AS DOUBLE) / 10000.0 AS line_net,
        CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * CAST(100 AS HUGEINT)
-            - line_net_e4 AS DOUBLE) / 10000.0 AS delta
-FROM orders JOIN lt ON o_orderkey = l_orderkey
+            - coalesce(line_net_e4, 0) AS DOUBLE) / 10000.0 AS delta
+FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey
 WHERE CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * CAST(100 AS HUGEINT)
-           - line_net_e4 AS DOUBLE) / 10000.0 != 0.0"""
+           - coalesce(line_net_e4, 0) AS DOUBLE) / 10000.0 != 0.0"""
 
 
 def q_vocabulary_growth() -> str:

@@ -15,6 +15,7 @@ operator (tests/test_streaming.py).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as PW
@@ -294,15 +295,19 @@ def run_gap_sessions_batchlike(
 def dedup_events_stream(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on the event key.
 
-    ``dropDuplicates`` under a watermark keeps per-key state only until
-    the watermark passes — bounded memory under unbounded, at-least-once
-    input (the streaming face of operators/dedup.dedup_exact). Keys
-    arriving later than the watermark are treated as new — the standard
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded memory under unbounded, at-least-once
+    input (the streaming face of operators/dedup.dedup_exact). Plain
+    ``dropDuplicates(["event_id"])`` would NOT get watermark eviction
+    (Spark only evicts dedup state when the event-time column is part of
+    the key set), so its state grows with every key ever seen — the
+    exact OOM this operator exists to prevent. Keys re-arriving later
+    than the watermark are treated as new — the standard
     correctness/state trade.
     """
     return (
         events_stream.withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "value")
     )
 
@@ -593,7 +598,10 @@ def run_stream_upsert_batchlike(
         try:
             base = spark.read.parquet(base_path)
             have_base = True
-        except Exception:  # first batch: snapshot does not exist yet
+        except AnalysisException:  # first batch: snapshot path missing.
+            # Narrow on purpose: a transient FS/footer error must NOT be
+            # mistaken for "no snapshot" — the overwrite below would
+            # silently replace all accumulated state with one batch.
             have_base = False
         if have_base:
             b, u = base.alias("b"), per_key.alias("u")
@@ -728,7 +736,7 @@ def run_stream_scd2_batchlike(
         try:
             old = spark.read.parquet(out_path)
             have = True
-        except Exception:  # first batch: no history yet
+        except AnalysisException:  # first batch: history path missing
             have = False
         if have:
             keys = batch.select("o_custkey").distinct()
@@ -740,8 +748,12 @@ def run_stream_scd2_batchlike(
                 "o_totalprice",
                 "o_orderpriority",
             )
+            # .distinct(): foreachBatch is at-least-once — a re-applied
+            # batch's rows already round-tripped into affected_old, and
+            # without the dedup scd2_build would mint a second
+            # zero-length version per re-applied change row
             out = untouched.unionByName(
-                scd2_build(affected_old.unionByName(batch))
+                scd2_build(affected_old.unionByName(batch).distinct())
             )
         else:
             out = scd2_build(batch)
@@ -950,7 +962,7 @@ def run_stream_countmin_batchlike(
         try:
             base = spark.read.parquet(sketch_path)
             have_base = True
-        except Exception:  # first batch
+        except AnalysisException:  # first batch: sketch path missing
             have_base = False
         if have_base:
             b, p = base.alias("b"), partial.alias("p")
