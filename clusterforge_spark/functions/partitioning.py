@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def spread_partitions(df: DataFrame, col: str | None = None) -> DataFrame:
@@ -53,3 +53,77 @@ def suggest_agg_partitions(
     conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     want = (total + bytes_per_partition - 1) // bytes_per_partition
     return int(max(min(floor, conf), min(conf, want)))
+
+
+def prefix_sum_before(
+    hist: DataFrame,
+    order_col: str,
+    cnt_cols: tuple[str, ...] | list[str],
+    bucket_shift: int = 16,
+) -> DataFrame:
+    """Exclusive prefix sum(s) over an ordered histogram, distributed.
+
+    ``hist`` must have one row per DISTINCT ``order_col`` value (a
+    grouped value histogram). Adds, for every ``c`` in ``cnt_cols``, a
+    ``cum_{c}`` column = Σ of ``c`` over all rows with a strictly
+    smaller ``order_col`` — the building block of the whole rank/ECDF
+    family (average tie ranks, Mann-Whitney, Gini, Kolmogorov-Smirnov).
+
+    The naive form — ``sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING
+    TO -1)`` with no PARTITION BY — plans as an exchange into ONE
+    partition and a single-task sort: fine for a 50-value quantity
+    histogram, a scale-killer when the histogram is data-proportional
+    (583k distinct price cents at sf0.1; millions at real SF). Instead,
+    a two-level cumulative:
+
+    1. bucket ``_b = v >> bucket_shift`` — arithmetic shift, so the
+       mapping is order-preserving for negatives too, and bucketing
+       needs NO data pass or sampled boundaries;
+    2. within-bucket exclusive prefix via a window PARTITIONED by
+       bucket (parallel hash shuffle, each bucket sorts independently);
+    3. bucket totals (one tiny agg, rows = #buckets ≈ domain/2^shift)
+       get the same exclusive prefix via a global window over that
+       small table, and broadcast-join back as per-bucket offsets.
+
+    cum = bucket_offset + within_bucket, exact integer arithmetic —
+    bit-identical to the single-partition form, with the unbounded sort
+    replaced by #bucket-parallel bounded sorts. Every level's row count
+    is either data-proportional-but-parallel or tiny-and-global; no
+    stage is both.
+    """
+    from pyspark.sql.window import Window
+
+    cnt_cols = list(cnt_cols)
+    # bucket id: arithmetic shift of the value clamped into int64 — the
+    # clamp keeps the ANSI cast abort-free for wide decimal order keys
+    # (gini's per-user cent sums are decimal(38,0)); everything beyond
+    # the int64 range collapses into the extreme buckets, which is still
+    # an order-preserving range coarsening, the only property needed
+    v = F.col(order_col)
+    lo, hi = F.lit(-(2**63)).cast("decimal(38,0)"), F.lit(2**63 - 1).cast(
+        "decimal(38,0)"
+    )
+    clamped = F.when(v >= hi, F.lit(2**63 - 1)).when(v <= lo, F.lit(-(2**63))).otherwise(
+        v.cast("long")
+    )
+    b = hist.withColumn("_b", F.shiftright(clamped, bucket_shift))
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for c in cnt_cols:
+        b = b.withColumn(f"_in_{c}", F.coalesce(F.sum(c).over(w_in), F.lit(0)))
+    totals = b.groupBy("_b").agg(*[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
+            for c in cnt_cols
+        ],
+    )
+    out = b.join(F.broadcast(offsets), "_b")
+    for c in cnt_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_in_{c}"))
+    return out.drop("_b", *[f"_in_{c}" for c in cnt_cols], *[f"_off_{c}" for c in cnt_cols])

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.partitioning import prefix_sum_before
 from clusterforge_spark.functions.rounding import round_det
 
 
@@ -1357,7 +1358,9 @@ def corr_matrix(lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS) -> DataF
 
 
 def spearman_matrix(
-    lineitem: DataFrame, cols: tuple[str, ...] = CORR_COLS
+    lineitem: DataFrame,
+    cols: tuple[str, ...] = CORR_COLS,
+    large_domain: tuple[str, ...] = ("l_extendedprice",),
 ) -> DataFrame:
     """Pairwise SPEARMAN rank correlation — the outlier-robust companion
     to :func:`corr_matrix` (monotone association instead of linear).
@@ -1386,20 +1389,34 @@ def spearman_matrix(
     base = lineitem.filter(F.expr(notnull)).select(
         *[F.expr(f"{cents[c]} as v_{c}") for c in cols]
     )
+    # NOT checkpointed/cached: the plan references base 1 + len(cols)
+    # times, but each reference is a pruned page-cached parquet re-scan +
+    # cent casts — measured CHEAPER at sf0.1 (2.7 s vs 3.1 s) than
+    # materializing 600k rows into block storage, and a per-invocation
+    # localCheckpoint would pin storage until GC in long sessions
     joined = base
     for c in cols:
         vc = base.groupBy(f"v_{c}").agg(F.count(F.lit(1)).alias("cnt"))
-        w = (
-            Window.orderBy(F.col(f"v_{c}"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        ranks = vc.select(
-            f"v_{c}",
-            (
-                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + F.lit(1)
+        if c in large_domain:
+            # data-proportional histogram (583k distinct price cents at
+            # sf0.1; millions at real SF): distributed two-level prefix —
+            # a single-partition ORDER BY window here was the one
+            # data-proportional serial stage in the whole rank family
+            cum = prefix_sum_before(vc, f"v_{c}", ["cnt"])
+        else:
+            # bounded 2dp domain (≤ a few thousand distinct values at ANY
+            # scale — quantity/discount/tax): the global window runs over
+            # a fixed-size table; the distributed form's extra exchange +
+            # broadcast join is pure overhead here
+            w = Window.orderBy(F.col(f"v_{c}")).rowsBetween(
+                Window.unboundedPreceding, -1
             )
+            cum = vc.withColumn(
+                "cum_cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+        ranks = cum.select(
+            f"v_{c}",
+            (F.lit(2) * F.col("cum_cnt") + F.col("cnt") + F.lit(1))
             .cast("long")
             .alias(f"r2_{c}"),
         )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clusterforge_spark.functions.partitioning import prefix_sum_before
 from clusterforge_spark.functions.rounding import round_det
 
 #: numeric lineitem columns the profiler query covers
@@ -543,8 +544,6 @@ def mannwhitney_value(events: DataFrame) -> DataFrame:
     bit-stable on any engine or partitioning. Output: one row
     (n_a, n_b, u_a, z_u 4dp).
     """
-    from pyspark.sql.window import Window
-
     # null values are excluded up front: engines disagree on NULL
     # placement in window ordering (Spark nulls-first vs DuckDB
     # nulls-last), and a rank for "no measurement" is meaningless anyway
@@ -553,14 +552,12 @@ def mannwhitney_value(events: DataFrame) -> DataFrame:
         (F.col("user_id") % 2 == 0).alias("is_a"),
     )
     hist = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("v")).rowsBetween(Window.unboundedPreceding, -1)
-    ranks = hist.select(
+    # distributed exclusive prefix over the distinct-value histogram —
+    # replaces the single-partition ORDER BY window (data-proportional
+    # serial sort at real SF)
+    ranks = prefix_sum_before(hist, "v", ["cnt"]).select(
         "v",
-        (
-            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-            + F.col("cnt")
-            + F.lit(1)
-        )
+        (F.lit(2) * F.col("cum_cnt") + F.col("cnt") + F.lit(1))
         .cast("long")
         .alias("r2"),
     )
@@ -657,8 +654,6 @@ def gini_concentration(events: DataFrame) -> DataFrame:
     exact integer until the final O(1) division. Output: one row
     (n_users, total_value, gini 6dp).
     """
-    from pyspark.sql.window import Window
-
     # NULL values excluded up front: engines disagree on NULL placement
     # in window ordering (Spark nulls-first vs DuckDB nulls-last), and an
     # all-NULL user would otherwise shift every rank (same rule as the
@@ -669,14 +664,11 @@ def gini_concentration(events: DataFrame) -> DataFrame:
         ).alias("cents")
     )
     hist = per_user.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cents")).rowsBetween(Window.unboundedPreceding, -1)
-    ranks = hist.select(
+    # distributed exclusive prefix over the per-user-total histogram
+    # (rows ∝ distinct user totals — data-proportional at real SF)
+    ranks = prefix_sum_before(hist, "cents", ["cnt"]).select(
         "cents",
-        (
-            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-            + F.col("cnt")
-            + F.lit(1)
-        )
+        (F.lit(2) * F.col("cum_cnt") + F.col("cnt") + F.lit(1))
         .cast("long")
         .alias("r2"),
     )
@@ -717,8 +709,6 @@ def ks_test_value(events: DataFrame) -> DataFrame:
     λ = D·√(n_a·n_b/(n_a+n_b)) follows in O(1) IEEE ops. Output: one
     row (n_a, n_b, d_stat 6dp, ks_lambda 4dp).
     """
-    from pyspark.sql.window import Window
-
     base = events.filter(F.col("value").isNotNull()).select(
         F.expr("cast(floor(value * 100 + 0.5) as bigint) as v"),
         (F.col("user_id") % 2 == 0).alias("is_a"),
@@ -727,11 +717,12 @@ def ks_test_value(events: DataFrame) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("ca"),
         F.sum((~F.col("is_a")).cast("long")).alias("cb"),
     )
-    w = Window.orderBy(F.col("v")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_v.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    # inclusive CDF counts = distributed exclusive prefix + own bucket
+    # count (replaces the single-partition ORDER BY window over the
+    # distinct-value histogram)
+    cum = prefix_sum_before(per_v, "v", ["ca", "cb"]).select(
+        (F.col("cum_ca") + F.col("ca")).alias("cum_a"),
+        (F.col("cum_cb") + F.col("cb")).alias("cum_b"),
     )
     # D's numerator needs the arm totals, so they come from their own
     # tiny aggregate and broadcast into the max over the CDF rows
