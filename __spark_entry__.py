@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"),
         _t(spark, sf, "customer"),
     )
+    q["q_tpch_promo_revenue"] = lambda spark, sf: R.tpch_promo_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+    q["q_tpch_brand_volume"] = lambda spark, sf: R.tpch_brand_volume(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -429,6 +435,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
         _banded_pairs(spark, sf)
+    )
+    # memoized like the component tables: the rank table is deterministic
+    # per corpus snapshot and feeds repeated triage reads; the plan itself
+    # is fully lazy (3 chained join+agg rounds), the memo just shares one
+    # materialization across invocations
+    q["q_pagerank"] = lambda spark, sf: _memo(
+        spark, sf, "pagerank",
+        lambda: DD.pagerank(_banded_pairs(spark, sf)).cache(),
+    )
+    q["q_dedup_incremental"] = lambda spark, sf: DD.dedup_incremental(
+        _dup_docs(spark, sf)
+    )
+    q["q_split_leakage"] = lambda spark, sf: DD.split_leakage(
+        _banded_pairs(spark, sf), PK.hash_split(_dup_docs(spark, sf))
+    )
+    q["q_boilerplate_prefix"] = lambda spark, sf: TX.boilerplate_prefixes(
+        _dup_docs(spark, sf)
     )
     q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
         _components(spark, sf)
@@ -651,6 +674,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
         "q_pair_degree_stats": OSQL.q_pair_degree_stats(),
+        "q_pagerank": OSQL.q_pagerank(),
+        "q_dedup_incremental": OSQL.q_dedup_incremental(),
+        "q_split_leakage": OSQL.q_split_leakage(),
+        "q_boilerplate_prefix": OSQL.q_boilerplate_prefix(),
+        "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
+        "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q_tpch_local_volume",
     "q_tpch_shipping_priority",
     "q_tpch_large_volume",
+    "q_tpch_promo_revenue",
+    "q_tpch_brand_volume",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",
@@ -136,6 +138,9 @@ BENCH_QUERIES = [
     "q_minhash_estimate_error",
     "q_dedup_components",
     "q_dedup_components_star",
+    "q_pagerank",
+    "q_dedup_incremental",
+    "q_split_leakage",
     "q_component_size_stats",
     "q_dup_rate_by_source",
     "q_dedup_triangles",
@@ -170,6 +175,7 @@ BENCH_QUERIES = [
     "q_cross_source_contamination",
     "q_source_mixing_weights",
     "q_quality_funnel",
+    "q_boilerplate_prefix",
     "q_multimodal_meta",
     "q_multimodal_decode",
     "q_bm25_topk",

@@ -987,3 +987,178 @@ def pair_degree_stats(pairs: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+def pagerank(pairs: DataFrame, damping: float = 0.85, iters: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected near-dup graph —
+    the centrality step of duplicate-cluster triage (the highest-rank
+    doc in a big boilerplate cluster is the template everything else
+    copies).
+
+    Built as ONE lazy plan: each of the ``iters`` rounds is a
+    join + keyed sum (rank mass flows along edges, then the damped
+    update re-attaches isolated-free vertices by a left join), so the
+    whole computation is ``iters`` chained shuffles on the vertex key —
+    no driver loop, no actions, no collect. The undirected edge set
+    gives every vertex out-degree ≥ 1, so there is no dangling-mass
+    term. A fixed iteration count (not convergence-driven) keeps the
+    operator deterministic and oracle-expressible; 3 rounds spread rank
+    across the diameter of near-dup cliques, which is what the triage
+    ranking needs.
+
+    At 100 TB: each round shuffles (vertex, rank) pairs only — bytes ∝
+    vertices + edges, never quadratic; the same plan shape GraphX/Pregel
+    would schedule, expressed in DataFrame ops so AQE sizes every
+    exchange.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev)
+    verts = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_row = verts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = verts.crossJoin(F.broadcast(n_row))
+    pr = base.select(
+        F.col("src").alias("doc_id"),
+        "outdeg",
+        "n",
+        (F.lit(1.0) / F.col("n").cast("double")).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            pr.select("doc_id", (F.col("rank") / F.col("outdeg").cast("double")).alias("c"))
+            .join(edges, F.col("doc_id") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            base.join(contrib, base.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("doc_id"),
+                "outdeg",
+                "n",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n").cast("double")
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return pr.select("doc_id", round_det(F.col("rank"), 6).alias("pagerank"))
+
+
+#: batch membership predicate for the incremental-dedup query: docs whose
+#: id ≡ 0 (mod 7) play the "newly crawled batch"; everything else is the
+#: already-indexed corpus. Planted dup copies keep their base id mod 7
+#: only by coincidence, so the batch contains a healthy mix of fresh,
+#: exact-dup, and near-dup docs.
+INCR_BATCH_MOD = 7
+
+
+def dedup_incremental(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
+    """Incremental dedup: classify a NEW BATCH of documents against the
+    existing index — the production shape (a daily crawl lands against a
+    petabyte historical corpus; re-deduping the whole corpus per day is
+    not an option).
+
+    Per batch doc: ``exact_dup`` (its normalized text hash already
+    indexed), ``near_dup`` (a banded-minhash candidate against an INDEX
+    doc verifies at Jaccard ≥ threshold), and the resulting decision
+    (drop_exact > drop_near > keep). Both probes are ASYMMETRIC joins —
+    batch signatures against index signatures only, so cost scales with
+    |batch| · collision rate, not |corpus|²; the index side's hash /
+    signature tables are exactly what the index already stores, and the
+    shingle table is the same cached sub-plan the other strategies share
+    (:func:`shingle_hash_table`).
+    """
+    tagged = docs.withColumn("is_batch", F.col("doc_id") % INCR_BATCH_MOD == 0)
+    batch = tagged.filter("is_batch")
+    index = tagged.filter(~F.col("is_batch"))
+
+    bh = batch.select("doc_id", F.md5(F.lower("text")).alias("h"))
+    ih = index.select(F.md5(F.lower("text")).alias("h")).distinct()
+    exact = bh.join(ih, "h", "left_semi").select("doc_id").withColumn(
+        "exact_dup", F.lit(True)
+    )
+
+    sh = shingle_hash_table(docs, n=n).select("doc_id", "sh")
+    sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
+    banded = sig.select(
+        "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    b_band = banded.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).alias("a")
+    i_band = banded.filter(F.col("doc_id") % INCR_BATCH_MOD != 0).alias("b")
+    cand = (
+        b_band.join(
+            i_band,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("idx_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("idx_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "idx_id")
+        .filter(round_det(inter.cast("double") / union, 6) >= threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    out = (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+    )
+    return out.withColumn(
+        "decision",
+        F.when(F.col("exact_dup"), F.lit("drop_exact"))
+        .when(F.col("near_dup"), F.lit("drop_near"))
+        .otherwise(F.lit("keep")),
+    )
+
+
+def split_leakage(pairs: DataFrame, splits: DataFrame) -> DataFrame:
+    """Train/eval leakage audit: near-dup pairs that STRADDLE a split
+    boundary — the check every training-data pipeline must run before
+    an eval set means anything (a val doc whose near-duplicate sits in
+    train inflates the score of memorization).
+
+    Joins the verified near-dup pair set against the deterministic hash
+    split twice (both endpoints) and keeps cross-split pairs, aggregated
+    per (split_a, split_b) with the worst (max) and mean Jaccard. Two
+    broadcast-sized joins on the pair table — the pair set is ∝ real
+    near-dups, so this costs a rounding error next to the dedup that
+    produced it.
+    """
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    # order the split pair lexicographically so (train,val) and
+    # (val,train) collapse into one audit row
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        crossed.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaking_pairs"),
+            round_det(F.max("jaccard"), 6).alias("max_jaccard"),
+            round_det(
+                F.sum(F.round(F.col("jaccard"), 6)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )

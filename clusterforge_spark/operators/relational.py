@@ -2194,3 +2194,106 @@ def normal_equations(
             )
         ).alias("p")
     ).select("p.*")
+
+
+def tpch_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 promotion effect, per ship month: the share of revenue
+    coming from PROMO-type parts — the selective-dim-attribute join +
+    conditional-aggregate benchmark shape.
+
+    One fact-dim equi-join (part is the small side — broadcast / bloom-
+    pruned at scale) and one grouped aggregate with a conditional sum.
+    Revenue accumulates in exact 1e-4-dollar integer units
+    (decimal(38,0)); the promo share is ONE final IEEE division per
+    month, so the output is bit-stable across engines and partitionings.
+    """
+    j = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        # integer yyyymm key: cross-engine stable (a timestamp-typed
+        # month column invites tz/dtype drift between engines)
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month"),
+        F.expr(f"cast({REVENUE_E4} as decimal(38,0))").alias("rev_e4"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    g = j.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(F.lit(0))).alias(
+            "promo_e4"
+        ),
+        F.sum("rev_e4").alias("total_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+    return g.select(
+        "ship_month",
+        round_det(
+            F.lit(100.0)
+            * F.try_divide(
+                F.col("promo_e4").cast("double"), F.col("total_e4").cast("double")
+            ),
+            4,
+        ).alias("promo_pct"),
+        round_det(F.col("total_e4").cast("double") / F.lit(1e4), 2).alias("revenue"),
+        "n_lineitems",
+    )
+
+
+#: Q19-shape OR-of-conjunction bands: (brand, size range, quantity range)
+TPCH_BRAND_BANDS = (
+    ("Brand#1", 1, 15, 1.0, 20.0),
+    ("Brand#2", 10, 30, 10.0, 30.0),
+    ("Brand#3", 20, 50, 20.0, 40.0),
+)
+
+
+def tpch_brand_volume(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bands: tuple = TPCH_BRAND_BANDS,
+) -> DataFrame:
+    """TPC-H Q19-shape discounted revenue under an OR of per-brand
+    (size, quantity) band conjunctions — the benchmark's disjunctive
+    multi-table predicate.
+
+    The OR references both sides of the join, so Catalyst cannot push it
+    below the join by itself; the IMPLIED single-table envelopes
+    (brand ∈ {bands}, size/quantity within the union of ranges) are
+    added explicitly — the classic OR-expansion pre-filter — so both
+    scans prune before the join and only candidate rows shuffle. The
+    exact disjunction then runs post-join. Revenue in exact 1e-4-dollar
+    decimal units; one row per matched band keeps the output stable.
+    """
+    brands = [b[0] for b in bands]
+    min_size = min(b[1] for b in bands)
+    max_size = max(b[2] for b in bands)
+    min_qty = min(b[3] for b in bands)
+    max_qty = max(b[4] for b in bands)
+    p = part.filter(
+        F.col("p_brand").isin(brands)
+        & F.col("p_size").between(min_size, max_size)
+    )
+    li = lineitem.filter(F.col("l_quantity").between(min_qty, max_qty))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    band_case = F.coalesce(
+        *[
+            F.when(
+                (F.col("p_brand") == b)
+                & F.col("p_size").between(slo, shi)
+                & F.col("l_quantity").between(qlo, qhi),
+                F.lit(b),
+            )
+            for b, slo, shi, qlo, qhi in bands
+        ]
+    )
+    return (
+        j.withColumn("band", band_case)
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            round_det(
+                F.sum(F.expr(f"cast({REVENUE_E4} as decimal(38,0))")).cast("double")
+                / F.lit(1e4),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )

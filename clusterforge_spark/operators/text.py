@@ -1338,3 +1338,32 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             ).alias("mean_log2p"),
         )
     )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame, prefix_len: int = 48, min_docs: int = 2
+) -> DataFrame:
+    """Shared-prefix boilerplate detection: prefixes (first
+    ``prefix_len`` chars, lowercased) that open ``min_docs``+ documents
+    — the cheap first-pass template/boilerplate finder (license headers,
+    scraped navigation chrome, form letters) every curation pipeline
+    runs before the expensive near-dup strategies.
+
+    ONE hash aggregate on a fixed-width key: group by the prefix, count
+    docs and distinct sources, keep the smallest doc id as the exemplar.
+    Map-side combine collapses each partition's repeats before the
+    shuffle, so bytes moved ∝ distinct prefixes — at 100 TB this is the
+    same single-exchange shape as any word count.
+    """
+    pre = docs.select(
+        "doc_id", "source", F.lower(F.substring("text", 1, prefix_len)).alias("prefix")
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

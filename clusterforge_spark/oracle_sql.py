@@ -3526,3 +3526,197 @@ UNION ALL
 SELECT CAST(4 AS BIGINT), 'repetition', k3, k4, k3 - k4 FROM s
 UNION ALL
 SELECT CAST(5 AS BIGINT), 'decontaminated', k4, k5, k4 - k5 FROM s"""
+
+
+def q_pagerank(damping: float = 0.85, iters: int = 3) -> str:
+    """Fixed-iteration PageRank over the banded near-dup pair graph:
+    each iteration is one chained CTE (join + grouped sum + damped
+    update) — mirrors operators/dedup.pagerank exactly."""
+    inner = q_dedup_minhash_banded()
+    d = flit(damping)
+    sql = f"""WITH pairs AS (
+{inner}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+pr0 AS (
+  SELECT src AS doc_id, outdeg, n, 1.0 / CAST(n AS DOUBLE) AS rank
+  FROM verts CROSS JOIN nv
+)"""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst, sum(p.rank / CAST(p.outdeg AS DOUBLE)) AS inflow
+  FROM {prev} p JOIN edges e ON p.doc_id = e.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT v.src AS doc_id, v.outdeg, nv.n,
+         (1.0 - {d}) / CAST(nv.n AS DOUBLE)
+         + {d} * coalesce(c.inflow, 0.0) AS rank
+  FROM verts v CROSS JOIN nv
+  LEFT JOIN c{i} c ON v.src = c.dst
+)"""
+        prev = f"pr{i}"
+    sql += f"""
+SELECT doc_id, round(rank, 6) AS pagerank FROM {prev}"""
+    return sql
+
+
+def q_dedup_incremental(n: int = 3, threshold: float = 0.2) -> str:
+    """Batch-vs-index incremental dedup — mirrors
+    operators/dedup.dedup_incremental (INCR_BATCH_MOD split, exact-hash
+    semi probe, asymmetric banded-minhash probe)."""
+    from clusterforge_spark.operators.dedup import INCR_BATCH_MOD as MOD
+
+    toks = _H.tokens_sql("text")
+    shingles = _H.shingles_sql("text", n=n)
+    sig = _H.minhash_signature_sql("sh")
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_H.band_key_sql('sig', b)} AS key FROM sig"
+        for b in range(_H.MINHASH_BANDS)
+    )
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+batch AS (SELECT * FROM dup_corpus WHERE doc_id % {MOD} = 0),
+idx   AS (SELECT * FROM dup_corpus WHERE doc_id % {MOD} <> 0),
+exact AS (
+  SELECT DISTINCT b.doc_id
+  FROM batch b JOIN idx i ON md5(lower(b.text)) = md5(lower(i.text))
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+  FROM (SELECT doc_id, {toks} AS t FROM dup_corpus)
+  WHERE len({shingles}) > 0
+),
+sig AS (
+  SELECT doc_id, {sig} AS sig FROM sh
+),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS idx_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % {MOD} = 0 AND b.doc_id % {MOD} <> 0
+),
+near AS (
+  SELECT DISTINCT cand.doc_id
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_id
+  JOIN sh sb ON sb.doc_id = cand.idx_id
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        >= {flit(threshold)}
+)
+SELECT b.doc_id, b.source,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (nr.doc_id IS NOT NULL) AS near_dup,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS decision
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near nr ON b.doc_id = nr.doc_id"""
+    )
+
+
+def q_split_leakage() -> str:
+    """Cross-split near-dup pair audit — mirrors
+    operators/dedup.split_leakage over the banded pair set and the
+    md5 hash split (packing.hash_split applied to the dup corpus)."""
+    from clusterforge_spark.operators.packing import TRAIN_PCT
+
+    inner = q_dedup_minhash_banded()
+    split = (
+        f"CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"% 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END"
+    )
+    return f"""WITH pairs AS (
+{inner}
+),
+splits AS (
+  SELECT doc_id, {split} AS split
+  FROM (SELECT doc_id FROM documents
+        UNION ALL SELECT doc_id + {EXACT_DUP_OFFSET} FROM documents WHERE doc_id < 100
+        UNION ALL SELECT doc_id + {NEAR_DUP_OFFSET} FROM documents WHERE doc_id < 50)
+),
+crossed AS (
+  SELECT p.jaccard,
+         least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi
+  FROM pairs p
+  JOIN splits sa ON p.doc_a = sa.doc_id
+  JOIN splits sb ON p.doc_b = sb.doc_id
+  WHERE sa.split <> sb.split
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_leaking_pairs,
+       round(max(jaccard), 6) AS max_jaccard,
+       round(sum(round(jaccard, 6)) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+FROM crossed
+GROUP BY split_lo, split_hi"""
+
+
+def q_boilerplate_prefix(prefix_len: int = 48, min_docs: int = 2) -> str:
+    return (
+        _chain(dup_corpus_cte())
+        + f"""
+SELECT lower(substr(text, 1, {prefix_len})) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS exemplar_id
+FROM dup_corpus
+GROUP BY 1
+HAVING count(*) >= {min_docs}"""
+    )
+
+
+def q_tpch_promo_revenue() -> str:
+    rev = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    return f"""SELECT CAST(year(l_shipdate::TIMESTAMP) * 100 + month(l_shipdate::TIMESTAMP) AS BIGINT) AS ship_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({rev}) AS DOUBLE), 4) AS promo_pct,
+       round(CAST(sum({rev}) AS DOUBLE) / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""
+
+
+def q_tpch_brand_volume() -> str:
+    from clusterforge_spark.operators.relational import TPCH_BRAND_BANDS
+
+    rev = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    band_case = "CASE " + " ".join(
+        f"WHEN p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {flit(qlo)} AND {flit(qhi)} THEN '{b}'"
+        for b, slo, shi, qlo, qhi in TPCH_BRAND_BANDS
+    ) + " END"
+    return f"""WITH j AS (
+  SELECT {band_case} AS band, {rev} AS rev_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT band,
+       round(CAST(sum(rev_e4) AS DOUBLE) / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM j WHERE band IS NOT NULL
+GROUP BY band"""
+    

