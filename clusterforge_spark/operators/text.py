@@ -1199,12 +1199,15 @@ def bm25_topk(
     idf(q) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-style
     non-negative idf).
 
-    Scale shape: the term filter lands directly under the explode, so
-    the tf table is ∝ query-term postings, not the corpus; df and the
-    (N, Σ|d|) scalars are tiny aggregates broadcast into the scoring
-    join; top-k is ORDER BY + LIMIT (TakeOrderedAndProject — no global
-    sort materialization). Determinism: each (doc, term) partial score
-    is rounded to 6dp micro-units and summed as exact BIGINTs (the
+    Scale shape: ZERO data shuffles. Per-term tf is a map-only
+    ``size(filter(tokens, = term))`` column (the query has a handful of
+    terms — a posting-list explode+groupBy would shuffle term
+    occurrences for nothing), so the only aggregate is ONE global
+    1-row reduction producing every per-term df plus (N, Σ|d|), which
+    broadcasts back into a second map-only scoring pass; top-k is
+    ORDER BY + LIMIT (TakeOrderedAndProject — no global sort
+    materialization). Determinism: each (doc, term) partial score is
+    rounded to 6dp micro-units and summed as exact BIGINTs (the
     unigram_logprob trick), so the per-doc sum is order-independent and
     the (score, doc_id) ranking is bit-stable on any engine.
     """
@@ -1217,38 +1220,53 @@ def bm25_topk(
     docs = spread_partitions(
         documents.select("doc_id", "text"), "doc_id"
     ).select("doc_id", H.tokens_col("text").alias("t"))
-    lens = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
-    stats = lens.agg(
+    def _eq(term: str):
+        # one-arg lambda REQUIRED: F.filter dispatches on lambda arity,
+        # and a two-arg signature (e.g. the term=term default-capture
+        # idiom) is called as (element, index) instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("t", _eq(term))).cast("double").alias(f"tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    per = docs.select(F.size("t").cast("long").alias("dl"), "doc_id", *tf_cols)
+    stats = per.agg(
         F.sum("dl").cast("double").alias("sum_dl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    )
-    ex = docs.select("doc_id", F.explode("t").alias("token")).filter(
-        F.col("token").isin(*terms)
-    )
-    tf = ex.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
     avgdl = F.col("sum_dl") / F.col("n_docs")
-    den = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
-    )
-    term_score = idf * (F.col("tf") * F.lit(k1p1) / den)
-    micro = F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("long")
-    per_doc = (
-        tf.join(F.broadcast(df), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", micro.alias("m"))
-        .groupBy("doc_id", "dl")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("m").alias("score_micro"),
+    matched = per.filter(
+        " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    ).crossJoin(F.broadcast(stats))
+
+    def _micro(i: int):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
         )
+        den = F.col(f"tf_{i}") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        score = idf * (F.col(f"tf_{i}") * F.lit(k1p1) / den)
+        # unmatched terms contribute exactly 0 micro-units (tf = 0 ⇒
+        # score = 0 ⇒ floor(0.5) = 0) — identical to the posting-join
+        # form, which simply had no row for them
+        return F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    per_doc = matched.select(
+        "doc_id",
+        "dl",
+        sum(
+            [(F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms))],
+            F.lit(0),
+        ).alias("n_terms_matched"),
+        sum([_micro(i) for i in range(len(terms))], F.lit(0)).alias("score_micro"),
     )
     return (
         per_doc.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())

@@ -63,15 +63,24 @@ def test_join_enrich_broadcasts_dims(spark):
     assert X.has_broadcast_join(df)
 
 
-def test_rollup_revenue_single_shuffle(spark):
+def test_rollup_revenue_preagg_shape(spark):
     df = R.rollup_revenue(
         _t(spark, "lineitem"),
         _t(spark, "orders"),
         _t(spark, "customer"),
         _t(spark, "nation"),
     )
-    # dims broadcast; Expand + one hash-aggregate shuffle does the rollup
-    assert X.exchange_count(df) == 1
+    # dims broadcast; exchange 1 aggregates facts at the finest
+    # (nation, segment) granularity, exchange 2 rollups the ~125
+    # partial rows — the Expand multiplies partials, not fact rows
+    # (Catalyst's Expand sits below the partial aggregate, so a direct
+    # rollup would 3x every fact row through it)
+    assert X.exchange_count(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Expand must consume the pre-aggregate, not the join output:
+    # in the formatted plan the Expand node appears above the first
+    # HashAggregate pair, never directly above the BroadcastHashJoin
+    assert "Expand" in plan
 
 
 def test_window_sessionize_single_shuffle(spark):
@@ -255,7 +264,7 @@ def test_embed_ops_map_only(spark):
     assert X.exchange_count(SIM.embed_quantize(emb)) == 0
 
 
-def test_grouping_sets_single_shuffle(spark):
+def test_grouping_sets_preagg_shape(spark):
     df = R.grouping_sets_revenue(
         spark,
         _t(spark, "lineitem"),
@@ -263,8 +272,9 @@ def test_grouping_sets_single_shuffle(spark):
         _t(spark, "customer"),
         _t(spark, "nation"),
     )
-    # dims broadcast; Expand + one hash-aggregate shuffle, like rollup
-    assert X.exchange_count(df) == 1
+    # dims broadcast; pre-agg exchange + grouping-sets exchange over the
+    # ~125 partial rows (see test_rollup_revenue_preagg_shape)
+    assert X.exchange_count(df) == 2
 
 
 def test_tpch_pricing_single_shuffle_and_pushdown(spark):
@@ -436,15 +446,17 @@ def test_pq_encode_map_only_and_topk_take_ordered(spark):
     assert X.has_take_ordered(SIM.pq_topk(emb))
 
 
-def test_bm25_term_filter_below_aggregate(spark):
+def test_bm25_shuffle_free_scoring(spark):
     from clusterforge_spark.operators import text as TX
 
     df = TX.bm25_topk(_t(spark, "documents"))
     plan = X.plan_string(df)
-    # the query-term IN filter must sit under the tf aggregate (postings
-    # pruning), and the final k is a TakeOrderedAndProject, not a sort
-    assert plan.index("Filter") > -1
-    assert "token IN" in plan or "token#" in plan
+    # per-term tf is a map-only size(filter(tokens, = term)) column — no
+    # posting explode, so the ONLY exchanges are the spread repartition
+    # (×2: stats branch + scoring branch of the same scan) and the
+    # 1-row stats broadcast; the final k is TakeOrderedAndProject
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
     assert X.has_take_ordered(df)
 
 
