@@ -29,22 +29,27 @@ from clusterforge_spark.functions import hashing as H
 from clusterforge_spark.functions.partitioning import spread_partitions as _spread
 
 
-def _all_tokens(documents: DataFrame) -> DataFrame:
-    """(token) rows for every occurrence, tokenized ABOVE a spread
-    exchange — a single-file scan is one partition, and the md5 bucket
-    hashing below would otherwise serialize onto one core.
+def token_vocab_counts(documents: DataFrame) -> DataFrame:
+    """Cached ``(token, cnt)`` VOCABULARY table — the shared input of the
+    sketch family.
 
-    Eagerly checkpointed: each sketch operator consumes the token
-    stream twice (build + ground truth / bits + presence), and without
-    the materialization the second consumer re-runs the full
-    scan+tokenize. The blocks are narrow (one string column) and freed
-    on GC; a 100 TB deployment would land the token stream as its own
-    table once per corpus snapshot — this is that table, per call.
+    Every sketch statistic here is a function of occurrence counts per
+    distinct token, so the md5 bucket hashing runs once per VOCABULARY
+    entry (tens of thousands) instead of once per occurrence (hundreds
+    of thousands at sf0.1; unbounded at real SF) — the counts just ride
+    along as weights. Tokenization happens above a spread exchange (a
+    single-file scan is one partition); the groupBy's map-side combine
+    collapses each partition's repeats before the shuffle, so bytes
+    moved ∝ distinct tokens. Cached: CacheManager resolves every
+    sketch's identical sub-plan to one InMemoryRelation, exactly like
+    the dedup family's shingle table.
     """
     return (
         _spread(documents.select("doc_id", "text"), "doc_id")
         .select(F.explode(H.tokens_col("text")).alias("token"))
-        .localCheckpoint(eager=True)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
     )
 
 #: Count-Min geometry: D hash rows × W counters (ε ≈ e/W, δ ≈ e^-D).
@@ -82,11 +87,18 @@ def countmin_build(
     tokens: DataFrame | None = None,
 ) -> DataFrame:
     """The Count-Min sketch table: (row, bucket, counter) over all token
-    occurrences. One explode + one hash aggregate; ≤ d·w rows out.
-    Callers that already materialized the token stream pass it via
+    occurrences. Built from the vocabulary-count table — d bucket hashes
+    per DISTINCT token, occurrence counts folded in as weights (identical
+    counters, ~10× fewer md5s than hashing every occurrence); ≤ d·w rows
+    out. Callers that already materialized the vocab table pass it via
     ``tokens`` so build and ground truth share one pass."""
-    ex = tokens if tokens is not None else _all_tokens(documents)
-    rows = ex.select(
+    vc = tokens if tokens is not None else token_vocab_counts(documents)
+    # re-spread the cached vocab before the CPU-heavy bucket hashing:
+    # the small cached table coalesces to ~1 partition, and the d·|vocab|
+    # interpreted md5s would serialize onto one core
+    vc = _spread(vc, "token")
+    rows = vc.select(
+        "cnt",
         F.explode(
             F.array(
                 *[
@@ -96,10 +108,10 @@ def countmin_build(
                     for j in range(d)
                 ]
             )
-        ).alias("rb")
-    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        ).alias("rb"),
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"), "cnt")
     return rows.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("counter")
+        F.sum("cnt").cast("long").alias("counter")
     )
 
 
@@ -114,10 +126,10 @@ def countmin_estimate(
     is the collision mass the sketch's ε·N bound promises to cap.
 
     The sketch table (≤ d·w rows) broadcasts into the probe join; truth
-    is one filtered aggregate over the same scan.
+    is a probe filter over the shared cached vocab table.
     """
-    toks = _all_tokens(documents)
-    sk = countmin_build(documents, d=d, w=w, tokens=toks)
+    vc = token_vocab_counts(documents)
+    sk = countmin_build(documents, d=d, w=w, tokens=vc)
     spark = documents.sparkSession
     probe_rows = spark.createDataFrame(
         [(t,) for t in probes], "token string"
@@ -140,10 +152,8 @@ def countmin_estimate(
         .groupBy("token")
         .agg(F.min(F.coalesce("counter", F.lit(0))).cast("long").alias("est"))
     )
-    truth = (
-        toks.filter(F.col("token").isin(*probes))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    truth = vc.filter(F.col("token").isin(*probes)).select(
+        "token", F.col("cnt").alias("true_count")
     )
     return (
         est.join(truth, "token", "left")
@@ -168,15 +178,16 @@ def bloom_membership(
     (token, in_filter, actually_present, is_false_positive).
 
     The filter is the DISTINCT set-bit table (≤ w rows) built in one
-    explode+distinct pass over the corpus vocabulary; membership checks
-    whether all k probe positions are present (count of matched
-    positions = k). No false negatives by construction — pinned by the
-    pytest; false positives are reported, not hidden.
+    explode+distinct pass over the corpus VOCABULARY (the shared cached
+    vocab table — k hashes per distinct token, never per occurrence);
+    membership checks whether all k probe positions are present (count
+    of matched positions = k). No false negatives by construction —
+    pinned by the pytest; false positives are reported, not hidden.
     """
-    toks = _all_tokens(documents)
+    vc = token_vocab_counts(documents)
     bits = (
-        toks
-        .select(
+        # same re-spread as countmin_build: k·|vocab| md5s off one core
+        _spread(vc, "token").select(
             F.explode(
                 F.array(*[F.expr(_bucket("token", j, w)) for j in range(k)])
             ).alias("bit")
@@ -197,9 +208,8 @@ def bloom_membership(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     present = (
-        toks.filter(F.col("token").isin(*probes))
+        vc.filter(F.col("token").isin(*probes))
         .select("token")
-        .distinct()
         .withColumn("actually_present", F.lit(True))
     )
     return (
