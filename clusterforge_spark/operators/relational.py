@@ -1746,36 +1746,41 @@ def session_cooccurrence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     B" without a dedicated mining library.
 
     Sessions come from the same lag/cumsum window as sessionize_gap;
-    the pair join is a self-equi-join on the session key with a < b
-    ordering (each unordered pair once, never n² across sessions).
+    each session folds into ONE sorted distinct-type array
+    (collect_set + sort_array), and both the marginals and the
+    unordered pairs are generated by exploding that array — the
+    previous self-equi-join on the session key shuffled the
+    (session, type) table twice and re-ran the sessionization window
+    for each alias; in-array pair generation is map-only above a
+    single aggregate, and the per-session pair fan-out is bounded by
+    the (small, fixed) event-type alphabet, never by session length.
     PMI = log2(N·n_ab / (n_a·n_b)) on exact integer counts, rounded
     6dp.
     """
     sess = _with_session_seq(events, gap_minutes, ("event_type",))
-    sets = sess.select("user_id", "session_seq", "event_type").distinct()
+    sess_sets = sess.groupBy("user_id", "session_seq").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
     # total session count as a broadcast 1-row frame: keeps the operator
     # fully lazy (no driver-side action at plan-build time)
-    nsess = (
-        sets.select("user_id", "session_seq")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("n_sessions"))
+    nsess = sess_sets.agg(F.count(F.lit(1)).cast("double").alias("n_sessions"))
+    singles = (
+        sess_sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sess"))
     )
-    singles = sets.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sess")
-    )
-    a = sets.alias("a")
-    b = sets.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_seq") == F.col("b.session_seq"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        sess_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> struct(x as type_a, y as type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .select("p.*")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
     sa = singles.select(
