@@ -216,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_psi_ab"] = lambda spark, sf: VA.psi_ab(_t(spark, sf, "events"))
+    q["q_quantile_sketch"] = lambda spark, sf: SK.quantile_histogram_estimate(
+        _t(spark, sf, "events")
+    )
+    q["q_record_linkage"] = lambda spark, sf: VA.record_linkage(
+        VA.customers_with_dirty(_t(spark, sf, "customer"))
+    )
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -614,6 +620,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_cramers_v": OSQL.q_cramers_v(),
         "q_k_anonymity": OSQL.q_k_anonymity(),
         "q_psi_ab": OSQL.q_psi_ab(),
+        "q_quantile_sketch": OSQL.q_quantile_sketch(),
+        "q_record_linkage": OSQL.q_record_linkage(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

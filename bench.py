@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_normal_equations",
     "q_psi_ab",
+    "q_quantile_sketch",
+    "q_record_linkage",
 ]
 
 

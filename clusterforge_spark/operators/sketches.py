@@ -225,3 +225,84 @@ def bloom_membership(
             ).alias("is_false_positive"),
         )
     )
+
+
+#: fixed-width histogram-quantile geometry: bucket width in cents and
+#: the percentiles the contract query reports.
+QH_WIDTH_CENTS = 100
+QH_PCTS = (50, 90, 99)
+
+
+def quantile_histogram_estimate(
+    events: DataFrame,
+    width_cents: int = QH_WIDTH_CENTS,
+    pcts: tuple[int, ...] = QH_PCTS,
+) -> DataFrame:
+    """Mergeable histogram quantiles vs the exact answer: estimate each
+    percentile from a fixed-width count histogram (the mergeable sketch
+    every streaming/partial-agg pipeline actually ships) and report the
+    exact discrete percentile next to it — (pct, n, est_hi, exact,
+    abs_err). est_hi is the matched bucket's upper edge, so
+    est_hi ≥ exact always and abs_err ≤ one bucket width by
+    construction — the sketch's error CONTRACT, verified row-by-row by
+    the oracle.
+
+    Shape: one cents histogram feeds both sides. The bucket histogram
+    (≤ domain/width rows — bounded by the VALUE DOMAIN, not the data)
+    takes a tiny global cumulative; the exact side reuses the
+    distributed prefix sum over distinct cents
+    (:func:`~clusterforge_spark.functions.partitioning.prefix_sum_before`
+    — the rank-family primitive). Percentile targets use the integer
+    ceil rank ``(p·n + 99) div 100``; everything stays in exact BIGINT
+    until the final /100.
+    """
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+    from pyspark.sql.window import Window
+
+    cents = events.filter(F.col("value").isNotNull()).select(
+        F.expr("cast(floor(value * 100 + 0.5) as bigint) as c")
+    )
+    vhist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    n_row = vhist.agg(F.sum("cnt").cast("long").alias("n"))
+
+    # exact side: inclusive cum over distinct cents, distributed
+    vcum = prefix_sum_before(vhist, "c", ["cnt"]).select(
+        "c", (F.col("cum_cnt") + F.col("cnt")).alias("cum")
+    )
+    # sketch side: fixed-width bucket histogram, tiny global cumulative
+    bhist = vhist.groupBy(
+        F.expr(f"cast(floor(c / {width_cents}) as bigint)").alias("b")
+    ).agg(F.sum("cnt").alias("bcnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bhist.select("b", F.sum("bcnt").over(wb).alias("cum"))
+
+    p_rows = events.sparkSession.createDataFrame([(p,) for p in pcts], "pct long")
+    targets = p_rows.crossJoin(F.broadcast(n_row)).select(
+        "pct", "n", F.expr("div(pct * n + 99, 100)").alias("target")
+    )
+    exact = (
+        targets.join(vcum, F.col("cum") >= F.col("target"))
+        .groupBy("pct", "n")
+        .agg(F.min("c").alias("exact_c"))
+    )
+    est = (
+        targets.join(bcum, F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min("b").alias("est_b"))
+    )
+    return (
+        exact.join(est, "pct")
+        .select(
+            "pct",
+            "n",
+            ((F.col("est_b") + 1) * width_cents).cast("double").alias("est_hi_c"),
+            F.col("exact_c").cast("double").alias("exact_cv"),
+        )
+        .select(
+            "pct",
+            "n",
+            (F.col("est_hi_c") / 100.0).alias("est_hi"),
+            (F.col("exact_cv") / 100.0).alias("exact"),
+            ((F.col("est_hi_c") - F.col("exact_cv")) / 100.0).alias("abs_err"),
+        )
+    )

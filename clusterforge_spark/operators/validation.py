@@ -909,3 +909,106 @@ def psi_ab(events: DataFrame) -> DataFrame:
             round_det(F.col("nano").cast("double") / F.lit(1e9), 6).alias("psi"),
         )
     )
+
+
+#: record-linkage constants: planted dirty-copy id offset, batch modulus,
+#: the deterministic perturbation, and the score weights/thresholds.
+LINK_DIRTY_OFFSET = 40_000_000
+LINK_DIRTY_MOD = 10
+LINK_BAL_DRIFT_CENTS = 37
+LINK_W_NAME_EXACT = 5
+LINK_W_NAME_PREFIX = 3
+LINK_W_BAL = 2
+LINK_W_SEGMENT = 1
+LINK_MATCH_MIN = 7
+LINK_POSSIBLE_MIN = 4
+
+
+def customers_with_dirty(customer: DataFrame) -> DataFrame:
+    """customer ∪ planted DIRTY copies of every ``LINK_DIRTY_MOD``-th
+    record: name uppercased with doubled whitespace, balance drifted by
+    +0.37 — or by +77.77 (outside the linkage tolerance band) for every
+    third dirty record, so the classifier's "possible" tier is
+    exercised, not just "match". Nation/segment kept — the
+    deterministic stand-in for the mistyped re-registrations entity
+    resolution exists to catch."""
+    base = customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    drift = F.when(
+        F.col("c_custkey") % (3 * LINK_DIRTY_MOD) == 0, F.lit(77.77)
+    ).otherwise(F.lit(LINK_BAL_DRIFT_CENTS) / F.lit(100.0))
+    dirty = base.filter(F.col("c_custkey") % LINK_DIRTY_MOD == 0).select(
+        (F.col("c_custkey") + LINK_DIRTY_OFFSET).alias("c_custkey"),
+        F.regexp_replace(F.upper("c_name"), " ", "  ").alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + drift).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return base.unionByName(dirty)
+
+
+def record_linkage(customers: DataFrame) -> DataFrame:
+    """Fellegi-Sunter-style record linkage: score DIRTY records (ids ≥
+    ``LINK_DIRTY_OFFSET``) against CLEAN records inside
+    (nation, normalized-name-prefix) blocks and classify candidate pairs
+    — the entity-resolution step every customer/master-data pipeline
+    runs before any per-entity aggregate means anything.
+
+    Field scores are deterministic integers on normalized fields
+    (lowercase + whitespace-collapsed name; balance compared in exact
+    cents with a tolerance band), summed into a match weight and
+    classified match / possible. Blocking on (c_nationkey, LAST-8 name
+    chars) makes candidate count ∝ true matches at any corpus size —
+    the equi-join shuffles block keys, never the corpus²; pairs below
+    ``LINK_POSSIBLE_MIN`` never leave the executors. The suffix (not
+    prefix) block matters on this corpus: every TPC-H-style name shares
+    the literal "Customer#" opening, so a prefix block would degenerate
+    to per-nation blocks (measured: 181k candidate pairs at sf0.1 vs
+    ~1.5k with the suffix key) — the standard "block on the
+    discriminating token" rule of entity resolution.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("c_name"))), " +", " ")
+    prepped = customers.select(
+        "c_custkey",
+        norm.alias("name_norm"),
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("bal_c"),
+        "c_mktsegment",
+    ).withColumn("blk", F.expr("right(name_norm, 8)"))
+    dirty = prepped.filter(F.col("c_custkey") >= LINK_DIRTY_OFFSET).alias("d")
+    clean = prepped.filter(F.col("c_custkey") < LINK_DIRTY_OFFSET).alias("c")
+    cand = dirty.join(
+        clean,
+        (F.col("d.c_nationkey") == F.col("c.c_nationkey"))
+        & (F.col("d.blk") == F.col("c.blk")),
+    )
+    name_eq = F.col("d.name_norm") == F.col("c.name_norm")
+    name_pre = F.substring(F.col("d.name_norm"), 1, 8) == F.substring(
+        F.col("c.name_norm"), 1, 8
+    )
+    bal_close = (
+        F.abs(F.col("d.bal_c") - F.col("c.bal_c")) <= LINK_BAL_DRIFT_CENTS + 13
+    )
+    seg_eq = F.col("d.c_mktsegment") == F.col("c.c_mktsegment")
+    score = (
+        F.when(name_eq, F.lit(LINK_W_NAME_EXACT))
+        .when(name_pre, F.lit(LINK_W_NAME_PREFIX))
+        .otherwise(F.lit(0))
+        + F.when(bal_close, F.lit(LINK_W_BAL)).otherwise(F.lit(0))
+        + F.when(seg_eq, F.lit(LINK_W_SEGMENT)).otherwise(F.lit(0))
+    )
+    return (
+        cand.select(
+            F.col("d.c_custkey").alias("dirty_id"),
+            F.col("c.c_custkey").alias("clean_id"),
+            score.cast("long").alias("score"),
+        )
+        .filter(F.col("score") >= LINK_POSSIBLE_MIN)
+        .withColumn(
+            "tier",
+            F.when(F.col("score") >= LINK_MATCH_MIN, F.lit("match")).otherwise(
+                F.lit("possible")
+            ),
+        )
+    )

@@ -3720,3 +3720,102 @@ SELECT band,
 FROM j WHERE band IS NOT NULL
 GROUP BY band"""
     
+
+
+def q_quantile_sketch() -> str:
+    """Histogram-quantile estimate vs exact discrete percentile —
+    mirrors operators/sketches.quantile_histogram_estimate."""
+    from clusterforge_spark.operators.sketches import QH_PCTS, QH_WIDTH_CENTS
+
+    w = QH_WIDTH_CENTS
+    plist = ", ".join(str(p) for p in QH_PCTS)
+    return f"""WITH cents AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+vhist AS (SELECT c, count(*) AS cnt FROM cents GROUP BY c),
+nrow AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vhist),
+vcum AS (
+  SELECT c, sum(cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vhist
+),
+bhist AS (
+  SELECT CAST(floor(c / {w}) AS BIGINT) AS b, sum(cnt) AS bcnt
+  FROM vhist GROUP BY 1
+),
+bcum AS (
+  SELECT b, sum(bcnt) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bhist
+),
+targets AS (
+  SELECT pct, n, (pct * n + 99) // 100 AS target
+  FROM (SELECT unnest([{plist}]) AS pct), nrow
+),
+ex AS (
+  SELECT pct, n, min(c) AS exact_c
+  FROM targets JOIN vcum ON cum >= target GROUP BY pct, n
+),
+es AS (
+  SELECT pct, min(b) AS est_b
+  FROM targets JOIN bcum ON cum >= target GROUP BY pct
+)
+SELECT CAST(ex.pct AS BIGINT) AS pct, CAST(ex.n AS BIGINT) AS n,
+       CAST((es.est_b + 1) * {w} AS DOUBLE) / 100.0 AS est_hi,
+       CAST(ex.exact_c AS DOUBLE) / 100.0 AS exact,
+       (CAST((es.est_b + 1) * {w} AS DOUBLE) - CAST(ex.exact_c AS DOUBLE)) / 100.0 AS abs_err
+FROM ex JOIN es ON ex.pct = es.pct"""
+
+
+def q_record_linkage() -> str:
+    """Blocked Fellegi-Sunter linkage over the planted dirty copies —
+    mirrors operators/validation.record_linkage."""
+    from clusterforge_spark.operators.validation import (
+        LINK_BAL_DRIFT_CENTS,
+        LINK_DIRTY_MOD,
+        LINK_DIRTY_OFFSET,
+        LINK_MATCH_MIN,
+        LINK_POSSIBLE_MIN,
+        LINK_W_BAL,
+        LINK_W_NAME_EXACT,
+        LINK_W_NAME_PREFIX,
+        LINK_W_SEGMENT,
+    )
+
+    return f"""WITH corpus AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+  UNION ALL
+  SELECT c_custkey + {LINK_DIRTY_OFFSET},
+         replace(upper(c_name), ' ', '  '),
+         c_nationkey,
+         c_acctbal + CASE WHEN c_custkey % {3 * LINK_DIRTY_MOD} = 0
+                          THEN 77.77 ELSE {LINK_BAL_DRIFT_CENTS} / 100.0 END,
+         c_mktsegment
+  FROM customer WHERE c_custkey % {LINK_DIRTY_MOD} = 0
+),
+prepped AS (
+  SELECT c_custkey,
+         regexp_replace(lower(trim(c_name)), ' +', ' ', 'g') AS name_norm,
+         c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+         c_mktsegment,
+         right(regexp_replace(lower(trim(c_name)), ' +', ' ', 'g'), 8) AS blk
+  FROM corpus
+),
+cand AS (
+  SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
+         (CASE WHEN d.name_norm = c.name_norm THEN {LINK_W_NAME_EXACT}
+               WHEN substr(d.name_norm, 1, 8) = substr(c.name_norm, 1, 8)
+                 THEN {LINK_W_NAME_PREFIX} ELSE 0 END
+          + CASE WHEN abs(d.bal_c - c.bal_c) <= {LINK_BAL_DRIFT_CENTS + 13}
+                 THEN {LINK_W_BAL} ELSE 0 END
+          + CASE WHEN d.c_mktsegment = c.c_mktsegment
+                 THEN {LINK_W_SEGMENT} ELSE 0 END) AS score
+  FROM (SELECT * FROM prepped WHERE c_custkey >= {LINK_DIRTY_OFFSET}) d
+  JOIN (SELECT * FROM prepped WHERE c_custkey < {LINK_DIRTY_OFFSET}) c
+    ON d.c_nationkey = c.c_nationkey AND d.blk = c.blk
+)
+SELECT dirty_id, clean_id, CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= {LINK_MATCH_MIN} THEN 'match' ELSE 'possible' END AS tier
+FROM cand WHERE score >= {LINK_POSSIBLE_MIN}"""

@@ -68,3 +68,33 @@ def test_bloom_no_false_negatives(spark):
     for tok in ("zanzibar", "quetzalcoatl"):
         assert not got[tok].actually_present
         assert got[tok].is_false_positive == got[tok].in_filter
+
+
+def test_quantile_histogram_error_contract(spark, events):
+    """est_hi >= exact always, and the gap is at most one bucket width —
+    the histogram sketch's error contract."""
+    from clusterforge_spark.operators.sketches import (
+        QH_WIDTH_CENTS,
+        quantile_histogram_estimate,
+    )
+
+    rows = quantile_histogram_estimate(events).collect()
+    assert {r["pct"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert r["est_hi"] >= r["exact"]
+        assert r["abs_err"] <= QH_WIDTH_CENTS / 100.0
+        assert r["abs_err"] >= 0.0
+
+
+def test_quantile_histogram_known_small_input(spark):
+    """1..100 dollars: p50 exact = 50, bucket estimate = upper edge of
+    the bucket holding rank 50."""
+    from clusterforge_spark.operators.sketches import quantile_histogram_estimate
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "value double"
+    )
+    got = {r["pct"]: r for r in quantile_histogram_estimate(df, pcts=(50,)).collect()}
+    assert got[50]["exact"] == 50.0
+    # bucket width $1: rank-50 cent value 5000 sits in bucket 50 → hi edge 51
+    assert got[50]["est_hi"] == 51.0

@@ -327,3 +327,29 @@ def test_psi_ab_zero_on_identical_and_positive_on_shift(spark):
     events2 = spark.createDataFrame(rows2, "event_id long, user_id long, value double")
     r2 = psi_ab(events2).collect()[0]
     assert r2.psi > 1.0  # disjoint buckets: massive drift
+
+
+def test_record_linkage_finds_planted_pairs(spark):
+    """Every planted dirty copy links back to its source record; the big
+    balance drift lands in 'possible', the small one in 'match'."""
+    from clusterforge_spark.operators.validation import (
+        LINK_DIRTY_MOD,
+        LINK_DIRTY_OFFSET,
+        customers_with_dirty,
+        record_linkage,
+    )
+    from clusterforge_spark.sources.readers import load_table
+
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    out = record_linkage(customers_with_dirty(customer)).collect()
+    by_dirty = {r["dirty_id"]: r for r in out}
+    n_dirty = customer.filter(f"c_custkey % {LINK_DIRTY_MOD} = 0").count()
+    assert len(by_dirty) == n_dirty
+    for r in out:
+        assert r["clean_id"] == r["dirty_id"] - LINK_DIRTY_OFFSET
+        want = (
+            "possible"
+            if (r["dirty_id"] - LINK_DIRTY_OFFSET) % (3 * LINK_DIRTY_MOD) == 0
+            else "match"
+        )
+        assert r["tier"] == want
