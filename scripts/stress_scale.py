@@ -59,6 +59,8 @@ BIG_EVENTS_PATH = "/tmp/stress_events_10x.parquet"
 #: replica: user/event ids shifted per copy, value/ts distributions
 #: preserved, so per-user structure and value histograms scale 10×.
 EVENTS_QUERIES = {
+    "q_quantile_sketch",
+    "q_session_cooccurrence",
     "q_mannwhitney",
     "q_ks_test",
     "q_gini_concentration",
