@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_record_linkage"] = lambda spark, sf: VA.record_linkage(
         VA.customers_with_dirty(_t(spark, sf, "customer"))
     )
+    q["q_key_skew_profile"] = lambda spark, sf: VA.key_skew_profile(
+        _t(spark, sf, "lineitem")
+    )
     q["q_session_paths"] = lambda spark, sf: R.session_paths(_t(spark, sf, "events"))
     q["q_session_cooccurrence"] = lambda spark, sf: R.session_cooccurrence(
         _t(spark, sf, "events")
@@ -622,6 +625,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_psi_ab": OSQL.q_psi_ab(),
         "q_quantile_sketch": OSQL.q_quantile_sketch(),
         "q_record_linkage": OSQL.q_record_linkage(),
+        "q_key_skew_profile": OSQL.q_key_skew_profile(),
         "q_session_paths": OSQL.q_session_paths(),
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),

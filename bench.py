@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q_psi_ab",
     "q_quantile_sketch",
     "q_record_linkage",
+    "q_key_skew_profile",
 ]
 
 

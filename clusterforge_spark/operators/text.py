@@ -1303,13 +1303,15 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     """
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    # ONE tokenize pass, eagerly materialized: the bigram stream and the
-    # vocabulary count both read the checkpointed token arrays instead
-    # of each re-running scan+tokenize (the shingle-table pattern,
-    # per-call lifecycle)
+    # ONE tokenize pass, cached: the bigram stream and the vocabulary
+    # count both read the materialized token arrays instead of each
+    # re-running scan+tokenize — and unlike the previous per-call eager
+    # localCheckpoint, CacheManager resolves repeat invocations to the
+    # same InMemoryRelation (the shingle-table pattern), so a session
+    # pays the tokenize once per corpus snapshot, not once per call
     toked_all = spread_partitions(
         documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
-    ).localCheckpoint(eager=True)
+    ).cache()
     toked = toked_all.filter(F.size("t") >= 2)
     ex = toked.select(
         "doc_id", F.explode(_grams_from_tokens("t", 2)).alias("bg")

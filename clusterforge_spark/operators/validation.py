@@ -1012,3 +1012,63 @@ def record_linkage(customers: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def key_skew_profile(lineitem: DataFrame, key: str = "l_partkey") -> DataFrame:
+    """Join-key skew diagnostics — the report that decides whether a join
+    needs salting / AQE skew handling BEFORE it runs at 100 TB: per-key
+    row counts reduced to one summary row (total rows, distinct keys,
+    heaviest key + its count, mean and exact-p99 per-key count, and the
+    max/mean skew ratio).
+
+    Two grouped aggregates, both shuffle-bounded: keys (data-
+    proportional but map-side combined), then the COUNT HISTOGRAM
+    (rows = distinct per-key counts — tiny), from which the exact
+    discrete p99 falls out with the same integer ceil-rank rule as the
+    quantile sketch. The heaviest key uses min(struct(-cnt, key)) — an
+    argmax with deterministic min-key tie-break, no sort. NULL keys are
+    profiled as a real group (a skewed NULL is the classic join
+    poison), reported via coalesce to -1.
+    """
+    per_key = lineitem.groupBy(
+        F.coalesce(F.col(key), F.lit(-1)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    chist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("nk"))
+    summary = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k").alias("k")))[
+            "k"
+        ].alias("heavy_key"),
+    )
+    # exact discrete p99 of the per-key count distribution: smallest cnt
+    # whose cumulative key coverage reaches ceil(0.99 * n_keys)
+    from pyspark.sql.window import Window
+
+    wc = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    ccum = chist.select("cnt", F.sum("nk").over(wc).alias("cum"))
+    p99 = (
+        ccum.crossJoin(F.broadcast(summary.select("n_keys")))
+        .filter(F.col("cum") >= F.expr("div(99 * n_keys + 99, 100)"))
+        .agg(F.min("cnt").cast("long").alias("p99_cnt"))
+    )
+    return (
+        summary.crossJoin(F.broadcast(p99))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "heavy_key",
+            round_det(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double"), 4
+            ).alias("mean_cnt"),
+            "p99_cnt",
+            round_det(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )

@@ -3819,3 +3819,36 @@ cand AS (
 SELECT dirty_id, clean_id, CAST(score AS BIGINT) AS score,
        CASE WHEN score >= {LINK_MATCH_MIN} THEN 'match' ELSE 'possible' END AS tier
 FROM cand WHERE score >= {LINK_POSSIBLE_MIN}"""
+
+
+def q_key_skew_profile(key: str = "l_partkey") -> str:
+    """Join-key skew summary — mirrors operators/validation.key_skew_profile."""
+    return f"""WITH per_key AS (
+  SELECT coalesce({key}, -1) AS k, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+chist AS (SELECT cnt, count(*) AS nk FROM per_key GROUP BY cnt),
+summary AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM per_key
+),
+heavy AS (
+  SELECT k AS heavy_key FROM per_key ORDER BY cnt DESC, k ASC LIMIT 1
+),
+ccum AS (
+  SELECT cnt, sum(nk) OVER (ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chist
+),
+p99 AS (
+  SELECT CAST(min(cnt) AS BIGINT) AS p99_cnt
+  FROM ccum, summary WHERE cum >= (99 * n_keys + 99) // 100
+)
+SELECT s.n_rows, s.n_keys, s.max_cnt, h.heavy_key,
+       round(CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE), 4) AS mean_cnt,
+       p.p99_cnt,
+       round(CAST(s.max_cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+             / CAST(s.n_rows AS DOUBLE), 4) AS skew_ratio
+FROM summary s, heavy h, p99 p"""

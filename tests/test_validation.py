@@ -353,3 +353,20 @@ def test_record_linkage_finds_planted_pairs(spark):
             else "match"
         )
         assert r["tier"] == want
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Constructed skew: key 1 x 6 rows, key 2 x 3, key 3 x 1, NULL x 2."""
+    import pyspark.sql.functions as F
+    from clusterforge_spark.operators.validation import key_skew_profile
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "l_partkey long")
+    r = key_skew_profile(df).collect()[0]
+    assert r["n_rows"] == 12
+    assert r["n_keys"] == 4
+    assert r["max_cnt"] == 6
+    assert r["heavy_key"] == 1
+    assert abs(r["mean_cnt"] - 3.0) < 1e-9
+    assert r["p99_cnt"] == 6
+    assert abs(r["skew_ratio"] - 2.0) < 1e-9
