@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_tpch_brand_volume"] = lambda spark, sf: R.tpch_brand_volume(
         _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     )
+    q["q_tpch_waiting_suppliers"] = lambda spark, sf: R.tpch_waiting_suppliers(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "supplier")
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -696,6 +699,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_boilerplate_prefix": OSQL.q_boilerplate_prefix(),
         "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
         "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
+        "q_tpch_waiting_suppliers": OSQL.q_tpch_waiting_suppliers(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

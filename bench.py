@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_tpch_large_volume",
     "q_tpch_promo_revenue",
     "q_tpch_brand_volume",
+    "q_tpch_waiting_suppliers",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

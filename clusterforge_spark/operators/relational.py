@@ -2334,3 +2334,64 @@ def tpch_brand_volume(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
     )
+
+
+#: Q21-shape lateness threshold: a line is LATE when it ships more than
+#: this many days after its order date.
+Q21_LATE_DAYS = 60
+Q21_TOPK = 25
+
+
+def tpch_waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = Q21_LATE_DAYS,
+    k: int = Q21_TOPK,
+) -> DataFrame:
+    """TPC-H Q21-shape "suppliers who kept orders waiting": count, per
+    supplier, the multi-supplier orders where THIS supplier shipped late
+    (> ``late_days`` after the order date) and NO OTHER supplier did —
+    the benchmark's correlated EXISTS / NOT EXISTS + 4-way join stress
+    test, adapted to this schema's date columns (l_shipdate vs
+    o_orderdate stands in for receipt-vs-commit).
+
+    Spark shape: the correlated subqueries become ONE per-order
+    aggregate over the joined lineitem (distinct supplier count, late
+    supplier set size, the late supplier when unique) — a single
+    shuffle on the order key instead of two correlated re-scans of
+    lineitem, which is exactly how Catalyst would decorrelate the
+    EXISTS pair anyway, written explicitly so the plan is pinned. The
+    supplier dim broadcasts; top-k is TakeOrderedAndProject.
+    """
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("long")
+            - F.col("o_orderdate").cast("long")
+            > F.lit(late_days * 86400)
+        ).alias("is_late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    culpable = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select(F.col("late_supp").alias("s_suppkey"))
+    counts = culpable.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    return (
+        counts.join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )

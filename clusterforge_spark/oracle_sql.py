@@ -3852,3 +3852,32 @@ SELECT s.n_rows, s.n_keys, s.max_cnt, h.heavy_key,
        round(CAST(s.max_cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
              / CAST(s.n_rows AS DOUBLE), 4) AS skew_ratio
 FROM summary s, heavy h, p99 p"""
+
+
+def q_tpch_waiting_suppliers() -> str:
+    """Q21-shape: per-order decorrelated aggregate, same math as
+    operators/relational.tpch_waiting_suppliers."""
+    from clusterforge_spark.operators.relational import Q21_LATE_DAYS, Q21_TOPK
+
+    late = Q21_LATE_DAYS * 86400
+    return f"""WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (epoch(l_shipdate::TIMESTAMP) - epoch(o_orderdate::TIMESTAMP) > {late}) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp,
+         min(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey
+),
+counts AS (
+  SELECT late_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1
+  GROUP BY late_supp
+)
+SELECT c.s_suppkey, s.s_name, c.numwait
+FROM counts c JOIN supplier s ON c.s_suppkey = s.s_suppkey
+ORDER BY c.numwait DESC, c.s_suppkey ASC
+LIMIT {Q21_TOPK}"""

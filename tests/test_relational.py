@@ -521,3 +521,40 @@ def test_tpch_brand_volume_matches_manual_filter(lineitem, spark):
             & F.col("l_quantity").between(qlo, qhi)
         ).count()
         assert got.get(b, 0) == want
+
+
+def test_tpch_waiting_suppliers_hand_graph(spark):
+    """Constructed orders: only the sole-late supplier on a
+    multi-supplier order counts; single-supplier and multi-late orders
+    are excluded."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import tpch_waiting_suppliers
+
+    d0 = dt.datetime(2024, 1, 1)
+    late = dt.datetime(2024, 6, 1)   # > 60 days after d0
+    ok = dt.datetime(2024, 1, 15)
+    li = spark.createDataFrame(
+        [
+            # order 1: suppliers 10 (late), 11 (on time) -> 10 culpable
+            (1, 10, late), (1, 11, ok),
+            # order 2: both late -> nobody culpable
+            (2, 10, late), (2, 12, late),
+            # order 3: single supplier, late -> excluded (needs >= 2)
+            (3, 10, late),
+            # order 4: suppliers 11 (late), 10 (on time) -> 11 culpable
+            (4, 11, late), (4, 10, ok),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(i, d0) for i in (1, 2, 3, 4)], "o_orderkey long, o_orderdate timestamp"
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10"), (11, "S11"), (12, "S12")], "s_suppkey long, s_name string"
+    )
+    got = {
+        r["s_suppkey"]: r["numwait"]
+        for r in tpch_waiting_suppliers(li, orders, supplier).collect()
+    }
+    assert got == {10: 1, 11: 1}
