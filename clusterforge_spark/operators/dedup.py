@@ -1155,9 +1155,15 @@ def split_leakage(pairs: DataFrame, splits: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_leaking_pairs"),
             round_det(F.max("jaccard"), 6).alias("max_jaccard"),
+            # exact BIGINT micro-unit sum (the bm25/unigram trick):
+            # jaccard arrives on the 1e-6 grid from the banded verify,
+            # so the per-group mean is order-independent integer math
+            # until ONE final division — not a partition-order-dependent
+            # double sum
             round_det(
-                F.sum(F.round(F.col("jaccard"), 6)).cast("double")
-                / F.count(F.lit(1)).cast("double"),
+                F.sum(F.expr("cast(floor(jaccard * 1e6 + 0.5) as bigint)"))
+                .cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6)),
                 6,
             ).alias("mean_jaccard"),
         )

@@ -29,7 +29,7 @@ from clusterforge_spark.functions import hashing as H
 from clusterforge_spark.functions.partitioning import spread_partitions as _spread
 
 
-def token_vocab_counts(documents: DataFrame) -> DataFrame:
+def token_vocab_counts(documents: DataFrame, cache: bool = True) -> DataFrame:
     """Cached ``(token, cnt)`` VOCABULARY table — the shared input of the
     sketch family.
 
@@ -40,17 +40,21 @@ def token_vocab_counts(documents: DataFrame) -> DataFrame:
     along as weights. Tokenization happens above a spread exchange (a
     single-file scan is one partition); the groupBy's map-side combine
     collapses each partition's repeats before the shuffle, so bytes
-    moved ∝ distinct tokens. Cached: CacheManager resolves every
-    sketch's identical sub-plan to one InMemoryRelation, exactly like
-    the dedup family's shingle table.
+    moved ∝ distinct tokens. Cached by default: CacheManager resolves
+    every sketch's identical sub-plan to one InMemoryRelation, exactly
+    like the dedup family's shingle table. Pass ``cache=False`` for
+    single-consumer callers with a DIFFERENT plan per call — the
+    streaming per-batch sketch build (run_stream_countmin_batchlike)
+    would otherwise pin one never-deduped InMemoryRelation per
+    micro-batch for the session lifetime.
     """
-    return (
+    vc = (
         _spread(documents.select("doc_id", "text"), "doc_id")
         .select(F.explode(H.tokens_col("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .cache()
     )
+    return vc.cache() if cache else vc
 
 #: Count-Min geometry: D hash rows × W counters (ε ≈ e/W, δ ≈ e^-D).
 CMS_D = 4

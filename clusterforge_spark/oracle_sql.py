@@ -3665,7 +3665,8 @@ crossed AS (
 SELECT split_lo, split_hi,
        CAST(count(*) AS BIGINT) AS n_leaking_pairs,
        round(max(jaccard), 6) AS max_jaccard,
-       round(sum(round(jaccard, 6)) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+       round(CAST(sum(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_jaccard
 FROM crossed
 GROUP BY split_lo, split_hi"""
 

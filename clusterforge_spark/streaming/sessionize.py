@@ -949,7 +949,10 @@ def run_stream_countmin_batchlike(
     put batch_id-keyed dedup or a transactional table format underneath,
     exactly as the docstring of run_stream_upsert_batchlike notes.
     """
-    from clusterforge_spark.operators.sketches import countmin_build
+    from clusterforge_spark.operators.sketches import (
+        countmin_build,
+        token_vocab_counts,
+    )
 
     docs = (
         spark.readStream.schema(TABLE_SCHEMAS["documents"])
@@ -958,7 +961,12 @@ def run_stream_countmin_batchlike(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = countmin_build(batch_df)
+        # cache=False: each micro-batch has a distinct plan, so a cached
+        # vocab would pin one never-deduped InMemoryRelation per batch
+        # for the session lifetime — and this path consumes it once
+        partial = countmin_build(
+            batch_df, tokens=token_vocab_counts(batch_df, cache=False)
+        )
         try:
             base = spark.read.parquet(sketch_path)
             have_base = True

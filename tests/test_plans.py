@@ -76,11 +76,16 @@ def test_rollup_revenue_preagg_shape(spark):
     # (Catalyst's Expand sits below the partial aggregate, so a direct
     # rollup would 3x every fact row through it)
     assert X.exchange_count(df) == 2
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the Expand must consume the pre-aggregate, not the join output:
-    # in the formatted plan the Expand node appears above the first
-    # HashAggregate pair, never directly above the BroadcastHashJoin
-    assert "Expand" in plan
+    # pin the POSITION: in the optimized logical tree, an Aggregate must
+    # sit between the Expand and the Join — i.e. the Expand consumes the
+    # pre-aggregate, not the join output (a direct rollup reads
+    # Aggregate ← Expand ← Join with no Aggregate in between)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    i_expand = next(i for i, ln in enumerate(lines) if "Expand" in ln)
+    i_join = next(
+        i for i, ln in enumerate(lines) if i > i_expand and "Join" in ln
+    )
+    assert any("Aggregate" in ln for ln in lines[i_expand + 1 : i_join])
 
 
 def test_window_sessionize_single_shuffle(spark):
@@ -450,13 +455,19 @@ def test_bm25_shuffle_free_scoring(spark):
     from clusterforge_spark.operators import text as TX
 
     df = TX.bm25_topk(_t(spark, "documents"))
-    plan = X.plan_string(df)
     # per-term tf is a map-only size(filter(tokens, = term)) column — no
-    # posting explode, so the ONLY exchanges are the spread repartition
-    # (×2: stats branch + scoring branch of the same scan) and the
-    # 1-row stats broadcast; the final k is TakeOrderedAndProject
-    assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    # posting explode, so the ONLY hash exchanges are the spread
+    # repartition (≤2: stats branch + scoring branch of the same scan);
+    # the old posting-list form added groupBy(doc_id, token) /
+    # groupBy(token) / per-doc aggregation exchanges on top (4+). Use
+    # SIMPLE mode: formatted mode prints Exchange args on a separate
+    # line, so the substring count would be vacuous there.
+    plan = X.plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # and none of those exchanges is keyed on a token/term column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "token" not in line
     assert X.has_take_ordered(df)
 
 
