@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_boilerplate_prefix"] = lambda spark, sf: TX.boilerplate_prefixes(
         _dup_docs(spark, sf)
     )
+    q["q_cdc_chunk_dedup"] = lambda spark, sf: DD.cdc_chunk_dedup(
+        _dup_docs(spark, sf)
+    )
     q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
         _components(spark, sf)
     )
@@ -697,6 +700,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_incremental": OSQL.q_dedup_incremental(),
         "q_split_leakage": OSQL.q_split_leakage(),
         "q_boilerplate_prefix": OSQL.q_boilerplate_prefix(),
+        "q_cdc_chunk_dedup": OSQL.q_cdc_chunk_dedup(),
         "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
         "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
         "q_tpch_waiting_suppliers": OSQL.q_tpch_waiting_suppliers(),

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_pagerank",
     "q_dedup_incremental",
     "q_split_leakage",
+    "q_cdc_chunk_dedup",
     "q_component_size_stats",
     "q_dup_rate_by_source",
     "q_dedup_triangles",

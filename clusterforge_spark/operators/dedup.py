@@ -1168,3 +1168,75 @@ def split_leakage(pairs: DataFrame, splits: DataFrame) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+#: content-defined chunking: a token ends a chunk when its 60-bit md5 is
+#: ≡ 0 (mod CDC_MOD) — expected chunk length = CDC_MOD tokens, and the
+#: boundaries depend only on CONTENT, so a shared passage chunks
+#: identically wherever it appears in the corpus.
+CDC_MOD = 16
+
+
+def cdc_chunk_dedup(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Sub-document duplication via content-defined chunking — the
+    practical scale form of suffix-style substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): even
+    when no two DOCUMENTS are near-dups, corpora share boilerplate
+    passages, quoted paragraphs, and templated sections. Word-level CDC
+    finds them: chunk boundaries are content-derived (token-hash ≡ 0
+    mod ``mod``), so a shared passage yields the SAME chunks regardless
+    of its position or surrounding text — the property fixed-width
+    chunking lacks.
+
+    Per doc: (n_chunks, n_dup_chunks, dup_token_frac) where a chunk is
+    duplicated when its content hash occurs ≥2 times corpus-wide.
+
+    Scale shape: the only window is per-document (partitioned by
+    doc_id, bounded by doc length); chunk assembly is one grouped
+    aggregate whose sort_array keeps the hash order-independent under
+    any partitioning; the frequency join is chunk-hash keyed (AQE
+    sizes it). Nothing is corpus-quadratic — cost ∝ tokens.
+    """
+    from pyspark.sql.window import Window
+
+    toked = _spread(
+        docs.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+    ).filter(F.size("t") > 0)
+    pos = toked.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    )
+    is_b = (
+        F.expr(
+            "cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+        )
+        % mod
+        == 0
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = pos.withColumn("b", is_b).withColumn("chunk_id", F.sum("b").over(w))
+    chunks = seg.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            "md5(array_join(transform(sort_array(collect_list(struct(pos, token))),"
+            " x -> x.token), ' ')) as h"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("long")).cast("long").alias(
+                "n_dup_chunks"
+            ),
+            round_det(
+                F.sum(F.when(F.col("n_occ") > 1, F.col("n_tokens")).otherwise(0))
+                .cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -3882,3 +3882,46 @@ SELECT c.s_suppkey, s.s_name, c.numwait
 FROM counts c JOIN supplier s ON c.s_suppkey = s.s_suppkey
 ORDER BY c.numwait DESC, c.s_suppkey ASC
 LIMIT {Q21_TOPK}"""
+
+
+def q_cdc_chunk_dedup() -> str:
+    """Content-defined chunk dedup — mirrors operators/dedup.cdc_chunk_dedup
+    (same boundary hash, same per-doc window, same chunk hashing)."""
+    from clusterforge_spark.operators.dedup import CDC_MOD
+
+    toks = _H.tokens_sql("text")
+    return (
+        _chain(dup_corpus_cte())
+        + f""",
+toked AS (
+  SELECT doc_id, {toks} AS t FROM dup_corpus
+),
+pos AS (
+  SELECT doc_id,
+         unnest(t) AS token,
+         generate_subscripts(t, 1) - 1 AS pos
+  FROM toked WHERE len(t) > 0
+),
+seg AS (
+  SELECT doc_id, pos, token,
+         sum(CASE WHEN ('0x' || substr(md5(token), 1, 15))::BIGINT % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM pos
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS h,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM seg GROUP BY doc_id, chunk_id
+),
+freq AS (SELECT h, count(*) AS n_occ FROM chunks GROUP BY h)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN f.n_occ > 1 THEN c.n_tokens ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c.n_tokens) AS DOUBLE), 6) AS dup_token_frac
+FROM chunks c JOIN freq f ON c.h = f.h
+GROUP BY c.doc_id"""
+    )

@@ -358,3 +358,34 @@ def test_split_leakage_counts_cross_split_pairs(spark):
     assert r["n_leaking_pairs"] == 2
     assert abs(r["max_jaccard"] - 0.9) < 1e-9
     assert abs(r["mean_jaccard"] - 0.85) < 1e-9
+
+
+def test_cdc_chunk_dedup_finds_shared_passage(spark):
+    """A passage shared between two otherwise-different docs chunks
+    identically (content-defined boundaries) and is reported as
+    duplicated sub-document content in BOTH docs; a doc without shared
+    passages reports zero."""
+    import hashlib
+
+    from clusterforge_spark.operators.dedup import CDC_MOD, cdc_chunk_dedup
+
+    def is_boundary(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % CDC_MOD == 0
+
+    # two deterministic boundary tokens inside the shared passage → the
+    # span between them chunks identically in any surrounding document
+    bnd = [t for i in range(10_000) if is_boundary(t := f"tok{i}")][:2]
+    mid = " ".join(f"shared{i} common{i} passage{i}" for i in range(10))
+    shared = f"{bnd[0]} {mid} {bnd[1]} {mid}"
+    a = "intro alpha " + shared + " outro alpha"
+    b = "totally different beginning here " + shared + " and another ending"
+    c = " ".join(f"unique{i} only{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(docs).collect()}
+    assert out[1]["n_dup_chunks"] >= 1
+    assert out[2]["n_dup_chunks"] >= 1
+    assert out[1]["dup_token_frac"] > 0.4
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[3]["dup_token_frac"] == 0.0

@@ -269,3 +269,34 @@ def test_frame_window_arithmetic_tiles_exactly(n_frames, n_bytes, stride):
             assert e == s2
     sampled = list(range(0, n_frames, stride))
     assert all(0 <= k < n_frames for k in sampled)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    shift=st.integers(min_value=0, max_value=48),
+)
+@settings(max_examples=25, deadline=None)
+def test_prefix_sum_before_matches_serial(spark, vals, shift):
+    """The distributed two-level prefix sum equals the serial exclusive
+    prefix for any histogram and any bucket shift (including shift=0,
+    one value per bucket, and shift=48, everything in ~one bucket)."""
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    df = spark.createDataFrame(vals, "v long, cnt long")
+    got = {
+        r["v"]: r["cum_cnt"]
+        for r in prefix_sum_before(df, "v", ["cnt"], bucket_shift=shift).collect()
+    }
+    ordered = sorted(vals)
+    run = 0
+    for v, cnt in ordered:
+        assert got[v] == run
+        run += cnt
