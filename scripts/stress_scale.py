@@ -49,6 +49,7 @@ DEFAULT_QUERIES = [
     "q_chunk_sliding",
     "q_source_mixing_weights",
     "q_pack_chunks",
+    "q_cdc_chunk_dedup",
 ]
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -80,6 +81,7 @@ LINEITEM_QUERIES = {
     "q_profile_columns",
     "q_tpch_pricing",
     "q_tpch_forecast_revenue",
+    "q_tpch_waiting_suppliers",
 }
 
 
