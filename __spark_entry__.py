@@ -472,6 +472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_cdc_chunk_dedup"] = lambda spark, sf: DD.cdc_chunk_dedup(
         _dup_docs(spark, sf)
     )
+    q["q_multimodal_audio"] = lambda spark, sf: MM.audio_window_plan(
+        _t(spark, sf, "documents")
+    )
+    q["q_kfold_split"] = lambda spark, sf: PK.kfold_split(
+        _t(spark, sf, "documents")
+    )
     q["q_component_size_stats"] = lambda spark, sf: DD.component_size_stats(
         _components(spark, sf)
     )
@@ -701,6 +707,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_split_leakage": OSQL.q_split_leakage(),
         "q_boilerplate_prefix": OSQL.q_boilerplate_prefix(),
         "q_cdc_chunk_dedup": OSQL.q_cdc_chunk_dedup(),
+        "q_multimodal_audio": OSQL.q_multimodal_audio(),
+        "q_kfold_split": OSQL.q_kfold_split(),
         "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
         "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
         "q_tpch_waiting_suppliers": OSQL.q_tpch_waiting_suppliers(),

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_pack_chunks",
     "q_hash_split",
+    "q_kfold_split",
     "q_chunk_sliding",
     "q_cross_source_contamination",
     "q_source_mixing_weights",
@@ -184,6 +185,7 @@ BENCH_QUERIES = [
     "q_sim_search_pq",
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_multimodal_audio",
     "q_bigram_logprob",
     "q_countmin_freq",
     "q_bloom_membership",

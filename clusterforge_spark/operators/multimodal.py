@@ -312,3 +312,62 @@ def resize_plan(frames: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
         F.expr(f"div({target} - greatest(1L, div(height * {target}, greatest(width, height))), 2)").alias("pad_y"),
         (long_side < target).alias("is_upscaled"),
     )
+
+
+#: audio-window geometry: fake PCM metadata derived deterministically
+#: from doc_id; window/hop in samples.
+AUDIO_WIN = 4096
+AUDIO_HOP = 2048
+
+
+def audio_window_plan(
+    documents: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Audio STFT/feature-window plumbing: one row per analysis window
+    with its exact byte range inside a fake PCM payload — the partition
+    of work a real audio featurizer (mel/STFT) consumes. The codec
+    itself is the stubbed step, exactly like the image/video family;
+    the Spark-side geometry (sample-rate/channel metadata, half-
+    overlapping windows, tail drop) is real and oracle-checked.
+
+    Metadata derives deterministically from doc_id (sample_rate ∈
+    {8k, 16k, 44.1k}, channels ∈ {1, 2}, 16-bit samples); n_samples =
+    payload bytes div (2·channels). Window k covers samples
+    [k·hop, k·hop + win) — emitted only while fully inside the clip
+    (the standard center=False STFT convention). Map-only sequence
+    explode, integer byte math — no shuffle, no UDF.
+    """
+    if win <= 0 or hop <= 0:
+        raise ValueError(f"win ({win}) and hop ({hop}) must be positive")
+    rate = F.expr(
+        "cast(element_at(array(8000, 16000, 44100), "
+        "cast(doc_id % 3 as int) + 1) as bigint)"
+    )
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    base = documents.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        rate.alias("sample_rate"),
+        channels.alias("channels"),
+    ).withColumn("n_samples", F.expr("div(n_bytes, 2 * channels)"))
+    windowed = base.filter(F.col("n_samples") >= win).select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"div(n_samples - {win}, {hop})"),
+            )
+        ).alias("win_idx"),
+    )
+    return windowed.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "win_idx",
+        F.expr(f"win_idx * {hop}").alias("sample_start"),
+        F.expr(f"win_idx * {hop} * 2 * channels").alias("byte_start"),
+        F.lit(win * 2).cast("long").alias("byte_len_per_channel"),
+    )

@@ -133,3 +133,22 @@ def chunk_sliding(
             .alias("chunk_len"),
         )
     )
+
+
+def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment on the same
+    60-bit md5 the train/val split uses: fold = md5_60(doc_id) % k —
+    stable across engines, partitionings, and corpus growth (a document
+    never changes folds when new data lands). Map-only.
+    """
+    if k <= 1:
+        raise ValueError(f"k ({k}) must be at least 2")
+    fold = (
+        F.conv(F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))).substr(1, 15), 16, 10)
+        .cast("long")
+        % k
+    )
+    return documents.select(
+        "doc_id", "source", fold.alias("fold"),
+        (fold != 0).alias("in_train_fold0"),
+    )

@@ -3925,3 +3925,33 @@ SELECT c.doc_id,
 FROM chunks c JOIN freq f ON c.h = f.h
 GROUP BY c.doc_id"""
     )
+
+
+def q_multimodal_audio() -> str:
+    from clusterforge_spark.operators.multimodal import AUDIO_HOP, AUDIO_WIN
+
+    win, hop = AUDIO_WIN, AUDIO_HOP
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST([8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS sample_rate,
+         CAST(1 + doc_id % 2 AS BIGINT) AS channels
+  FROM documents
+),
+s AS (
+  SELECT *, n_bytes // (2 * channels) AS n_samples FROM base
+)
+SELECT doc_id, sample_rate, channels,
+       CAST(w AS BIGINT) AS win_idx,
+       CAST(w * {hop} AS BIGINT) AS sample_start,
+       CAST(w * {hop} * 2 * channels AS BIGINT) AS byte_start,
+       CAST({win * 2} AS BIGINT) AS byte_len_per_channel
+FROM s, unnest(range(0, (n_samples - {win}) // {hop} + 1)) AS t(w)
+WHERE n_samples >= {win}"""
+
+
+def q_kfold_split(k: int = 5) -> str:
+    return f"""SELECT doc_id, source,
+       ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {k} AS fold,
+       (('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {k}) <> 0 AS in_train_fold0
+FROM documents"""

@@ -148,3 +148,33 @@ def test_resize_plan_geometry(documents):
         assert r.is_upscaled == (long_side < RESIZE_TARGET)
     with _pytest.raises(ValueError):
         resize_plan(sub, target=0)
+
+
+def test_audio_window_plan_geometry(spark):
+    """Hand-sized clip: 16 KiB mono payload = 8192 samples -> windows at
+    hop 2048 fully inside the clip; byte offsets are sample_start*2."""
+    from clusterforge_spark.operators.multimodal import audio_window_plan
+
+    text = "x" * 16384
+    docs = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    rows = audio_window_plan(docs).collect()
+    # doc_id=3 -> sample_rate 8000, channels 2 -> n_samples 4096 -> 1 window
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sample_rate"], r["channels"]) == (8000, 2)
+    assert r["win_idx"] == 0 and r["sample_start"] == 0 and r["byte_start"] == 0
+    mono = spark.createDataFrame([(4, text)], "doc_id long, text string")
+    rows = audio_window_plan(mono).collect()
+    # doc_id=4 -> channels 1 -> 8192 samples -> win starts 0,2048,4096
+    starts = sorted(r["sample_start"] for r in rows)
+    assert starts == [0, 2048, 4096]
+    for r in rows:
+        assert r["byte_start"] == r["sample_start"] * 2
+        assert r["byte_len_per_channel"] == 8192
+
+
+def test_audio_window_plan_short_clip_dropped(spark):
+    from clusterforge_spark.operators.multimodal import audio_window_plan
+
+    docs = spark.createDataFrame([(4, "tiny")], "doc_id long, text string")
+    assert audio_window_plan(docs).count() == 0
