@@ -1170,10 +1170,11 @@ def split_leakage(pairs: DataFrame, splits: DataFrame) -> DataFrame:
     )
 
 
-#: content-defined chunking: a token ends a chunk when its 60-bit md5 is
-#: ≡ 0 (mod CDC_MOD) — expected chunk length = CDC_MOD tokens, and the
-#: boundaries depend only on CONTENT, so a shared passage chunks
-#: identically wherever it appears in the corpus.
+#: content-defined chunking: a token whose 60-bit md5 is ≡ 0 (mod
+#: CDC_MOD) STARTS a new chunk (the inclusive running boundary sum puts
+#: the boundary token first in its chunk) — expected chunk length =
+#: CDC_MOD tokens, and the boundaries depend only on CONTENT, so a
+#: shared passage chunks identically wherever it appears in the corpus.
 CDC_MOD = 16
 
 

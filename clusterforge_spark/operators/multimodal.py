@@ -315,9 +315,12 @@ def resize_plan(frames: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
 
 
 #: audio-window geometry: fake PCM metadata derived deterministically
-#: from doc_id; window/hop in samples.
-AUDIO_WIN = 4096
-AUDIO_HOP = 2048
+#: from doc_id; window/hop in samples. Sized for the testdata corpus
+#: (payloads are utf-8 text bytes, up to ~580 B → ≤290 mono samples):
+#: real corpora with real PCM would use 4096/2048 — the geometry is
+#: parameterized, only the default is corpus-realistic.
+AUDIO_WIN = 64
+AUDIO_HOP = 32
 
 
 def audio_window_plan(

@@ -136,8 +136,10 @@ def chunk_sliding(
 
 
 def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
-    """Deterministic k-fold cross-validation assignment on the same
-    60-bit md5 the train/val split uses: fold = md5_60(doc_id) % k —
+    """Deterministic k-fold cross-validation assignment:
+    fold = md5_60('fold|' || doc_id) % k — the SALTED hash keeps fold
+    assignment statistically independent of :func:`hash_split`'s
+    train/val bucket (same doc, uncorrelated draws), while staying
     stable across engines, partitionings, and corpus growth (a document
     never changes folds when new data lands). Map-only.
     """

@@ -151,26 +151,29 @@ def test_resize_plan_geometry(documents):
 
 
 def test_audio_window_plan_geometry(spark):
-    """Hand-sized clip: 16 KiB mono payload = 8192 samples -> windows at
-    hop 2048 fully inside the clip; byte offsets are sample_start*2."""
-    from clusterforge_spark.operators.multimodal import audio_window_plan
+    """Hand-sized clip: 256-byte stereo payload = 64 samples -> exactly
+    one window; 320-byte mono = 160 samples -> starts 0/32/64/96; byte
+    offsets are sample_start*2*channels."""
+    from clusterforge_spark.operators.multimodal import (
+        AUDIO_WIN,
+        audio_window_plan,
+    )
 
-    text = "x" * 16384
-    docs = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    docs = spark.createDataFrame([(3, "x" * 256)], "doc_id long, text string")
     rows = audio_window_plan(docs).collect()
-    # doc_id=3 -> sample_rate 8000, channels 2 -> n_samples 4096 -> 1 window
+    # doc_id=3 -> sample_rate 8000, channels 2 -> n_samples 64 -> 1 window
     assert len(rows) == 1
     r = rows[0]
     assert (r["sample_rate"], r["channels"]) == (8000, 2)
     assert r["win_idx"] == 0 and r["sample_start"] == 0 and r["byte_start"] == 0
-    mono = spark.createDataFrame([(4, text)], "doc_id long, text string")
+    mono = spark.createDataFrame([(4, "x" * 320)], "doc_id long, text string")
     rows = audio_window_plan(mono).collect()
-    # doc_id=4 -> channels 1 -> 8192 samples -> win starts 0,2048,4096
+    # doc_id=4 -> channels 1 -> 160 samples -> win starts 0,32,64,96
     starts = sorted(r["sample_start"] for r in rows)
-    assert starts == [0, 2048, 4096]
+    assert starts == [0, 32, 64, 96]
     for r in rows:
         assert r["byte_start"] == r["sample_start"] * 2
-        assert r["byte_len_per_channel"] == 8192
+        assert r["byte_len_per_channel"] == AUDIO_WIN * 2
 
 
 def test_audio_window_plan_short_clip_dropped(spark):

@@ -80,12 +80,15 @@ def test_rollup_revenue_preagg_shape(spark):
     # sit between the Expand and the Join — i.e. the Expand consumes the
     # pre-aggregate, not the join output (a direct rollup reads
     # Aggregate ← Expand ← Join with no Aggregate in between)
-    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
-    i_expand = next(i for i, ln in enumerate(lines) if "Expand" in ln)
+    plan_text = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan_text.splitlines()
+    i_expand = next((i for i, ln in enumerate(lines) if "Expand" in ln), None)
+    assert i_expand is not None, plan_text
     i_join = next(
-        i for i, ln in enumerate(lines) if i > i_expand and "Join" in ln
+        (i for i, ln in enumerate(lines) if i > i_expand and "Join" in ln), None
     )
-    assert any("Aggregate" in ln for ln in lines[i_expand + 1 : i_join])
+    assert i_join is not None, plan_text
+    assert any("Aggregate" in ln for ln in lines[i_expand + 1 : i_join]), plan_text
 
 
 def test_window_sessionize_single_shuffle(spark):
