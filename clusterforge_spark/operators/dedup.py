@@ -33,6 +33,56 @@ from clusterforge_spark.functions.partitioning import spread_partitions as _spre
 EXACT_DUP_OFFSET = 10_000_000
 NEAR_DUP_OFFSET = 20_000_000
 
+#: per-strategy block-size caps: any block larger than the cap is
+#: salt-split so no single task ever sees more than ~cap² candidate
+#: pairs, regardless of corpus skew (one dominant lang/source/label).
+#: Sized by per-pair cost: levenshtein pays an O(LEV_PREFIX²) DP per
+#: pair, ngram an O(|shingles|) set intersect, embedding a d-wide dot.
+NGRAM_BLOCK_CAP = 4096
+LEV_BLOCK_CAP = 2048
+EMB_BLOCK_CAP = 4096
+
+
+def _salted_for_join(
+    tbl: DataFrame, block_cols: list, id_col: str, cap: int, count_tbl: DataFrame | None = None
+) -> DataFrame:
+    """Attach 2-D skew salting to one side of a blocked pair self-join.
+
+    Every row gains ``_salt = xxhash64(id) mod _s`` and is replicated
+    once per ``_probe ∈ [0, _s)``, where ``_s = ceil(block_size / cap)``
+    per block. Joining on the original block keys PLUS
+    ``a._salt == b._probe AND a._probe == b._salt`` splits a block of m
+    rows into s² independent shuffle keys of (m/s)² ≤ cap² candidate
+    pairs each, while every unordered pair still meets on EXACTLY one
+    replica combination — the pair set (and thus the oracle result) is
+    bit-identical to the unsalted join; only the shuffle layout changes.
+    Cost: each side replicated s× within an oversized block — linear,
+    versus the m² hot-task blow-up it prevents. For blocks under the cap
+    s = 1 and the plan degenerates to the plain blocked join.
+
+    The per-block size table is broadcast: its cardinality is the number
+    of distinct block keys (≪ corpus rows; bounded by the block design),
+    so the broadcast is safe at any corpus scale — this is metadata, not
+    data.
+
+    ``count_tbl`` lets a caller whose probe key differs from its row key
+    (the levenshtein adjacent-bucket probe) supply the block-size table
+    computed over the *probed* table.
+    """
+    counts = (count_tbl if count_tbl is not None else tbl).groupBy(*block_cols).agg(
+        F.count("*").alias("_m")
+    )
+    sizes = counts.select(
+        *block_cols,
+        F.greatest(F.lit(1), F.ceil(F.col("_m") / F.lit(int(cap)))).cast("int").alias("_s"),
+    )
+    t = tbl.join(F.broadcast(sizes), list(block_cols))
+    return t.select(
+        "*",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int").alias("_salt"),
+        F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("_probe"),
+    )
+
 
 def docs_with_dups(documents: DataFrame, n_exact: int = 100, n_near: int = 50) -> DataFrame:
     """documents ∪ exact copies of first ``n_exact`` ∪ near copies
@@ -162,7 +212,7 @@ def shingle_hash_table(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, block_cap: int = NGRAM_BLOCK_CAP
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over (lang, source)-blocked pairs.
 
@@ -174,13 +224,23 @@ def dedup_ngram_jaccard(
     near-identical lengths, so the bucket keeps true pairs together
     while cutting candidate count ~5× vs (lang, source) alone.
 
-    No broadcast hint on either side: the equi-keys give a blocked
+    Blocks larger than ``block_cap`` are 2-D salt-split
+    (:func:`_salted_for_join`): a hot block (all-English web text in one
+    len_bucket) lands on s² shuffle keys of ≤ cap² pairs instead of one
+    m² task — same pair set, same oracle result, bounded task size.
+
+    No broadcast hint on either pair side: the equi-keys give a blocked
     shuffle join that degrades gracefully at any scale, and AQE promotes
     it to a broadcast join at runtime when a side is actually small —
     an unconditional hint would OOM executors at 100 TB.
     """
     sh = shingle_hash_table(docs, n=n)
-    a, b = sh.alias("a"), sh.alias("b")
+    blk = ["lang", "source", "len_bucket"]
+    # cached like shingle_hash_table: both join sides resolve to one
+    # InMemoryRelation, so the size-table broadcast + salt replication
+    # runs once per corpus per session instead of once per side per query
+    salted = _salted_for_join(sh, blk, "doc_id", block_cap).cache()
+    a, b = salted.alias("a"), salted.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (
@@ -189,6 +249,8 @@ def dedup_ngram_jaccard(
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a._salt") == F.col("b._probe"))
+            & (F.col("a._probe") == F.col("b._salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -366,7 +428,9 @@ def embs_with_dups(embeddings: DataFrame, n_copy: int = 100) -> DataFrame:
     return base.unionByName(copies)
 
 
-def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame:
+def dedup_embedding_cosine(
+    embs: DataFrame, threshold: float = 0.9, block_cap: int = EMB_BLOCK_CAP
+) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold within label blocks.
 
     Label blocking stands in for a coarse-quantizer bucket (IVF cell /
@@ -387,9 +451,14 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame
     in the corpus; Spark's NaN-is-largest comparison would instead keep
     them).
 
-    Scale: per-block memory is O(m²/2) pair indices; the coarse
-    quantizer (here: label) must bound block size, exactly as an IVF
-    cell count does.
+    Skew bound: a label block of m > ``block_cap`` vectors is split into
+    s = ceil(m/cap) deterministic sub-blocks by ``xxhash64(vec_id) mod
+    s``; each unordered sub-block pair (gi ≤ gj) becomes its own pandas
+    group holding only the two sub-blocks' vectors, so per-task memory
+    is O((m/s)·d + (m/s)²) ≤ O(cap²) no matter how dominant one label
+    is. Every vector pair lands in exactly one (gi, gj) group, so the
+    pair set — and the oracle result — is identical to the unsalted
+    form; blocks under the cap keep s = 1 and the single-group layout.
     """
     import numpy as np
     import pandas as pd
@@ -418,7 +487,19 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame
         for k in range(d):
             acc = acc + mat[:, k] * mat[:, k]
         norms = np.sqrt(acc)
-        ii, jj = np.triu_indices(m, 1)
+        gi = int(pdf["_gi"].iloc[0])
+        gj = int(pdf["_gj"].iloc[0])
+        if gi == gj:
+            ii, jj = np.triu_indices(m, 1)
+        else:
+            # cross pairs between the two sub-blocks; ids are disjoint
+            # and output is ordered (min, max) below
+            sa = (pdf["_salt"].to_numpy() == gi).nonzero()[0]
+            sb = (pdf["_salt"].to_numpy() == gj).nonzero()[0]
+            if len(sa) == 0 or len(sb) == 0:
+                return empty
+            ii = np.repeat(sa, len(sb))
+            jj = np.tile(sb, len(sa))
         dot = np.zeros(len(ii))
         for k in range(d):
             dot = dot + mat[ii, k] * mat[jj, k]
@@ -428,17 +509,55 @@ def dedup_embedding_cosine(embs: DataFrame, threshold: float = 0.9) -> DataFrame
         keep = cos_r >= thr
         if not keep.any():
             return empty
+        va, vb = ids[ii[keep]], ids[jj[keep]]
         return pd.DataFrame(
             {
-                "vec_a": ids[ii[keep]].astype("int64"),
-                "vec_b": ids[jj[keep]].astype("int64"),
+                "vec_a": np.minimum(va, vb).astype("int64"),
+                "vec_b": np.maximum(va, vb).astype("int64"),
                 "cos_sim": cos_r[keep],
             }
         )
 
-    e = embs.select("vec_id", "label", "embedding")
-    return e.groupBy("label").applyInPandas(
+    exploded = _emb_salted_groups(embs, block_cap)
+    return exploded.groupBy("label", "_gi", "_gj").applyInPandas(
         _block_pairs, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+def _emb_salted_groups(embs: DataFrame, block_cap: int) -> DataFrame:
+    """Sub-block-pair group assignment for :func:`dedup_embedding_cosine`.
+
+    A vector with salt p (of s = ceil(block_size/cap) sub-blocks) joins
+    groups {(i, p): i ≤ p} ∪ {(p, j): j > p} — s groups per vector; each
+    unordered vector pair is covered by exactly one (gi, gj) group.
+    """
+    counts = embs.groupBy("label").agg(F.count("*").alias("_m"))
+    sizes = counts.select(
+        "label",
+        F.greatest(F.lit(1), F.ceil(F.col("_m") / F.lit(int(block_cap))))
+        .cast("int")
+        .alias("_s"),
+    )
+    e = embs.select("vec_id", "label", "embedding").join(F.broadcast(sizes), "label")
+    salt = F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int")
+    groups = F.expr(
+        "concat("
+        " transform(sequence(0, _salt), i -> struct(i as gi, _salt as gj)),"
+        " IF(_salt + 1 <= _s - 1,"
+        "    transform(sequence(_salt + 1, _s - 1), j -> struct(_salt as gi, j as gj)),"
+        "    array()))"
+    )
+    return (
+        e.withColumn("_salt", salt)
+        .select("vec_id", "label", "embedding", "_salt", F.explode(groups).alias("_g"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "_salt",
+            F.col("_g.gi").alias("_gi"),
+            F.col("_g.gj").alias("_gj"),
+        )
     )
 
 
@@ -705,7 +824,9 @@ def dedup_minhash_banded(
 LEV_PREFIX = 200
 
 
-def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+def dedup_levenshtein(
+    docs: DataFrame, threshold: float = 0.2, block_cap: int = LEV_BLOCK_CAP
+) -> DataFrame:
     """Edit-distance near-dup detection over the same blocked pair space
     as the n-gram strategy.
 
@@ -722,6 +843,12 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     prefix so per-pair cost is a constant. rel_dist = lev / max(prefix
     lengths); both engines ship a bit-identical integer levenshtein,
     making this oracle-exact.
+
+    Blocks larger than ``block_cap`` are 2-D salt-split
+    (:func:`_salted_for_join`). Both sides of a pair derive salt width
+    ``_s`` from the SAME size table — keyed on the *probed* (i.e. b-side)
+    bucket — so the salt/probe rendezvous stays consistent across the
+    adjacent-bucket probes and every pair still meets exactly once.
     """
     base = docs.select(
         "doc_id",
@@ -730,6 +857,7 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
     )
+    blk = ["lang", "source", "len_bucket"]
     probing = base.select(
         "doc_id",
         "lang",
@@ -739,9 +867,12 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
             F.array(
                 F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1
             )
-        ).alias("probe_bucket"),
+        ).alias("len_bucket"),  # the probed bucket, named to match the size table key
     )
-    a, b = probing.alias("a"), base.alias("b")
+    # cached for the same reason as the ngram side: the size-table
+    # broadcast + probe/salt replication becomes a once-per-session build
+    a = _salted_for_join(probing, blk, "doc_id", block_cap, count_tbl=base).cache().alias("a")
+    b = _salted_for_join(base, blk, "doc_id", block_cap).cache().alias("b")
     # emit the candidate PAIRS first (cheap columns only), spread them
     # across all cores, and only then run the O(P²) levenshtein: AQE
     # coalesces the post-join stage by BYTES, and a CPU-bound distance
@@ -751,7 +882,9 @@ def dedup_levenshtein(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.probe_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a._salt") == F.col("b._probe"))
+        & (F.col("a._probe") == F.col("b._salt"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),

@@ -389,3 +389,106 @@ def test_cdc_chunk_dedup_finds_shared_passage(spark):
     assert out[1]["dup_token_frac"] > 0.4
     assert out[3]["n_dup_chunks"] == 0
     assert out[3]["dup_token_frac"] == 0.0
+
+
+class TestBlockSkewSalting:
+    """One planted hot block (every doc in one lang/source/len_bucket;
+    every embedding under one label): the salted plans must (a) bound
+    per-task group/key size and (b) return the exact same pairs as the
+    unsalted-equivalent huge-cap run — salting rearranges the shuffle,
+    never the result."""
+
+    @pytest.fixture(scope="class")
+    def hot_docs(self, documents):
+        from pyspark.sql import functions as F
+
+        return (
+            documents.limit(300)
+            .select(
+                "doc_id",
+                "text",
+                F.lit("xx").alias("lang"),
+                F.lit("hot").alias("source"),
+                F.lit(150).alias("n_chars"),
+            )
+            .cache()
+        )
+
+    @pytest.fixture(scope="class")
+    def hot_embs(self, embeddings):
+        from pyspark.sql import functions as F
+
+        return (
+            embeddings.limit(300)
+            .select("vec_id", "embedding", F.lit(0).alias("label"))
+            .cache()
+        )
+
+    def _sorted(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_ngram_salted_equals_unsalted(self, hot_docs):
+        lo = dedup_ngram_jaccard(hot_docs, threshold=0.05, block_cap=40)
+        hi = dedup_ngram_jaccard(hot_docs, threshold=0.05, block_cap=10**9)
+        assert self._sorted(lo) == self._sorted(hi)
+
+    def test_levenshtein_salted_equals_unsalted(self, hot_docs):
+        from clusterforge_spark.operators.dedup import dedup_levenshtein
+
+        lo = dedup_levenshtein(hot_docs, threshold=0.9, block_cap=40)
+        hi = dedup_levenshtein(hot_docs, threshold=0.9, block_cap=10**9)
+        rows = self._sorted(lo)
+        assert rows == self._sorted(hi)
+        assert len(rows) > 0  # the hot block really produces pairs
+
+    def test_embedding_salted_equals_unsalted(self, hot_embs):
+        lo = dedup_embedding_cosine(hot_embs, threshold=-1.0, block_cap=50)
+        hi = dedup_embedding_cosine(hot_embs, threshold=-1.0, block_cap=10**9)
+        rows = self._sorted(lo)
+        assert rows == self._sorted(hi)
+        # all-pairs at threshold 0: the full 300·299/2 pair set survives
+        assert len(rows) == 300 * 299 // 2
+
+    def test_join_side_key_size_bounded(self, hot_docs):
+        """No (block, _salt, _probe) shuffle key on either join side of the
+        salted ngram join exceeds ~cap rows — the m² hot task is gone."""
+        from pyspark.sql import functions as F
+
+        from clusterforge_spark.operators.dedup import (
+            _salted_for_join,
+            shingle_hash_table,
+        )
+
+        cap = 40
+        sh = shingle_hash_table(hot_docs)
+        salted = _salted_for_join(sh, ["lang", "source", "len_bucket"], "doc_id", cap)
+        per_key = (
+            salted.groupBy("lang", "source", "len_bucket", "_salt", "_probe")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        m = sh.count()
+        assert m == 300  # the block really is hot (single block)
+        # hash salting is uneven but each sub-block stays O(cap), far
+        # below the unsalted m
+        assert per_key <= 3 * cap
+        # every row replicated s times, s = ceil(m / cap)
+        s = -(-m // cap)
+        assert salted.count() == m * s
+
+    def test_embedding_group_size_bounded(self, hot_embs):
+        from pyspark.sql import functions as F
+
+        from clusterforge_spark.operators.dedup import _emb_salted_groups
+
+        cap = 50
+        g = _emb_salted_groups(hot_embs, cap)
+        per_group = (
+            g.groupBy("label", "_gi", "_gj")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        # a group holds at most two sub-blocks of ~cap vectors each
+        assert per_group <= 3 * cap
