@@ -297,6 +297,21 @@ def main() -> int:
     # to a pause landing in exactly one run. Bounded cost: only the
     # straggler tail pays the extra run.
     RETIME_SEC = 0.7
+    # One untimed warm scan per source table BEFORE the sweep: the
+    # pipeline warm-up above only touches events, so the first queries
+    # to hit lineitem/orders/... paid the cold parquet-scan path (footer
+    # reads, codec init, page-cache faults) and recorded 4-6× phantom
+    # "regressions" in their sweep slots (r4: q_scan_project 1.6 s in
+    # the sweep vs 0.27-0.39 s isolated). A full-column noop scan per
+    # table moves that one-time cost out of every timed slot.
+    for tbl in (
+        "lineitem", "orders", "part", "customer", "supplier", "nation",
+        "region", "documents", "embeddings",
+    ):
+        try:
+            load_table(spark, SF_DIR, tbl).write.mode("overwrite").format("noop").save()
+        except Exception:  # noqa: BLE001  (a missing optional table is fine)
+            pass
     for name in BENCH_QUERIES:
         fn = queries[name]
         try:

@@ -22,6 +22,22 @@ def spread_partitions(df: DataFrame, col: str | None = None) -> DataFrame:
     return df.repartition(n, col) if col else df.repartition(n)
 
 
+def source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s file scan, or None when the input
+    isn't a simple file scan (cached relation, in-memory DataFrame, …).
+
+    Used for size-dependent plan decisions (materialize vs re-scan):
+    file-footer metadata is free to read and is the same signal Spark's
+    own statistics estimation starts from.
+    """
+    try:
+        files = df.inputFiles()
+        total = sum(os.path.getsize(urlparse(p).path or p) for p in files)
+    except Exception:
+        return None
+    return total if files else None
+
+
 def suggest_agg_partitions(
     df: DataFrame,
     bytes_per_partition: int = 16 << 20,
@@ -43,12 +59,8 @@ def suggest_agg_partitions(
     exchange is over the in-memory relation and the conf is the right
     size anyway.
     """
-    try:
-        files = df.inputFiles()
-        total = sum(os.path.getsize(urlparse(p).path or p) for p in files)
-    except Exception:
-        return None
-    if not files:
+    total = source_bytes(df)
+    if total is None:
         return None
     conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     want = (total + bytes_per_partition - 1) // bytes_per_partition

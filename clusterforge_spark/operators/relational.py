@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clusterforge_spark.functions.partitioning import prefix_sum_before
+from clusterforge_spark.functions.partitioning import prefix_sum_before, source_bytes
 from clusterforge_spark.functions.rounding import round_det
 
 
@@ -1393,6 +1393,7 @@ def spearman_matrix(
     lineitem: DataFrame,
     cols: tuple[str, ...] = CORR_COLS,
     large_domain: tuple[str, ...] = ("l_extendedprice",),
+    materialize_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Pairwise SPEARMAN rank correlation — the outlier-robust companion
     to :func:`corr_matrix` (monotone association instead of linear).
@@ -1421,11 +1422,19 @@ def spearman_matrix(
     base = lineitem.filter(F.expr(notnull)).select(
         *[F.expr(f"{cents[c]} as v_{c}") for c in cols]
     )
-    # NOT checkpointed/cached: the plan references base 1 + len(cols)
-    # times, but each reference is a pruned page-cached parquet re-scan +
-    # cent casts — measured CHEAPER at sf0.1 (2.7 s vs 3.1 s) than
-    # materializing 600k rows into block storage, and a per-invocation
-    # localCheckpoint would pin storage until GC in long sessions
+    # The plan references base 1 + len(cols) times. Whether to
+    # materialize it is SIZE-DEPENDENT: below ``materialize_bytes`` of
+    # source scan the re-scan is noise-free and avoids pinning storage
+    # until GC; above it the lazily localCheckpointed cent projection
+    # (narrow, computed once at first use, each later reference reads
+    # the materialized blocks) wins — measured 1.7 s vs 2.3-3.3 s at
+    # sf0.1's 10.8 MB lineitem, and the gap only widens with scale
+    # (1 + len(cols) passes over a 100 TB fact table is the wrong side
+    # of the trade by construction). Falls back to re-scan when the
+    # input isn't a plain file scan (size unknown ⇒ already in-memory).
+    src = source_bytes(lineitem)
+    if src is not None and src > materialize_bytes:
+        base = base.localCheckpoint(eager=False)
     joined = base
     for c in cols:
         vc = base.groupBy(f"v_{c}").agg(F.count(F.lit(1)).alias("cnt"))

@@ -525,3 +525,24 @@ def test_normal_equations_single_unified_aggregate(spark):
     # one explode + one hash aggregate — no Expand, a single exchange
     assert "Expand" not in plan
     assert X.exchange_count(df) == 1
+
+
+def test_spearman_materializes_above_size_threshold(spark):
+    """spearman_matrix's re-scan-vs-materialize choice is size-dependent:
+    a forced-low threshold must route the 1+len(cols) base references
+    through a (lazily local-checkpointed) materialized relation instead
+    of repeated file scans; the default at test scale keeps the re-scan.
+    Outputs of both branches are identical."""
+    li = _t(spark, "lineitem")
+
+    forced = R.spearman_matrix(li, materialize_bytes=0)
+    plan_forced = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "Checkpoint" in plan_forced or "LogicalRDD" in plan_forced
+
+    default = R.spearman_matrix(li)
+    plan_default = default._jdf.queryExecution().optimizedPlan().toString()
+    assert "Checkpoint" not in plan_default and "LogicalRDD" not in plan_default
+
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, default.collect())
+    )
