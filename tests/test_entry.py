@@ -61,3 +61,30 @@ def test_bench_covers_every_query():
     q = set(E.queries())
     b = set(bench.BENCH_QUERIES)
     assert b == q, f"missing from bench: {sorted(q - b)}; stale in bench: {sorted(b - q)}"
+
+
+def test_survey_query_count_matches_contract():
+    """SURVEY.md §8's bolded "**N queries**" claim equals len(queries()) —
+    prose and shipped contract cannot drift apart (r4 shipped 166 while
+    §8 still said 161)."""
+    import re
+
+    text = open("/root/repo/SURVEY.md", encoding="utf-8").read()
+    m = re.search(r"the shipped contract is \*\*(\d+)\s*\nqueries\*\*", text)
+    assert m, "SURVEY.md §8 no longer contains the pinned query-count phrase"
+    assert int(m.group(1)) == len(E.queries())
+
+
+def test_library_import_surface():
+    """The package root re-exports the operator namespaces and the
+    pipeline / model-store / curation / CLI entry points (the reference
+    re-exports its whole API from lib.rs:6-18) — consumers never need
+    deep module paths."""
+    import clusterforge_spark as cf
+
+    for name in cf.__all__:
+        assert getattr(cf, name, None) is not None, f"missing export: {name}"
+    # spot-check the two usage styles the docstring promises
+    assert callable(cf.run_full_pipeline)
+    assert callable(cf.dedup.dedup_exact)
+    assert callable(cf.cli_main)
