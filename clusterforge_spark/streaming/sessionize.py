@@ -908,6 +908,36 @@ def stream_quality_filter(
     return scored.select("doc_id", "lang", "quality", gate.alias("gate"))
 
 
+def stream_curated_ingest(
+    docs_stream: DataFrame,
+    quality_min: float = 0.5,
+    dedup_watermark: str | None = None,
+) -> DataFrame:
+    """At-ingest curation: exact text dedup (first arrival wins) feeding
+    the stateless quality gates — the two front stages of a streaming
+    training-data pipeline composed into one linear plan.
+
+    Dedup keys on ``md5(text)`` via ``dropDuplicates`` (cross-micro-batch
+    state, so a duplicate arriving in a LATER file is still dropped).
+    With ``dedup_watermark`` set (e.g. ``"10 minutes"``) an
+    ``arrival_ts`` processing-time column bounds the dedup state via
+    ``dropDuplicatesWithinWatermark`` — the production configuration;
+    the default keeps exact unwindowed dedup (state ∝ distinct texts),
+    right for bounded backfills and parity tests. Dedup runs FIRST so
+    the scoring projection prices only surviving docs.
+    """
+    with_key = docs_stream.withColumn("text_md5", F.md5("text"))
+    if dedup_watermark is not None:
+        deduped = (
+            with_key.withColumn("arrival_ts", F.current_timestamp())
+            .withWatermark("arrival_ts", dedup_watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"])
+        )
+    else:
+        deduped = with_key.dropDuplicates(["text_md5"])
+    return stream_quality_filter(deduped, quality_min)
+
+
 def run_quality_filter_batchlike(
     spark: SparkSession, sf_dir: str, timeout_s: int = 120
 ) -> DataFrame:

@@ -181,3 +181,49 @@ def test_audio_window_plan_short_clip_dropped(spark):
 
     docs = spark.createDataFrame([(4, "tiny")], "doc_id long, text string")
     assert audio_window_plan(docs).count() == 0
+
+
+def test_real_audio_decode_wav_end_to_end(spark):
+    """The audio codec path actually decodes: synthesize two PCM WAV
+    clips with the stdlib wave module (a full-scale square wave — known
+    RMS/peak/ZCR in closed form — and a stereo silence clip), run them
+    through decode_real_audio, and assert exact metadata plus the energy
+    features to float tolerance."""
+    import io
+    import struct
+    import wave as wavemod
+
+    import pytest as _pytest
+
+    from clusterforge_spark.operators.multimodal import decode_real_audio
+
+    def wav_bytes(rate, channels, samples):
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    # mono square wave alternating ±16384 (=±0.5 normalized): rms=0.5,
+    # peak=0.5, every consecutive pair crosses zero → zcr=1.0
+    square = wav_bytes(8000, 1, [16384, -16384] * 50)
+    # stereo silence, 25 frames at 16 kHz
+    silence = wav_bytes(16000, 2, [0, 0] * 25)
+    df = spark.createDataFrame(
+        [(1, bytearray(square)), (2, bytearray(silence))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_real_audio(df).collect()}
+
+    sq = rows[1]
+    assert (sq["sample_rate"], sq["channels"], sq["n_samples"]) == (8000, 1, 100)
+    assert sq["duration_sec"] == _pytest.approx(100 / 8000)
+    assert sq["rms"] == _pytest.approx(0.5, abs=1e-9)
+    assert sq["peak"] == _pytest.approx(0.5, abs=1e-9)
+    assert sq["zcr"] == _pytest.approx(1.0)
+
+    sil = rows[2]
+    assert (sil["sample_rate"], sil["channels"], sil["n_samples"]) == (16000, 2, 25)
+    assert sil["rms"] == 0.0 and sil["peak"] == 0.0 and sil["zcr"] == 0.0

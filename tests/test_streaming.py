@@ -519,3 +519,100 @@ def test_stream_psi_zero_on_reference_and_positive_on_shift(spark, tmp_path):
         S.read_events_stream = orig_read
     rows2 = out2.collect()
     assert rows2 and all(r.psi > 0.1 for r in rows2)
+
+
+def test_live_file_stream_quality_dedup_parity(spark, documents, tmp_path):
+    """End-to-end from a REAL file-source directory with a CONTINUOUS
+    trigger (not rate / availableNow): file 1 is present at start, file 2
+    — carrying planted duplicates of file 1's docs plus fresh docs — is
+    dropped while the query is live. The quality-gate + exact-dedup
+    stream must emit exactly one row per distinct text with the same
+    gates the batch pipeline assigns."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.streaming.sessionize import (
+        stream_curated_ingest,
+        stream_quality_filter,
+    )
+
+    src = tmp_path / "incoming"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    base = documents.select("doc_id", "lang", "text").limit(60).cache()
+    first = base.filter(F.col("doc_id") < 40)
+    # second file: 20 fresh docs + 10 exact duplicates of file 1's rows
+    fresh = base.filter(F.col("doc_id") >= 40)
+    dups = base.filter(F.col("doc_id") < 10)
+    first.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1.parquet"))
+
+    stream = spark.readStream.schema(first.schema).parquet(str(src) + "/*")
+    out = stream_curated_ingest(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_live_file_curation")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        # wait for file 1 to land, then drop file 2 while the query runs
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("q_live_file_curation").count() >= 40:
+                break
+            time.sleep(0.5)
+        assert spark.table("q_live_file_curation").count() == 40
+        fresh.unionByName(dups).coalesce(1).write.mode("overwrite").parquet(
+            str(src / "batch2.parquet")
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("q_live_file_curation").count() >= 60:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: (r.lang, round(r.quality, 6), r.gate)
+        for r in spark.table("q_live_file_curation").collect()
+    }
+    # the 10 duplicate arrivals were dropped by cross-batch dedup state
+    assert len(got) == 60
+    want = {
+        r.doc_id: (r.lang, round(r.quality, 6), r.gate)
+        for r in stream_quality_filter(base).collect()
+    }
+    assert got == want
+
+
+def test_curated_ingest_watermarked_dedup_variant(spark, documents, tmp_path):
+    """The production configuration (bounded dedup state via
+    dropDuplicatesWithinWatermark on processing time) runs and dedups
+    duplicates arriving inside the watermark window."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.streaming.sessionize import stream_curated_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = documents.select("doc_id", "lang", "text").limit(20)
+    base.unionByName(base.limit(5)).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b.parquet")
+    )
+    stream = spark.readStream.schema(base.schema).parquet(str(src) + "/*")
+    out = stream_curated_ingest(stream, dedup_watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_wm_curation")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("q_wm_curation").collect()
+    assert len(rows) == 20  # the 5 in-window duplicates were dropped
