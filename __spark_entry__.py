@@ -34,6 +34,7 @@ from clusterforge_spark.operators import text as TX
 from clusterforge_spark.operators import validation as VA
 from clusterforge_spark.session import configure_runtime
 from clusterforge_spark.sources.readers import load_table
+from clusterforge_spark.sources import sinks as SNK
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -306,6 +307,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_tpch_waiting_suppliers"] = lambda spark, sf: R.tpch_waiting_suppliers(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "supplier")
+    )
+    q["q_tpch_priority_check"] = lambda spark, sf: R.tpch_priority_check(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["q_tpch_volume_shipping"] = lambda spark, sf: R.tpch_volume_shipping(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+    q["q_tpch_market_share"] = lambda spark, sf: R.tpch_market_share(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+        _t(spark, sf, "part"),
+    )
+    q["q_tpch_product_profit"] = lambda spark, sf: R.tpch_product_profit(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "part"),
+    )
+    q["q_tpch_returned_items"] = lambda spark, sf: R.tpch_returned_items(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
+    q["q_tpch_customer_distribution"] = lambda spark, sf: R.tpch_customer_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["q_tpch_top_supplier"] = lambda spark, sf: R.tpch_top_supplier(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    )
+    q["q_tpch_small_qty_revenue"] = lambda spark, sf: R.tpch_small_quantity_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+    q["q_tpch_sales_opportunity"] = lambda spark, sf: R.tpch_global_sales_opportunity(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["q_anova_f"] = lambda spark, sf: R.anova_f(_t(spark, sf, "orders"))
+    q["q_acf_daily_revenue"] = lambda spark, sf: R.acf_daily_revenue(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_cusum_changepoint"] = lambda spark, sf: R.cusum_changepoint(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_jsonl_roundtrip"] = lambda spark, sf: SNK.roundtrip_jsonl_doc_stats(
+        _t(spark, sf, "documents")
+    )
+    q["q_orc_roundtrip"] = lambda spark, sf: SNK.roundtrip_orc_order_stats(
+        _t(spark, sf, "orders")
+    )
+    q["q_embedding_covariance"] = lambda spark, sf: SIM.embedding_covariance(
+        _t(spark, sf, "embeddings")
     )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
@@ -712,6 +773,21 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
         "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
         "q_tpch_waiting_suppliers": OSQL.q_tpch_waiting_suppliers(),
+        "q_tpch_priority_check": OSQL.q_tpch_priority_check(),
+        "q_tpch_volume_shipping": OSQL.q_tpch_volume_shipping(),
+        "q_tpch_market_share": OSQL.q_tpch_market_share(),
+        "q_tpch_product_profit": OSQL.q_tpch_product_profit(),
+        "q_tpch_returned_items": OSQL.q_tpch_returned_items(),
+        "q_tpch_customer_distribution": OSQL.q_tpch_customer_distribution(),
+        "q_tpch_top_supplier": OSQL.q_tpch_top_supplier(),
+        "q_tpch_small_qty_revenue": OSQL.q_tpch_small_qty_revenue(),
+        "q_tpch_sales_opportunity": OSQL.q_tpch_sales_opportunity(),
+        "q_anova_f": OSQL.q_anova_f(),
+        "q_acf_daily_revenue": OSQL.q_acf_daily_revenue(),
+        "q_cusum_changepoint": OSQL.q_cusum_changepoint(),
+        "q_jsonl_roundtrip": OSQL.q_jsonl_roundtrip(),
+        "q_orc_roundtrip": OSQL.q_orc_roundtrip(),
+        "q_embedding_covariance": OSQL.q_embedding_covariance(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

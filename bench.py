@@ -92,6 +92,21 @@ BENCH_QUERIES = [
     "q_tpch_promo_revenue",
     "q_tpch_brand_volume",
     "q_tpch_waiting_suppliers",
+    "q_tpch_priority_check",
+    "q_tpch_volume_shipping",
+    "q_tpch_market_share",
+    "q_tpch_product_profit",
+    "q_tpch_returned_items",
+    "q_tpch_customer_distribution",
+    "q_tpch_top_supplier",
+    "q_tpch_small_qty_revenue",
+    "q_tpch_sales_opportunity",
+    "q_anova_f",
+    "q_acf_daily_revenue",
+    "q_cusum_changepoint",
+    "q_jsonl_roundtrip",
+    "q_orc_roundtrip",
+    "q_embedding_covariance",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

@@ -2409,3 +2409,598 @@ def tpch_waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q4 / Q7 / Q8 / Q9 / Q10 / Q13 / Q15 / Q17 / Q22
+# (this schema has no partsupp table, so Q2/Q11/Q16/Q20 — the four
+# shapes defined on it — have no faithful adaptation here)
+# ---------------------------------------------------------------------------
+
+Q4_WINDOW = ("1997-01-01", "1997-04-01")
+Q4_LATE_DAYS = 45
+
+
+def tpch_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    window: tuple = Q4_WINDOW,
+    late_days: int = Q4_LATE_DAYS,
+) -> DataFrame:
+    """TPC-H Q4-shape order-priority checking: orders placed in a
+    quarter that had AT LEAST ONE late line (shipped > ``late_days``
+    after the order date — this schema's stand-in for
+    commitdate < receiptdate), counted per priority.
+
+    Spark shape: the correlated EXISTS becomes a LEFT SEMI hash join on
+    the order key with the lateness predicate as its residual — one
+    shuffle, no distinct, no double-scan of lineitem; the quarter filter
+    is a pushed parquet range scan on orders.
+    """
+    lo, hi = window
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lines = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        lines,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate").cast("long")
+            > F.col("o_orderdate").cast("long") + F.lit(late_days * 86400)
+        ),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_SHIP_WINDOW = ("1996-01-01", "1998-01-01")
+
+
+def tpch_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple = Q7_NATIONS,
+    window: tuple = Q7_SHIP_WINDOW,
+) -> DataFrame:
+    """TPC-H Q7-shape volume shipping: revenue flowing between two
+    nations (supplier nation ≠ customer nation, both directions), per
+    ship year.
+
+    Spark shape: the two-nation filter is applied to supplier and
+    customer BEFORE their joins — at 100 TB that prunes both sides to
+    2/N of their rows ahead of any shuffle. supplier⋈nation and the
+    nation dim itself broadcast; lineitem⋈orders and orders⋈customer
+    shuffle on their keys with AQE sizing. Revenue is the exact e4-unit
+    decimal sum.
+    """
+    lo, hi = window
+    n = nation.filter(F.col("n_name").isin(list(nations))).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        F.expr(f"{REVENUE_E4} as revenue_e4"),
+    )
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "EUROPE"
+Q8_TYPE = "ECONOMY"
+Q8_ORDER_WINDOW = ("1996-01-01", "1998-01-01")
+
+
+def tpch_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = Q8_NATION,
+    target_region: str = Q8_REGION,
+    part_type: str = Q8_TYPE,
+    window: tuple = Q8_ORDER_WINDOW,
+) -> DataFrame:
+    """TPC-H Q8-shape market share: the fraction of a region's revenue
+    (for one part type, customers in the region, order-date window)
+    supplied by one nation, per order year.
+
+    Spark shape: part is filtered to the type and customer to the
+    region BEFORE joining (both prune the fact early); nation/region/
+    supplier-side lookups broadcast. The share is a conditional exact
+    e4 sum over the total exact sum — one aggregate, no second pass.
+    """
+    lo, hi = window
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    rkey = region.filter(F.col("r_name") == target_region).select("r_regionkey")
+    cust_nat = nation.join(
+        F.broadcast(rkey), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    j = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", F.expr(f"{REVENUE_E4} as revenue_e4")
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target = F.sum(
+        F.when(
+            F.col("supp_nation") == target_nation,
+            F.expr("cast(revenue_e4 as decimal(38,0))"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    )
+    total = F.sum(F.expr("cast(revenue_e4 as decimal(38,0))"))
+    return j.groupBy("o_year").agg(
+        round_det(target.cast("double") / total.cast("double"), 6).alias("mkt_share"),
+        round_det(total.cast("double") / F.lit(1e4), 2).alias("total_revenue"),
+    )
+
+
+#: e4-unit profit: revenue minus a retail-cost proxy (this schema has no
+#: partsupp.ps_supplycost; p_retailprice·quantity stands in).
+PROFIT_E4 = (
+    f"({REVENUE_E4}) - "
+    "cast(floor(p_retailprice * 100 + 0.5) as bigint) * "
+    "cast(floor(l_quantity * 100 + 0.5) as bigint)"
+)
+
+
+def tpch_product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9-shape product-type profit by supplier nation and order
+    year. Profit per line = discounted revenue − retail cost proxy
+    (no partsupp in this schema), both in exact e4 integer units so the
+    nation/year sums are order-independent at any scale.
+
+    Spark shape: lineitem⋈part and lineitem⋈orders shuffle on their
+    keys (part may auto-broadcast at small SF — AQE's call, not a
+    hint); supplier⋈nation broadcasts. One aggregate, decimal-exact.
+    """
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    j = (
+        lineitem.join(part.select("p_partkey", "p_retailprice"),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("supp_nation", "o_year", F.expr(f"{PROFIT_E4} as profit_e4"))
+    )
+    return j.groupBy("supp_nation", "o_year").agg(
+        round_det(
+            F.expr("cast(sum(cast(profit_e4 as decimal(38,0))) as double) / 10000.0"),
+            2,
+        ).alias("sum_profit")
+    )
+
+
+Q10_WINDOW = ("1996-10-01", "1997-01-01")
+Q10_TOPK = 20
+
+
+def tpch_returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: tuple = Q10_WINDOW,
+    k: int = Q10_TOPK,
+) -> DataFrame:
+    """TPC-H Q10-shape returned-item losses: top customers by revenue of
+    lines they returned (l_returnflag = 'R') for orders placed in a
+    quarter.
+
+    Spark shape: the quarter filter prunes orders at the scan; the
+    returnflag filter prunes lineitem at the scan; revenue aggregates
+    per customer BEFORE joining the customer/nation dims, so the dim
+    join sees one row per customer, not per line. Top-k with a
+    deterministic custkey tie-break is TakeOrderedAndProject.
+    """
+    lo, hi = window
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", F.expr(f"{REVENUE_E4} as revenue_e4")
+    )
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+    dim = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_cust.join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def tpch_customer_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = Q13_EXCLUDE_PRIORITY,
+) -> DataFrame:
+    """TPC-H Q13-shape customer distribution: how many customers placed
+    exactly c_count qualifying orders (priority filter standing in for
+    the comment NOT LIKE), INCLUDING zero-order customers via the left
+    outer join.
+
+    Spark shape: two hash aggregates back-to-back — per-customer count
+    over the left join, then the count histogram whose key space is
+    tiny (≤ max orders per customer). No window, no distinct.
+    """
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+Q15_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def tpch_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    window: tuple = Q15_WINDOW,
+) -> DataFrame:
+    """TPC-H Q15-shape top supplier: the supplier(s) whose quarter
+    revenue equals the maximum over all suppliers.
+
+    Spark shape: the revenue view aggregates once; the scalar MAX comes
+    from a 1-row aggregate cross-joined back (broadcast by construction
+    — never a single-partition window over all suppliers). Exact e4
+    revenue makes the equality tie-proof across engines.
+    """
+    lo, hi = window
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+        )
+        .select("l_suppkey", F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as revenue_e4"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("revenue_e4").alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("max_e4"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_e4") == F.col("max_e4"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_det(F.col("total_e4").cast("double") / F.lit(1e4), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+Q17_BRAND = "Brand#23"
+Q17_QTY_FRACTION = 0.2
+
+
+def tpch_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = Q17_BRAND,
+    fraction: float = Q17_QTY_FRACTION,
+) -> DataFrame:
+    """TPC-H Q17-shape small-quantity order revenue: average yearly
+    revenue lost if small orders (quantity < ``fraction``·avg for the
+    part) of one brand's parts were not filled.
+
+    Spark shape: the correlated per-part AVG subquery decorrelates into
+    one grouped aggregate over the SAME brand-pruned join, joined back
+    by part key — Catalyst's standard decorrelation, written explicitly.
+    The brand filter prunes part at the scan and the join prunes
+    lineitem before any aggregation. avg(quantity) is exact here
+    (integral quantities, one division) so the threshold compare is
+    engine-stable.
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = li.join(
+        avg_qty, F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < F.lit(fraction) * F.col("avg_qty"))
+    return small.agg(
+        round_det(
+            F.expr(
+                "cast(sum(cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                " as decimal(38,0))) as double)"
+            )
+            / F.lit(100.0)
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+Q22_NATIONKEYS = (1, 2, 3, 4, 5, 6, 7)
+Q22_LAPSE_DATE = "2001-01-01"
+
+
+def tpch_global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    nationkeys: tuple = Q22_NATIONKEYS,
+    lapse_date: str = Q22_LAPSE_DATE,
+) -> DataFrame:
+    """TPC-H Q22-shape global sales opportunity: per nation (standing in
+    for the phone country code), the count and total balance of
+    above-average-balance customers with NO orders since ``lapse_date``
+    (every customer here has SOME order, so the classic no-orders-ever
+    anti-join would be vacuous).
+
+    Spark shape: the positive-balance average is a 1-row aggregate
+    broadcast back (scalar subquery); the NOT EXISTS is a left anti hash
+    join against the date-pruned orders projection. Balances sum in
+    exact cents.
+    """
+    keys = list(nationkeys)
+    cust = customer.filter(F.col("c_nationkey").isin(keys)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint) as bal_e2"),
+    )
+    avg_bal = cust.filter(F.col("bal_e2") > 0).agg(
+        (F.sum(F.expr("cast(bal_e2 as decimal(38,0))")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avg_e2")
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("bal_e2").cast("double") > F.col("avg_e2"))
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(lapse_date)).select("o_custkey")
+    lapsed = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return lapsed.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        round_det(
+            F.expr("cast(sum(cast(bal_e2 as decimal(38,0))) as double) / 100.0"), 2
+        ).alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classical statistics: one-way ANOVA, autocorrelation, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def anova_f(orders: DataFrame) -> DataFrame:
+    """One-way ANOVA F-statistic for order value across priority classes
+    — "does order priority explain any of the price variance", the
+    categorical-effect screen run before modeling on a feature.
+
+    Distributed shape: ONE hash aggregate collects the per-group
+    sufficient statistics (n, Σx, Σx²) with exact cent/cent² integers in
+    decimal(38,0) — order-independent at any scale — and the k-row
+    reduction to SSB/SSW/F is arithmetic on a bounded tiny frame. No
+    second pass, no window. F is rounded to 4dp per the repo's
+    downstream-of-division convention.
+    """
+    g = orders.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) as v_e2"),
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.expr("cast(v_e2 as decimal(38,0))")).alias("sum_g"),
+        F.sum(F.expr("cast(v_e2 as decimal(38,0)) * cast(v_e2 as decimal(38,0))")).alias(
+            "sumsq_g"
+        ),
+    )
+    # k-row reduction: exact decimals cast to double only at the final
+    # ratio; SSW_g = Σx² − (Σx)²/n per group, SSB from group vs grand mean
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sum_g").alias("sum_all"),
+        F.sum(
+            F.col("sumsq_g").cast("double")
+            - F.col("sum_g").cast("double") * F.col("sum_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("ssw_e4"),
+        F.sum(
+            F.col("sum_g").cast("double") * F.col("sum_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("sq_means_e4"),
+    )
+    ssb = F.col("sq_means_e4") - (
+        F.col("sum_all").cast("double") * F.col("sum_all").cast("double")
+        / F.col("n").cast("double")
+    )
+    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
+        F.col("ssw_e4") / (F.col("n") - F.col("k")).cast("double")
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        round_det(f_stat, 4).alias("f_stat"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(lineitem: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Sample autocorrelation of the daily-revenue series at lags
+    1..``max_lag`` — the seasonality screen behind "is revenue weekly-
+    periodic".
+
+    Scale note: the heavy part — the daily aggregate — is one exact-cent
+    hash aggregate over the fact table; everything after runs on the
+    DAY-COUNT-bounded series (a 100 TB corpus has more rows, not more
+    calendar days), so the single ordered window over it is bounded by
+    time, not data, the same justification as spearman's small-domain
+    branch. r_k uses the standard biased estimator
+    Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² over positional lags of the
+    date-ordered series.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        lineitem.select(
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("d")
+        .agg(F.sum("rev_e4").alias("x_e4"))
+    )
+    # the day totals stay exact e4 decimals all the way to the per-row
+    # deviation, so every dev value is one identical double op on exact
+    # inputs in either engine
+    mean = daily.agg(
+        (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "xbar_e4"
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.crossJoin(F.broadcast(mean)).select(
+        "d",
+        ((F.col("x_e4").cast("double") - F.col("xbar_e4")) / F.lit(1e4)).alias("dev"),
+        *[
+            (
+                (F.lag("x_e4", k).over(w).cast("double") - F.col("xbar_e4"))
+                / F.lit(1e4)
+            ).alias(f"dev_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [F.sum(F.col("dev") * F.col("dev")).alias("den")] + [
+        F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    one = lagged.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        round_det(F.col(f"num_{k}") / F.col("den"), 4).alias("acf"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+def cusum_changepoint(lineitem: DataFrame) -> DataFrame:
+    """CUSUM changepoint over the daily-revenue series: the day k
+    maximizing |S_k − (k/n)·S_n| (cumulative sum vs the no-change
+    line) — the standard level-shift detector for a monitored metric.
+
+    Same time-bounded shape as :func:`acf_daily_revenue`: one exact-cent
+    daily aggregate over the facts, then a calendar-bounded cumulative
+    window. S_k stays an exact decimal; only the k/n projection goes
+    through double, so the argmax (earliest-date tie-break) is
+    engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        lineitem.select(
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("d")
+        .agg(F.sum("rev_e4").alias("day_e4"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("day_e4").over(w).alias("s_k"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+    )
+    total = daily.agg(
+        F.sum("day_e4").alias("s_n"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stat = cum.crossJoin(F.broadcast(total)).select(
+        "d",
+        F.abs(
+            (F.col("s_k").cast("double")
+             - F.col("k").cast("double") / F.col("n").cast("double")
+             * F.col("s_n").cast("double"))
+            / F.lit(1e4)
+        ).alias("stat"),
+    )
+    best = stat.agg(F.max("stat").alias("max_stat"))
+    return (
+        stat.join(F.broadcast(best), F.col("stat") == F.col("max_stat"))
+        .select("d", round_det(F.col("stat"), 2).alias("cusum_stat"))
+        .orderBy("d")
+        .limit(1)
+        # ISO string: timestamp physical types differ across engines
+        # (ns vs µs pandas units), strings compare exactly
+        .select(F.date_format("d", "yyyy-MM-dd").alias("change_date"), "cusum_stat")
+    )

@@ -465,3 +465,68 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         (F.col("max_micro").cast("double") / F.lit(1e6)).alias("max_v"),
         ((F.abs("min_micro") < 1000) & (F.abs("max_micro") < 1000)).alias("is_dead"),
     )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the input to PCA/whitening and the correlated-dimension screen run
+    before building any similarity index.
+
+    Determinism: components are quantized to exact 1e-6 BIGINT
+    micro-units first (the :func:`embedding_dim_stats` convention), so
+    every pair product is an exact integer and the decimal(38,0) sums
+    are order-independent at any scale; cov(i,j) =
+    (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n is then identical IEEE arithmetic on exact
+    inputs in both engines.
+
+    Shape: one map-only expansion of each vector into its d(d+1)/2
+    upper-triangle pair products (flatten/transform, no UDF) feeding a
+    single hash aggregate keyed on (i, j) — map-side partials do the
+    heavy lifting; the d² key space is tiny. The per-dimension sums join
+    back by broadcast. At transformer dimensionalities (d ≥ 1024) the
+    d²/2 expansion factor warrants the gramian alternative — per-
+    partition numpy Gᵀ·G partials via mapInPandas summed by (i, j) —
+    same result, fewer intermediate rows; at this corpus's d=64 the
+    pure-SQL expansion stays inside whole-stage codegen and wins.
+    """
+    vm = embeddings.select(
+        F.expr(
+            "transform(embedding, v -> cast(floor(cast(v as double) * 1e6 + 0.5)"
+            " as bigint)) as vm"
+        )
+    )
+    pairs = vm.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(vm) - 1), i ->"
+                " transform(sequence(i, size(vm) - 1), j ->"
+                " struct(i as i, j as j, vm[i] * vm[j] as p))))"
+            )
+        ).alias("t")
+    ).select(
+        F.col("t.i").cast("long").alias("i"),
+        F.col("t.j").cast("long").alias("j"),
+        F.col("t.p").alias("p"),
+    )
+    spp = pairs.groupBy("i", "j").agg(
+        F.sum(F.expr("cast(p as decimal(38,0))")).alias("spp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dims = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"))
+    )
+    si = dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))
+    sj = dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
+    joined = spp.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    cov = (
+        F.col("spp").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+        / F.col("n").cast("double")
+    ) / F.col("n").cast("double") / F.lit(1e12)
+    return joined.select("i", "j", round_det(cov, 8).alias("cov"))

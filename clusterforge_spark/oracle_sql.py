@@ -3955,3 +3955,314 @@ def q_kfold_split(k: int = 5) -> str:
        ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {k} AS fold,
        (('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {k}) <> 0 AS in_train_fold0
 FROM documents"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes Q4 / Q7 / Q8 / Q9 / Q10 / Q13 / Q15 / Q17 / Q22
+# --------------------------------------------------------------------------
+
+_REV_E4 = (
+    "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+)
+
+
+def q_tpch_priority_check() -> str:
+    from clusterforge_spark.operators.relational import Q4_LATE_DAYS, Q4_WINDOW
+
+    lo, hi = Q4_WINDOW
+    us = Q4_LATE_DAYS * 86400 * 1000000
+    return f"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate::TIMESTAMP) > epoch_us(o.o_orderdate::TIMESTAMP) + {us})
+GROUP BY o_orderpriority"""
+
+
+def q_tpch_volume_shipping() -> str:
+    from clusterforge_spark.operators.relational import Q7_NATIONS, Q7_SHIP_WINDOW
+
+    lo, hi = Q7_SHIP_WINDOW
+    nats = ", ".join(f"'{n}'" for n in Q7_NATIONS)
+    return f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate::TIMESTAMP) AS BIGINT) AS l_year,
+       round(CAST(sum({_REV_E4}) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey AND ns.n_name IN ({nats})
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey AND nc.n_name IN ({nats})
+WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q_tpch_market_share() -> str:
+    from clusterforge_spark.operators.relational import (
+        Q8_NATION,
+        Q8_ORDER_WINDOW,
+        Q8_REGION,
+        Q8_TYPE,
+    )
+
+    lo, hi = Q8_ORDER_WINDOW
+    return f"""WITH j AS (
+  SELECT CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS o_year,
+         ns.n_name AS supp_nation, {_REV_E4} AS rev_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+    AND EXISTS (SELECT 1 FROM customer c
+                JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                JOIN region r ON nc.n_regionkey = r.r_regionkey
+                WHERE c.c_custkey = orders.o_custkey AND r.r_name = '{Q8_REGION}')
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share,
+       round(CAST(sum(rev_e4) AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM j GROUP BY o_year"""
+
+
+def q_tpch_product_profit() -> str:
+    profit = (
+        f"({_REV_E4}) - CAST(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT)"
+    )
+    return f"""SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS o_year,
+       round(CAST(sum({profit}) AS DOUBLE) / 10000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2"""
+
+
+def q_tpch_returned_items() -> str:
+    from clusterforge_spark.operators.relational import Q10_TOPK, Q10_WINDOW
+
+    lo, hi = Q10_WINDOW
+    return f"""SELECT c_custkey, c_name,
+       round(CAST(sum({_REV_E4}) AS DOUBLE) / 10000.0, 2) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPK}"""
+
+
+def q_tpch_customer_distribution() -> str:
+    from clusterforge_spark.operators.relational import Q13_EXCLUDE_PRIORITY
+
+    return f"""WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count"""
+
+
+def q_tpch_top_supplier() -> str:
+    from clusterforge_spark.operators.relational import Q15_WINDOW
+
+    lo, hi = Q15_WINDOW
+    return f"""WITH rev AS (
+  SELECT l_suppkey, sum({_REV_E4}) AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_e4 = (SELECT max(total_e4) FROM rev)"""
+
+
+def q_tpch_small_qty_revenue() -> str:
+    from clusterforge_spark.operators.relational import Q17_BRAND, Q17_QTY_FRACTION
+
+    return f"""WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+), avg_qty AS (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty FROM li GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+             / 100.0 / 7.0, 2) AS avg_yearly
+FROM li JOIN avg_qty ON l_partkey = a_partkey
+WHERE l_quantity < {flit(Q17_QTY_FRACTION)} * avg_qty"""
+
+
+def q_tpch_sales_opportunity() -> str:
+    from clusterforge_spark.operators.relational import Q22_LAPSE_DATE, Q22_NATIONKEYS
+
+    keys = ", ".join(str(k) for k in Q22_NATIONKEYS)
+    return f"""WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+  FROM customer WHERE c_nationkey IN ({keys})
+), avg_bal AS (
+  SELECT CAST(sum(CAST(bal_e2 AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_e2
+  FROM cust WHERE bal_e2 > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(bal_e2 AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS totacctbal
+FROM cust, avg_bal
+WHERE CAST(bal_e2 AS DOUBLE) > avg_e2
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cust.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_LAPSE_DATE}')
+GROUP BY 1"""
+
+
+# --------------------------------------------------------------------------
+# classical statistics: ANOVA / ACF / CUSUM
+# --------------------------------------------------------------------------
+
+
+def q_anova_f() -> str:
+    return """WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sum_g,
+         sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sumsq_g
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         sum(sum_g) AS sum_all,
+         sum(CAST(sumsq_g AS DOUBLE) - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS ssw_e4,
+         sum(CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS sq_means_e4
+  FROM g
+)
+SELECT k AS n_groups, n AS n_rows,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round(((sq_means_e4 - CAST(sum_all AS DOUBLE) * CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(k - 1 AS DOUBLE))
+             / (ssw_e4 / CAST(n - k AS DOUBLE)), 4) AS f_stat
+FROM tot"""
+
+
+def q_acf_daily_revenue() -> str:
+    from clusterforge_spark.operators.relational import ACF_MAX_LAG
+
+    rev = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    lags = range(1, ACF_MAX_LAG + 1)
+    devs = ",\n         ".join(
+        f"(CAST(lag(x_e4, {k}) OVER (ORDER BY d) AS DOUBLE) - xbar_e4) / 10000.0 AS dev_{k}"
+        for k in lags
+    )
+    nums = ", ".join(f"sum(dev * dev_{k}) AS num_{k}" for k in lags)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, round(num_{k} / den, 4) AS acf FROM one"
+        for k in lags
+    )
+    return f"""WITH daily AS (
+  SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d, sum({rev}) AS x_e4
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(sum(x_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar_e4 FROM daily
+), lagged AS (
+  SELECT d,
+         (CAST(x_e4 AS DOUBLE) - xbar_e4) / 10000.0 AS dev,
+         {devs}
+  FROM daily, m
+), one AS (
+  SELECT sum(dev * dev) AS den, {nums} FROM lagged
+)
+{unions}"""
+
+
+def q_cusum_changepoint() -> str:
+    rev = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    return f"""WITH daily AS (
+  SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d, sum({rev}) AS day_e4
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT d,
+         sum(day_e4) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+), total AS (
+  SELECT sum(day_e4) AS s_n, CAST(count(*) AS BIGINT) AS n FROM daily
+), stat AS (
+  SELECT d, abs((CAST(s_k AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * CAST(s_n AS DOUBLE)) / 10000.0) AS stat
+  FROM cum, total
+)
+SELECT strftime(d, '%Y-%m-%d') AS change_date, round(stat, 2) AS cusum_stat
+FROM stat WHERE stat = (SELECT max(stat) FROM stat)
+ORDER BY d LIMIT 1"""
+
+
+# --------------------------------------------------------------------------
+# connector roundtrips + embedding covariance
+# --------------------------------------------------------------------------
+
+
+def q_jsonl_roundtrip() -> str:
+    # the oracle reads the SOURCE parquet: if the spark side's
+    # JSONL write→read leg loses anything, the aggregates diverge
+    return """SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang"""
+
+
+def q_orc_roundtrip() -> str:
+    return """SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_value,
+       min(strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d')) AS first_date,
+       max(strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d')) AS last_date
+FROM orders GROUP BY o_orderstatus"""
+
+
+def q_embedding_covariance() -> str:
+    return """WITH ex AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM embeddings
+), pairs AS (
+  SELECT a.dim AS i, b.dim AS j,
+         sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS spp,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+), dims AS (
+  SELECT dim, sum(CAST(vm AS HUGEINT)) AS s FROM ex GROUP BY dim
+)
+SELECT i, j,
+       round((CAST(spp AS DOUBLE)
+              - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1e12, 8) AS cov
+FROM pairs
+JOIN dims si ON si.dim = i
+JOIN dims sj ON sj.dim = j"""

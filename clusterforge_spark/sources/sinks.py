@@ -118,3 +118,61 @@ def compact_small_files(
     staged = df.coalesce(n_out).localCheckpoint(eager=True)
     staged.write.mode("overwrite").parquet(path)
     return n_out
+
+
+def roundtrip_jsonl_doc_stats(documents: DataFrame, base_dir: str | None = None) -> DataFrame:
+    """JSONL connector proof: write the documents table through the
+    JSON-lines sink, read it back through the schema-pinned source, and
+    aggregate per language — counts, exact char sums, and the
+    roundtripped text length, so any sink/source fidelity loss (quoting,
+    escaping, encoding) breaks the oracle compare.
+
+    The write executes when the plan is BUILT (a connector test is a
+    side effect by nature); data lands under a private temp dir per
+    invocation. At scale this is the standard export→re-ingest validation
+    pass, map-only on both legs.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.sources.readers import read_jsonl
+
+    spark = documents.sparkSession
+    sel = documents.select("doc_id", "lang", "source", "text", "n_chars")
+    path = os.path.join(
+        base_dir or tempfile.mkdtemp(prefix="cf_jsonl_rt_"), "docs_jsonl"
+    )
+    write_jsonl(sel, path)
+    back = read_jsonl(spark, path, sel.schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+def roundtrip_orc_order_stats(orders: DataFrame, base_dir: str | None = None) -> DataFrame:
+    """ORC connector proof: orders through the ORC sink and back, then
+    an exact-cent revenue aggregate per status — decimal money sums make
+    any value-level roundtrip corruption a hard oracle failure. Same
+    eager-write contract as :func:`roundtrip_jsonl_doc_stats`."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = orders.sparkSession
+    sel = orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    path = os.path.join(base_dir or tempfile.mkdtemp(prefix="cf_orc_rt_"), "orders_orc")
+    write_orc(sel, path)
+    back = spark.read.schema(sel.schema).orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as decimal(38,0))) as double) / 100.0, 2)"
+        ).alias("total_value"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
+    )

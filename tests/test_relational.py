@@ -558,3 +558,84 @@ def test_tpch_waiting_suppliers_hand_graph(spark):
         for r in tpch_waiting_suppliers(li, orders, supplier).collect()
     }
     assert got == {10: 1, 11: 1}
+
+
+def test_anova_f_closed_form(spark):
+    """Two groups, hand-computable F: group A = {10, 20}, B = {40, 50}.
+    Means 15/45, grand 30; SSB = 2·15² + 2·15² = 900; SSW = 50+50 = 100;
+    F = (900/1)/(100/2) = 18."""
+    rows = [("A", 10.0), ("A", 20.0), ("B", 40.0), ("B", 50.0)]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    r = R.anova_f(df).collect()[0]
+    assert (r["n_groups"], r["n_rows"]) == (2, 4)
+    assert (r["df_between"], r["df_within"]) == (1, 2)
+    assert abs(r["f_stat"] - 18.0) < 1e-9
+
+
+def test_acf_alternating_series(spark):
+    """A perfectly alternating daily series has ACF(1) = −1·(n−1)/n-ish;
+    exactly: devs ±a, lag-1 products all −a², num/den = −(n−1)/n."""
+    rows = []
+    for t in range(10):
+        # one line per day, revenue alternating 100.00 / 200.00, no discount
+        rows.append((f"2000-01-{t+1:02d} 00:00:00", 100.0 if t % 2 == 0 else 200.0))
+    df = spark.createDataFrame(rows, "ship string, l_extendedprice double").select(
+        F.col("ship").cast("timestamp").alias("l_shipdate"),
+        "l_extendedprice",
+        F.lit(0.0).alias("l_discount"),
+    )
+    out = {r["lag"]: r["acf"] for r in R.acf_daily_revenue(df, max_lag=2).collect()}
+    assert abs(out[1] - round(-9 / 10, 4)) < 1e-9
+    assert abs(out[2] - round(8 / 10, 4)) < 1e-9
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """20 days at 100 then 20 days at 200: the CUSUM statistic peaks at
+    the last day of the low regime (day 20)."""
+    rows = []
+    for t in range(40):
+        d = f"2000-{1 + t // 28:02d}-{1 + t % 28:02d} 00:00:00"
+        rows.append((d, 100.0 if t < 20 else 200.0))
+    df = spark.createDataFrame(rows, "ship string, l_extendedprice double").select(
+        F.col("ship").cast("timestamp").alias("l_shipdate"),
+        "l_extendedprice",
+        F.lit(0.0).alias("l_discount"),
+    )
+    r = R.cusum_changepoint(df).collect()[0]
+    assert r["change_date"] == "2000-01-20"
+    # |S_20 − 20/40·S_40| = |2000 − 3000| = 1000
+    assert abs(r["cusum_stat"] - 1000.0) < 1e-9
+
+
+def test_tpch_q13_counts_zero_order_customers(spark):
+    """A customer with only excluded-priority orders lands in the
+    c_count = 0 bucket — the left-join semantics Q13 exists to test."""
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, "5-LOW"), (11, 1, "5-LOW"), (12, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in R.tpch_customer_distribution(cust, orders).collect()
+    }
+    assert got == {2: 1, 0: 2}
+
+
+def test_tpch_q15_returns_all_tied_top_suppliers(spark):
+    """Two suppliers with identical exact revenue both surface — the
+    equality is on exact e4 integers, not rounded doubles."""
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, "1996-02-01 00:00:00"),
+            (2, 50.0, 0.0, "1996-02-01 00:00:00"),
+            (2, 50.0, 0.0, "1996-02-02 00:00:00"),
+            (3, 99.0, 0.0, "1996-02-01 00:00:00"),
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, ship string",
+    ).select("l_suppkey", "l_extendedprice", "l_discount", F.col("ship").cast("timestamp").alias("l_shipdate"))
+    supp = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey long, s_name string"
+    )
+    got = sorted(r["s_suppkey"] for r in R.tpch_top_supplier(li, supp).collect())
+    assert got == [1, 2]

@@ -226,3 +226,23 @@ def test_pq_topk_rerank_is_exact_cosine_on_candidates(embeddings):
     }
     for r in out:
         assert r.cos_sim == exact[r.vec_id]
+
+
+def test_embedding_covariance_matches_numpy(spark, embeddings):
+    """cov(i,j) equals numpy's biased covariance of the micro-quantized
+    components, for a sample of entries including the diagonal."""
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import embedding_covariance
+
+    sub = embeddings.limit(50).cache()
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(sub).collect()}
+    mat = np.array(
+        [row["embedding"] for row in sub.select("embedding").collect()], dtype=np.float64
+    )
+    q = np.floor(mat * 1e6 + 0.5)  # the exact micro-quantization
+    n, d = q.shape
+    assert len(got) == d * (d + 1) // 2
+    c = (q.T @ q / n - np.outer(q.sum(0) / n, q.sum(0) / n)) / 1e12
+    for i, j in [(0, 0), (0, 1), (3, 17), (63, 63), (10, 60)]:
+        assert abs(got[(i, j)] - round(c[i, j], 8)) < 1e-7

@@ -125,3 +125,35 @@ def test_compact_small_files(spark, tmp_path):
     assert before == 32
     assert after == n_out < before
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_jsonl_roundtrip_preserves_aggregates(spark, documents, tmp_path):
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.sources.sinks import roundtrip_jsonl_doc_stats
+
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_chars"], r["sum_text_len"], r["n_sources"])
+        for r in roundtrip_jsonl_doc_stats(documents, base_dir=str(tmp_path)).collect()
+    }
+    want = {
+        r["lang"]: (r["n_docs"], r["sum_chars"], r["sum_text_len"], r["n_sources"])
+        for r in documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_orc_roundtrip_preserves_exact_money(spark, orders, tmp_path):
+    from clusterforge_spark.sources.sinks import roundtrip_orc_order_stats
+
+    rows = roundtrip_orc_order_stats(orders, base_dir=str(tmp_path)).collect()
+    assert {r["o_orderstatus"] for r in rows} == {"P", "O", "F"}
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    assert all(r["first_date"] <= r["last_date"] for r in rows)
