@@ -82,6 +82,33 @@ LINEITEM_QUERIES = {
     "q_tpch_pricing",
     "q_tpch_forecast_revenue",
     "q_tpch_waiting_suppliers",
+    "q_tpch_priority_check",
+    "q_tpch_volume_shipping",
+    "q_tpch_product_profit",
+    "q_tpch_returned_items",
+    "q_tpch_top_supplier",
+    "q_tpch_small_qty_revenue",
+    "q_acf_daily_revenue",
+    "q_cusum_changepoint",
+}
+
+BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
+
+#: queries that read orders as their FACT side — order keys shifted,
+#: custkeys preserved (the customer dim stays 1×, as dims do).
+ORDERS_QUERIES = {
+    "q_anova_f",
+    "q_tpch_customer_distribution",
+    "q_tpch_sales_opportunity",
+}
+
+BIG_EMB_PATH = "/tmp/stress_embeddings_10x.parquet"
+
+#: queries that scan embeddings globally (not per-label-pairwise) —
+#: vec_ids shifted, vectors/labels preserved: row count scales 10×.
+EMB_QUERIES = {
+    "q_embedding_covariance",
+    "q_embedding_dim_stats",
 }
 
 
@@ -95,6 +122,17 @@ def main() -> int:
 
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark("clusterforge-stress")
+
+    # drop stale optional replicas so the exists() checks in patched()
+    # can't pick up a previous run's files for queries that don't want them
+    import shutil
+
+    for path, wanted in (
+        (BIG_ORDERS_PATH, any(n in ORDERS_QUERIES for n in names)),
+        (BIG_EMB_PATH, any(n in EMB_QUERIES for n in names)),
+    ):
+        if not wanted and os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
 
     base = load_table(spark, SF_DIR, "documents")
     parts = [base]
@@ -157,6 +195,44 @@ def main() -> int:
         n_li = spark.read.parquet(BIG_LINEITEM_PATH).count()
         print(f"stress lineitem: {n_li} rows ({COPIES}x)", flush=True)
 
+    if any(n in ORDERS_QUERIES for n in names):
+        od = load_table(spark, SF_DIR, "orders")
+        oparts = [od]
+        for i in range(1, COPIES):
+            oparts.append(
+                od.select(
+                    (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+                    *[c for c in od.columns if c != "o_orderkey"],
+                )
+            )
+        bigo = oparts[0]
+        for p in oparts[1:]:
+            bigo = bigo.unionByName(p)
+        bigo.write.mode("overwrite").parquet(BIG_ORDERS_PATH)
+        print(
+            f"stress orders: {spark.read.parquet(BIG_ORDERS_PATH).count()} rows",
+            flush=True,
+        )
+
+    if any(n in EMB_QUERIES for n in names):
+        em = load_table(spark, SF_DIR, "embeddings")
+        eparts = [em]
+        for i in range(1, COPIES):
+            eparts.append(
+                em.select(
+                    (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+                    *[c for c in em.columns if c != "vec_id"],
+                )
+            )
+        bige2 = eparts[0]
+        for p in eparts[1:]:
+            bige2 = bige2.unionByName(p)
+        bige2.write.mode("overwrite").parquet(BIG_EMB_PATH)
+        print(
+            f"stress embeddings: {spark.read.parquet(BIG_EMB_PATH).count()} rows",
+            flush=True,
+        )
+
     queries = E.queries()
     orig_load = R.load_table
 
@@ -168,6 +244,10 @@ def main() -> int:
                 return spark_.read.parquet(BIG_EVENTS_PATH)
             if name_ == "lineitem":
                 return spark_.read.parquet(BIG_LINEITEM_PATH)
+            if name_ == "orders" and os.path.exists(BIG_ORDERS_PATH):
+                return spark_.read.parquet(BIG_ORDERS_PATH)
+            if name_ == "embeddings" and os.path.exists(BIG_EMB_PATH):
+                return spark_.read.parquet(BIG_EMB_PATH)
             return orig_load(spark_, SF_DIR, name_)
         return orig_load(spark_, sf_dir_, name_)
 
