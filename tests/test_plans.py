@@ -104,11 +104,18 @@ def _analyzed(df) -> str:
 
 def test_dedup_ngram_join_no_broadcast_hint(spark):
     df = DD.dedup_ngram_jaccard(DD.docs_with_dups(_t(spark, "documents")))
-    # no explicit broadcast hint in the logical plan: at scale the pair
-    # join degrades to a blocked shuffle join instead of OOMing on a
+    # the PAIR SIDES carry no broadcast hint: at scale the pair join
+    # degrades to a blocked shuffle join instead of OOMing on a
     # full-shingle-table broadcast. (Stats-based auto-broadcast of the
-    # small test corpus is fine and expected.)
-    assert "ResolvedHint" not in _analyzed(df)
+    # small test corpus is fine and expected.) The ONE permitted hint is
+    # the r5 skew-salting block-SIZE table — an aggregate whose
+    # cardinality is the distinct block keys (metadata, not data); its
+    # hinted subtree must be that aggregate, never the shingle table.
+    analyzed = _analyzed(df)
+    # one hinted size table, printed once per self-join side
+    assert analyzed.count("ResolvedHint") == 2
+    hinted = analyzed.split("ResolvedHint", 1)[1]
+    assert "Aggregate" in hinted.split("Join", 1)[0]
     plan = X.plan_string(df, "simple")
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
@@ -253,7 +260,11 @@ def test_funnel_single_shuffle(spark):
 
 def test_dedup_levenshtein_no_broadcast_hint(spark):
     df = DD.dedup_levenshtein(DD.docs_with_dups(_t(spark, "documents")))
-    assert "ResolvedHint" not in _analyzed(df)
+    # two hints, one per salted side's block-size table (metadata-sized
+    # aggregates — see the ngram test above); the pair join itself is
+    # never hint-broadcast and never degenerates to a cross product
+    analyzed = _analyzed(df)
+    assert analyzed.count("ResolvedHint") == 2
     plan = X.plan_string(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
