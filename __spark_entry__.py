@@ -368,6 +368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embedding_covariance"] = lambda spark, sf: SIM.embedding_covariance(
         _t(spark, sf, "embeddings")
     )
+    q["q_csv_roundtrip"] = lambda spark, sf: SNK.roundtrip_csv_doc_stats(
+        _t(spark, sf, "documents")
+    )
+    q["q_partition_pruned"] = lambda spark, sf: SNK.partition_pruned_read(
+        _t(spark, sf, "orders")
+    )
+    q["q_audio_decode"] = lambda spark, sf: MM.audio_decode_meta(
+        _t(spark, sf, "documents")
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -788,6 +797,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_jsonl_roundtrip": OSQL.q_jsonl_roundtrip(),
         "q_orc_roundtrip": OSQL.q_orc_roundtrip(),
         "q_embedding_covariance": OSQL.q_embedding_covariance(),
+        "q_csv_roundtrip": OSQL.q_csv_roundtrip(),
+        "q_partition_pruned": OSQL.q_partition_pruned(),
+        "q_audio_decode": OSQL.q_audio_decode(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
     "q_embedding_covariance",
+    "q_csv_roundtrip",
+    "q_partition_pruned",
+    "q_audio_decode",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

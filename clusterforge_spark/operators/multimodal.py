@@ -487,3 +487,60 @@ def decode_real_audio(clips: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_DECODE_SCHEMA.fields])
 
     return clips.mapInPandas(_decode_batch, AUDIO_DECODE_SCHEMA)
+
+
+AUDIO_SYNTH_RATE = 8000
+
+
+def attach_wav_payload(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV synthesis: each doc's utf-8 bytes become 16-bit
+    mono PCM samples ((byte − 128)·256) in a complete RIFF/WAV container
+    at ``AUDIO_SYNTH_RATE`` Hz — the audio twin of
+    :func:`attach_payload`'s fake-image bytes, but a REAL container the
+    codec path actually parses. Arrow-batched mapInPandas after a spread
+    (the synthesis is the CPU step), one row per doc: (doc_id, payload).
+    """
+    import pandas as pd
+
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    docs = spread_partitions(documents.select("doc_id", "text"), "doc_id")
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                pcm = ((b.astype(np.int16) - 128) * 256).astype("<i2")
+                buf = io.BytesIO()
+                with wavemod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_SYNTH_RATE)
+                    w.writeframes(pcm.tobytes())
+                out.append({"doc_id": int(doc_id), "payload": buf.getvalue()})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def audio_decode_meta(documents: DataFrame) -> DataFrame:
+    """End-to-end audio codec query: synthesize a WAV per doc
+    (:func:`attach_wav_payload`), decode it back
+    (:func:`decode_real_audio`), and emit the stream metadata. The
+    oracle derives the same values from the SOURCE text (n_samples =
+    utf-8 byte count, duration = n/rate), so a header, framing, or
+    sample-count bug anywhere in the synth→container→decode chain is an
+    oracle failure. The energy features (rms/peak/zcr) are covered by
+    the closed-form WAV pytests — byte-level math is not expressible in
+    the SQL oracle.
+    """
+    decoded = decode_real_audio(attach_wav_payload(documents))
+    return decoded.select(
+        "doc_id", "sample_rate", "channels", "n_samples", "duration_sec"
+    )

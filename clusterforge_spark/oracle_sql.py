@@ -4266,3 +4266,28 @@ SELECT i, j,
 FROM pairs
 JOIN dims si ON si.dim = i
 JOIN dims sj ON sj.dim = j"""
+
+
+def q_csv_roundtrip() -> str:
+    # identical aggregate to the JSONL proof — the spark side goes
+    # through the CSV sink/source pair instead
+    return q_jsonl_roundtrip()
+
+
+def q_partition_pruned() -> str:
+    return """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_value
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority"""
+
+
+def q_audio_decode() -> str:
+    from clusterforge_spark.operators.multimodal import AUDIO_SYNTH_RATE
+
+    return f"""SELECT doc_id,
+       CAST({AUDIO_SYNTH_RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) AS DOUBLE) / {AUDIO_SYNTH_RATE}.0 AS duration_sec
+FROM documents"""

@@ -176,3 +176,61 @@ def roundtrip_orc_order_stats(orders: DataFrame, base_dir: str | None = None) ->
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
         F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
     )
+
+
+def roundtrip_csv_doc_stats(documents: DataFrame, base_dir: str | None = None) -> DataFrame:
+    """CSV connector proof — the trickiest text container (quoting,
+    embedded newlines/commas, header round-trip): documents through the
+    CSV sink and back with an explicit schema + multiLine, then the same
+    per-language aggregate as the JSONL proof, so any quoting or
+    escaping loss diverges from the oracle.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = documents.sparkSession
+    sel = documents.select("doc_id", "lang", "source", "text", "n_chars")
+    path = os.path.join(base_dir or tempfile.mkdtemp(prefix="cf_csv_rt_"), "docs_csv")
+    sel.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
+    back = (
+        spark.read.schema(sel.schema)
+        .option("header", True)
+        .option("multiLine", True)  # quoted embedded newlines stay one record
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+def partition_pruned_read(orders: DataFrame, base_dir: str | None = None) -> DataFrame:
+    """Partition-pruning proof: write orders partitioned by status, read
+    back with a partition predicate — the scan must touch only the 'F'
+    directory (PartitionFilters, asserted in tests/test_plans.py) — and
+    aggregate by priority with exact money sums. The oracle computes the
+    same filtered aggregate from the source table, so a pruning bug that
+    drops or double-reads a partition is a value-level failure, not just
+    a slow plan.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = orders.sparkSession
+    sel = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    path = os.path.join(
+        base_dir or tempfile.mkdtemp(prefix="cf_part_rt_"), "orders_by_status"
+    )
+    write_parquet(sel, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as decimal(38,0))) as double) / 100.0, 2)"
+        ).alias("total_value"),
+    )

@@ -557,3 +557,18 @@ def test_spearman_materializes_above_size_threshold(spark):
     assert sorted(map(tuple, forced.collect())) == sorted(
         map(tuple, default.collect())
     )
+
+
+def test_partition_pruned_read_prunes_directories(spark, tmp_path):
+    """The status predicate reaches the scan as a PartitionFilter: only
+    the 'F' directory is read (1 of 3 partitions)."""
+    from clusterforge_spark.sources.sinks import partition_pruned_read
+
+    df = partition_pruned_read(_t(spark, "orders"), base_dir=str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    files = df._jdf.queryExecution().executedPlan().toString()
+    # only the pruned partition's files are scanned
+    scanned = [l for l in files.splitlines() if "o_orderstatus=" in l]
+    assert all("o_orderstatus=F" in l or "o_orderstatus=" not in l for l in scanned)
