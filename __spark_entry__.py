@@ -377,6 +377,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_audio_decode"] = lambda spark, sf: MM.audio_decode_meta(
         _t(spark, sf, "documents")
     )
+    q["q_gap_fill_daily"] = lambda spark, sf: R.gap_fill_daily_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+    q["q_mutual_information"] = lambda spark, sf: R.mutual_information(
+        _t(spark, sf, "events")
+    )
+    q["q_pca_top_component"] = lambda spark, sf: SIM.pca_top_component(
+        _t(spark, sf, "embeddings")
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -800,6 +809,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_csv_roundtrip": OSQL.q_csv_roundtrip(),
         "q_partition_pruned": OSQL.q_partition_pruned(),
         "q_audio_decode": OSQL.q_audio_decode(),
+        "q_gap_fill_daily": OSQL.q_gap_fill_daily(),
+        "q_mutual_information": OSQL.q_mutual_information(),
+        "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

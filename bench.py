@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "q_csv_roundtrip",
     "q_partition_pruned",
     "q_audio_decode",
+    "q_gap_fill_daily",
+    "q_mutual_information",
+    "q_pca_top_component",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

@@ -3004,3 +3004,121 @@ def cusum_changepoint(lineitem: DataFrame) -> DataFrame:
         # (ns vs µs pandas units), strings compare exactly
         .select(F.date_format("d", "yyyy-MM-dd").alias("change_date"), "cusum_stat")
     )
+
+
+GAPFILL_BRAND = "Brand#23"
+
+
+def gap_fill_daily_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = GAPFILL_BRAND
+) -> DataFrame:
+    """Calendar gap-fill + linear interpolation of a sparse daily-revenue
+    series (one brand's parts ship on ~60% of days) — the standard
+    time-series regularization step before any windowed model.
+
+    Shape: one exact-cent daily aggregate over the brand-pruned join,
+    the full calendar generated from the min/max bounds (sequence
+    explode off a 1-row aggregate), a left join, and two
+    calendar-bounded ignore-nulls windows (last-before / first-after)
+    for the bracketing observations. Interpolation arithmetic runs on
+    exact e4 integers and integer day distances, so the doubles are
+    identical cross-engine. Day count is time-bounded, not data-bounded
+    (same argument as :func:`acf_daily_revenue`).
+    """
+    from pyspark.sql.window import Window
+
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    daily = (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.floor(F.unix_micros(F.col("l_shipdate")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    cal = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = cal.join(daily, "day", "left")
+    w_back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_e4").isNotNull(), F.col("day"))
+    br = j.select(
+        "day",
+        "rev_e4",
+        F.last("rev_e4", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("rev_e4", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    interp = (
+        F.col("prev_v").cast("double")
+        + (F.col("next_v").cast("double") - F.col("prev_v").cast("double"))
+        * (F.col("day") - F.col("prev_d")).cast("double")
+        / (F.col("next_d") - F.col("prev_d")).cast("double")
+    ) / F.lit(1e4)
+    actual = F.col("rev_e4").cast("double") / F.lit(1e4)
+    return br.select(
+        "day",
+        round_det(F.when(F.col("rev_e4").isNotNull(), actual).otherwise(interp), 4).alias(
+            "revenue"
+        ),
+        F.col("rev_e4").isNull().alias("is_interpolated"),
+    )
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information (and marginal entropies) between event type and
+    day-of-week — the dependence screen behind "is behavior weekday-
+    structured", and the categorical-feature-selection primitive.
+
+    One hash aggregate builds the exact joint histogram (≤ |types|·7
+    cells); marginals reduce from it; MI = Σ p(x,y)·ln(p(x,y)·n /
+    (n_x·n_y)) evaluates on the tiny cell frame with exact integer
+    counts feeding identical doubles in both engines. dow is derived
+    from epoch days (engine-neutral, unlike dayofweek()'s differing
+    conventions).
+    """
+    dow = F.pmod(F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)), F.lit(7)).cast(
+        "long"
+    )
+    joint = (
+        events.select(F.col("event_type").alias("x"), dow.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    nx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    n = joint.agg(F.sum("n_xy").alias("n"))
+    cells = (
+        joint.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    nd = F.col("n").cast("double")
+    p_xy = F.col("n_xy").cast("double") / nd
+    mi_term = p_xy * F.log(
+        F.col("n_xy").cast("double") * nd
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    mi = cells.agg(F.sum(mi_term).alias("mi_raw"))
+    # marginal entropies reduce over their own tiny frames (never the
+    # joint cells — a cell-level sum would count each marginal once per
+    # partner value)
+    ent = lambda cnt: -F.sum(  # noqa: E731
+        (F.col(cnt).cast("double") / nd) * F.log(F.col(cnt).cast("double") / nd)
+    )
+    hx = nx.crossJoin(F.broadcast(n)).agg(ent("n_x").alias("hx_raw"))
+    hy = ny.crossJoin(F.broadcast(n)).agg(ent("n_y").alias("hy_raw"))
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            round_det(F.col("mi_raw"), 6).alias("mi_nats"),
+            round_det(F.col("hx_raw"), 6).alias("entropy_type"),
+            round_det(F.col("hy_raw"), 6).alias("entropy_dow"),
+        )
+    )

@@ -4291,3 +4291,108 @@ def q_audio_decode() -> str:
        CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
        CAST(octet_length(encode(text)) AS DOUBLE) / {AUDIO_SYNTH_RATE}.0 AS duration_sec
 FROM documents"""
+
+
+def q_gap_fill_daily() -> str:
+    from clusterforge_spark.operators.relational import GAPFILL_BRAND
+
+    rev = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    return f"""WITH daily AS (
+  SELECT CAST(floor(epoch_us(l_shipdate::TIMESTAMP) / 86400000000) AS BIGINT) AS day,
+         sum({rev}) AS rev_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{GAPFILL_BRAND}'
+  GROUP BY 1
+), b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+cal AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+j AS (SELECT c.day AS day, d.rev_e4 AS rev_e4 FROM cal c LEFT JOIN daily d ON c.day = d.day),
+br AS (
+  SELECT day, rev_e4,
+    last_value(rev_e4 IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN rev_e4 IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+    first_value(rev_e4 IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN rev_e4 IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT day,
+       round(CASE WHEN rev_e4 IS NOT NULL THEN CAST(rev_e4 AS DOUBLE) / 10000.0
+             ELSE (CAST(prev_v AS DOUBLE)
+                   + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                     * CAST(day - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+                  / 10000.0 END, 4) AS revenue,
+       rev_e4 IS NULL AS is_interpolated
+FROM br"""
+
+
+def q_mutual_information() -> str:
+    return """WITH joint AS (
+  SELECT event_type AS x,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) % 7 AS y,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM events GROUP BY 1, 2
+), nx AS (SELECT x, sum(n_xy) AS n_x FROM joint GROUP BY x),
+ny AS (SELECT y, sum(n_xy) AS n_y FROM joint GROUP BY y),
+nn AS (SELECT sum(n_xy) AS n FROM joint),
+mi AS (
+  SELECT sum((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))) AS mi_raw
+  FROM joint JOIN nx USING (x) JOIN ny USING (y), nn
+), hx AS (
+  SELECT -sum((CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))) AS hx_raw FROM nx, nn
+), hy AS (
+  SELECT -sum((CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))) AS hy_raw FROM ny, nn
+)
+SELECT round(mi_raw, 6) AS mi_nats, round(hx_raw, 6) AS entropy_type, round(hy_raw, 6) AS entropy_dow
+FROM mi, hx, hy"""
+
+
+def q_pca_top_component() -> str:
+    from clusterforge_spark.operators.similarity import PCA_POWER_ITERS
+
+    iters = PCA_POWER_ITERS
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, so the 12 unrolled
+    # iterations would re-expand cov -> pairs -> ex -> parquet scan each,
+    # exhausting file handles; materializing evaluates each base CTE once
+    parts = [
+        """WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM embeddings
+), pairs AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS spp,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+), dims AS MATERIALIZED (SELECT dim, sum(CAST(vm AS HUGEINT)) AS s FROM ex GROUP BY dim),
+cov AS MATERIALIZED (
+  SELECT i, j, n * spp - si.s * sj.s AS m
+  FROM pairs JOIN dims si ON si.dim = i JOIN dims sj ON sj.dim = j
+  UNION ALL
+  SELECT j, i, n * spp - si.s * sj.s
+  FROM pairs JOIN dims si ON si.dim = i JOIN dims sj ON sj.dim = j
+  WHERE i <> j
+),
+it0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+w{k} AS MATERIALIZED (SELECT c.i AS dim, sum(c.m * t.v) AS w FROM cov c JOIN it{k - 1} t ON c.j = t.dim GROUP BY c.i),
+mx{k} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{k}),
+it{k} AS MATERIALIZED (SELECT dim, CASE WHEN w < 0 THEN -(((-w) * 1000000) // mx) ELSE (w * 1000000) // mx END AS v FROM w{k}, mx{k})"""
+        )
+    parts.append(
+        f""",
+sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+        FROM it{iters} WHERE v <> 0 ORDER BY dim LIMIT 1),
+nrm AS (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm FROM it{iters})
+SELECT dim, round(CAST(v * sg AS DOUBLE) / norm, 6) AS loading
+FROM it{iters}, sgn, nrm"""
+    )
+    return "".join(parts)

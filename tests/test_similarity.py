@@ -246,3 +246,29 @@ def test_embedding_covariance_matches_numpy(spark, embeddings):
     c = (q.T @ q / n - np.outer(q.sum(0) / n, q.sum(0) / n)) / 1e12
     for i, j in [(0, 0), (0, 1), (3, 17), (63, 63), (10, 60)]:
         assert abs(got[(i, j)] - round(c[i, j], 8)) < 1e-7
+
+
+def test_pca_top_component_matches_numpy_eigvec(spark, embeddings):
+    """The 12-step exact-integer power iterate aligns with numpy's
+    dominant eigenvector of the same quantized covariance (|cos| close
+    to 1; sign convention = first nonzero component positive)."""
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import pca_top_component
+
+    got = {r["dim"]: r["loading"] for r in pca_top_component(embeddings).collect()}
+    v = np.array([got[i] for i in range(len(got))])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+    mat = np.array(
+        [r["embedding"] for r in embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(mat * 1e6 + 0.5)
+    n = len(q)
+    M = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    evals, evecs = np.linalg.eigh(M)
+    top = evecs[:, -1]
+    assert abs(abs(v @ top) - 1.0) < 1e-3
+    nz = np.nonzero(v)[0][0]
+    assert v[nz] > 0
