@@ -636,3 +636,72 @@ def pca_top_component(embeddings: DataFrame, iters: int = PCA_POWER_ITERS) -> Da
     ]
     spark = embeddings.sparkSession
     return spark.createDataFrame(loadings, "dim long, loading double")
+
+
+def embedding_covariance_gramian(embeddings: DataFrame) -> DataFrame:
+    """The large-d scale path of :func:`embedding_covariance`: identical
+    output, different physical plan. Instead of exploding each vector
+    into d(d+1)/2 pair-product rows (fine at d=64, brutal at
+    transformer d ≥ 1024), each PARTITION computes its integer Gramian
+    Qᵀ·Q with one numpy matmul over the micro-quantized block
+    (mapInPandas, Arrow) and emits d(d+1)/2 partial-sum rows; the final
+    aggregate adds a few hundred partials per cell instead of one row
+    per (vector, pair). Intermediate volume drops from n·d²/2 rows to
+    partitions·d²/2.
+
+    Exactness: int64 numpy accumulation is exact while
+    rows-per-batch · (max|v_micro|)² stays under 2⁶³ (≈ 10⁶ rows per
+    batch at |v| ≤ 3·10⁶ — far above Arrow's default 10k batch);
+    partials then sum exactly in decimal(38,0), so the result is
+    bit-identical to the explode form (asserted in
+    tests/test_similarity.py).
+    """
+    import pandas as pd
+
+    d_probe = len(embeddings.select("embedding").first()["embedding"])
+
+    def _gram(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        iu = np.triu_indices(d_probe)
+        acc = np.zeros((d_probe, d_probe), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if not seen:
+            return
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "pp": acc[iu]}
+        )
+
+    partials = embeddings.select("embedding").mapInPandas(_gram, "i long, j long, pp long")
+    spp = partials.groupBy("i", "j").agg(
+        F.sum(F.expr("cast(pp as decimal(38,0))")).alias("spp")
+    )
+    n_dims = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    si = n_dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"), "n")
+    sj = n_dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
+    joined = spp.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    cov = (
+        F.col("spp").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+        / F.col("n").cast("double")
+    ) / F.col("n").cast("double") / F.lit(1e12)
+    return joined.select("i", "j", round_det(cov, 8).alias("cov"))

@@ -272,3 +272,16 @@ def test_pca_top_component_matches_numpy_eigvec(spark, embeddings):
     assert abs(abs(v @ top) - 1.0) < 1e-3
     nz = np.nonzero(v)[0][0]
     assert v[nz] > 0
+
+
+def test_covariance_gramian_path_bit_identical(spark, embeddings):
+    """The mapInPandas Gramian scale path returns exactly the explode
+    form's rows — same exact-integer math, different plan."""
+    from clusterforge_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_gramian,
+    )
+
+    a = sorted(map(tuple, embedding_covariance(embeddings).collect()))
+    b = sorted(map(tuple, embedding_covariance_gramian(embeddings).collect()))
+    assert a == b and len(a) == 64 * 65 // 2
