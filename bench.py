@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_gap_fill_daily",
     "q_mutual_information",
     "q_pca_top_component",
+    "q_ann_recall",
     "q_zorder_events",
     "q_cube_revenue",
     "q_corr_subquery",

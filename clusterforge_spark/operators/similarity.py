@@ -705,3 +705,39 @@ def embedding_covariance_gramian(embeddings: DataFrame) -> DataFrame:
         / F.col("n").cast("double")
     ) / F.col("n").cast("double") / F.lit(1e12)
     return joined.select("i", "j", round_det(cov, 8).alias("cov"))
+
+
+def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of the approximate search ladders (IVF, sign-LSH)
+    against the brute-force ground truth — the quality metric that
+    decides whether an ANN configuration (nprobe, bands) is shippable.
+    One row per strategy: overlap count and recall.
+
+    All three top-k sets are deterministic (literal query, fixed
+    tie-breaks), so recall itself is oracle-exact — a rare property this
+    engine gets from its seeded-literal ANN design. Each strategy's
+    candidate set is k rows; the joins are k-row metadata joins above
+    the corpus-sized scans.
+    """
+    truth = brute_force_topk(embeddings, k=k).select("vec_id")
+    parts = []
+    for name, fn in (("ivf", ivf_topk), ("lsh", lsh_topk)):
+        overlap = (
+            fn(embeddings, k=k)
+            .select("vec_id")
+            .join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        parts.append(
+            overlap.select(
+                F.lit(name).alias("strategy"),
+                "n_overlap",
+                round_det(
+                    F.col("n_overlap").cast("double") / F.lit(float(k)), 4
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4396,3 +4396,17 @@ SELECT dim, round(CAST(v * sg AS DOUBLE) / norm, 6) AS loading
 FROM it{iters}, sgn, nrm"""
     )
     return "".join(parts)
+
+
+def q_ann_recall(k: int = 10) -> str:
+    brute = q_sim_search_topk(k)
+    ivf = q_sim_search_ivf(k)
+    lsh = q_sim_search_lsh(k)
+    return f"""WITH brute AS MATERIALIZED ({brute}),
+ivf AS ({ivf}),
+lsh AS ({lsh}),
+o_ivf AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM ivf JOIN brute USING (vec_id)),
+o_lsh AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM lsh JOIN brute USING (vec_id))
+SELECT 'ivf' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_ivf
+UNION ALL
+SELECT 'lsh' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_lsh"""
