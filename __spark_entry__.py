@@ -365,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_orc_roundtrip"] = lambda spark, sf: SNK.roundtrip_orc_order_stats(
         _t(spark, sf, "orders")
     )
-    q["q_embedding_covariance"] = lambda spark, sf: SIM.embedding_covariance(
+    q["q_embedding_covariance"] = lambda spark, sf: SIM.embedding_covariance_gramian(
         _t(spark, sf, "embeddings")
     )
     q["q_csv_roundtrip"] = lambda spark, sf: SNK.roundtrip_csv_doc_stats(

@@ -414,6 +414,10 @@ def main() -> int:
         "silhouette": res.silhouette,
         "n_queries_timed": len(qtimes),
         "detail": "BENCH_DETAIL_local.json",
+        # r5 box is ~2-3x slower on CPU-bound paths than r4's (verified
+        # by re-timing the UNCHANGED r4 tree: bm25 1.8s vs recorded
+        # 0.62s) — compare per-query times within-round, not to r4
+        "box_note": "r4 tree re-timed on this box: q_bm25_topk 1.8s vs r4-recorded 0.62s (same code)",
     }
     print(json.dumps(out))
     spark.stop()
