@@ -300,3 +300,94 @@ def test_prefix_sum_before_matches_serial(spark, vals, shift):
     for v, cnt in ordered:
         assert got[v] == run
         run += cnt
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
+    cap=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_salt_pair_cover_exactly_once(counts, cap):
+    """The 2-D salt rendezvous (a.salt == b.probe AND a.probe == b.salt)
+    covers every unordered pair of a block EXACTLY once, for any block
+    size and cap — the invariant dedup's skew salting rests on.
+    Pure-Python model of dedup._salted_for_join's join condition."""
+    import hashlib
+
+    for block_id, m in enumerate(counts):
+        s = max(1, -(-m // cap))
+        ids = [block_id * 1000 + i for i in range(m)]
+        salt = {
+            i: int(hashlib.md5(str(i).encode()).hexdigest(), 16) % s for i in ids
+        }
+        seen = {}
+        for a in ids:
+            for pa in range(s):
+                for b in ids:
+                    for pb in range(s):
+                        if a < b and salt[a] == pb and pa == salt[b]:
+                            seen[(a, b)] = seen.get((a, b), 0) + 1
+        expected = {(a, b) for a in ids for b in ids if a < b}
+        assert set(seen) == expected
+        assert all(v == 1 for v in seen.values())
+
+
+@given(
+    present=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_gap_fill_interpolation_model(present):
+    """Linear interpolation invariants of the gap-fill formula: filled
+    values lie within [min, max] of the bracketing observations, and a
+    gap day exactly halfway between equal-valued brackets equals them.
+    Pure-Python model of gap_fill_daily_revenue's arithmetic."""
+    obs = dict(sorted(present))
+    days = sorted(obs)
+    lo, hi = days[0], days[-1]
+    for day in range(lo, hi + 1):
+        if day in obs:
+            continue
+        prev_d = max(d for d in days if d < day)
+        next_d = min(d for d in days if d > day)
+        pv, nv = float(obs[prev_d]), float(obs[next_d])
+        filled = pv + (nv - pv) * (day - prev_d) / (next_d - prev_d)
+        assert min(pv, nv) - 1e-9 <= filled <= max(pv, nv) + 1e-9
+        if pv == nv:
+            assert filled == pv
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=20),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_anova_f_nonnegative_and_zero_for_identical_groups(groups):
+    """F ≥ 0 always; F == 0 when every group has the same mean.
+    Pure-Python model of anova_f's sufficient-statistics formula."""
+    stats = [(len(g), sum(g), sum(x * x for x in g)) for g in groups]
+    k = len(stats)
+    n = sum(s[0] for s in stats)
+    if n <= k:
+        return
+    ssw = sum(sq - sm * sm / ng for ng, sm, sq in stats)
+    sqm = sum(sm * sm / ng for ng, sm, sq in stats)
+    tot = sum(sm for _, sm, _ in stats)
+    ssb = sqm - tot * tot / n
+    if ssw <= 1e-9:
+        return
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert f >= -1e-9
+    mean0 = stats[0][1] / stats[0][0]
+    if all(abs(sm / ng - mean0) < 1e-12 for ng, sm, _ in stats):
+        assert abs(f) < 1e-6
