@@ -389,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_ann_recall"] = lambda spark, sf: SIM.ann_recall(
         _t(spark, sf, "embeddings")
     )
+    q["q_pca_by_label"] = lambda spark, sf: SIM.pca_by_label(
+        _t(spark, sf, "embeddings")
+    )
     q["q_set_ops"] = lambda spark, sf: R.set_ops(_t(spark, sf, "events"))
     q["q_zorder_events"] = lambda spark, sf: LY.zorder_events(_t(spark, sf, "events"))
     q["q_scalar_funcs"] = lambda spark, sf: R.scalar_funcs(_t(spark, sf, "part"))
@@ -816,6 +819,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_ann_recall": OSQL.q_ann_recall(),
+        "q_pca_by_label": OSQL.q_pca_by_label(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),

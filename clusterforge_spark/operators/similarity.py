@@ -625,26 +625,10 @@ def pca_top_component(embeddings: DataFrame, iters: int = PCA_POWER_ITERS) -> Da
         M[i][j] = m
         M[j][i] = m
 
-    v = [10**6] * d
-    for _ in range(int(iters)):
-        w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
-        mx = max(abs(x) for x in w)
-        if mx == 0:  # degenerate zero matrix
-            break
-        # truncation toward zero on non-negative operands — mirrors the
-        # oracle's CASE-guarded integer division exactly
-        v = [
-            (-((-x) * 10**6 // mx) if x < 0 else x * 10**6 // mx) for x in w
-        ]
-    sg = 1
-    for x in v:
-        if x != 0:
-            sg = -1 if x < 0 else 1
-            break
-    sumsq = sum(x * x for x in v)
-    norm = math.sqrt(float(sumsq))
+    v = _power_iterate(M, d, iters)
+    norm = math.sqrt(float(sum(x * x for x in v)))
     loadings = [
-        (int(i), math.floor(float(v[i] * sg) / norm * 1e6 + 0.5) / 1e6)
+        (int(i), math.floor(float(v[i]) / norm * 1e6 + 0.5) / 1e6)
         for i in range(d)
     ]
     spark = embeddings.sparkSession
@@ -727,3 +711,135 @@ def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _label_gramian_stats(embeddings: DataFrame) -> tuple:
+    """Per-label exact sufficient statistics for grouped PCA: upper-
+    triangle pair-product sums per label (per-partition numpy Gramians
+    accumulated label-wise — no per-label shuffle concentration, so one
+    dominant label cannot hot-spot a task) plus per-(label, dim) sums
+    and counts. Returns the two collected row lists."""
+    import pandas as pd
+
+    from collections.abc import Iterator as _It
+
+    d_probe = len(embeddings.select("embedding").first()["embedding"])
+
+    def _gram(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as np
+
+        iu = np.triu_indices(d_probe)
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                block = q[labels == lab]
+                g = block.T @ block
+                if int(lab) in acc:
+                    acc[int(lab)] += g
+                else:
+                    acc[int(lab)] = g
+        for lab, g in acc.items():
+            yield pd.DataFrame(
+                {
+                    "label": np.full(len(iu[0]), lab, dtype="int64"),
+                    "i": iu[0].astype("int64"),
+                    "j": iu[1].astype("int64"),
+                    "pp": g[iu],
+                }
+            )
+
+    partials = embeddings.select(
+        F.col("label").cast("long").alias("label"), "embedding"
+    ).mapInPandas(_gram, "label long, i long, j long, pp long")
+    spp_rows = (
+        partials.groupBy("label", "i", "j")
+        .agg(F.sum(F.expr("cast(pp as decimal(38,0))")).alias("spp"))
+        .collect()
+    )
+    dim_rows = (
+        embeddings.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    )
+    return spp_rows, dim_rows
+
+
+def _power_iterate(M: list, d: int, iters: int) -> list:
+    """The exact-integer max-normalized power iteration shared by
+    :func:`pca_top_component` and :func:`pca_by_label` (and mirrored by
+    the oracle's unrolled CTEs)."""
+    v = [10**6] * d
+    for _ in range(int(iters)):
+        w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [(-((-x) * 10**6 // mx) if x < 0 else x * 10**6 // mx) for x in w]
+    sg = 1
+    for x in v:
+        if x != 0:
+            sg = -1 if x < 0 else 1
+            break
+    return [x * sg for x in v]
+
+
+def pca_by_label(embeddings: DataFrame, iters: int = PCA_POWER_ITERS) -> DataFrame:
+    """Per-label top principal component — the grouped form of
+    :func:`pca_top_component` (per-class dominant directions, the input
+    to class-conditional whitening / LDA-style diagnostics).
+
+    Same cluster/driver split: the cluster computes per-label exact
+    integer sufficient statistics (label count × d² bounded metadata),
+    the driver runs one exact-integer power iteration per label —
+    O(L·d²·iters) bounded work, L = class-label cardinality (bounded by
+    the label domain, not the corpus). Bit-identical to the oracle's
+    label-carrying unrolled CTEs.
+    """
+    import math
+
+    spp_rows, dim_rows = _label_gramian_stats(embeddings)
+    labels = sorted({int(r["label"]) for r in dim_rows})
+    d = len({int(r["dim"]) for r in dim_rows})
+    out = []
+    for lab in labels:
+        s = [0] * d
+        n = 0
+        for r in dim_rows:
+            if int(r["label"]) == lab:
+                s[int(r["dim"])] = int(r["s"])
+                n = int(r["n"])
+        M = [[0] * d for _ in range(d)]
+        for r in spp_rows:
+            if int(r["label"]) != lab:
+                continue
+            i, j = int(r["i"]), int(r["j"])
+            m = n * int(r["spp"]) - s[i] * s[j]
+            M[i][j] = m
+            M[j][i] = m
+        v = _power_iterate(M, d, iters)
+        norm = math.sqrt(float(sum(x * x for x in v)))
+        for i in range(d):
+            loading = (
+                math.floor(float(v[i]) / norm * 1e6 + 0.5) / 1e6 if norm else 0.0
+            )
+            out.append((lab, i, loading))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(out, "label long, dim long, loading double")

@@ -4410,3 +4410,60 @@ o_lsh AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM lsh JOIN brute USING
 SELECT 'ivf' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_ivf
 UNION ALL
 SELECT 'lsh' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_lsh"""
+
+
+def q_pca_by_label() -> str:
+    from clusterforge_spark.operators.similarity import PCA_POWER_ITERS
+
+    iters = PCA_POWER_ITERS
+    parts = [
+        """WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM embeddings
+), pairs AS MATERIALIZED (
+  SELECT a.label AS label, a.dim AS i, b.dim AS j,
+         sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS spp
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2, 3
+), dims AS MATERIALIZED (
+  SELECT label, dim, sum(CAST(vm AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, dim
+), cov AS MATERIALIZED (
+  SELECT p.label AS label, i, j, si.n * spp - si.s * sj.s AS m
+  FROM pairs p
+  JOIN dims si ON si.label = p.label AND si.dim = i
+  JOIN dims sj ON sj.label = p.label AND sj.dim = j
+  UNION ALL
+  SELECT p.label, j, i, si.n * spp - si.s * sj.s
+  FROM pairs p
+  JOIN dims si ON si.label = p.label AND si.dim = i
+  JOIN dims sj ON sj.label = p.label AND sj.dim = j
+  WHERE i <> j
+),
+it0 AS (SELECT label, dim, CAST(1000000 AS HUGEINT) AS v FROM dims)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+w{k} AS MATERIALIZED (SELECT c.label AS label, c.i AS dim, sum(c.m * t.v) AS w
+  FROM cov c JOIN it{k - 1} t ON c.label = t.label AND c.j = t.dim GROUP BY 1, 2),
+mx{k} AS MATERIALIZED (SELECT label, max(abs(w)) AS mx FROM w{k} GROUP BY label),
+it{k} AS MATERIALIZED (SELECT w.label AS label, w.dim AS dim,
+  CASE WHEN mx = 0 THEN v0.v
+       WHEN w < 0 THEN -(((-w) * 1000000) // mx) ELSE (w * 1000000) // mx END AS v
+  FROM w{k} w JOIN mx{k} USING (label)
+  JOIN it{k - 1} v0 ON v0.label = w.label AND v0.dim = w.dim)"""
+        )
+    parts.append(
+        f""",
+sgn AS (SELECT label, CASE WHEN arg_min(v, dim) < 0 THEN -1 ELSE 1 END AS sg
+        FROM (SELECT label, dim, v FROM it{iters} WHERE v <> 0) GROUP BY label),
+nrm AS (SELECT label, sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm FROM it{iters} GROUP BY label)
+SELECT t.label AS label, dim,
+       CASE WHEN norm = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(v * sg AS DOUBLE) / norm, 6) END AS loading
+FROM it{iters} t JOIN sgn USING (label) JOIN nrm USING (label)"""
+    )
+    return "".join(parts)
