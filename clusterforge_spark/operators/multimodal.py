@@ -463,11 +463,20 @@ def decode_real_audio(clips: DataFrame) -> DataFrame:
                         arr = (
                             np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
                         ) / 128.0
-                    else:
+                    elif width == 3:  # 24-bit PCM: widen to i4 via zero-pad LSB
+                        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                        wide = np.zeros((len(b), 4), dtype=np.uint8)
+                        wide[:, 1:] = b
+                        arr = (
+                            wide.view("<i4").ravel().astype(np.float64) / 2147483648.0
+                        )
+                    elif width == 4:
                         arr = (
                             np.frombuffer(raw, dtype="<i4").astype(np.float64)
                             / 2147483648.0
                         )
+                    else:
+                        raise ValueError(f"unsupported WAV sample width {width}")
                     data = arr.reshape(-1, channels)
                 mono = data.mean(axis=1)
                 n = len(mono)

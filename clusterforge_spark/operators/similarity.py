@@ -509,36 +509,47 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
         F.col("t.p").alias("p"),
     )
     spp = pairs.groupBy("i", "j").agg(
-        F.sum(F.expr("cast(p as decimal(38,0))")).alias("spp"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("cast(p as decimal(38,0))")).alias("spp")
     )
-    dims = (
-        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
-        .select(
-            F.col("dim").cast("long").alias("dim"),
-            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
-        )
-        .groupBy("dim")
-        .agg(F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"))
-    )
-    si = dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))
-    sj = dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
-    joined = spp.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
-    cov = (
-        F.col("spp").cast("double")
-        - F.col("s_i").cast("double") * F.col("s_j").cast("double")
-        / F.col("n").cast("double")
-    ) / F.col("n").cast("double") / F.lit(1e12)
-    return joined.select("i", "j", round_det(cov, 8).alias("cov"))
+    return _cov_cells(spp, _dim_sums(embeddings))
 
 
-def _gramian_partials(embeddings: DataFrame) -> DataFrame:
+def _exact_gram(np, q):
+    """Exact Gramian qᵀq of an int64 micro-unit block as a Python-int
+    (object-dtype) matrix. Each int64 matmul covers a slice short enough
+    that no cell can reach 2⁶³ (slice length derived from the block's
+    max |value|), and slices accumulate in arbitrary precision — so the
+    per-partition partial is exact at ANY partition size, not just below
+    an Arrow-batch bound."""
+    m = int(np.abs(q).max(initial=0))
+    step = max(1, (2**62) // (m * m + 1))
+    acc = None
+    for lo in range(0, len(q), step):
+        g = (q[lo : lo + step].T @ q[lo : lo + step]).astype(object)
+        acc = g if acc is None else acc + g
+    return acc
+
+
+def _micro_block(np, pdf):
+    """Micro-quantized (1e-6 BIGINT convention) int64 matrix of a
+    pandas batch's ``embedding`` column."""
+    return np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+
+
+def _gramian_partials(embeddings: DataFrame, by_label: bool = False) -> DataFrame:
     """Upper-triangle exact pair-product sums Σxᵢxⱼ (micro-units) via
     per-partition numpy Gramians — shared by the covariance query and
-    the PCA sufficient-stats collect."""
+    the (grouped) PCA sufficient-stats collect. With ``by_label`` the
+    partials are accumulated label-wise inside each partition (no
+    per-label shuffle concentration, so one dominant label cannot
+    hot-spot a task). Partials are emitted as decimal(38,0), exact by
+    construction of :func:`_exact_gram`."""
     import pandas as pd
 
     from collections.abc import Iterator as _It
+    from decimal import Decimal
 
     d_probe = len(embeddings.select("embedding").first()["embedding"])
 
@@ -546,26 +557,78 @@ def _gramian_partials(embeddings: DataFrame) -> DataFrame:
         import numpy as np
 
         iu = np.triu_indices(d_probe)
-        acc = np.zeros((d_probe, d_probe), dtype=np.int64)
-        seen = False
+        acc: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-            ).astype(np.int64)
-            acc += q.T @ q
-            seen = True
-        if not seen:
-            return
-        yield pd.DataFrame(
-            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "pp": acc[iu]}
-        )
+            q = _micro_block(np, pdf)
+            if by_label:
+                labels = pdf["label"].to_numpy()
+                keys = [(int(lab), labels == lab) for lab in np.unique(labels)]
+            else:
+                keys = [(0, slice(None))]
+            for lab, mask in keys:
+                g = _exact_gram(np, q[mask])
+                acc[lab] = g if lab not in acc else acc[lab] + g
+        for lab, g in acc.items():
+            out = {
+                "i": iu[0].astype("int64"),
+                "j": iu[1].astype("int64"),
+                "pp": [Decimal(int(x)) for x in g[iu]],
+            }
+            if by_label:
+                out = {"label": np.full(len(iu[0]), lab, dtype="int64"), **out}
+            yield pd.DataFrame(out)
 
-    partials = embeddings.select("embedding").mapInPandas(_gram, "i long, j long, pp long")
-    return partials.groupBy("i", "j").agg(
-        F.sum(F.expr("cast(pp as decimal(38,0))")).alias("spp")
+    if by_label:
+        partials = embeddings.select(
+            F.col("label").cast("long").alias("label"), "embedding"
+        ).mapInPandas(_gram, "label long, i long, j long, pp decimal(38,0)")
+        keys = ["label", "i", "j"]
+    else:
+        partials = embeddings.select("embedding").mapInPandas(
+            _gram, "i long, j long, pp decimal(38,0)"
+        )
+        keys = ["i", "j"]
+    return partials.groupBy(*keys).agg(F.sum("pp").alias("spp"))
+
+
+def _dim_sums(embeddings: DataFrame, by_label: bool = False) -> DataFrame:
+    """Per-dimension (optionally per-label) exact micro-unit sums and
+    counts — the Σxᵢ / n half of the covariance sufficient statistics,
+    shared by the Gramian covariance path and both PCA drivers."""
+    cols = (
+        [F.col("label").cast("long").alias("label")] if by_label else []
+    ) + [F.posexplode("embedding").alias("dim", "v")]
+    keys = (["label"] if by_label else []) + ["dim"]
+    return (
+        embeddings.select(*cols)
+        .select(
+            *(["label"] if by_label else []),
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
+
+
+def _cov_cells(spp: DataFrame, n_dims: DataFrame) -> DataFrame:
+    """(i, j, cov) cells from pair-product sums + per-dim sums:
+    cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n, de-scaled from micro-units —
+    identical IEEE arithmetic on exact integer inputs in both engines."""
+    si = n_dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"), "n")
+    sj = n_dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
+    joined = spp.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    cov = (
+        F.col("spp").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+        / F.col("n").cast("double")
+    ) / F.col("n").cast("double") / F.lit(1e12)
+    return joined.select("i", "j", round_det(cov, 8).alias("cov"))
 
 
 #: sized for tight spectra: the corpus covariance has λ₂/λ₁ ≈ 0.93, and
@@ -600,19 +663,7 @@ def pca_top_component(embeddings: DataFrame, iters: int = PCA_POWER_ITERS) -> Da
     import math
 
     spp_rows = _gramian_partials(embeddings).collect()
-    dim_rows = (
-        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
-        .select(
-            F.col("dim").cast("long").alias("dim"),
-            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
-        )
-        .groupBy("dim")
-        .agg(
-            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        .collect()
-    )
+    dim_rows = _dim_sums(embeddings).collect()
     d = len(dim_rows)
     n = int(dim_rows[0]["n"])
     s = [0] * d
@@ -646,35 +697,14 @@ def embedding_covariance_gramian(embeddings: DataFrame) -> DataFrame:
     per (vector, pair). Intermediate volume drops from n·d²/2 rows to
     partitions·d²/2.
 
-    Exactness: int64 numpy accumulation is exact while
-    rows-per-batch · (max|v_micro|)² stays under 2⁶³ (≈ 10⁶ rows per
-    batch at |v| ≤ 3·10⁶ — far above Arrow's default 10k batch);
-    partials then sum exactly in decimal(38,0), so the result is
-    bit-identical to the explode form (asserted in
+    Exactness: each int64 matmul is sliced so no cell can reach 2⁶³ and
+    slices accumulate in arbitrary-precision Python ints
+    (:func:`_exact_gram`), so the per-partition partial is exact at any
+    partition size; partials then sum exactly in decimal(38,0) — the
+    result is bit-identical to the explode form (asserted in
     tests/test_similarity.py).
     """
-    spp = _gramian_partials(embeddings)
-    n_dims = (
-        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
-        .select(
-            F.col("dim").cast("long").alias("dim"),
-            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
-        )
-        .groupBy("dim")
-        .agg(
-            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-    )
-    si = n_dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"), "n")
-    sj = n_dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
-    joined = spp.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
-    cov = (
-        F.col("spp").cast("double")
-        - F.col("s_i").cast("double") * F.col("s_j").cast("double")
-        / F.col("n").cast("double")
-    ) / F.col("n").cast("double") / F.lit(1e12)
-    return joined.select("i", "j", round_det(cov, 8).alias("cov"))
+    return _cov_cells(_gramian_partials(embeddings), _dim_sums(embeddings))
 
 
 def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
@@ -714,71 +744,11 @@ def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
 
 
 def _label_gramian_stats(embeddings: DataFrame) -> tuple:
-    """Per-label exact sufficient statistics for grouped PCA: upper-
-    triangle pair-product sums per label (per-partition numpy Gramians
-    accumulated label-wise — no per-label shuffle concentration, so one
-    dominant label cannot hot-spot a task) plus per-(label, dim) sums
-    and counts. Returns the two collected row lists."""
-    import pandas as pd
-
-    from collections.abc import Iterator as _It
-
-    d_probe = len(embeddings.select("embedding").first()["embedding"])
-
-    def _gram(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
-        import numpy as np
-
-        iu = np.triu_indices(d_probe)
-        acc: dict = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-            ).astype(np.int64)
-            labels = pdf["label"].to_numpy()
-            for lab in np.unique(labels):
-                block = q[labels == lab]
-                g = block.T @ block
-                if int(lab) in acc:
-                    acc[int(lab)] += g
-                else:
-                    acc[int(lab)] = g
-        for lab, g in acc.items():
-            yield pd.DataFrame(
-                {
-                    "label": np.full(len(iu[0]), lab, dtype="int64"),
-                    "i": iu[0].astype("int64"),
-                    "j": iu[1].astype("int64"),
-                    "pp": g[iu],
-                }
-            )
-
-    partials = embeddings.select(
-        F.col("label").cast("long").alias("label"), "embedding"
-    ).mapInPandas(_gram, "label long, i long, j long, pp long")
-    spp_rows = (
-        partials.groupBy("label", "i", "j")
-        .agg(F.sum(F.expr("cast(pp as decimal(38,0))")).alias("spp"))
-        .collect()
-    )
-    dim_rows = (
-        embeddings.select(
-            F.col("label").cast("long").alias("label"),
-            F.posexplode("embedding").alias("dim", "v"),
-        )
-        .select(
-            "label",
-            F.col("dim").cast("long").alias("dim"),
-            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as v_micro"),
-        )
-        .groupBy("label", "dim")
-        .agg(
-            F.sum(F.expr("cast(v_micro as decimal(38,0))")).alias("s"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        .collect()
-    )
+    """Per-label exact sufficient statistics for grouped PCA — the
+    ``by_label`` face of :func:`_gramian_partials` / :func:`_dim_sums`.
+    Returns the two collected row lists."""
+    spp_rows = _gramian_partials(embeddings, by_label=True).collect()
+    dim_rows = _dim_sums(embeddings, by_label=True).collect()
     return spp_rows, dim_rows
 
 
@@ -815,21 +785,25 @@ def pca_by_label(embeddings: DataFrame, iters: int = PCA_POWER_ITERS) -> DataFra
     """
     import math
 
+    from collections import defaultdict
+
     spp_rows, dim_rows = _label_gramian_stats(embeddings)
-    labels = sorted({int(r["label"]) for r in dim_rows})
     d = len({int(r["dim"]) for r in dim_rows})
+    dims_by_label: dict = defaultdict(list)
+    for r in dim_rows:
+        dims_by_label[int(r["label"])].append(r)
+    spp_by_label: dict = defaultdict(list)
+    for r in spp_rows:
+        spp_by_label[int(r["label"])].append(r)
     out = []
-    for lab in labels:
+    for lab in sorted(dims_by_label):
         s = [0] * d
         n = 0
-        for r in dim_rows:
-            if int(r["label"]) == lab:
-                s[int(r["dim"])] = int(r["s"])
-                n = int(r["n"])
+        for r in dims_by_label[lab]:
+            s[int(r["dim"])] = int(r["s"])
+            n = int(r["n"])
         M = [[0] * d for _ in range(d)]
-        for r in spp_rows:
-            if int(r["label"]) != lab:
-                continue
+        for r in spp_by_label[lab]:
             i, j = int(r["i"]), int(r["j"])
             m = n * int(r["spp"]) - s[i] * s[j]
             M[i][j] = m

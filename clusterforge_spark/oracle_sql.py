@@ -3686,10 +3686,7 @@ HAVING count(*) >= {min_docs}"""
 
 
 def q_tpch_promo_revenue() -> str:
-    rev = (
-        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
-        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
-    )
+    rev = _REV_E4
     return f"""SELECT CAST(year(l_shipdate::TIMESTAMP) * 100 + month(l_shipdate::TIMESTAMP) AS BIGINT) AS ship_month,
        round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END) AS DOUBLE)
              / CAST(sum({rev}) AS DOUBLE), 4) AS promo_pct,
@@ -3702,10 +3699,7 @@ GROUP BY 1"""
 def q_tpch_brand_volume() -> str:
     from clusterforge_spark.operators.relational import TPCH_BRAND_BANDS
 
-    rev = (
-        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
-        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
-    )
+    rev = _REV_E4
     band_case = "CASE " + " ".join(
         f"WHEN p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
         f"AND l_quantity BETWEEN {flit(qlo)} AND {flit(qhi)} THEN '{b}'"
@@ -4165,10 +4159,7 @@ FROM tot"""
 def q_acf_daily_revenue() -> str:
     from clusterforge_spark.operators.relational import ACF_MAX_LAG
 
-    rev = (
-        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
-        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
-    )
+    rev = _REV_E4
     lags = range(1, ACF_MAX_LAG + 1)
     devs = ",\n         ".join(
         f"(CAST(lag(x_e4, {k}) OVER (ORDER BY d) AS DOUBLE) - xbar_e4) / 10000.0 AS dev_{k}"
@@ -4196,10 +4187,7 @@ def q_acf_daily_revenue() -> str:
 
 
 def q_cusum_changepoint() -> str:
-    rev = (
-        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
-        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
-    )
+    rev = _REV_E4
     return f"""WITH daily AS (
   SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d, sum({rev}) AS day_e4
   FROM lineitem GROUP BY 1
@@ -4296,10 +4284,7 @@ FROM documents"""
 def q_gap_fill_daily() -> str:
     from clusterforge_spark.operators.relational import GAPFILL_BRAND
 
-    rev = (
-        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
-        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
-    )
+    rev = _REV_E4
     return f"""WITH daily AS (
   SELECT CAST(floor(epoch_us(l_shipdate::TIMESTAMP) / 86400000000) AS BIGINT) AS day,
          sum({rev}) AS rev_e4
@@ -4385,7 +4370,10 @@ it0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims)"""
             f""",
 w{k} AS MATERIALIZED (SELECT c.i AS dim, sum(c.m * t.v) AS w FROM cov c JOIN it{k - 1} t ON c.j = t.dim GROUP BY c.i),
 mx{k} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{k}),
-it{k} AS MATERIALIZED (SELECT dim, CASE WHEN w < 0 THEN -(((-w) * 1000000) // mx) ELSE (w * 1000000) // mx END AS v FROM w{k}, mx{k})"""
+it{k} AS MATERIALIZED (SELECT w.dim AS dim,
+  CASE WHEN mx = 0 THEN v0.v
+       WHEN w < 0 THEN -(((-w) * 1000000) // mx) ELSE (w * 1000000) // mx END AS v
+  FROM w{k} w JOIN it{k - 1} v0 ON v0.dim = w.dim CROSS JOIN mx{k})"""
         )
     parts.append(
         f""",

@@ -120,6 +120,19 @@ def compact_small_files(
     return n_out
 
 
+def _scratch_dir(tag: str) -> str:
+    """Deterministic scratch location for the connector roundtrip proofs:
+    one fixed directory per proof, overwritten on every invocation, so
+    repeated runs (bench warm + timed legs, both correctness scales)
+    reuse the same disk instead of leaking a fresh mkdtemp copy per
+    call — unbounded /tmp growth on a long-lived box otherwise."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "clusterforge_rt", tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def roundtrip_jsonl_doc_stats(documents: DataFrame, base_dir: str | None = None) -> DataFrame:
     """JSONL connector proof: write the documents table through the
     JSON-lines sink, read it back through the schema-pinned source, and
@@ -128,12 +141,10 @@ def roundtrip_jsonl_doc_stats(documents: DataFrame, base_dir: str | None = None)
     escaping, encoding) breaks the oracle compare.
 
     The write executes when the plan is BUILT (a connector test is a
-    side effect by nature); data lands under a private temp dir per
-    invocation. At scale this is the standard export→re-ingest validation
-    pass, map-only on both legs.
+    side effect by nature); data lands in a fixed per-proof scratch dir
+    (:func:`_scratch_dir`), overwritten each run. At scale this is the
+    standard export→re-ingest validation pass, map-only on both legs.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from clusterforge_spark.sources.readers import read_jsonl
@@ -141,7 +152,7 @@ def roundtrip_jsonl_doc_stats(documents: DataFrame, base_dir: str | None = None)
     spark = documents.sparkSession
     sel = documents.select("doc_id", "lang", "source", "text", "n_chars")
     path = os.path.join(
-        base_dir or tempfile.mkdtemp(prefix="cf_jsonl_rt_"), "docs_jsonl"
+        base_dir or _scratch_dir("jsonl"), "docs_jsonl"
     )
     write_jsonl(sel, path)
     back = read_jsonl(spark, path, sel.schema)
@@ -158,13 +169,11 @@ def roundtrip_orc_order_stats(orders: DataFrame, base_dir: str | None = None) ->
     an exact-cent revenue aggregate per status — decimal money sums make
     any value-level roundtrip corruption a hard oracle failure. Same
     eager-write contract as :func:`roundtrip_jsonl_doc_stats`."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     spark = orders.sparkSession
     sel = orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-    path = os.path.join(base_dir or tempfile.mkdtemp(prefix="cf_orc_rt_"), "orders_orc")
+    path = os.path.join(base_dir or _scratch_dir("orc"), "orders_orc")
     write_orc(sel, path)
     back = spark.read.schema(sel.schema).orc(path)
     return back.groupBy("o_orderstatus").agg(
@@ -185,13 +194,11 @@ def roundtrip_csv_doc_stats(documents: DataFrame, base_dir: str | None = None) -
     per-language aggregate as the JSONL proof, so any quoting or
     escaping loss diverges from the oracle.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     spark = documents.sparkSession
     sel = documents.select("doc_id", "lang", "source", "text", "n_chars")
-    path = os.path.join(base_dir or tempfile.mkdtemp(prefix="cf_csv_rt_"), "docs_csv")
+    path = os.path.join(base_dir or _scratch_dir("csv"), "docs_csv")
     sel.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
     back = (
         spark.read.schema(sel.schema)
@@ -216,14 +223,12 @@ def partition_pruned_read(orders: DataFrame, base_dir: str | None = None) -> Dat
     drops or double-reads a partition is a value-level failure, not just
     a slow plan.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     spark = orders.sparkSession
     sel = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     path = os.path.join(
-        base_dir or tempfile.mkdtemp(prefix="cf_part_rt_"), "orders_by_status"
+        base_dir or _scratch_dir("part"), "orders_by_status"
     )
     write_parquet(sel, path, partition_by=["o_orderstatus"])
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")

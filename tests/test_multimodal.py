@@ -227,3 +227,36 @@ def test_real_audio_decode_wav_end_to_end(spark):
     sil = rows[2]
     assert (sil["sample_rate"], sil["channels"], sil["n_samples"]) == (16000, 2, 25)
     assert sil["rms"] == 0.0 and sil["peak"] == 0.0 and sil["zcr"] == 0.0
+
+
+def test_real_audio_decode_24bit_wav(spark):
+    """24-bit PCM — the common studio WAV width the first fallback cut
+    missed (it routed width-3 frames to a 4-byte frombuffer): a ±half-
+    scale square wave at sampwidth 3 must decode to the same closed-form
+    rms/peak/zcr as its 16-bit twin under EITHER backend (soundfile and
+    the wave fallback both normalize half scale to 0.5)."""
+    import io
+    import struct
+    import wave as wavemod
+
+    import pytest as _pytest
+
+    from clusterforge_spark.operators.multimodal import decode_real_audio
+
+    half = 1 << 22  # 2^23 / 2 → 0.5 normalized
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(struct.pack("<i", s)[:3] for s in [half, -half] * 50)
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = decode_real_audio(df).collect()[0]
+    assert (row["sample_rate"], row["channels"], row["n_samples"]) == (8000, 1, 100)
+    assert row["rms"] == _pytest.approx(0.5, abs=1e-9)
+    assert row["peak"] == _pytest.approx(0.5, abs=1e-9)
+    assert row["zcr"] == _pytest.approx(1.0)

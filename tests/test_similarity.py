@@ -285,3 +285,32 @@ def test_covariance_gramian_path_bit_identical(spark, embeddings):
     a = sorted(map(tuple, embedding_covariance(embeddings).collect()))
     b = sorted(map(tuple, embedding_covariance_gramian(embeddings).collect()))
     assert a == b and len(a) == 64 * 65 // 2
+
+
+def test_exact_gram_is_exact_past_int64():
+    """_exact_gram must stay exact when the Gramian cells exceed 2⁶³ —
+    the silent-wraparound hazard of a plain int64 ``acc += q.T @ q`` on
+    a large partition. Values near 2³¹ make even a 3-row block overflow
+    int64, forcing the slice-and-Python-int accumulation path."""
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import _exact_gram
+
+    q = np.array(
+        [
+            [2**31, -(2**31) + 5],
+            [2**31 - 7, 2**31 - 1],
+            [-(2**31), 2**31 - 3],
+        ],
+        dtype=np.int64,
+    )
+    g = _exact_gram(np, q)
+    expect = [
+        [
+            sum(int(q[r][i]) * int(q[r][j]) for r in range(3))
+            for j in range(2)
+        ]
+        for i in range(2)
+    ]
+    assert [[int(g[i][j]) for j in range(2)] for i in range(2)] == expect
+    assert any(abs(v) >= 2**63 for row in expect for v in row)
