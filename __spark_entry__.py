@@ -352,6 +352,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_tpch_sales_opportunity"] = lambda spark, sf: R.tpch_global_sales_opportunity(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
     )
+    q["q_tpch_min_cost_supplier"] = lambda spark, sf: R.tpch_min_cost_supplier(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+    q["q_tpch_important_stock"] = lambda spark, sf: R.tpch_important_stock(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    )
+    q["q_tpch_parts_supplier_counts"] = lambda spark, sf: R.tpch_parts_supplier_counts(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part"), _t(spark, sf, "supplier")
+    )
+    q["q_tpch_excess_supply"] = lambda spark, sf: R.tpch_excess_supply(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
     q["q_anova_f"] = lambda spark, sf: R.anova_f(_t(spark, sf, "orders"))
     q["q_acf_daily_revenue"] = lambda spark, sf: R.acf_daily_revenue(
         _t(spark, sf, "lineitem")
@@ -806,6 +825,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_tpch_top_supplier": OSQL.q_tpch_top_supplier(),
         "q_tpch_small_qty_revenue": OSQL.q_tpch_small_qty_revenue(),
         "q_tpch_sales_opportunity": OSQL.q_tpch_sales_opportunity(),
+        "q_tpch_min_cost_supplier": OSQL.q_tpch_min_cost_supplier(),
+        "q_tpch_important_stock": OSQL.q_tpch_important_stock(),
+        "q_tpch_parts_supplier_counts": OSQL.q_tpch_parts_supplier_counts(),
+        "q_tpch_excess_supply": OSQL.q_tpch_excess_supply(),
         "q_anova_f": OSQL.q_anova_f(),
         "q_acf_daily_revenue": OSQL.q_acf_daily_revenue(),
         "q_cusum_changepoint": OSQL.q_cusum_changepoint(),

@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "q_tpch_top_supplier",
     "q_tpch_small_qty_revenue",
     "q_tpch_sales_opportunity",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_important_stock",
+    "q_tpch_parts_supplier_counts",
+    "q_tpch_excess_supply",
     "q_anova_f",
     "q_acf_daily_revenue",
     "q_cusum_changepoint",

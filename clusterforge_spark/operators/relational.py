@@ -2829,6 +2829,251 @@ def tpch_global_sales_opportunity(
     )
 
 
+Q2_SIZE = 15
+Q2_REGION = "EUROPE"
+#: unit cost in exact cents: price_cents // qty. l_quantity is
+#: integer-valued in this corpus (asserted by the oracle's identical
+#: floor-division), so the division is engine-exact integer arithmetic.
+UNIT_COST_E2 = (
+    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+    " div cast(floor(l_quantity + 0.5) as bigint)"
+)
+
+
+def tpch_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    size: int = Q2_SIZE,
+    region_name: str = Q2_REGION,
+) -> DataFrame:
+    """TPC-H Q2-shape minimum-cost supplier: for every size-``size``
+    part, the supplier(s) in ``region_name`` offering it at the minimum
+    observed unit cost. The corpus has no partsupp table, so the supply
+    relation is the OBSERVED one — distinct (l_partkey, l_suppkey) pairs
+    with cost = min unit price over their lineitems (exact integer
+    cents, UNIT_COST_E2).
+
+    Spark shape (Q2's correlated MIN decorrelated): the part-size and
+    supplier-region filters ride BROADCAST joins BELOW the aggregate —
+    the (part, supplier) min-cost hash agg runs on the ~1/|size-domain|
+    slice of lineitem, not the full fact table (the offers subtree is
+    consumed twice, so pre-agg pruning pays double); the per-part
+    minimum is a second aggregate joined back by (partkey, cost)
+    equality — no window over suppliers, both aggregates partial-agg
+    friendly. Ref shape: TPC-H Q2 (minimum cost supplier).
+    """
+    supp_region = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sized = part.filter(F.col("p_size") == size).select("p_partkey", "p_name")
+    offers = (
+        lineitem.select(
+            "l_partkey", "l_suppkey", F.expr(f"{UNIT_COST_E2} as unit_e2")
+        )
+        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_e2").alias("cost_e2"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("cost_e2").alias("min_e2")
+    )
+    return offers.join(
+        best,
+        (F.col("p_partkey") == F.col("bk")) & (F.col("cost_e2") == F.col("min_e2")),
+    ).select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name",
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+        round_det(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal"),
+        round_det(F.col("cost_e2").cast("double") / F.lit(100.0), 2).alias(
+            "min_unit_cost"
+        ),
+    )
+
+
+Q11_NATION = "NATION_8"
+Q11_MEAN_MULT = 2
+
+
+def tpch_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = Q11_NATION,
+    mean_mult: int = Q11_MEAN_MULT,
+) -> DataFrame:
+    """TPC-H Q11-shape important stock: parts whose supply value from
+    ``nation_name`` suppliers exceeds ``mean_mult``× the nation's MEAN
+    per-part supply value. Supply value per part = exact-e4 revenue of
+    its lineitems from those suppliers (the observed-supply stand-in for
+    availqty·supplycost). Q11's spec fraction is 0.0001/SF — explicitly
+    scale-dependent; anchoring to the mean share keeps the selectivity
+    stable as part cardinality grows with scale.
+
+    Spark shape: one filtered hash aggregate per part; the HAVING
+    threshold is a 1-row (total, n_parts) aggregate broadcast back, and
+    the comparison stays in exact integers
+    (value·n_parts > mult·total) — no float fraction, so the boundary
+    part set is engine-identical. Ref shape: TPC-H Q11 (important stock
+    identification).
+    """
+    nkeys = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    supp = supplier.join(
+        F.broadcast(nkeys), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_e4").alias("value_e4"))
+    )
+    total = vals.agg(
+        F.sum("value_e4").alias("total_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        vals.join(
+            F.broadcast(total),
+            F.col("value_e4") * F.col("n_parts")
+            > F.col("total_e4") * F.lit(mean_mult),
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            round_det(
+                F.col("value_e4").cast("double") / F.lit(1e4), 2
+            ).alias("stock_value"),
+        )
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#23"
+
+
+def tpch_parts_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = Q16_EXCLUDED_BRAND,
+) -> DataFrame:
+    """TPC-H Q16-shape parts/supplier relationship: how many distinct
+    suppliers can provide each (brand, type, size) combination,
+    excluding one brand and excluding "complaint" suppliers (negative
+    account balance — the corpus stand-in for Q16's comment-LIKE
+    filter), over the observed supply pairs.
+
+    Spark shape: the supply relation collapses to DISTINCT
+    (partkey, suppkey) first (the heavy reduction happens before any
+    dim join), complaint suppliers leave via a broadcast LEFT ANTI join,
+    part attributes ride a broadcast join, and the count-distinct groups
+    on the 3-attribute key. Ref shape: TPC-H Q16.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    complainers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    clean = pairs.join(
+        F.broadcast(complainers),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    parts = part.filter(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        clean.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+Q20_PTYPE = "PROMO"
+Q20_WINDOW = ("1995-01-01", "1996-01-01")
+
+
+def tpch_excess_supply(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    ptype: str = Q20_PTYPE,
+    window: tuple = Q20_WINDOW,
+) -> DataFrame:
+    """TPC-H Q20-shape excess supply: suppliers who shipped more than
+    half of their all-time quantity of some ``ptype`` part inside one
+    year — the concentration probe Q20 runs against availqty (which this
+    corpus lacks; the observed in-window vs all-time split carries the
+    same nested-aggregate-threshold shape).
+
+    Spark shape: Q20's nested IN subqueries collapse into ONE
+    conditional aggregate per (suppkey, partkey) — window quantity and
+    total quantity in the same pass, exact integer sums — followed by an
+    integer threshold filter, a per-supplier excess-part count (sparse
+    supply pairs make "has ≥1 excess part" near-universal; the COUNT is
+    the discriminating signal), and a broadcast join to names. Two
+    shuffles: pair key, then supplier key. Ref shape: TPC-H Q20
+    (potential part promotion).
+    """
+    lo, hi = window
+    promo = part.filter(F.col("p_type") == ptype).select("p_partkey")
+    qty = (
+        lineitem.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.expr("cast(floor(l_quantity + 0.5) as bigint) as qty"),
+            (
+                (F.col("l_shipdate") >= F.lit(lo))
+                & (F.col("l_shipdate") < F.lit(hi))
+            ).alias("in_win"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(F.col("in_win"), F.col("qty")).otherwise(F.lit(0))).alias(
+                "win_qty"
+            ),
+            F.sum("qty").alias("tot_qty"),
+        )
+    )
+    excess = (
+        qty.filter(F.col("win_qty") * 2 > F.col("tot_qty"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_excess_parts"),
+            F.sum("win_qty").alias("excess_win_qty"),
+        )
+    )
+    return (
+        excess.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            "n_excess_parts",
+            F.col("excess_win_qty").cast("long").alias("excess_win_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # classical statistics: one-way ANOVA, autocorrelation, CUSUM changepoint
 # ---------------------------------------------------------------------------

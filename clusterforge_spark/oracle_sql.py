@@ -4126,6 +4126,96 @@ WHERE CAST(bal_e2 AS DOUBLE) > avg_e2
 GROUP BY 1"""
 
 
+#: mirrors relational.UNIT_COST_E2 — DuckDB's // floors like Spark's
+#: div truncates; both operands are positive so the results coincide
+_UNIT_COST_E2 = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " // CAST(floor(l_quantity + 0.5) AS BIGINT)"
+)
+
+
+def q_tpch_min_cost_supplier() -> str:
+    from clusterforge_spark.operators.relational import Q2_REGION, Q2_SIZE
+
+    return f"""WITH supply AS (
+  SELECT l_partkey, l_suppkey, min({_UNIT_COST_E2}) AS cost_e2
+  FROM lineitem GROUP BY 1, 2
+), sr AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost_e2
+  FROM supply
+  JOIN part ON l_partkey = p_partkey AND p_size = {Q2_SIZE}
+  JOIN sr ON l_suppkey = s_suppkey
+), best AS (SELECT p_partkey AS bk, min(cost_e2) AS min_e2 FROM offers GROUP BY 1)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal,
+       round(CAST(cost_e2 AS DOUBLE) / 100.0, 2) AS min_unit_cost
+FROM offers JOIN best ON p_partkey = bk AND cost_e2 = min_e2"""
+
+
+def q_tpch_important_stock() -> str:
+    from clusterforge_spark.operators.relational import (
+        Q11_MEAN_MULT,
+        Q11_NATION,
+    )
+
+    return f"""WITH supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+), vals AS (
+  SELECT l_partkey, sum({_REV_E4}) AS value_e4
+  FROM lineitem JOIN supp ON l_suppkey = s_suppkey GROUP BY 1
+), total AS (
+  SELECT sum(value_e4) AS total_e4, CAST(count(*) AS HUGEINT) AS n_parts FROM vals
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       round(CAST(value_e4 AS DOUBLE) / 10000.0, 2) AS stock_value
+FROM vals, total WHERE value_e4 * n_parts > total_e4 * {Q11_MEAN_MULT}"""
+
+
+def q_tpch_parts_supplier_counts() -> str:
+    from clusterforge_spark.operators.relational import Q16_EXCLUDED_BRAND
+
+    return f"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+clean AS (
+  SELECT * FROM pairs
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM clean JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+GROUP BY 1, 2, 3"""
+
+
+def q_tpch_excess_supply() -> str:
+    from clusterforge_spark.operators.relational import Q20_PTYPE, Q20_WINDOW
+
+    lo, hi = Q20_WINDOW
+    return f"""WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+                  THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END) AS win_qty,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS tot_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q20_PTYPE}'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts,
+         CAST(sum(win_qty) AS BIGINT) AS excess_win_qty
+  FROM qty WHERE win_qty * 2 > tot_qty GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       n_excess_parts, excess_win_qty
+FROM supplier JOIN excess ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey"""
+
+
 # --------------------------------------------------------------------------
 # classical statistics: ANOVA / ACF / CUSUM
 # --------------------------------------------------------------------------

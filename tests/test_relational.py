@@ -639,3 +639,134 @@ def test_tpch_q15_returns_all_tied_top_suppliers(spark):
     )
     got = sorted(r["s_suppkey"] for r in R.tpch_top_supplier(li, supp).collect())
     assert got == [1, 2]
+
+
+def test_tpch_min_cost_supplier_region_size_and_ties(spark):
+    """Q2-shape hand case: out-of-region offers and wrong-size parts are
+    excluded, the min unit cost is over ALL of a supplier's lineitems,
+    and cost ties keep every tied supplier."""
+    from clusterforge_spark.operators.relational import tpch_min_cost_supplier
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 0, 5.0), (11, "S11", 0, 7.5), (12, "S12", 1, 1.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(100, "P100", 15), (101, "P101", 9)],
+        "p_partkey long, p_name string, p_size long",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 10, 10.0, 2.0),   # unit 500 cents
+            (100, 10, 30.0, 10.0),  # unit 300 -> S10 min
+            (100, 11, 3.0, 1.0),    # unit 300 -> ties S10
+            (100, 12, 0.5, 1.0),    # cheapest but ASIA -> excluded
+            (101, 10, 0.01, 1.0),   # wrong size -> excluded
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    got = sorted(
+        (r["p_partkey"], r["s_suppkey"], r["min_unit_cost"])
+        for r in tpch_min_cost_supplier(li, part, supplier, nation, region).collect()
+    )
+    assert got == [(100, 10, 3.0), (100, 11, 3.0)]
+
+
+def test_tpch_important_stock_mean_multiple_threshold(spark):
+    """Q11-shape hand case: threshold is mean_mult x the mean per-part
+    value over the nation's supply -- values 100/10/10 with mult 2 keep
+    only the 100 (300 > 240; 30 <= 240)."""
+    from clusterforge_spark.operators.relational import tpch_important_stock
+
+    nation = spark.createDataFrame(
+        [(0, "NX", 0), (1, "NY", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 0), (11, 1)], "s_suppkey long, s_nationkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 0.0),
+            (2, 10, 10.0, 0.0),
+            (3, 10, 10.0, 0.0),
+            (4, 11, 999.0, 0.0),  # other nation -> out of scope
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    rows = tpch_important_stock(li, supplier, nation, nation_name="NX").collect()
+    assert [(r["p_partkey"], r["stock_value"]) for r in rows] == [(1, 100.0)]
+
+
+def test_tpch_parts_supplier_counts_excludes_complainers_and_brand(spark):
+    """Q16-shape hand case: duplicate supply pairs collapse, negative-
+    balance suppliers drop via anti join, the excluded brand never
+    groups, and the count is distinct suppliers per (brand, type, size)."""
+    from clusterforge_spark.operators.relational import tpch_parts_supplier_counts
+
+    supplier = spark.createDataFrame(
+        [(10, 5.0), (11, -1.0), (12, 0.0)],
+        "s_suppkey long, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [
+            (100, "BrandA", "STANDARD", 5),
+            (101, "Brand#23", "STANDARD", 5),
+            (102, "BrandA", "STANDARD", 5),
+        ],
+        "p_partkey long, p_brand string, p_type string, p_size long",
+    )
+    li = spark.createDataFrame(
+        [(100, 10), (100, 10), (100, 11), (100, 12), (101, 10), (102, 12)],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = tpch_parts_supplier_counts(li, part, supplier).collect()
+    assert [
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) for r in rows
+    ] == [("BrandA", "STANDARD", 5, 2)]
+
+
+def test_tpch_excess_supply_window_concentration(spark):
+    """Q20-shape hand case: only the (supplier, part) pair with more
+    than half its quantity inside the window counts, non-PROMO parts are
+    out of scope, and the per-supplier excess count/quantity aggregate
+    is exact."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import tpch_excess_supply
+
+    inside = dt.datetime(1995, 6, 1)
+    outside = dt.datetime(1994, 6, 1)
+    nation = spark.createDataFrame(
+        [(0, "N0")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 0), (11, "S11", 0)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    part = spark.createDataFrame(
+        [(100, "PROMO"), (101, "PROMO"), (102, "ECONOMY")],
+        "p_partkey long, p_type string",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 10, 6.0, inside), (100, 10, 4.0, outside),   # 12 > 10 -> excess
+            (101, 10, 5.0, inside), (101, 10, 5.0, outside),   # 10 > 10 false
+            (100, 11, 4.0, outside),                           # 0 in window
+            (102, 11, 9.0, inside),                            # non-PROMO
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp",
+    )
+    rows = tpch_excess_supply(li, part, supplier, nation).collect()
+    assert [
+        (r["s_suppkey"], r["s_name"], r["n_name"], r["n_excess_parts"],
+         r["excess_win_qty"])
+        for r in rows
+    ] == [(10, "S10", "N0", 1, 6)]
