@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_audio_decode"] = lambda spark, sf: MM.audio_decode_meta(
         _t(spark, sf, "documents")
     )
+    q["q_stl_decompose"] = lambda spark, sf: R.stl_decompose(
+        _t(spark, sf, "lineitem")
+    )
     q["q_gap_fill_daily"] = lambda spark, sf: R.gap_fill_daily_revenue(
         _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     )
@@ -665,6 +668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_bm25_topk"] = lambda spark, sf: TX.bm25_topk(_t(spark, sf, "documents"))
+    q["q_pmi_collocations"] = lambda spark, sf: TX.pmi_collocations(
+        _t(spark, sf, "documents")
+    )
     q["q_bigram_logprob"] = lambda spark, sf: TX.bigram_logprob(
         _t(spark, sf, "documents")
     )
@@ -839,6 +845,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_partition_pruned": OSQL.q_partition_pruned(),
         "q_audio_decode": OSQL.q_audio_decode(),
         "q_gap_fill_daily": OSQL.q_gap_fill_daily(),
+        "q_stl_decompose": OSQL.q_stl_decompose(),
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_ann_recall": OSQL.q_ann_recall(),
@@ -881,6 +888,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_quality_funnel": OSQL.q_quality_funnel(),
         "q_bm25_topk": OSQL.q_bm25_topk(),
         "q_bigram_logprob": OSQL.q_bigram_logprob(),
+        "q_pmi_collocations": OSQL.q_pmi_collocations(),
         "q_countmin_freq": OSQL.q_countmin_freq(),
         "q_bloom_membership": OSQL.q_bloom_membership(),
         "q_multimodal_meta": OSQL.q_multimodal_meta(),

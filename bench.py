@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_partition_pruned",
     "q_audio_decode",
     "q_gap_fill_daily",
+    "q_stl_decompose",
     "q_mutual_information",
     "q_pca_top_component",
     "q_ann_recall",
@@ -214,6 +215,7 @@ BENCH_QUERIES = [
     "q_multimodal_resize",
     "q_multimodal_audio",
     "q_bigram_logprob",
+    "q_pmi_collocations",
     "q_countmin_freq",
     "q_bloom_membership",
     "q_tpch_forecast_revenue",

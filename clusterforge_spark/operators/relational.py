@@ -3251,6 +3251,77 @@ def cusum_changepoint(lineitem: DataFrame) -> DataFrame:
     )
 
 
+#: centered moving-average half-width: 7-point MA over the daily series
+STL_HALF = 3
+
+
+def stl_decompose(lineitem: DataFrame) -> DataFrame:
+    """Classical additive decomposition of the daily-revenue series:
+    trend (centered 7-point moving average), seasonal (per-weekday mean
+    of the detrended series), residual — the trend/seasonality split run
+    before anomaly thresholds or forecasting.
+
+    Scale note (the ACF/CUSUM argument): the heavy step is one
+    exact-cent hash aggregate over the fact table; everything after runs
+    on the DAY-COUNT-bounded series, so the single ordered window is
+    bounded by calendar time, not data volume.
+
+    Determinism: the detrended series stays an exact integer —
+    det7_e4 = 7·rev_e4 − Σ₇rev_e4 (both decimal(38,0)) — so the per-dow
+    seasonal numerator is an exact integer sum and every emitted double
+    is one identical division on exact inputs in both engines; the
+    weekday is arithmetic ((day+4) % 7, 0 = Sunday — the
+    :func:`dow_seasonality` convention). Edge days without a full
+    7-point window are excluded (trend undefined there).
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        lineitem.select(
+            F.expr("div(unix_micros(l_shipdate), 86400000000)").alias("day"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    w = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    det = (
+        daily.select(
+            "day",
+            "rev_e4",
+            F.sum("rev_e4").over(w).alias("sum7_e4"),
+            F.count(F.lit(1)).over(w).alias("n7"),
+        )
+        .filter(F.col("n7") == 2 * STL_HALF + 1)
+        .select(
+            "day",
+            "rev_e4",
+            "sum7_e4",
+            (F.col("rev_e4") * (2 * STL_HALF + 1) - F.col("sum7_e4")).alias(
+                "det7_e4"
+            ),
+            F.expr("cast((day + 4) % 7 as bigint)").alias("dow"),
+        )
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("det7_e4").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    scale = float((2 * STL_HALF + 1) * 10_000)
+    seasonal = F.col("s_num").cast("double") / (
+        F.lit(scale) * F.col("n_dow").cast("double")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("long").alias("day"),
+        round_det(F.col("rev_e4").cast("double") / F.lit(1e4), 2).alias("revenue"),
+        round_det(F.col("sum7_e4").cast("double") / F.lit(scale), 4).alias("trend"),
+        round_det(seasonal, 4).alias("seasonal"),
+        round_det(
+            F.col("det7_e4").cast("double") / F.lit(scale) - seasonal, 4
+        ).alias("residual"),
+    )
+
+
 GAPFILL_BRAND = "Brand#23"
 
 

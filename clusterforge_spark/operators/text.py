@@ -1360,6 +1360,81 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information —
+    PMI(w₁,w₂) = log₂ P(w₁w₂)/(P(w₁)P(w₂)) over adjacent token pairs,
+    the classic multi-word-expression finder (Church & Hanks 1990) run
+    when building tokenizer merge candidates or phrase vocabularies.
+
+    Determinism: PMI's argument is the exact integer ratio
+    c_bg·N_uni² / (N_bi·c_w1·c_w2) carried in decimal(38,0) (c·N² can
+    pass 2⁶³ at corpus scale), so both engines take log₂ of the same
+    double; the top-k cut orders by that ratio with the bigram string
+    as tie-break — boundary ties cannot flap.
+
+    Scale shape: one cached tokenize pass (shared with the LM scorers
+    via CacheManager), two count aggregates, two vocab-sized equi-joins
+    (AQE broadcasts while the model fits), and a distributed
+    TakeOrderedAndProject for the top-k — no single-partition window,
+    no driver collect.
+    """
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    toked_all = spread_partitions(
+        documents.select("doc_id", H.tokens_col("text").alias("t")), "doc_id"
+    ).cache()
+    uni = (
+        toked_all.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    ex = toked_all.filter(F.size("t") >= 2).select(
+        F.explode(_grams_from_tokens("t", 2)).alias("bigram")
+    )
+    n_bi = ex.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    bgc = (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
+    )
+    j = (
+        bgc.select(
+            "bigram",
+            "c_bg",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = F.expr(
+        "cast(cast(c_bg as decimal(38,0)) * n_uni * n_uni as double)"
+        " / cast(cast(n_bi as decimal(38,0)) * c_w1 * c_w2 as double)"
+    )
+    return (
+        j.select(
+            "bigram",
+            F.col("c_bg").cast("long").alias("c_bigram"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            round_det(F.log2(ratio), 4).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), F.col("bigram").asc())
+        .limit(k)
+        .drop("_r")
+    )
+
+
 def boilerplate_prefixes(
     docs: DataFrame, prefix_len: int = 48, min_docs: int = 2
 ) -> DataFrame:

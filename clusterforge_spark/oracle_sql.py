@@ -1933,6 +1933,43 @@ LEFT JOIN hits ON probes.token = hits.token
 LEFT JOIN present ON probes.token = present.token"""
 
 
+def q_pmi_collocations() -> str:
+    """Mirrors operators/text.pmi_collocations: exact HUGEINT PMI ratio,
+    ratio-then-bigram ordering for a flap-proof top-k cut."""
+    from clusterforge_spark.operators.text import PMI_MIN_COUNT, PMI_TOP_K
+
+    toks = _H.tokens_sql("text")
+    bg = "[t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]"
+    ratio = (
+        "CAST(CAST(c_bg AS HUGEINT) * n_uni * n_uni AS DOUBLE)"
+        " / CAST(CAST(n_bi AS HUGEINT) * c_w1 * c_w2 AS DOUBLE)"
+    )
+    return f"""WITH tk AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+uni AS (
+  SELECT token AS w, CAST(count(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(t) AS token FROM tk) GROUP BY 1
+),
+nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+ex AS (SELECT unnest({bg}) AS bigram FROM tk WHERE len(t) >= 2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM ex),
+bgc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bg FROM ex
+  GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+),
+j AS (
+  SELECT bigram, c_bg, u1.c_w AS c_w1, u2.c_w AS c_w2, n_uni, n_bi
+  FROM bgc
+  JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
+  JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w, nu, nb
+)
+SELECT bigram, c_bg AS c_bigram, c_w1, c_w2, round(log2({ratio}), 4) AS pmi
+FROM j
+ORDER BY {ratio} DESC, bigram
+LIMIT {PMI_TOP_K}"""
+
+
 def q_bigram_logprob() -> str:
     """Mirrors operators/text.bigram_logprob: add-one-smoothed bigram LM,
     6dp micro-unit log2 probabilities summed as exact BIGINTs."""
@@ -4369,6 +4406,40 @@ def q_audio_decode() -> str:
        CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
        CAST(octet_length(encode(text)) AS DOUBLE) / {AUDIO_SYNTH_RATE}.0 AS duration_sec
 FROM documents"""
+
+
+def q_stl_decompose() -> str:
+    """Mirrors operators/relational.stl_decompose: exact-integer
+    detrending (7·rev − Σ₇rev in HUGEINT), arithmetic dow, divisions
+    only at the emitted edge."""
+    from clusterforge_spark.operators.relational import STL_HALF
+
+    k = 2 * STL_HALF + 1
+    scale = float(k * 10_000)
+    return f"""WITH daily AS (
+  SELECT CAST(epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+         sum({_REV_E4}) AS rev_e4
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT day, rev_e4,
+         sum(rev_e4) OVER (ORDER BY day ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING) AS sum7_e4,
+         count(*) OVER (ORDER BY day ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING) AS n7
+  FROM daily
+), det AS (
+  SELECT day, rev_e4, sum7_e4, rev_e4 * {k} - sum7_e4 AS det7_e4,
+         CAST((day + 4) % 7 AS BIGINT) AS dow
+  FROM t WHERE n7 = {k}
+), seas AS (
+  SELECT dow, sum(det7_e4) AS s_num, CAST(count(*) AS BIGINT) AS n_dow
+  FROM det GROUP BY 1
+)
+SELECT day,
+       round(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS revenue,
+       round(CAST(sum7_e4 AS DOUBLE) / {scale!r}, 4) AS trend,
+       round(CAST(s_num AS DOUBLE) / ({scale!r} * n_dow), 4) AS seasonal,
+       round(CAST(det7_e4 AS DOUBLE) / {scale!r}
+             - CAST(s_num AS DOUBLE) / ({scale!r} * n_dow), 4) AS residual
+FROM det JOIN seas USING (dow)"""
 
 
 def q_gap_fill_daily() -> str:

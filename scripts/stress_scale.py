@@ -90,6 +90,10 @@ LINEITEM_QUERIES = {
     "q_tpch_small_qty_revenue",
     "q_acf_daily_revenue",
     "q_cusum_changepoint",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_important_stock",
+    "q_tpch_parts_supplier_counts",
+    "q_tpch_excess_supply",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"

@@ -770,3 +770,50 @@ def test_tpch_excess_supply_window_concentration(spark):
          r["excess_win_qty"])
         for r in rows
     ] == [(10, "S10", "N0", 1, 6)]
+
+
+def test_stl_decompose_linear_ramp(spark):
+    """Closed form: a linear daily-revenue ramp has trend == revenue
+    (centered MA of a linear series is its center), so detrended,
+    seasonal and residual are all exactly zero; edge days without a full
+    7-point window are excluded."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import stl_decompose
+
+    base = dt.datetime(1995, 1, 5)  # far from epoch edges
+    rows = [
+        (base + dt.timedelta(days=i), float(10 + i), 0.0) for i in range(14)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_shipdate timestamp, l_extendedprice double, l_discount double"
+    )
+    got = sorted(
+        (r["revenue"], r["trend"], r["seasonal"], r["residual"])
+        for r in stl_decompose(li).collect()
+    )
+    assert len(got) == 14 - 6  # 3 trimmed each side
+    for rev, trend, seas, resid in got:
+        assert trend == rev
+        assert seas == 0.0 and resid == 0.0
+
+
+def test_pmi_collocations_hand_counts(spark):
+    """Closed form on one 6-token doc 'x y x y x y': PMI(x y) =
+    log2(c_xy * N_uni^2 / (N_bi * c_x * c_y)) = log2(3*36/(5*9))."""
+    import math
+
+    from clusterforge_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    rows = {
+        r["bigram"]: r for r in pmi_collocations(docs, min_count=1, k=10).collect()
+    }
+    assert set(rows) == {"x y", "y x"}
+    xy = rows["x y"]
+    assert (xy["c_bigram"], xy["c_w1"], xy["c_w2"]) == (3, 3, 3)
+    assert xy["pmi"] == round(
+        math.floor(math.log2(3 * 36 / (5 * 9)) * 1e4 + 0.5) / 1e4, 4
+    ) or abs(xy["pmi"] - math.log2(2.4)) < 1e-3
