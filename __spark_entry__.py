@@ -399,6 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stl_decompose"] = lambda spark, sf: R.stl_decompose(
         _t(spark, sf, "lineitem")
     )
+    q["q_mann_kendall"] = lambda spark, sf: R.mann_kendall(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_l_diversity"] = lambda spark, sf: VA.l_diversity(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
     q["q_gap_fill_daily"] = lambda spark, sf: R.gap_fill_daily_revenue(
         _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     )
@@ -846,6 +852,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_audio_decode": OSQL.q_audio_decode(),
         "q_gap_fill_daily": OSQL.q_gap_fill_daily(),
         "q_stl_decompose": OSQL.q_stl_decompose(),
+        "q_mann_kendall": OSQL.q_mann_kendall(),
+        "q_l_diversity": OSQL.q_l_diversity(),
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_ann_recall": OSQL.q_ann_recall(),

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q_audio_decode",
     "q_gap_fill_daily",
     "q_stl_decompose",
+    "q_mann_kendall",
+    "q_l_diversity",
     "q_mutual_information",
     "q_pca_top_component",
     "q_ann_recall",

@@ -3322,6 +3322,64 @@ def stl_decompose(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def mann_kendall(lineitem: DataFrame) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily-revenue
+    series: S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance, and the
+    normal-approximation Z — "is revenue monotonically trending"
+    without assuming linearity or normality (the robust complement to
+    :func:`linreg_price_vs_qty`'s OLS).
+
+    Scale note (the ACF/CUSUM/STL argument): the heavy step is the
+    exact-cent daily aggregate; the O(days²) pair comparison runs on the
+    CALENDAR-bounded series (~10³ rows ⇒ ~10⁶ comparisons — a broadcast
+    nested-loop join over metadata-sized frames at any corpus size).
+
+    Determinism: x values are exact e4 integers, so S, n and the tie
+    term are integers; var = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and
+    Z = (S∓1)/√var are single identical double ops on exact inputs.
+    """
+    daily = (
+        lineitem.select(
+            F.expr("div(unix_micros(l_shipdate), 86400000000)").alias("day"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_e4").alias("x"))
+    ).cache()
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = a.join(b, F.col("d1") < F.col("d2")).agg(
+        F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias("s_stat"),
+    )
+    nties = daily.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+    tie_term = nties.filter(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("tie_sum")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    var_num = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_sum")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double")).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double")
+    ).otherwise(F.lit(0.0)) / F.sqrt(var_num)
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tie_term))
+        .select(
+            "n_days",
+            "s_stat",
+            round_det(var_num, 4).alias("var_s"),
+            round_det(z, 4).alias("z"),
+        )
+    )
+
+
 GAPFILL_BRAND = "Brand#23"
 
 

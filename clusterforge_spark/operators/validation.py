@@ -854,6 +854,42 @@ def k_anonymity(
     )
 
 
+L_DIVERSITY_L = 3
+
+
+def l_diversity(
+    orders: DataFrame,
+    customer: DataFrame,
+    min_l: int = L_DIVERSITY_L,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's sensitive-attribute complement
+    (Machanavajjhala et al. 2007): within each quasi-identifier class
+    (customer nation × market segment), how many DISTINCT values does
+    the sensitive attribute (order priority) take? A class can be
+    k-anonymous yet leak the sensitive value outright if every member
+    shares it (l = 1).
+
+    Shape: broadcast dim join attaches the QI to each order, one grouped
+    count-distinct per class, then a class-size histogram bucketed by
+    "l < min_l" — the same audit-output convention as
+    :func:`k_anonymity`, ≤ 2 rows at any scale.
+    """
+    qi = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    classes = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("l_val"),
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+    )
+    return classes.groupBy((F.col("l_val") < min_l).alias("is_violating")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("l_val").cast("long").alias("min_l"),
+        F.max("l_val").cast("long").alias("max_l"),
+    )
+
+
 #: PSI bucket width / smoothing — the CANONICAL definition; the
 #: streaming drift monitor (streaming/sessionize) imports these so
 #: batch and streamed PSI stay comparable by construction

@@ -2337,6 +2337,50 @@ FROM classes
 GROUP BY class_size < {K_ANON_K}"""
 
 
+def q_l_diversity() -> str:
+    """Mirrors operators/validation.l_diversity."""
+    from clusterforge_spark.operators.validation import L_DIVERSITY_L
+
+    return f"""WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_val,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT l_val < {L_DIVERSITY_L} AS is_violating,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(l_val) AS BIGINT) AS min_l,
+       CAST(max(l_val) AS BIGINT) AS max_l
+FROM classes
+GROUP BY l_val < {L_DIVERSITY_L}"""
+
+
+def q_mann_kendall() -> str:
+    """Mirrors operators/relational.mann_kendall: integer S and tie term
+    over the exact-e4 daily series; var and Z are single double ops."""
+    return f"""WITH daily AS (
+  SELECT CAST(epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+         sum({_REV_E4}) AS x
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) WHERE t > 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, s_stat,
+       round(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0, 4) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                  ELSE 0.0 END
+             / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0), 4) AS z
+FROM s, ties, n"""
+
+
 def q_ks_test_value() -> str:
     """Mirrors operators/validation.ks_test_value (exact-integer D
     numerator over the distinct-value CDF rows)."""

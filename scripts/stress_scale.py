@@ -94,6 +94,7 @@ LINEITEM_QUERIES = {
     "q_tpch_important_stock",
     "q_tpch_parts_supplier_counts",
     "q_tpch_excess_supply",
+    "q_stl_decompose",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"

@@ -817,3 +817,45 @@ def test_pmi_collocations_hand_counts(spark):
     assert xy["pmi"] == round(
         math.floor(math.log2(3 * 36 / (5 * 9)) * 1e4 + 0.5) / 1e4, 4
     ) or abs(xy["pmi"] - math.log2(2.4)) < 1e-3
+
+
+def test_mann_kendall_closed_form(spark):
+    """Three strictly increasing days: S = 3, no ties, var = 66/18,
+    z = 2/sqrt(66/18)."""
+    import datetime as dt
+    import math
+
+    from clusterforge_spark.operators.relational import mann_kendall
+
+    base = dt.datetime(1995, 1, 5)
+    li = spark.createDataFrame(
+        [(base + dt.timedelta(days=i), float(i + 1), 0.0) for i in range(3)],
+        "l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    r = mann_kendall(li).collect()[0]
+    assert (r["n_days"], r["s_stat"]) == (3, 3)
+    var = 3 * 2 * 11 / 18.0
+    assert r["var_s"] == round(math.floor(var * 1e4 + 0.5) / 1e4, 4)
+    assert abs(r["z"] - 2.0 / math.sqrt(var)) < 1e-4
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Two equal days among three: the tie group (t=2) subtracts
+    t(t-1)(2t+5) = 18 from the variance numerator."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import mann_kendall
+
+    base = dt.datetime(1995, 1, 5)
+    li = spark.createDataFrame(
+        [
+            (base, 5.0, 0.0),
+            (base + dt.timedelta(days=1), 5.0, 0.0),
+            (base + dt.timedelta(days=2), 9.0, 0.0),
+        ],
+        "l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    r = mann_kendall(li).collect()[0]
+    # pairs: (d0,d1) tie -> 0, (d0,d2) +1, (d1,d2) +1
+    assert r["s_stat"] == 2
+    assert r["var_s"] == round((66 - 18) / 18.0, 4)

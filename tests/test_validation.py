@@ -370,3 +370,26 @@ def test_key_skew_profile_hand_computed(spark):
     assert abs(r["mean_cnt"] - 3.0) < 1e-9
     assert r["p99_cnt"] == 6
     assert abs(r["skew_ratio"] - 2.0) < 1e-9
+
+
+def test_l_diversity_hand_classes(spark):
+    """One QI class with a single priority value (l=1, violating) and
+    one with three distinct priorities (l=3, compliant)."""
+    from clusterforge_spark.operators.validation import l_diversity
+
+    customer = spark.createDataFrame(
+        [(1, 0, "A"), (2, 0, "A"), (3, 1, "B")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT"), (11, 2, "1-URGENT"), (12, 1, "1-URGENT"),
+            (20, 3, "1-URGENT"), (21, 3, "2-HIGH"), (22, 3, "3-MEDIUM"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r["is_violating"]: (r["n_classes"], r["n_rows"], r["min_l"], r["max_l"])
+        for r in l_diversity(orders, customer).collect()
+    }
+    assert got == {True: (1, 3, 1, 1), False: (1, 3, 3, 3)}
