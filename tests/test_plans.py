@@ -572,3 +572,42 @@ def test_partition_pruned_read_prunes_directories(spark, tmp_path):
     # only the pruned partition's files are scanned
     scanned = [l for l in files.splitlines() if "o_orderstatus=" in l]
     assert all("o_orderstatus=F" in l or "o_orderstatus=" not in l for l in scanned)
+
+
+def test_tpch_min_cost_supplier_broadcasts_dims_no_cartesian(spark):
+    """The Q2 shape broadcasts every dim chain (part, supplier→nation→
+    region) below the pair-min aggregate and never degenerates to a
+    cartesian product; the per-part min join-back keys on (partkey,
+    cost)."""
+    df = R.tpch_min_cost_supplier(
+        _t(spark, "lineitem"),
+        _t(spark, "part"),
+        _t(spark, "supplier"),
+        _t(spark, "nation"),
+        _t(spark, "region"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_collocations_topk_is_take_ordered(spark):
+    """The PMI top-k cut compiles to a distributed TakeOrderedAndProject
+    — no single-partition sort or window carries the collocation
+    table."""
+    from clusterforge_spark.operators import text as TX
+
+    df = TX.pmi_collocations(_t(spark, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_mann_kendall_pair_join_is_broadcast_nested_loop(spark):
+    """The O(days²) comparison joins two metadata-sized daily aggregates
+    with a broadcast nested-loop join — the fact table is scanned for
+    the daily aggregate only, never row-paired."""
+    df = R.mann_kendall(_t(spark, "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
