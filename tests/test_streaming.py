@@ -616,3 +616,50 @@ def test_curated_ingest_watermarked_dedup_variant(spark, documents, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("q_wm_curation").collect()
     assert len(rows) == 20  # the 5 in-window duplicates were dropped
+
+
+def test_kafka_source_spec_options_and_decode(spark):
+    """The Kafka config surface: the spec renders the exact option map
+    (safety defaults explicit), and the value-decode projection turns
+    the wire frame into typed rows with the (topic, partition, offset)
+    bookkeeping columns — verified on a static frame with the same
+    schema the kafka source yields (the kafka-clients jar itself is a
+    deployment concern, absent here by design)."""
+    from pyspark.sql import types as T
+
+    from clusterforge_spark.streaming.sources import (
+        KafkaSourceSpec,
+        decode_json_value,
+    )
+
+    spec = KafkaSourceSpec(
+        bootstrap_servers="b1:9092,b2:9092",
+        topics=("events", "events_dlq"),
+        max_offsets_per_trigger=500,
+    )
+    opts = spec.options()
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events,events_dlq"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert spec.reader(spark) is not None  # configured, not loaded
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    raw = spark.createDataFrame(
+        [
+            ("events", 0, 7, dt.datetime(2024, 1, 1), b'{"user_id": 5, "value": 1.5}'),
+            ("events", 0, 8, dt.datetime(2024, 1, 1), b"not json"),
+        ],
+        "topic string, partition int, offset long, timestamp timestamp, value binary",
+    )
+    rows = {r["offset"]: r for r in decode_json_value(raw, schema).collect()}
+    assert (rows[7]["user_id"], rows[7]["value"]) == (5, 1.5)
+    assert rows[8]["user_id"] is None  # corrupt record quarantined as NULLs
