@@ -402,6 +402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_mann_kendall"] = lambda spark, sf: R.mann_kendall(
         _t(spark, sf, "lineitem")
     )
+    q["q_theil_sen"] = lambda spark, sf: R.theil_sen(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_readability"] = lambda spark, sf: TX.readability_profile(
+        _t(spark, sf, "documents")
+    )
     q["q_l_diversity"] = lambda spark, sf: VA.l_diversity(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
@@ -853,6 +859,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_gap_fill_daily": OSQL.q_gap_fill_daily(),
         "q_stl_decompose": OSQL.q_stl_decompose(),
         "q_mann_kendall": OSQL.q_mann_kendall(),
+        "q_theil_sen": OSQL.q_theil_sen(),
+        "q_readability": OSQL.q_readability_profile(),
         "q_l_diversity": OSQL.q_l_diversity(),
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),

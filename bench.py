@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "q_gap_fill_daily",
     "q_stl_decompose",
     "q_mann_kendall",
+    "q_theil_sen",
+    "q_readability",
     "q_l_diversity",
     "q_mutual_information",
     "q_pca_top_component",

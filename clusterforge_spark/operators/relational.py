@@ -148,6 +148,14 @@ REVENUE_E4 = (
 )
 
 
+def _round_half_up(x: float, d: int) -> float:
+    """Driver-side mirror of functions/rounding.round_det (floor(x*10^d+0.5))."""
+    import math
+
+    s = float(10**d)
+    return math.floor(x * s + 0.5) / s
+
+
 def _revenue_sum(alias_src: str = "revenue_e4"):
     """round(Σ revenue_e4 / 1e4, 2) as an order-independent exact sum."""
     return round_det(
@@ -3377,6 +3385,76 @@ def mann_kendall(lineitem: DataFrame) -> DataFrame:
             round_det(var_num, 4).alias("var_s"),
             round_det(z, 4).alias("z"),
         )
+    )
+
+
+def theil_sen(lineitem: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend estimate for the daily-revenue series:
+    slope = median of all pairwise slopes (x_j−x_i)/(d_j−d_i), intercept
+    = median of (x_i − slope·d_i) — the outlier-resistant line that
+    pairs with :func:`mann_kendall` (MK answers "is there a trend",
+    Theil-Sen answers "how steep").
+
+    Scale note: same calendar-bounded argument — the O(days²) pair set
+    (~10⁶ rows for years of data) exists only above the exact-cent daily
+    aggregate; the exact medians buffer a metadata-sized series, never
+    row data.
+
+    Determinism: every pairwise slope is ONE double division of exact
+    integers (e4 revenue delta / integer day delta), so both engines
+    sort identical doubles; medians interpolate identically (linear,
+    the percentile/quantile_cont convention), computed by the
+    DISTRIBUTED exact-quantile selection
+    (functions/partitioning.exact_quantile — Spark's ``percentile``
+    aggregate buffers all 3M pair slopes into one reducer: 9.3 s
+    measured vs ~1 s, and an OOM magnet at real SF).
+    """
+    from clusterforge_spark.functions.partitioning import exact_quantile
+
+    daily = (
+        lineitem.select(
+            F.expr("div(unix_micros(l_shipdate), 86400000000)").alias("day"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_e4").alias("x"))
+    ).cache()
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    # try_divide, not /: Catalyst folds downstream IsNotNull filters into
+    # the join condition, where the division would evaluate on d2 == d1
+    # pairs before the < predicate — an ANSI DIVIDE_BY_ZERO on rows the
+    # join was about to drop. try_divide is total; the d1 < d2 condition
+    # guarantees no null actually survives.
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            F.try_divide(
+                (F.col("x2") - F.col("x1")).cast("double"),
+                (F.col("d2") - F.col("d1")).cast("double"),
+            )
+            / F.lit(1e4)
+        ).alias("slope")
+    )
+    slope = exact_quantile(slopes, "slope", 0.5)
+    resid = daily.select(
+        (
+            F.col("x").cast("double") / F.lit(1e4)
+            - F.lit(slope) * F.col("day").cast("double")
+        ).alias("r")
+    )
+    icept = exact_quantile(resid, "r", 0.5)
+    n_days = daily.count()
+    spark = lineitem.sparkSession
+    row = [
+        (
+            int(n_days),
+            int(n_days * (n_days - 1) // 2),
+            _round_half_up(slope, 6),
+            _round_half_up(icept, 4),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_days long, n_pairs long, slope_per_day double, intercept double"
     )
 
 

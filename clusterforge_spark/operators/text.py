@@ -1360,6 +1360,45 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def readability_profile(documents: DataFrame) -> DataFrame:
+    """Corpus-level Flesch reading-ease per language:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) on the
+    per-language SUMS — the fluency-band profile curation pipelines use
+    to set per-language quality thresholds (per-doc Flesch is noisy on
+    short documents; the corpus-level ratio is the stable signal).
+
+    Counts are engine-agnostic integers: words from the shared
+    tokenizer, sentences as non-overlapping ``[.!?]+`` runs (min 1 per
+    doc), syllables approximated as vowel-group runs ``[aeiouy]+`` —
+    greedy non-overlapping matches that every regex engine counts
+    identically. One grouped aggregate; the Flesch formula is arithmetic
+    on exact sums.
+    """
+    per = documents.select(
+        "lang",
+        F.size(H.tokens_col("text")).cast("long").alias("w"),
+        F.greatest(
+            F.expr("regexp_count(text, '[.!?]+')").cast("long"), F.lit(1)
+        ).alias("s"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')").cast("long").alias("y"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("words").cast("double") / F.col("sentences").cast("double")
+        - F.lit(84.6) * F.col("syllables").cast("double") / F.col("words").cast("double")
+    )
+    return agg.select(
+        "lang", "n_docs", "words", "sentences", "syllables",
+        round_det(flesch, 4).alias("flesch"),
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 

@@ -2381,6 +2381,52 @@ SELECT n_days, s_stat,
 FROM s, ties, n"""
 
 
+def q_theil_sen() -> str:
+    """Mirrors operators/relational.theil_sen: pairwise slopes are single
+    double divisions of exact integers; medians interpolate linearly in
+    both engines (percentile ↔ quantile_cont)."""
+    return f"""WITH daily AS (
+  SELECT CAST(epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+         sum({_REV_E4}) AS x
+  FROM lineitem GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) / 10000.0 AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), ms AS (
+  SELECT quantile_cont(slope, 0.5) AS slope, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM slopes
+), resid AS (
+  SELECT CAST(x AS DOUBLE) / 10000.0 - slope * CAST(day AS DOUBLE) AS r
+  FROM daily, ms
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       n_pairs,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day,
+       floor((SELECT quantile_cont(r, 0.5) FROM resid) * 10000.0 + 0.5) / 10000.0 AS intercept
+FROM ms"""
+
+
+def q_readability_profile() -> str:
+    """Mirrors operators/text.readability_profile."""
+    toks = _H.tokens_sql("text")
+    return f"""WITH per AS (
+  SELECT lang,
+         CAST(len({toks}) AS BIGINT) AS w,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(s) AS BIGINT) AS sentences,
+       CAST(sum(y) AS BIGINT) AS syllables,
+       round(206.835
+             - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)
+             - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4) AS flesch
+FROM per GROUP BY lang"""
+
+
 def q_ks_test_value() -> str:
     """Mirrors operators/validation.ks_test_value (exact-integer D
     numerator over the distinct-value CDF rows)."""
