@@ -408,6 +408,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_readability"] = lambda spark, sf: TX.readability_profile(
         _t(spark, sf, "documents")
     )
+    q["q_kaplan_meier"] = lambda spark, sf: R.kaplan_meier(
+        _t(spark, sf, "orders")
+    )
+    q["q_temporal_split"] = lambda spark, sf: R.temporal_split(
+        _t(spark, sf, "orders")
+    )
+    q["q_market_basket"] = lambda spark, sf: R.market_basket(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_minmax_scaler"] = lambda spark, sf: FE.minmax_scaler(_rfm(spark, sf))
+    q["q_target_encoding"] = lambda spark, sf: FE.target_encoding(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+    q["q_vocab_jaccard"] = lambda spark, sf: TX.vocab_jaccard_sources(
+        _t(spark, sf, "documents")
+    )
     q["q_l_diversity"] = lambda spark, sf: VA.l_diversity(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
@@ -861,6 +877,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mann_kendall": OSQL.q_mann_kendall(),
         "q_theil_sen": OSQL.q_theil_sen(),
         "q_readability": OSQL.q_readability_profile(),
+        "q_kaplan_meier": OSQL.q_kaplan_meier(),
+        "q_temporal_split": OSQL.q_temporal_split(),
+        "q_market_basket": OSQL.q_market_basket(),
+        "q_minmax_scaler": OSQL.q_minmax_scaler(),
+        "q_target_encoding": OSQL.q_target_encoding(),
+        "q_vocab_jaccard": OSQL.q_vocab_jaccard_sources(),
         "q_l_diversity": OSQL.q_l_diversity(),
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),

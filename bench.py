@@ -119,6 +119,12 @@ BENCH_QUERIES = [
     "q_mann_kendall",
     "q_theil_sen",
     "q_readability",
+    "q_kaplan_meier",
+    "q_temporal_split",
+    "q_market_basket",
+    "q_minmax_scaler",
+    "q_target_encoding",
+    "q_vocab_jaccard",
     "q_l_diversity",
     "q_mutual_information",
     "q_pca_top_component",

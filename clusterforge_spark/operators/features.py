@@ -158,6 +158,103 @@ RFM_SEGMENT_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+def minmax_scaler(
+    rfm: DataFrame,
+    cols: tuple[str, ...] = RFM_COLS,
+    keep: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Min-max scale features to [0, 1] — the bounded-range companion to
+    the z-score scaler (data.rs:31-37 analog) that tree/embedding
+    pipelines prefer when outliers shouldn't stretch the unit.
+
+    Same shape as fit_scaler/transform_scaler: a 1-row min/max fit stays
+    a DataFrame and broadcast-cross-joins onto the data, so the whole
+    thing is one aggregate + one map-only stage, no driver round-trip.
+    Range is floored at 1e-8 (the σ-floor convention) so constant
+    columns scale to 0 instead of dividing by zero.
+
+    Determinism: min/max are exact; (x − min)/range is one double
+    subtract + divide on identical inputs in either engine; rounded 4dp
+    per the avg/stddev-downstream rule.
+    """
+    from clusterforge_spark.functions.rounding import round_det
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(
+            F.greatest(F.max(c) - F.min(c), F.lit(1e-8)).alias(f"{c}_rng")
+        )
+    params = rfm.agg(*aggs)
+    out = rfm.crossJoin(F.broadcast(params))
+    mm = [
+        round_det(
+            (F.col(c) - F.col(f"{c}_min")) / F.col(f"{c}_rng"), 4
+        ).alias(f"{c}_mm")
+        for c in cols
+    ]
+    return out.select(*[F.col(k) for k in keep], *mm)
+
+
+#: additive-smoothing pseudo-count for target encoding (the classic
+#: "m-estimate": enc = (Σ_seg + m·global_mean) / (n_seg + m)).
+TENC_SMOOTHING = 10
+
+
+def target_encoding(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Smoothed target (mean) encoding of `c_mktsegment` against customer
+    lifetime spend — the leakage-safe categorical feature a training
+    pipeline materializes before model fit: segment → encoded value
+    pulled toward the global mean by ``TENC_SMOOTHING`` pseudo-counts so
+    rare categories don't memorize their few members.
+
+    Plan: per-customer exact DECIMAL spend (one hash agg on orders),
+    broadcast-joined segment labels (customer is the dim side), a
+    per-segment aggregate, and a 1-row global broadcast — two shuffles
+    total, both on aggregated data. Customers with no orders don't
+    contribute (inner join), mirroring fit-time behavior.
+
+    Determinism: spends accumulate in DECIMAL(18,2); means and the
+    smoothed encoding are single double ops on exact sums, rounded 4dp.
+    """
+    from clusterforge_spark.functions.rounding import round_det
+
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("seg_sum"),
+    )
+    glob = spend.agg(
+        F.sum("spend").alias("g_sum"),
+        F.count(F.lit(1)).cast("double").alias("g_n"),
+    )
+    m = F.lit(float(TENC_SMOOTHING))
+    g_mean = F.col("g_sum").cast("double") / F.col("g_n")
+    return (
+        seg.crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            round_det(
+                F.col("seg_sum").cast("double") / F.col("n_customers").cast("double"),
+                4,
+            ).alias("mean_spend"),
+            round_det(
+                (F.col("seg_sum").cast("double") + m * g_mean)
+                / (F.col("n_customers").cast("double") + m),
+                4,
+            ).alias("encoded"),
+        )
+    )
+
+
 def rfm_segments(rfm: DataFrame) -> DataFrame:
     """Rule-based RFM segmentation — the classic quintile-score playbook
     (Champions / Loyal / At-Risk...) that sits beside the K-means

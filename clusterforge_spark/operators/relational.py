@@ -3574,3 +3574,196 @@ def mutual_information(events: DataFrame) -> DataFrame:
             round_det(F.col("hy_raw"), 6).alias("entropy_dow"),
         )
     )
+
+
+#: churn horizon: a customer whose last order is further than this many
+#: days from the end of the observation window is an observed churn
+#: ("event"); closer ones are right-censored (still possibly active).
+KM_CHURN_DAYS = 90
+
+
+def kaplan_meier(orders: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (days between a
+    customer's first and last order), right-censoring customers whose
+    last order falls within ``KM_CHURN_DAYS`` of the dataset's end —
+    the standard churn-analysis estimator: S(t) = Π_{t_i ≤ t}
+    (1 − d_i / n_i) with d_i = churns at lifetime t_i and n_i = at-risk
+    (everyone whose lifetime ≥ t_i).
+
+    Scale shape: one per-customer min/max aggregate over orders is the
+    only pass touching row data; everything after runs on the
+    DISTINCT-LIFETIME table, bounded by the calendar span (a 100 TB
+    corpus has more customers, not more distinct day-counts), so the
+    single ordered window over it is time-bounded — the same argument
+    as acf/stl/mann_kendall.
+
+    Determinism: d_i, c_i, n_i are exact integers; each KM factor is ONE
+    double division; the running product is exp(Σ ln factor) — written
+    identically on both engines — with an explicit zero-factor flag
+    (n_i == d_i kills the curve to exactly 0.0 rather than routing
+    through ln(0), which Spark nulls and DuckDB -infs). Rounded 4dp.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.expr("div(unix_micros(o_orderdate), 86400000000)")
+    per = orders.groupBy("o_custkey").agg(
+        F.min(day).alias("first_d"), F.max(day).alias("last_d")
+    )
+    horizon = per.agg((F.max("last_d") - F.lit(KM_CHURN_DAYS)).alias("cut_d"))
+    life = per.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        F.when(F.col("last_d") < F.col("cut_d"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    tbl = life.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_total = tbl.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    stepped = (
+        tbl.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_all), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "factor",
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double"),
+        )
+    )
+    survival = F.when(
+        F.max(F.when(F.col("factor") <= F.lit(0.0), 1).otherwise(0)).over(w_cum)
+        == 1,
+        F.lit(0.0),
+    ).otherwise(
+        F.exp(F.sum(F.log(F.greatest(F.col("factor"), F.lit(1e-300)))).over(w_cum))
+    )
+    return stepped.select(
+        F.col("t").alias("lifetime_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        round_det(survival, 4).alias("survival"),
+    )
+
+
+#: train fraction of the temporal split (integer arithmetic: the cutoff
+#: date is the smallest day whose cumulative order count reaches
+#: ⌊n·4/5⌋, so both engines pick the identical calendar day).
+TSPLIT_TRAIN_NUM, TSPLIT_TRAIN_DEN = 4, 5
+
+
+def temporal_split(orders: DataFrame) -> DataFrame:
+    """Leakage-safe temporal train/test split of orders: the cutoff is
+    the smallest order DATE at which the cumulative order count reaches
+    80% — time-ordered, never hash-random, because a model trained on
+    rows from the future of its eval window is leakage (the companion
+    to q_hash_split / q_kfold_split, which cover the i.i.d. case).
+
+    Plan: one date-histogram aggregate (distinct days, calendar-bounded)
+    + a tiny cumulative window to find the cutoff day, broadcast back
+    onto orders for the split label — the fact table is scanned once
+    and never sorted.
+
+    Output is the audit summary per split (counts, date range, exact
+    DECIMAL revenue), not the labeled rows — the labeling expression is
+    the operator; the summary is what a pipeline asserts on.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.expr("div(unix_micros(o_orderdate), 86400000000)")
+    hist = orders.groupBy(day.alias("dy")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("dy").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("cnt").alias("n_all"))
+    cut = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .filter(
+            F.col("cum")
+            >= F.expr(f"div(n_all * {TSPLIT_TRAIN_NUM}, {TSPLIT_TRAIN_DEN})")
+        )
+        .agg(F.min("dy").alias("cut_d"))
+    )
+    lab = orders.crossJoin(F.broadcast(cut)).select(
+        F.when(day <= F.col("cut_d"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        day.alias("dy"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.date_format(F.date_from_unix_date(F.min("dy").cast("int")), "yyyy-MM-dd")
+        .alias("min_date"),
+        F.date_format(F.date_from_unix_date(F.max("dy").cast("int")), "yyyy-MM-dd")
+        .alias("max_date"),
+        F.sum("p").cast("double").alias("total_price"),
+    )
+
+
+#: market-basket thresholds: pairs must co-occur in ≥ MIN_SUP orders;
+#: report the TOP_K pairs by lift.
+BASKET_MIN_SUP = 3
+BASKET_TOP_K = 20
+
+
+def market_basket(lineitem: DataFrame) -> DataFrame:
+    """Association-rule mining over order baskets: for part pairs
+    co-occurring in ≥ ``BASKET_MIN_SUP`` orders, support / directional
+    confidence / lift, top ``BASKET_TOP_K`` by lift — the classic
+    "frequently bought together" miner.
+
+    Scale shape: the pair expansion is a self-join of the DISTINCT
+    (order, part) basket relation on the order key with p1 < p2, so the
+    blowup per order is C(basket_size, 2) — bounded by the largest
+    basket (≤ ~7 lines in this schema), NOT by data volume; it
+    co-locates on the order key with no skew (one order = one basket).
+    Item frequencies join back on part keys (dim-sized; AQE broadcasts).
+
+    Determinism: support/confidence/lift are single double ops on exact
+    integer counts, rounded 6dp; the top-k order is total
+    (lift desc, then the unique pair key), so LIMIT is stable.
+    """
+    basket = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = basket.agg(F.countDistinct("ok").alias("n_ord"))
+    item = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("icnt"))
+    a = basket.select("ok", F.col("pk").alias("p1"))
+    b = basket.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+        .filter(F.col("pcnt") >= BASKET_MIN_SUP)
+    )
+    enriched = (
+        pairs.join(item.select(F.col("pk").alias("p1"), F.col("icnt").alias("c1")), "p1")
+        .join(item.select(F.col("pk").alias("p2"), F.col("icnt").alias("c2")), "p2")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    nd = F.col("n_ord").cast("double")
+    out = enriched.select(
+        "p1",
+        "p2",
+        F.col("pcnt").cast("long").alias("n_both"),
+        round_det(F.col("pcnt").cast("double") / nd, 6).alias("support"),
+        round_det(
+            F.col("pcnt").cast("double") / F.col("c1").cast("double"), 6
+        ).alias("confidence"),
+        round_det(
+            F.col("pcnt").cast("double") * nd
+            / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+    return out.orderBy(F.col("lift").desc(), "p1", "p2").limit(BASKET_TOP_K)

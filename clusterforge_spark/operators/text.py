@@ -1501,3 +1501,57 @@ def boilerplate_prefixes(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def vocab_jaccard_sources(documents: DataFrame) -> DataFrame:
+    """Pairwise Jaccard similarity between SOURCE vocabularies —
+    |V_a ∩ V_b| / |V_a ∪ V_b| over distinct shared-tokenizer tokens —
+    the corpus-mixing diagnostic that says which sources are lexically
+    redundant before a pipeline weights them (companion to
+    kl_divergence_by_source, which compares frequency SHAPES; this
+    compares membership).
+
+    Scale shape: the only row-data pass is the distinct (source, token)
+    projection (map-side combine collapses repeats pre-shuffle, bytes ∝
+    vocabulary). The intersection self-join keys on TOKEN where each
+    side holds a token at most once per source, so per-token join output
+    is ≤ C(n_sources, 2) — bounded by the source count, never by corpus
+    size. Per-source vocabulary sizes broadcast back onto the pair rows.
+
+    Determinism: intersection/union are exact integers; jaccard is one
+    double division rounded 6dp.
+    """
+    vocab = (
+        documents.select(
+            "source", F.explode(H.tokens_col("text")).alias("token")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
+    a = vocab.select(F.col("source").alias("s1"), "token")
+    b = vocab.select(F.col("source").alias("s2"), F.col("token").alias("t2"))
+    inter = (
+        a.join(b, (F.col("token") == F.col("t2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("s1"), F.col("vsz").alias("v1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("s2"), F.col("vsz").alias("v2"))),
+            "s2",
+        )
+    )
+    union = F.col("v1") + F.col("v2") - F.col("n_inter")
+    return out.select(
+        "s1",
+        "s2",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        union.cast("long").alias("n_union"),
+        round_det(F.col("n_inter").cast("double") / union.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -4706,3 +4706,195 @@ SELECT t.label AS label, dim,
 FROM it{iters} t JOIN sgn USING (label) JOIN nrm USING (label)"""
     )
     return "".join(parts)
+
+
+def q_kaplan_meier() -> str:
+    """Mirrors operators/relational.kaplan_meier: exact integer risk
+    table; each KM factor one double division; running product written
+    as exp(Σ ln) on both engines with the explicit zero-factor flag."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import KM_CHURN_DAYS
+
+    surv = _rd(
+        "CASE WHEN max(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END) OVER wc = 1 "
+        "THEN 0.0 ELSE exp(sum(ln(greatest(factor, 1e-300))) OVER wc) END",
+        4,
+    )
+    return f"""WITH per AS (
+  SELECT o_custkey,
+         min(epoch_us(o_orderdate::TIMESTAMP) // 86400000000) AS first_d,
+         max(epoch_us(o_orderdate::TIMESTAMP) // 86400000000) AS last_d
+  FROM orders GROUP BY o_custkey
+), cut AS (SELECT max(last_d) - {KM_CHURN_DAYS} AS cut_d FROM per),
+life AS (
+  SELECT last_d - first_d AS t,
+         CASE WHEN last_d < cut_d THEN 1 ELSE 0 END AS ev
+  FROM per, cut
+), tbl AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM life GROUP BY t
+), st AS (
+  SELECT t, d, c,
+         CAST((SELECT sum(d + c) FROM tbl)
+              - coalesce(sum(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM tbl
+), f AS (
+  SELECT t, d, c, n_risk,
+         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM st
+)
+SELECT t AS lifetime_days, n_risk, d AS n_events, c AS n_censored,
+       {surv} AS survival
+FROM f
+WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_temporal_split() -> str:
+    """Mirrors operators/relational.temporal_split: integer-arithmetic
+    cutoff day (smallest day whose cumulative count reaches ⌊n·4/5⌋),
+    exact DECIMAL revenue per split."""
+    from clusterforge_spark.operators.relational import (
+        TSPLIT_TRAIN_DEN,
+        TSPLIT_TRAIN_NUM,
+    )
+
+    return f"""WITH hist AS (
+  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS dy,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(cnt) AS n_all FROM hist),
+cum AS (
+  SELECT dy, sum(cnt) OVER (ORDER BY dy) AS cum FROM hist
+), cut AS (
+  SELECT min(dy) AS cut_d FROM cum, tot
+  WHERE cum >= (n_all * {TSPLIT_TRAIN_NUM}) // {TSPLIT_TRAIN_DEN}
+)
+SELECT CASE WHEN epoch_us(o_orderdate::TIMESTAMP) // 86400000000 <= cut_d
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d')) AS min_date,
+       max(strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d')) AS max_date,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders, cut
+GROUP BY 1"""
+
+
+def q_market_basket() -> str:
+    """Mirrors operators/relational.market_basket: exact integer counts,
+    6dp-rounded ratios, total top-k order (lift desc, unique pair key)."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import (
+        BASKET_MIN_SUP,
+        BASKET_TOP_K,
+    )
+
+    sup = _rd("CAST(pcnt AS DOUBLE) / CAST(n_ord AS DOUBLE)", 6)
+    conf = _rd("CAST(pcnt AS DOUBLE) / CAST(c1 AS DOUBLE)", 6)
+    lift = _rd(
+        "CAST(pcnt AS DOUBLE) * CAST(n_ord AS DOUBLE)"
+        " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))",
+        6,
+    )
+    return f"""WITH basket AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_ord FROM basket),
+item AS (SELECT pk, count(*) AS icnt FROM basket GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, count(*) AS pcnt
+  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUP}
+), enr AS (
+  SELECT p1, p2, pcnt, i1.icnt AS c1, i2.icnt AS c2, n_ord
+  FROM pairs JOIN item i1 ON i1.pk = p1 JOIN item i2 ON i2.pk = p2
+  CROSS JOIN n
+)
+SELECT p1, p2, CAST(pcnt AS BIGINT) AS n_both,
+       {sup} AS support, {conf} AS confidence, {lift} AS lift
+FROM enr
+ORDER BY lift DESC, p1, p2
+LIMIT {BASKET_TOP_K}"""
+
+
+def q_minmax_scaler() -> str:
+    """Mirrors operators/features.minmax_scaler: exact min/max fit,
+    range floored at 1e-8, 4dp map output."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    fit = ",\n         ".join(
+        f"min({c}) AS {c}_min, greatest(max({c}) - min({c}), 1e-8) AS {c}_rng"
+        for c in RFM_COLS
+    )
+    proj = ", ".join(
+        _rd(f"({c} - {c}_min) / {c}_rng", 4) + f" AS {c}_mm" for c in RFM_COLS
+    )
+    return (
+        _chain(rfm_cte())
+        + f""",
+mm AS (
+  SELECT {fit}
+  FROM rfm
+)
+SELECT user_id, {proj}
+FROM rfm, mm"""
+    )
+
+
+def q_target_encoding() -> str:
+    """Mirrors operators/features.target_encoding: DECIMAL-exact spends,
+    m-estimate smoothing toward the global mean, 4dp."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.features import TENC_SMOOTHING
+
+    m = f"CAST({TENC_SMOOTHING} AS DOUBLE)"
+    mean = _rd("CAST(seg_sum AS DOUBLE) / CAST(n_customers AS DOUBLE)", 4)
+    enc = _rd(
+        f"(CAST(seg_sum AS DOUBLE) + {m} * (CAST(g_sum AS DOUBLE) / g_n))"
+        f" / (CAST(n_customers AS DOUBLE) + {m})",
+        4,
+    )
+    return f"""WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_mktsegment, spend
+  FROM spend JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(spend) AS seg_sum
+  FROM j GROUP BY 1
+), g AS (
+  SELECT sum(spend) AS g_sum, CAST(count(*) AS DOUBLE) AS g_n FROM j
+)
+SELECT c_mktsegment, n_customers,
+       {mean} AS mean_spend,
+       {enc} AS encoded
+FROM seg CROSS JOIN g"""
+
+
+def q_vocab_jaccard_sources() -> str:
+    """Mirrors operators/text.vocab_jaccard_sources: shared tokenizer,
+    exact set sizes, one 6dp-rounded division."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    toks = _H.tokens_sql("text")
+    jac = _rd("CAST(n_inter AS DOUBLE) / CAST(v1 + v2 - n_inter AS DOUBLE)", 6)
+    return f"""WITH ex AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+), vocab AS (
+  SELECT DISTINCT source, token FROM ex
+), sizes AS (
+  SELECT source, count(*) AS vsz FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, n_inter,
+       CAST(v1 + v2 - n_inter AS BIGINT) AS n_union,
+       {jac} AS jaccard
+FROM inter
+JOIN (SELECT source AS s1, vsz AS v1 FROM sizes) z1 USING (s1)
+JOIN (SELECT source AS s2, vsz AS v2 FROM sizes) z2 USING (s2)"""

@@ -108,3 +108,54 @@ def test_rfm_segments_rules_consistent(rfm):
             assert r.segment == "hibernating"
         else:
             assert r.segment == "regular"
+
+
+def test_minmax_scaler_closed_form(spark):
+    """x ∈ {0, 5, 10} maps to {0, .5, 1}; a constant column maps to 0
+    through the 1e-8 range floor, never a divide-by-zero."""
+    from clusterforge_spark.operators.features import minmax_scaler
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 7.0, 0.0), (2, 5.0, 7.0, 10.0), (3, 10.0, 7.0, 20.0)],
+        "user_id long, recency double, frequency double, monetary double",
+    )
+    rows = {r["user_id"]: r for r in minmax_scaler(df).collect()}
+    assert [rows[i]["recency_mm"] for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
+    assert [rows[i]["frequency_mm"] for i in (1, 2, 3)] == [0.0, 0.0, 0.0]
+    assert [rows[i]["monetary_mm"] for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
+
+
+def test_target_encoding_closed_form(spark):
+    """Two segments, m=10: the small segment's encoding is pulled most
+    of the way to the global mean — the point of the m-estimate."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.features import (
+        TENC_SMOOTHING,
+        target_encoding,
+    )
+
+    t = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 100.0, t), (2, 200.0, t), (3, 400.0, t)],
+        "o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = {r["c_mktsegment"]: r for r in target_encoding(orders, customer).collect()}
+    m = float(TENC_SMOOTHING)
+    g_mean = 700.0 / 3.0
+    import math
+
+    def rd(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    assert rows["A"]["n_customers"] == 2
+    assert rows["A"]["mean_spend"] == 150.0
+    assert rows["A"]["encoded"] == rd((300.0 + m * g_mean) / (2.0 + m))
+    assert rows["B"]["n_customers"] == 1
+    assert rows["B"]["encoded"] == rd((400.0 + m * g_mean) / (1.0 + m))
+    # smoothing pulls the singleton segment near the global mean
+    assert abs(rows["B"]["encoded"] - g_mean) < abs(400.0 - g_mean) / 5

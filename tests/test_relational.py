@@ -859,3 +859,96 @@ def test_mann_kendall_tie_correction(spark):
     # pairs: (d0,d1) tie -> 0, (d0,d2) +1, (d1,d2) +1
     assert r["s_stat"] == 2
     assert r["var_s"] == round((66 - 18) / 18.0, 4)
+
+
+def test_kaplan_meier_closed_form(spark):
+    """Four customers, horizon day 200 → cut 110: two churn at t=10
+    (S drops to 0.5), two censored (t=100, t=150) never drop it."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import kaplan_meier
+
+    d0 = dt.datetime(1995, 1, 1)
+
+    def o(cust, day):
+        return (cust, d0 + dt.timedelta(days=day), 1.0)
+
+    orders = spark.createDataFrame(
+        [o(1, 0), o(1, 10), o(2, 0), o(2, 10), o(3, 0), o(3, 150),
+         o(4, 100), o(4, 200)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r["lifetime_days"]: r for r in kaplan_meier(orders).collect()}
+    assert set(rows) == {10, 100, 150}
+    assert (rows[10]["n_risk"], rows[10]["n_events"], rows[10]["n_censored"]) == (4, 2, 0)
+    assert rows[10]["survival"] == 0.5
+    assert (rows[100]["n_risk"], rows[100]["n_events"]) == (2, 0)
+    assert rows[100]["survival"] == 0.5
+    assert (rows[150]["n_risk"], rows[150]["n_censored"]) == (1, 1)
+    assert rows[150]["survival"] == 0.5
+
+
+def test_kaplan_meier_curve_hits_zero_without_ln0(spark):
+    """When the last at-risk customer churns the curve is exactly 0.0
+    (the zero-factor flag, not exp(ln(0)) → null/-inf)."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import kaplan_meier
+
+    d0 = dt.datetime(1995, 1, 1)
+    # both customers churn: lifetimes 10 and 20, horizon 300 → cut 210
+    orders = spark.createDataFrame(
+        [(1, d0, 1.0), (1, d0 + dt.timedelta(days=10), 1.0),
+         (2, d0, 1.0), (2, d0 + dt.timedelta(days=20), 1.0),
+         (3, d0 + dt.timedelta(days=300), 1.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r["lifetime_days"]: r for r in kaplan_meier(orders).collect()}
+    # t=20: n_risk=2 (cust2 + cust3 at t=0? no: cust3 lifetime 0, censored at t=0)
+    assert rows[20]["survival"] == 0.0
+
+
+def test_temporal_split_closed_form(spark):
+    """Ten orders on ten distinct days → cutoff is day 8 (⌊10·4/5⌋):
+    8 train / 2 test, exact DECIMAL revenue per side."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import temporal_split
+
+    d0 = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, d0 + dt.timedelta(days=i), float(i + 1)) for i in range(10)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r["split"]: r for r in temporal_split(orders).collect()}
+    assert rows["train"]["n_orders"] == 8
+    assert rows["test"]["n_orders"] == 2
+    assert rows["train"]["min_date"] == "1995-01-01"
+    assert rows["train"]["max_date"] == "1995-01-08"
+    assert rows["test"]["min_date"] == "1995-01-09"
+    assert rows["train"]["total_price"] == sum(range(1, 9))
+    assert rows["test"]["total_price"] == 9.0 + 10.0
+
+
+def test_market_basket_closed_form(spark):
+    """(p1,p2) co-occurs in 3 of 4 orders: support 3/4, confidence 3/4,
+    lift 3·4/(4·3) = 1; the once-only pair is below min support."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import market_basket
+
+    t = dt.datetime(1995, 1, 1)
+    rows = []
+    for ok in (1, 2, 3):
+        rows += [(ok, 101, t), (ok, 202, t)]
+    rows += [(4, 101, t), (4, 303, t)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate timestamp"
+    )
+    out = market_basket(li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"], r["n_both"]) == (101, 202, 3)
+    assert r["support"] == 0.75
+    assert r["confidence"] == 0.75
+    assert r["lift"] == 1.0

@@ -584,3 +584,23 @@ def test_boilerplate_prefixes_finds_planted_template(spark):
     assert r["n_docs"] == 3
     assert r["n_sources"] == 2
     assert r["exemplar_id"] == 1
+
+
+def test_vocab_jaccard_sources_closed_form(spark):
+    """Vocabularies {x,y}, {y,z}, {x,y,z}: pair jaccards 1/3, 2/3, 2/3."""
+    import math
+
+    from clusterforge_spark.operators.text import vocab_jaccard_sources
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "y z", "b"), (3, "x y z", "c")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["s1"], r["s2"]): r for r in vocab_jaccard_sources(docs).collect()}
+    third = math.floor(1 / 3 * 1e6 + 0.5) / 1e6
+    two_thirds = math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    assert rows[("a", "b")]["n_inter"] == 1
+    assert rows[("a", "b")]["n_union"] == 3
+    assert rows[("a", "b")]["jaccard"] == third
+    assert rows[("a", "c")]["jaccard"] == two_thirds
+    assert rows[("b", "c")]["jaccard"] == two_thirds
