@@ -424,6 +424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_vocab_jaccard"] = lambda spark, sf: TX.vocab_jaccard_sources(
         _t(spark, sf, "documents")
     )
+    q["q_kmv_set_ops"] = lambda spark, sf: SK.kmv_set_ops(
+        _t(spark, sf, "events")
+    )
+    q["q_fk_integrity"] = lambda spark, sf: VA.fk_integrity(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
     q["q_l_diversity"] = lambda spark, sf: VA.l_diversity(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
@@ -883,6 +894,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_minmax_scaler": OSQL.q_minmax_scaler(),
         "q_target_encoding": OSQL.q_target_encoding(),
         "q_vocab_jaccard": OSQL.q_vocab_jaccard_sources(),
+        "q_kmv_set_ops": OSQL.q_kmv_set_ops(),
+        "q_fk_integrity": OSQL.q_fk_integrity(),
         "q_l_diversity": OSQL.q_l_diversity(),
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "q_minmax_scaler",
     "q_target_encoding",
     "q_vocab_jaccard",
+    "q_kmv_set_ops",
+    "q_fk_integrity",
     "q_l_diversity",
     "q_mutual_information",
     "q_pca_top_component",

@@ -310,3 +310,207 @@ def quantile_histogram_estimate(
             ((F.col("est_hi_c") - F.col("exact_cv")) / 100.0).alias("abs_err"),
         )
     )
+
+
+#: KMV (k-minimum-values) sketch size and the pre-filter oversampling
+#: factor (threshold keeps ~KMV_OVERSAMPLE·K candidates per group, so
+#: missing a true bottom-k hash is astronomically unlikely; a per-group
+#: shortfall guard recomputes unfiltered for any group it happens to).
+KMV_K = 256
+KMV_OVERSAMPLE = 8
+
+#: 2^60 — the hash domain of the shared 60-bit md5 convention.
+KMV_DOMAIN = 1 << 60
+
+
+def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV (bottom-k minimum hash values) distinct sketches per
+    event_type with UNION and INTERSECTION estimates for every type
+    pair, reported against the exact answers — the mergeable
+    set-operation sketch (Beyer et al., SIGMOD'07) that HLL can't do
+    (HLL unions but never intersects without inclusion-exclusion blowup).
+
+    Estimators: est = (k−1)·2⁶⁰/h_k when the sketch is full (k-th
+    smallest hash h_k), exact size when not; union from the merged
+    bottom-k of the two sketches; intersection = ĵ·union_est with
+    ĵ = |sketch(A) ∩ sketch(B) ∩ bottomk(A∪B)| / |bottomk(A∪B)|.
+
+    Scale shape: the only row-data pass is the distinct (type, hash)
+    aggregate. Per-group bottom-k does NOT sort groups globally: a
+    threshold derived from approx_count_distinct keeps ~8k candidates
+    per group (the threshold only has to be ≥ the true h_k; the result
+    is identical for ANY sufficient threshold, which is what makes the
+    approx-count prefilter oracle-safe), and the exact row_number runs
+    on the filtered residue. A driver-side guard (bounded: one count
+    per group) recomputes any group the filter starved. Pair logic runs
+    entirely on the ≤ n_types·k sketch rows.
+
+    Determinism: hashes are the shared 60-bit md5; estimates are single
+    double divisions of exact integers, rounded 4dp.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    dist = events.select(F.col("event_type").alias("et"), h.alias("h")).distinct()
+    dist = dist.cache()
+    try:
+        # one pass yields the prefilter's size hint AND the exact
+        # per-group distinct counts (bounded driver data: one row per
+        # group) — the exact counts double as the audit columns below
+        stat_rows = (
+            dist.groupBy("et")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.approx_count_distinct("h").alias("n_est"),
+            )
+            .collect()
+        )
+        nn = {r["et"]: r["n_exact"] for r in stat_rows}
+        spark = events.sparkSession
+        thr_df = spark.createDataFrame(
+            [
+                (
+                    r["et"],
+                    min(
+                        KMV_DOMAIN,
+                        (KMV_DOMAIN * KMV_OVERSAMPLE * k) // max(r["n_est"], k),
+                    ),
+                )
+                for r in stat_rows
+            ],
+            "et string, thr long",
+        )
+        cand = dist.join(F.broadcast(thr_df), "et").filter(F.col("h") < F.col("thr"))
+        # shortfall guard: a group whose candidate set can't fill the
+        # sketch AND isn't exhausted gets recomputed unfiltered (rare by
+        # construction; bounded driver data: one count per group)
+        cc = {r["et"]: r["c"] for r in cand.groupBy("et").agg(F.count("*").alias("c")).collect()}
+        starved = [et for et in nn if cc.get(et, 0) < min(k, nn[et])]
+        pool = cand.select("et", "h")
+        if starved:
+            pool = pool.filter(~F.col("et").isin(starved)).unionByName(
+                dist.filter(F.col("et").isin(starved))
+            )
+        w = Window.partitionBy("et").orderBy("h")
+        sk = (
+            pool.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("et", "h", "r")
+        ).cache()
+        try:
+            kf = F.lit(float(k))
+            dom = F.lit(float(KMV_DOMAIN))
+            # per-type estimate: full sketch -> (k-1)*2^60/h_k, else exact size
+            per = sk.groupBy("et").agg(
+                F.count("*").alias("sz"), F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk")
+            )
+            per = per.select(
+                "et",
+                "sz",
+                F.when(F.col("sz") < k, F.col("sz").cast("double"))
+                .otherwise((kf - 1) * dom / F.col("hk").cast("double"))
+                .alias("est"),
+            )
+            # exact per-type distinct (on hashes, the sketch's own
+            # universe) — already collected in the stats pass above
+            exact = spark.createDataFrame(
+                [(et, int(n)) for et, n in nn.items()], "et string, n_exact long"
+            )
+            # exact pair intersections: per-hash type pairs (bounded by n_types)
+            a = dist.select(F.col("et").alias("s1"), "h")
+            b = dist.select(F.col("et").alias("s2"), F.col("h").alias("h2"))
+            inter_exact = (
+                a.join(b, (F.col("h") == F.col("h2")) & (F.col("s1") < F.col("s2")))
+                .groupBy("s1", "s2")
+                .agg(F.count("*").cast("long").alias("inter_exact"))
+            )
+            # merged union sketch per pair: k smallest of the two sketches
+            sa = sk.select(F.col("et").alias("s1"), "h")
+            sb = sk.select(F.col("et").alias("s2"), F.col("h").alias("h"))
+            types = sk.select(F.col("et").alias("s1")).distinct()
+            pairs = types.crossJoin(
+                sk.select(F.col("et").alias("s2")).distinct()
+            ).filter(F.col("s1") < F.col("s2"))
+            merged = (
+                pairs.join(sa, "s1")
+                .unionByName(pairs.join(sb, "s2").select("s1", "s2", "h"))
+                .select("s1", "s2", "h")
+                .distinct()
+            )
+            wu = Window.partitionBy("s1", "s2").orderBy("h")
+            mk = (
+                merged.withColumn("r", F.row_number().over(wu))
+                .filter(F.col("r") <= k)
+            )
+            # membership of each union-bottom-k hash in both sketches
+            in_a = sa.select("s1", F.col("h").alias("h"), F.lit(1).alias("ia")).distinct()
+            in_b = sb.select("s2", F.col("h").alias("h"), F.lit(1).alias("ib")).distinct()
+            memb = (
+                mk.join(in_a, ["s1", "h"], "left")
+                .join(in_b, ["s2", "h"], "left")
+                .groupBy("s1", "s2")
+                .agg(
+                    F.count("*").alias("usz"),
+                    F.max(F.when(F.col("r") == k, F.col("h"))).alias("uhk"),
+                    F.sum(
+                        F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
+                    ).alias("nboth"),
+                )
+            )
+            u_est = (
+                F.when(F.col("usz") < k, F.col("usz").cast("double"))
+                .otherwise((kf - 1) * dom / F.col("uhk").cast("double"))
+            )
+            pair_est = memb.select(
+                "s1",
+                "s2",
+                u_est.alias("u_est"),
+                (
+                    F.col("nboth").cast("double") / F.col("usz").cast("double") * u_est
+                ).alias("i_est"),
+            )
+            from clusterforge_spark.functions.rounding import round_det
+
+            out = (
+                pair_est.join(
+                    F.broadcast(per.select(F.col("et").alias("s1"), F.col("est").alias("ea"))),
+                    "s1",
+                )
+                .join(
+                    F.broadcast(per.select(F.col("et").alias("s2"), F.col("est").alias("eb"))),
+                    "s2",
+                )
+                .join(
+                    F.broadcast(exact.select(F.col("et").alias("s1"), F.col("n_exact").alias("xa"))),
+                    "s1",
+                )
+                .join(
+                    F.broadcast(exact.select(F.col("et").alias("s2"), F.col("n_exact").alias("xb"))),
+                    "s2",
+                )
+                .join(inter_exact, ["s1", "s2"])
+                .select(
+                    "s1",
+                    "s2",
+                    round_det(F.col("ea"), 4).alias("est_a"),
+                    round_det(F.col("eb"), 4).alias("est_b"),
+                    round_det(F.col("u_est"), 4).alias("est_union"),
+                    round_det(F.col("i_est"), 4).alias("est_inter"),
+                    F.col("xa").alias("exact_a"),
+                    F.col("xb").alias("exact_b"),
+                    (F.col("xa") + F.col("xb") - F.col("inter_exact")).alias(
+                        "exact_union"
+                    ),
+                    F.col("inter_exact").alias("exact_inter"),
+                )
+            )
+            # materialize before the finally-unpersist (callers get a
+            # plan over cached inputs otherwise freed under them)
+            out = out.localCheckpoint(eager=True)
+            return out
+        finally:
+            sk.unpersist()
+    finally:
+        dist.unpersist()

@@ -1108,3 +1108,87 @@ def key_skew_profile(lineitem: DataFrame, key: str = "l_partkey") -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+#: FK edges of the schema: (edge label, child col, parent col).
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "l_orderkey", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "l_suppkey", "s_suppkey"),
+    ("orders.o_custkey->customer", "o_custkey", "c_custkey"),
+    ("customer.c_nationkey->nation", "c_nationkey", "n_nationkey"),
+    ("nation.n_regionkey->region", "n_regionkey", "r_regionkey"),
+)
+
+
+def fk_integrity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema:
+    child-row count, orphan count (child key with no parent), and null
+    key count per edge — the first validation a pipeline runs after
+    ingest, and the one that catches partial loads.
+
+    Scale shape: each edge is a LEFT ANTI join from the child's
+    DISTINCT-key projection; the child side is pre-aggregated to
+    distinct keys first, so the anti join moves key-cardinality rows,
+    not fact rows, and dim-sized parents broadcast (AQE). Orphan ROW
+    counts come from joining the orphan-key set (small by expectation)
+    back to the per-key child counts — no second fact scan.
+
+    Determinism: pure integer counts plus one 6dp-rounded ratio.
+    """
+    from functools import reduce
+
+    from clusterforge_spark.functions.rounding import round_det
+
+    frames = []
+    parents = {
+        "o_orderkey": orders,
+        "s_suppkey": supplier,
+        "c_custkey": customer,
+        "n_nationkey": nation,
+        "r_regionkey": region,
+    }
+    children = {
+        "l_orderkey": lineitem,
+        "l_suppkey": lineitem,
+        "o_custkey": orders,
+        "c_nationkey": customer,
+        "n_regionkey": nation,
+    }
+    for label, ckey, pkey in FK_EDGES:
+        child = children[ckey]
+        parent = parents[pkey].select(F.col(pkey).alias("_pk")).distinct()
+        keyed = child.groupBy(F.col(ckey).alias("_ck")).agg(
+            F.count(F.lit(1)).alias("_rows")
+        )
+        orphans = keyed.filter(F.col("_ck").isNotNull()).join(
+            parent, F.col("_ck") == F.col("_pk"), "left_anti"
+        )
+        stats = keyed.agg(
+            F.sum("_rows").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_null_key"),
+        )
+        ostats = orphans.agg(
+            F.coalesce(F.sum("_rows"), F.lit(0)).cast("long").alias("n_orphan")
+        )
+        frames.append(
+            stats.crossJoin(ostats).select(
+                F.lit(label).alias("edge"),
+                "n_child",
+                "n_null_key",
+                "n_orphan",
+                round_det(
+                    F.col("n_orphan").cast("double") / F.col("n_child").cast("double"),
+                    6,
+                ).alias("orphan_pct"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)

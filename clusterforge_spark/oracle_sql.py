@@ -4898,3 +4898,122 @@ SELECT s1, s2, n_inter,
 FROM inter
 JOIN (SELECT source AS s1, vsz AS v1 FROM sizes) z1 USING (s1)
 JOIN (SELECT source AS s2, vsz AS v2 FROM sizes) z2 USING (s2)"""
+
+
+def q_kmv_set_ops() -> str:
+    """Mirrors operators/sketches.kmv_set_ops WITHOUT the probabilistic
+    prefilter (the filter only has to preserve the true bottom-k, so
+    any sufficient threshold yields the identical sketch — computing
+    bottom-k directly here checks exactly that invariant)."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.sketches import KMV_DOMAIN, KMV_K
+
+    k = KMV_K
+    dom = f"CAST('{float(KMV_DOMAIN)!r}' AS DOUBLE)"
+    kf = f"CAST({k} AS DOUBLE)"
+    est = (
+        f"CASE WHEN sz < {k} THEN CAST(sz AS DOUBLE) "
+        f"ELSE ({kf} - 1) * {dom} / CAST(hk AS DOUBLE) END"
+    )
+    u_est = (
+        f"CASE WHEN usz < {k} THEN CAST(usz AS DOUBLE) "
+        f"ELSE ({kf} - 1) * {dom} / CAST(uhk AS DOUBLE) END"
+    )
+    return f"""WITH dist AS (
+  SELECT DISTINCT event_type AS et,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), sk AS (
+  SELECT et, h, row_number() OVER (PARTITION BY et ORDER BY h) AS r
+  FROM dist QUALIFY r <= {k}
+), per AS (
+  SELECT et, count(*) AS sz, max(CASE WHEN r = {k} THEN h END) AS hk
+  FROM sk GROUP BY et
+), pest AS (
+  SELECT et, {est} AS est FROM per
+), exact AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n_exact FROM dist GROUP BY et
+), inter_exact AS (
+  SELECT a.et AS s1, b.et AS s2, CAST(count(*) AS BIGINT) AS ix
+  FROM dist a JOIN dist b ON a.h = b.h AND a.et < b.et
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.et AS s1, b.et AS s2
+  FROM (SELECT DISTINCT et FROM sk) a
+  JOIN (SELECT DISTINCT et FROM sk) b ON a.et < b.et
+), merged AS (
+  SELECT DISTINCT s1, s2, h FROM (
+    SELECT p.s1, p.s2, s.h FROM pairs p JOIN sk s ON s.et = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, s.h FROM pairs p JOIN sk s ON s.et = p.s2
+  )
+), mk AS (
+  SELECT s1, s2, h, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
+  FROM merged QUALIFY r <= {k}
+), memb AS (
+  SELECT m.s1, m.s2, count(*) AS usz,
+         max(CASE WHEN m.r = {k} THEN m.h END) AS uhk,
+         sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS nboth
+  FROM mk m
+  LEFT JOIN sk ia ON ia.et = m.s1 AND ia.h = m.h
+  LEFT JOIN sk ib ON ib.et = m.s2 AND ib.h = m.h
+  GROUP BY m.s1, m.s2
+), pe AS (
+  SELECT s1, s2, {u_est} AS u_est,
+         CAST(nboth AS DOUBLE) / CAST(usz AS DOUBLE) * ({u_est}) AS i_est
+  FROM memb
+)
+SELECT pe.s1 AS s1, pe.s2 AS s2,
+       {_rd('ea.est', 4)} AS est_a,
+       {_rd('eb.est', 4)} AS est_b,
+       {_rd('u_est', 4)} AS est_union,
+       {_rd('i_est', 4)} AS est_inter,
+       xa.n_exact AS exact_a,
+       xb.n_exact AS exact_b,
+       CAST(xa.n_exact + xb.n_exact - ie.ix AS BIGINT) AS exact_union,
+       ie.ix AS exact_inter
+FROM pe
+JOIN pest ea ON ea.et = pe.s1
+JOIN pest eb ON eb.et = pe.s2
+JOIN exact xa ON xa.et = pe.s1
+JOIN exact xb ON xb.et = pe.s2
+JOIN inter_exact ie ON ie.s1 = pe.s1 AND ie.s2 = pe.s2"""
+
+
+def q_fk_integrity() -> str:
+    """Mirrors operators/validation.fk_integrity: per-edge distinct-key
+    anti-join orphan audit, exact integer counts."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.validation import FK_EDGES
+
+    parents = {
+        "o_orderkey": "orders",
+        "s_suppkey": "supplier",
+        "c_custkey": "customer",
+        "n_nationkey": "nation",
+        "r_regionkey": "region",
+    }
+    children = {
+        "l_orderkey": "lineitem",
+        "l_suppkey": "lineitem",
+        "o_custkey": "orders",
+        "c_nationkey": "customer",
+        "n_regionkey": "nation",
+    }
+    parts = []
+    pct = _rd("CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE)", 6)
+    for label, ckey, pkey in FK_EDGES:
+        ct, pt = children[ckey], parents[pkey]
+        parts.append(
+            f"""SELECT '{label}' AS edge, n_child, n_null_key, n_orphan,
+       {pct} AS orphan_pct
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(*) FILTER (WHERE {ckey} IS NULL) AS BIGINT) AS n_null_key,
+         CAST(count(*) FILTER (WHERE {ckey} IS NOT NULL AND {ckey} NOT IN
+           (SELECT {pkey} FROM {pt})) AS BIGINT) AS n_orphan
+  FROM {ct}
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -98,3 +98,65 @@ def test_quantile_histogram_known_small_input(spark):
     assert got[50]["exact"] == 50.0
     # bucket width $1: rank-50 cent value 5000 sits in bucket 50 → hi edge 51
     assert got[50]["est_hi"] == 51.0
+
+
+def test_kmv_exact_when_under_k(spark):
+    """With fewer distinct users than k every sketch is the full set, so
+    every estimate equals the exact answer."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.sketches import kmv_set_ops
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, i, "A", 1.0, "{}") for i in range(1, 11)]
+    rows += [(100 + i, t, i, "B", 1.0, "{}") for i in range(5, 15)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = kmv_set_ops(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s1"], r["s2"]) == ("A", "B")
+    assert (r["exact_a"], r["exact_b"]) == (10, 10)
+    assert r["exact_inter"] == 6
+    assert r["exact_union"] == 14
+    assert r["est_a"] == 10.0 and r["est_b"] == 10.0
+    assert r["est_union"] == 14.0
+    assert r["est_inter"] == 6.0
+
+
+def test_kmv_full_sketch_matches_python_md5(spark):
+    """Forced tiny k: the (k−1)·2⁶⁰/h_k estimate reproduces the value
+    computed from Python's own md5 of the same user ids."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from clusterforge_spark.operators.sketches import KMV_DOMAIN, kmv_set_ops
+
+    K = 4
+    users_a = list(range(1, 31))
+    users_b = list(range(20, 50))
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, u, "A", 1.0, "{}") for i, u in enumerate(users_a)]
+    rows += [(1000 + i, t, u, "B", 1.0, "{}") for i, u in enumerate(users_b)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    ha = sorted(h(u) for u in set(users_a))
+    expected_a = (K - 1) * float(KMV_DOMAIN) / float(ha[K - 1])
+    r = kmv_set_ops(events, k=K).collect()[0]
+    assert r["est_a"] == math.floor(expected_a * 1e4 + 0.5) / 1e4
+    # union sketch = K smallest of merged per-type bottom-K
+    hb = sorted(h(u) for u in set(users_b))
+    merged = sorted(set(ha[:K]) | set(hb[:K]))[:K]
+    expected_u = (K - 1) * float(KMV_DOMAIN) / float(merged[K - 1])
+    assert r["est_union"] == math.floor(expected_u * 1e4 + 0.5) / 1e4

@@ -393,3 +393,38 @@ def test_l_diversity_hand_classes(spark):
         for r in l_diversity(orders, customer).collect()
     }
     assert got == {True: (1, 3, 1, 1), False: (1, 3, 3, 3)}
+
+
+def test_fk_integrity_planted_orphans(spark):
+    """Two orphan lineitem rows on one missing order key, one null
+    custkey order: each shows up on exactly its own edge."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.validation import fk_integrity
+
+    t = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, t), (2, 20, t), (3, None, t)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 500, t), (1, 500, t), (2, 500, t), (99, 500, t), (99, 500, t)],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, 0), (20, 0)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame([(500,)], "s_suppkey long")
+    nation = spark.createDataFrame([(0, 0)], "n_nationkey int, n_regionkey int")
+    region = spark.createDataFrame([(0,)], "r_regionkey int")
+    rows = {
+        r["edge"]: r
+        for r in fk_integrity(
+            lineitem, orders, customer, supplier, nation, region
+        ).collect()
+    }
+    li_ord = rows["lineitem.l_orderkey->orders"]
+    assert (li_ord["n_child"], li_ord["n_orphan"], li_ord["n_null_key"]) == (5, 2, 0)
+    oc = rows["orders.o_custkey->customer"]
+    assert (oc["n_child"], oc["n_orphan"], oc["n_null_key"]) == (3, 0, 1)
+    assert rows["lineitem.l_suppkey->supplier"]["n_orphan"] == 0
