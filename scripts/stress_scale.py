@@ -50,6 +50,8 @@ DEFAULT_QUERIES = [
     "q_source_mixing_weights",
     "q_pack_chunks",
     "q_cdc_chunk_dedup",
+    "q_vocab_jaccard",
+    "q_readability",
 ]
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -68,6 +70,8 @@ EVENTS_QUERIES = {
     "q_dow_seasonality",
     "q_time_to_convert",
     "q_cramers_v",
+    "q_kmv_set_ops",
+    "q_minmax_scaler",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
@@ -95,6 +99,8 @@ LINEITEM_QUERIES = {
     "q_tpch_parts_supplier_counts",
     "q_tpch_excess_supply",
     "q_stl_decompose",
+    "q_market_basket",
+    "q_theil_sen",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
@@ -105,6 +111,9 @@ ORDERS_QUERIES = {
     "q_anova_f",
     "q_tpch_customer_distribution",
     "q_tpch_sales_opportunity",
+    "q_kaplan_meier",
+    "q_temporal_split",
+    "q_target_encoding",
 }
 
 BIG_EMB_PATH = "/tmp/stress_embeddings_10x.parquet"
