@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "lineitem")
     )
     q["q_minmax_scaler"] = lambda spark, sf: FE.minmax_scaler(_rfm(spark, sf))
+    q["q_robust_scaler"] = lambda spark, sf: FE.robust_scaler(_rfm(spark, sf))
     q["q_target_encoding"] = lambda spark, sf: FE.target_encoding(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
@@ -892,6 +893,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_temporal_split": OSQL.q_temporal_split(),
         "q_market_basket": OSQL.q_market_basket(),
         "q_minmax_scaler": OSQL.q_minmax_scaler(),
+        "q_robust_scaler": OSQL.q_robust_scaler(),
         "q_target_encoding": OSQL.q_target_encoding(),
         "q_vocab_jaccard": OSQL.q_vocab_jaccard_sources(),
         "q_kmv_set_ops": OSQL.q_kmv_set_ops(),

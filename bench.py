@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_temporal_split",
     "q_market_basket",
     "q_minmax_scaler",
+    "q_robust_scaler",
     "q_target_encoding",
     "q_vocab_jaccard",
     "q_kmv_set_ops",

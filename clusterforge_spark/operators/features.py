@@ -196,6 +196,54 @@ def minmax_scaler(
     return out.select(*[F.col(k) for k in keep], *mm)
 
 
+def robust_scaler(
+    rfm: DataFrame,
+    cols: tuple[str, ...] = RFM_COLS,
+    keep: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Median/IQR robust scaling — the outlier-resistant third member of
+    the scaler family (z-score data.rs:31-37, min-max above): heavy-tail
+    features (monetary spend, recency) keep their bulk in a unit-ish
+    range instead of letting one whale compress everyone else to ~0.
+
+    Same one-aggregate + broadcast-map shape as minmax_scaler: the fit
+    is exact sort-based ``percentile`` (shared linear-interpolation
+    definition with quantile_cont), IQR floored at 1e-8 (the σ-floor
+    convention) so constant columns scale to 0.
+
+    Determinism: fit params are rounded 6dp BEFORE the map (percentile
+    interpolation is the one place the engines' last ulp can differ);
+    (x − med)/iqr is then one double subtract + divide on identical
+    inputs, rounded 4dp per the avg/stddev-downstream rule.
+    """
+    from clusterforge_spark.functions.rounding import round_det
+
+    aggs = []
+    for c in cols:
+        aggs.append(
+            round_det(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}_med")
+        )
+        aggs.append(
+            F.greatest(
+                round_det(
+                    F.expr(f"percentile({c}, 0.75)")
+                    - F.expr(f"percentile({c}, 0.25)"),
+                    6,
+                ),
+                F.lit(1e-8),
+            ).alias(f"{c}_iqr")
+        )
+    params = rfm.agg(*aggs)
+    out = rfm.crossJoin(F.broadcast(params))
+    rs = [
+        round_det(
+            (F.col(c) - F.col(f"{c}_med")) / F.col(f"{c}_iqr"), 4
+        ).alias(f"{c}_rs")
+        for c in cols
+    ]
+    return out.select(*[F.col(k) for k in keep], *rs)
+
+
 #: additive-smoothing pseudo-count for target encoding (the classic
 #: "m-estimate": enc = (Σ_seg + m·global_mean) / (n_seg + m)).
 TENC_SMOOTHING = 10

@@ -4842,6 +4842,32 @@ FROM rfm, mm"""
     )
 
 
+def q_robust_scaler() -> str:
+    """Mirrors operators/features.robust_scaler: exact quantile_cont
+    median/IQR fit rounded 6dp, IQR floored 1e-8, 4dp map output."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    fit = ",\n         ".join(
+        f"{_rd(f'quantile_cont({c}, 0.5)', 6)} AS {c}_med, "
+        f"greatest({_rd(f'quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25)', 6)}, 1e-8)"
+        f" AS {c}_iqr"
+        for c in RFM_COLS
+    )
+    proj = ", ".join(
+        _rd(f"({c} - {c}_med) / {c}_iqr", 4) + f" AS {c}_rs" for c in RFM_COLS
+    )
+    return (
+        _chain(rfm_cte())
+        + f""",
+rp AS (
+  SELECT {fit}
+  FROM rfm
+)
+SELECT user_id, {proj}
+FROM rfm, rp"""
+    )
+
+
 def q_target_encoding() -> str:
     """Mirrors operators/features.target_encoding: DECIMAL-exact spends,
     m-estimate smoothing toward the global mean, 4dp."""

@@ -125,6 +125,42 @@ def test_minmax_scaler_closed_form(spark):
     assert [rows[i]["monetary_mm"] for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
 
 
+def test_robust_scaler_closed_form(spark):
+    """Five points {0,1,2,3,100}: median 2, IQR 2 (quantile_cont p25=1,
+    p75=3) ⇒ scaled {-1,-.5,0,.5,49}; the whale stays a whale instead of
+    compressing the bulk (contrast minmax). Constant column → 0 via the
+    1e-8 IQR floor."""
+    from clusterforge_spark.operators.features import robust_scaler
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 7.0, 0.0),
+            (2, 1.0, 7.0, 10.0),
+            (3, 2.0, 7.0, 20.0),
+            (4, 3.0, 7.0, 30.0),
+            (5, 100.0, 7.0, 40.0),
+        ],
+        "user_id long, recency double, frequency double, monetary double",
+    )
+    rows = {r["user_id"]: r for r in robust_scaler(df).collect()}
+    assert [rows[i]["recency_rs"] for i in (1, 2, 3, 4, 5)] == [
+        -1.0,
+        -0.5,
+        0.0,
+        0.5,
+        49.0,
+    ]
+    assert all(rows[i]["frequency_rs"] == 0.0 for i in (1, 2, 3, 4, 5))
+    # monetary: median 20, IQR = 30-10 = 20
+    assert [rows[i]["monetary_rs"] for i in (1, 2, 3, 4, 5)] == [
+        -1.0,
+        -0.5,
+        0.0,
+        0.5,
+        1.0,
+    ]
+
+
 def test_target_encoding_closed_form(spark):
     """Two segments, m=10: the small segment's encoding is pulled most
     of the way to the global mean — the point of the m-estimate."""
