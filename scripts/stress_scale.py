@@ -72,6 +72,7 @@ EVENTS_QUERIES = {
     "q_cramers_v",
     "q_kmv_set_ops",
     "q_minmax_scaler",
+    "q_robust_scaler",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
