@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_mad_outliers"] = lambda spark, sf: VA.mad_outliers(_t(spark, sf, "events"))
+    q["q_tukey_fences"] = lambda spark, sf: VA.tukey_fences(_t(spark, sf, "events"))
     q["q_corr_matrix"] = lambda spark, sf: R.corr_matrix(_t(spark, sf, "lineitem"))
     q["q_spearman_matrix"] = lambda spark, sf: R.spearman_matrix(
         _t(spark, sf, "lineitem")
@@ -798,6 +799,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_inverted_index": OSQL.q_inverted_index(),
         "q_zscore_outliers": OSQL.q_zscore_outliers(),
         "q_mad_outliers": OSQL.q_mad_outliers(),
+        "q_tukey_fences": OSQL.q_tukey_fences(),
         "q_corr_matrix": OSQL.q_corr_matrix(),
         "q_spearman_matrix": OSQL.q_spearman_matrix(),
         "q_normal_equations": OSQL.q_normal_equations(),

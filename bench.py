@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_inverted_index",
     "q_zscore_outliers",
     "q_mad_outliers",
+    "q_tukey_fences",
     "q_corr_matrix",
     "q_resample_daily",
     "q_rollup_revenue",

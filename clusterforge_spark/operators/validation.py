@@ -365,6 +365,46 @@ def winsorize(events: DataFrame) -> DataFrame:
     )
 
 
+#: Tukey fence multiplier (the classic 1.5·IQR boxplot rule)
+TUKEY_K = 1.5
+
+
+def tukey_fences(events: DataFrame, k: float = TUKEY_K) -> DataFrame:
+    """Per-group Tukey boxplot-fence outliers: flag events outside
+    [q1 − k·IQR, q3 + k·IQR] — the third member of the outlier-audit
+    family (z-score: parametric; MAD: robust scale; Tukey: the
+    quartile rule every boxplot draws).
+
+    Quartiles are exact sort-based ``percentile`` rounded 6dp (the
+    cross-engine convention validated by features.robust_scaler: the
+    linear-interpolation definition is shared with quantile_cont, and
+    the 6dp rounding removes the one last-ulp divergence point);
+    fences are then plain IEEE arithmetic on identical doubles, so the
+    flagged SET is deterministic. One aggregate (rows per group: 1) +
+    one broadcast join back + a filter that prunes to the anomalies.
+    """
+    qs = events.groupBy("event_type").agg(
+        round_det(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        round_det(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
+    enriched = events.join(F.broadcast(qs), "event_type")
+    return (
+        enriched.filter((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            round_det(lo, 6).alias("fence_lo"),
+            round_det(hi, 6).alias("fence_hi"),
+            F.when(F.col("value") < lo, F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("side"),
+        )
+    )
+
+
 def chi_square_independence(events: DataFrame) -> DataFrame:
     """Chi-square test of independence between event_type and weekday —
     the categorical-association check a feature-audit runs before

@@ -2208,6 +2208,28 @@ def q_reservoir_per_group(k: int = 10) -> str:
 SELECT doc_id, lang, source, n_chars, u60, rk FROM r WHERE rk <= {k}"""
 
 
+def q_tukey_fences(k: float = 1.5) -> str:
+    """Mirrors operators/validation.tukey_fences: 6dp-rounded exact
+    quartiles, unrounded-fence filter, 6dp fence output."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    kk = repr(float(k))
+    lo = f"(q1 - {kk} * (q3 - q1))"
+    hi = f"(q3 + {kk} * (q3 - q1))"
+    return f"""WITH qs AS (
+  SELECT event_type,
+         {_rd('quantile_cont(value, 0.25)', 6)} AS q1,
+         {_rd('quantile_cont(value, 0.75)', 6)} AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       {_rd(lo, 6)} AS fence_lo,
+       {_rd(hi, 6)} AS fence_hi,
+       CASE WHEN e.value < {lo} THEN 'low' ELSE 'high' END AS side
+FROM events e JOIN qs USING (event_type)
+WHERE e.value < {lo} OR e.value > {hi}"""
+
+
 def q_mad_outliers() -> str:
     """Mirrors operators/validation.mad_outliers: medians as explicit
     order statistics so the unrounded values feeding the threshold are

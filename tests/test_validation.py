@@ -95,6 +95,29 @@ def test_mad_outliers_match_numpy(spark, events):
     assert got == expected
 
 
+def test_tukey_fences_match_numpy(spark, events):
+    import numpy as np
+
+    from clusterforge_spark.operators.validation import TUKEY_K, tukey_fences
+
+    out = tukey_fences(events).collect()
+    got = {(r.event_type, r.event_id): r.side for r in out}
+    pdf = events.select("event_id", "event_type", "value").toPandas()
+    expected = {}
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp.value.to_numpy()
+        # mirror the operator's 6dp-rounded linear-interpolation quartiles
+        q1 = np.floor(np.quantile(v, 0.25) * 1e6 + 0.5) / 1e6
+        q3 = np.floor(np.quantile(v, 0.75) * 1e6 + 0.5) / 1e6
+        lo, hi = q1 - TUKEY_K * (q3 - q1), q3 + TUKEY_K * (q3 - q1)
+        for e, x in zip(grp.event_id.to_numpy(), v):
+            if x < lo:
+                expected[(etype, int(e))] = "low"
+            elif x > hi:
+                expected[(etype, int(e))] = "high"
+    assert got == expected
+
+
 def test_winsorize_matches_numpy_nearest_rank(spark, events):
     import math
 
