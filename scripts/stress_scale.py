@@ -73,6 +73,7 @@ EVENTS_QUERIES = {
     "q_kmv_set_ops",
     "q_minmax_scaler",
     "q_robust_scaler",
+    "q_tukey_fences",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
