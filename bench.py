@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "q_time_to_convert",
     "q_benford_check",
     "q_gini_concentration",
+    "q_hhi_by_segment",
     "q_ks_test",
     "q_cramers_v",
     "q_k_anonymity",

@@ -735,6 +735,48 @@ def gini_concentration(events: DataFrame) -> DataFrame:
     )
 
 
+def hhi_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman Index of customer-spend concentration per
+    market segment — the per-group companion to the global
+    :func:`gini_concentration`: HHI = Σᵢ(xᵢ/Σx)² = Σxᵢ²/(Σx)², the
+    antitrust-style "is this segment a few whales or many minnows"
+    number, plus its n-normalized form ((HHI − 1/n)/(1 − 1/n)).
+
+    Per-customer spend is exact cents (decimal) from one keyed
+    aggregate on orders; segment labels broadcast-join from the dim
+    side; the per-segment sufficient statistics (n, Σx, Σx²) stay
+    exact decimal integers until the final O(1) double divisions —
+    the same exact-integer-then-one-division discipline as gini.
+    try_divide: a single-customer segment has no defined normalized
+    concentration (NULL, never a DIVIDE_BY_ZERO abort).
+    """
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as decimal(38,0)))"
+        ).alias("cents")
+    )
+    seg = spend.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        spend.o_custkey == F.col("c_custkey"),
+    )
+    agg = seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr("cast(sum(cents) as double) as sum_x"),
+        F.expr("cast(sum(cents * cents) as double) as sum_x2"),
+    )
+    n = F.col("n_customers").cast("double")
+    hhi = F.try_divide(F.col("sum_x2"), F.col("sum_x") * F.col("sum_x"))
+    norm = F.try_divide(hhi - F.lit(1.0) / n, F.lit(1.0) - F.lit(1.0) / n)
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        round_det(F.col("sum_x") / F.lit(100.0), 2).alias("total_spend"),
+        round_det(hhi, 6).alias("hhi"),
+        round_det(norm, 6).alias("hhi_normalized"),
+    )
+
+
 def ks_test_value(events: DataFrame) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test on event ``value`` between the
     A/B arms (even/odd user_id) — the distribution-shape companion to

@@ -2569,6 +2569,38 @@ SELECT digit, n,
 FROM counts CROSS JOIN tot"""
 
 
+def q_hhi_by_segment() -> str:
+    """Mirrors operators/validation.hhi_by_segment: exact HUGEINT cents
+    sufficient statistics, one double division per ratio."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    hhi = "(sum_x2 / (sum_x * sum_x))"
+    norm = f"(({hhi} - 1.0 / n) / (1.0 - 1.0 / n))"
+    return f"""WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT))
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, cents
+  FROM spend JOIN customer ON o_custkey = c_custkey
+),
+a AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(cents) AS DOUBLE) AS sum_x,
+         CAST(sum(cents * cents) AS DOUBLE) AS sum_x2
+  FROM seg GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers,
+       {_rd('sum_x / 100.0', 2)} AS total_spend,
+       {_rd(hhi, 6)} AS hhi,
+       CASE WHEN n > 1 THEN {_rd(norm, 6)} END AS hhi_normalized
+FROM a"""
+
+
 def q_gini_concentration() -> str:
     """Mirrors operators/validation.gini_concentration (histogram ranks,
     exact HUGEINT rank-weighted sum)."""

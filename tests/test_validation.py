@@ -95,6 +95,31 @@ def test_mad_outliers_match_numpy(spark, events):
     assert got == expected
 
 
+def test_hhi_by_segment_closed_form(spark):
+    """Monopoly segment (one customer) → HHI 1, normalized NULL;
+    two-equal-customer segment → HHI 0.5, normalized 0; whale+minnow
+    (90/10) → HHI 0.82, normalized 0.64."""
+    from clusterforge_spark.operators.validation import hhi_by_segment
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100.0),
+            (2, 50.0), (3, 50.0),
+            (4, 90.0), (5, 10.0),
+        ],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, "MONO"), (2, "EQUAL"), (3, "EQUAL"), (4, "WHALE"), (5, "WHALE")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = {r["c_mktsegment"]: r for r in hhi_by_segment(orders, customer).collect()}
+    assert rows["MONO"].hhi == 1.0 and rows["MONO"].hhi_normalized is None
+    assert rows["EQUAL"].hhi == 0.5 and rows["EQUAL"].hhi_normalized == 0.0
+    assert rows["WHALE"].hhi == 0.82 and rows["WHALE"].hhi_normalized == 0.64
+    assert rows["WHALE"].total_spend == 100.0
+
+
 def test_tukey_fences_match_numpy(spark, events):
     import numpy as np
 
