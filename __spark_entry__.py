@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_hhi_by_segment"] = lambda spark, sf: VA.hhi_by_segment(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
+    q["q_lorenz_deciles"] = lambda spark, sf: VA.lorenz_deciles(
+        _t(spark, sf, "events")
+    )
     q["q_ks_test"] = lambda spark, sf: VA.ks_test_value(_t(spark, sf, "events"))
     q["q_cramers_v"] = lambda spark, sf: VA.cramers_v_association(
         _t(spark, sf, "events")
@@ -786,6 +789,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_benford_check": OSQL.q_benford_check(),
         "q_gini_concentration": OSQL.q_gini_concentration(),
         "q_hhi_by_segment": OSQL.q_hhi_by_segment(),
+        "q_lorenz_deciles": OSQL.q_lorenz_deciles(),
         "q_ks_test": OSQL.q_ks_test_value(),
         "q_cramers_v": OSQL.q_cramers_v(),
         "q_k_anonymity": OSQL.q_k_anonymity(),

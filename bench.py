@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "q_benford_check",
     "q_gini_concentration",
     "q_hhi_by_segment",
+    "q_lorenz_deciles",
     "q_ks_test",
     "q_cramers_v",
     "q_k_anonymity",

@@ -777,6 +777,75 @@ def hhi_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def lorenz_deciles(events: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Lorenz-curve deciles of per-user spend: "the bottom 10%/20%/…
+    of users account for X% of revenue" — the curve whose area gap IS
+    the Gini, reported as the 10 points dashboards actually plot
+    (gini/HHI give the scalar; this gives the shape).
+
+    Scale shape: deciles are assigned WITHOUT a global ntile sort —
+    per-user exact-cents totals (one keyed agg), then the distributed
+    two-level prefix sum over the distinct-total histogram
+    (functions/partitioning.prefix_sum_before) plus a row_number
+    partitioned BY the tie group gives every user a dense global rank;
+    decile = ((rank−1)·k) div n. The only single-partition windows run
+    on the k-row decile aggregate — bounded by k, not data. All
+    arithmetic stays exact integers until the final share divisions
+    (6dp), so the output is bit-deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    per_user = events.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.expr(
+            "sum(cast(cast(floor(value * 100 + 0.5) as bigint) as decimal(38,0)))"
+        ).alias("cents")
+    )
+    hist = per_user.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = prefix_sum_before(hist, "cents", ["cnt"])
+    wg = Window.partitionBy("cents").orderBy("user_id")
+    ranked = (
+        per_user.join(ranks.select("cents", "cum_cnt"), "cents")
+        .withColumn("rnk", (F.col("cum_cnt") + F.row_number().over(wg)).cast("long"))
+    )
+    total = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    dec = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "decile",
+        (F.expr(f"div((rnk - 1) * {n_buckets}, n_total)") + F.lit(1)).cast("long"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").alias("cents"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = agg.withColumn("cum_cents", F.sum("cents").over(wd)).withColumn(
+        "tot_cents", F.sum("cents").over(wall)
+    )
+    return out.select(
+        "decile",
+        "n_users",
+        round_det(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+            "decile_spend"
+        ),
+        round_det(
+            F.try_divide(
+                F.col("cents").cast("double"), F.col("tot_cents").cast("double")
+            ),
+            6,
+        ).alias("spend_share"),
+        round_det(
+            F.try_divide(
+                F.col("cum_cents").cast("double"), F.col("tot_cents").cast("double")
+            ),
+            6,
+        ).alias("cum_share"),
+    )
+
+
 def ks_test_value(events: DataFrame) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test on event ``value`` between the
     A/B arms (even/odd user_id) — the distribution-shape companion to

@@ -2569,6 +2569,44 @@ SELECT digit, n,
 FROM counts CROSS JOIN tot"""
 
 
+def q_lorenz_deciles(n_buckets: int = 10) -> str:
+    """Mirrors operators/validation.lorenz_deciles: exact-cents dense
+    ranks, integer-division decile assignment, 6dp shares."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH per_user AS (
+  SELECT user_id,
+         sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rnk,
+         count(*) OVER () AS n_total
+  FROM per_user
+),
+d AS (
+  SELECT CAST((rnk - 1) * {n_buckets} // n_total + 1 AS BIGINT) AS decile, cents
+  FROM r
+),
+a AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users, sum(cents) AS cents
+  FROM d GROUP BY decile
+),
+c AS (
+  SELECT decile, n_users, cents,
+         sum(cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         sum(cents) OVER () AS tot_cents
+  FROM a
+)
+SELECT decile, n_users,
+       {_rd('CAST(cents AS DOUBLE) / 100.0', 2)} AS decile_spend,
+       {_rd('CAST(cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)', 6)} AS spend_share,
+       {_rd('CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)', 6)} AS cum_share
+FROM c"""
+
+
 def q_hhi_by_segment() -> str:
     """Mirrors operators/validation.hhi_by_segment: exact HUGEINT cents
     sufficient statistics, one double division per ratio."""

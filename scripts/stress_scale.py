@@ -74,6 +74,7 @@ EVENTS_QUERIES = {
     "q_minmax_scaler",
     "q_robust_scaler",
     "q_tukey_fences",
+    "q_lorenz_deciles",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
@@ -116,6 +117,7 @@ ORDERS_QUERIES = {
     "q_kaplan_meier",
     "q_temporal_split",
     "q_target_encoding",
+    "q_hhi_by_segment",
 }
 
 BIG_EMB_PATH = "/tmp/stress_embeddings_10x.parquet"

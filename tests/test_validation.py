@@ -120,6 +120,34 @@ def test_hhi_by_segment_closed_form(spark):
     assert rows["WHALE"].total_spend == 100.0
 
 
+def test_lorenz_deciles_closed_form(spark):
+    """10 users spending 1..10: decile d holds exactly user d, so
+    cum_share(d) = d(d+1)/2 ÷ 55. Ties: 4 equal users land in deciles
+    {1,3,6,8} via the integer-rank rule, share 0.25 each."""
+    from clusterforge_spark.operators.validation import lorenz_deciles
+
+    df = spark.createDataFrame(
+        [(u, u, float(u)) for u in range(1, 11)],
+        "user_id long, event_id long, value double",
+    )
+    rows = {r.decile: r for r in lorenz_deciles(df).collect()}
+    assert sorted(rows) == list(range(1, 11))
+    assert all(rows[d].n_users == 1 for d in rows)
+    import math
+    for d in (1, 5, 10):
+        want = math.floor(d * (d + 1) / 2 / 55 * 1e6 + 0.5) / 1e6
+        assert rows[d].cum_share == want
+    assert rows[10].cum_share == 1.0
+
+    ties = spark.createDataFrame(
+        [(u, u, 5.0) for u in range(1, 5)],
+        "user_id long, event_id long, value double",
+    )
+    trows = {r.decile: r for r in lorenz_deciles(ties).collect()}
+    assert sorted(trows) == [1, 3, 6, 8]
+    assert all(r.spend_share == 0.25 for r in trows.values())
+
+
 def test_tukey_fences_match_numpy(spark, events):
     import numpy as np
 
