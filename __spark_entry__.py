@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_event_transitions"] = lambda spark, sf: R.event_transitions(
         _t(spark, sf, "events")
     )
+    q["q_interarrival_profile"] = lambda spark, sf: R.interarrival_profile(
+        _t(spark, sf, "events")
+    )
     q["q_reservoir_per_group"] = lambda spark, sf: TX.reservoir_per_group(
         _t(spark, sf, "documents")
     )
@@ -781,6 +784,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_weighted_sample": OSQL.q_weighted_sample(),
         "q_grouped_linreg": OSQL.q_grouped_linreg(),
         "q_event_transitions": OSQL.q_event_transitions(),
+        "q_interarrival_profile": OSQL.q_interarrival_profile(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_nb_confusion": OSQL.q_nb_confusion(),

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_weighted_sample",
     "q_grouped_linreg",
     "q_event_transitions",
+    "q_interarrival_profile",
     "q_reservoir_per_group",
     "q_nb_classify",
     "q_nb_confusion",

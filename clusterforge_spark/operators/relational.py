@@ -228,6 +228,61 @@ def _with_session_seq(events: DataFrame, gap_minutes: int, cols: tuple[str, ...]
     )
 
 
+def interarrival_profile(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival-time profile: gap percentiles and
+    the coefficient of variation of the gaps — CV ≈ 1 is Poisson-like
+    arrivals, CV ≫ 1 is bursty (the bot/scripted-traffic signature a
+    curation pipeline flags before training on behavioral data).
+
+    Gaps are per-user consecutive-event deltas in exact integer µs
+    (lag over the (ts, event_id) total order — same tie-break as the
+    sessionizers); the profile is one hash agg over sufficient
+    statistics, with Σgap² in decimal(38,0) (µs gaps square past
+    int64). Percentiles are exact sort-based, 6dp; mean/CV are single
+    double divisions of exact integers, 4dp — bit-deterministic
+    cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    g = F.col("gap_us")
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(g).cast("double").alias("sg"),
+        F.sum(g.cast("decimal(38,0)") * g.cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sgg"),
+        round_det(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
+        round_det(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_gap_us"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("sg") / n
+    var = F.col("sgg") / n - mean * mean
+    # try_divide + greatest-0: a single-gap type has variance 0; float
+    # cancellation could drift a hair negative — clamp before sqrt
+    cv = F.try_divide(F.sqrt(F.greatest(var, F.lit(0.0))), mean)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        round_det(mean, 4).alias("mean_gap_us"),
+        "p50_gap_us",
+        "p90_gap_us",
+        round_det(cv, 4).alias("gap_cv"),
+    )
+
+
 def sessionize_gap(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """True sessionization by inactivity gap (window-function surface).
 

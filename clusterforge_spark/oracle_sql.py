@@ -2178,6 +2178,37 @@ SELECT l_returnflag,
 FROM s"""
 
 
+def q_interarrival_profile() -> str:
+    """Mirrors operators/relational.interarrival_profile: exact µs gaps
+    over the (ts, event_id) total order, HUGEINT Σgap², 6dp percentiles,
+    4dp mean/CV."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP)
+           - lag(epoch_us(ts::TIMESTAMP)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_us) AS DOUBLE) AS sg,
+         CAST(sum(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT)) AS DOUBLE)
+           AS sgg,
+         {_rd('quantile_cont(gap_us, 0.5)', 6)} AS p50_gap_us,
+         {_rd('quantile_cont(gap_us, 0.9)', 6)} AS p90_gap_us
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       {_rd('sg / n_gaps', 4)} AS mean_gap_us,
+       p50_gap_us, p90_gap_us,
+       {_rd('sqrt(greatest(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps), 0.0)) / (sg / n_gaps)', 4)} AS gap_cv
+FROM a"""
+
+
 def q_event_transitions() -> str:
     return """WITH pairs AS (
   SELECT event_type AS prev_type,

@@ -75,6 +75,7 @@ EVENTS_QUERIES = {
     "q_robust_scaler",
     "q_tukey_fences",
     "q_lorenz_deciles",
+    "q_interarrival_profile",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"

@@ -157,6 +157,34 @@ def test_hll_mergeable_estimates_close_to_exact(spark, events):
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et])
 
 
+def test_interarrival_profile_closed_form(spark):
+    """Gaps {1s, 2s}: mean 1.5e6 µs, p50 1.5e6 (interpolated),
+    p90 1.9e6, CV = 5e5/1.5e6 → 0.3333 at 4dp. Cross-user gaps must
+    NOT leak: the second user's lone event contributes no gap."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import interarrival_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=1)),
+        (3, 1, "click", t0 + dt.timedelta(seconds=3)),
+        (4, 2, "click", t0 + dt.timedelta(seconds=9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = interarrival_profile(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_gaps == 2
+    assert r.mean_gap_us == 1_500_000.0
+    assert r.p50_gap_us == 1_500_000.0
+    assert r.p90_gap_us == 1_900_000.0
+    assert r.gap_cv == 0.3333
+
+
 def test_event_transitions_counts_and_probs(spark, events):
     from pyspark.sql import functions as F
 
