@@ -611,3 +611,65 @@ def test_mann_kendall_pair_join_is_broadcast_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_late_round5_audit_ops_plan_shapes(spark):
+    """The round-5 audit additions keep the shapes they were designed
+    for: scaler/fence fits broadcast a metadata-sized params row back
+    onto the data (no shuffle of the fact side beyond the fit
+    aggregate); HHI joins the customer dim by broadcast; none of them
+    produce a cartesian product or an Expand."""
+    from clusterforge_spark.operators import features as FE
+    from clusterforge_spark.operators import validation as VA
+
+    ev = _t(spark, "events")
+    rfm = FE.compute_rfm(ev)
+
+    # robust_scaler: the 1-row params frame joins back as a broadcast
+    # nested-loop (keyless cross of a single row) — never a shuffle
+    sc = FE.robust_scaler(rfm)
+    plan = X.plan_string(sc)
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert "BroadcastExchange" in plan
+
+    # tukey_fences: the per-type quartile frame joins back by key — a
+    # broadcast HASH join
+    tf = VA.tukey_fences(ev)
+    plan = X.plan_string(tf)
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert X.has_broadcast_join(tf)
+
+    hhi = VA.hhi_by_segment(_t(spark, "orders"), _t(spark, "customer"))
+    plan = X.plan_string(hhi)
+    assert X.has_broadcast_join(hhi)
+    assert "CartesianProduct" not in plan
+
+
+def test_lorenz_deciles_no_global_row_sort(spark):
+    """Lorenz decile ranks come from the two-level prefix sum: the only
+    non-partitioned windows in the plan run over the k-row decile
+    aggregate and the bucket-totals table — the per-user frame itself
+    is never globally sorted (no ntile), and there is no cartesian
+    product. The single-partition exchanges are exactly the three
+    bounded ones: the prefix-sum bucket-totals table (≈ domain/2^16
+    rows), the 1-row n_total aggregate, and the k-row decile window."""
+    from clusterforge_spark.operators import validation as VA
+
+    df = VA.lorenz_deciles(_t(spark, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+
+
+def test_interarrival_profile_single_user_shuffle(spark):
+    """The gap window and nothing else touches row-level data: one
+    hash exchange partitions by (user_id, event_type) for the lag, the
+    per-type profile is a two-level hash aggregate above it, and no
+    single-partition exchange carries row-level data."""
+    df = R.interarrival_profile(_t(spark, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
