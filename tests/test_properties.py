@@ -391,3 +391,91 @@ def test_anova_f_nonnegative_and_zero_for_identical_groups(groups):
     mean0 = stats[0][1] / stats[0][0]
     if all(abs(sm / ng - mean0) < 1e-12 for ng, sm, _ in stats):
         assert abs(f) < 1e-6
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=500).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_lorenz_deciles_curve_invariants(spark, vals):
+    """For any spend multiset: every user lands in exactly one decile,
+    cumulative share is nondecreasing and ends at 1, and per-decile
+    mean spend is nondecreasing in decile order (the curve is convex
+    by construction)."""
+    from clusterforge_spark.operators.validation import lorenz_deciles
+
+    events = spark.createDataFrame(
+        [(i, i, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, value double",
+    )
+    rows = sorted(lorenz_deciles(events).collect(), key=lambda r: r.decile)
+    assert sum(r.n_users for r in rows) == len(vals)
+    if sum(vals) == 0:
+        assert all(r.cum_share is None for r in rows)
+        return
+    cums = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == 1.0
+    means = [r.decile_spend / r.n_users for r in rows]
+    assert all(b >= a - 1e-6 for a, b in zip(means, means[1:]))
+
+
+@given(
+    spends=st.lists(
+        st.integers(min_value=1, max_value=10_000).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_hhi_bounds_and_equal_case(spark, spends):
+    """HHI ∈ [1/n, 1] for any positive spend vector; an equal-spend
+    segment sits exactly at 1/n with normalized 0."""
+    from clusterforge_spark.operators.validation import hhi_by_segment
+
+    n = len(spends)
+    orders = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(spends)]
+        + [(1000 + i, 7.0) for i in range(n)],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "VAR") for i in range(n)] + [(1000 + i, "EQ") for i in range(n)],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = {r.c_mktsegment: r for r in hhi_by_segment(orders, customer).collect()}
+    var, eq = rows["VAR"], rows["EQ"]
+    assert 1.0 / n - 1e-6 <= var.hhi <= 1.0 + 1e-9
+    assert abs(eq.hhi - 1.0 / n) < 1e-6
+    if n > 1:
+        assert abs(eq.hhi_normalized) < 1e-6
+        assert -1e-9 <= var.hhi_normalized <= 1.0 + 1e-9
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=3600), min_size=1, max_size=30)
+)
+@settings(max_examples=25, deadline=None)
+def test_interarrival_mean_is_span_over_count(spark, gaps):
+    """One user, one type: mean gap == (last−first)/(n−1) exactly (the
+    sufficient-statistics sum telescopes), and n_gaps == n−1."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import interarrival_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0]
+    for g in gaps:
+        ts.append(ts[-1] + dt.timedelta(seconds=g))
+    df = spark.createDataFrame(
+        [(i, 1, "click", t) for i, t in enumerate(ts)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    r = interarrival_profile(df).collect()[0]
+    assert r.n_gaps == len(gaps)
+    span_us = (ts[-1] - ts[0]).total_seconds() * 1e6
+    assert r.mean_gap_us == math.floor(span_us / len(gaps) * 1e4 + 0.5) / 1e4
