@@ -418,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_readability"] = lambda spark, sf: TX.readability_profile(
         _t(spark, sf, "documents")
     )
+    q["q_quantile_normalize"] = lambda spark, sf: TX.quantile_normalize_lengths(
+        _t(spark, sf, "documents")
+    )
     q["q_kaplan_meier"] = lambda spark, sf: R.kaplan_meier(
         _t(spark, sf, "orders")
     )
@@ -903,6 +906,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mann_kendall": OSQL.q_mann_kendall(),
         "q_theil_sen": OSQL.q_theil_sen(),
         "q_readability": OSQL.q_readability_profile(),
+        "q_quantile_normalize": OSQL.q_quantile_normalize_lengths(),
         "q_kaplan_meier": OSQL.q_kaplan_meier(),
         "q_temporal_split": OSQL.q_temporal_split(),
         "q_market_basket": OSQL.q_market_basket(),

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q_mann_kendall",
     "q_theil_sen",
     "q_readability",
+    "q_quantile_normalize",
     "q_kaplan_meier",
     "q_temporal_split",
     "q_market_basket",

@@ -5023,6 +5023,62 @@ SELECT c_mktsegment, n_customers,
 FROM seg CROSS JOIN g"""
 
 
+def q_quantile_normalize_lengths() -> str:
+    """Mirrors operators/text.quantile_normalize_lengths: doubled
+    average-ties source ranks, HUGEINT index split, pooled inverse-ECDF
+    interpolation, 6dp."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS s FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+shist AS (SELECT source, s, count(*) AS cnt FROM d GROUP BY source, s),
+sc AS (
+  SELECT source, s, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM shist
+),
+ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM shist GROUP BY source),
+r AS (
+  SELECT d.doc_id, d.source, d.s,
+         CAST(2 * cum + cnt + 1 AS BIGINT) AS r2, n_s, n_total
+  FROM d
+  JOIN sc ON d.source = sc.source AND d.s = sc.s
+  JOIN ns ON d.source = ns.source
+  CROSS JOIN n
+),
+kk AS (
+  SELECT *,
+         CAST(CAST(n_total - 1 AS HUGEINT) * (r2 - 1) // (2 * n_s) AS BIGINT)
+           AS kq,
+         CAST(CAST(n_total - 1 AS HUGEINT) * (r2 - 1) % (2 * n_s) AS DOUBLE)
+           / CAST(2 * n_s AS DOUBLE) AS frac
+  FROM r
+),
+kx AS (SELECT *, least(kq + 1, n_total - 1) AS kq1 FROM kk),
+ph AS (SELECT s, count(*) AS cnt FROM d GROUP BY s),
+pc AS (
+  SELECT s AS v,
+         coalesce(sum(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         coalesce(sum(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt AS hi
+  FROM ph
+),
+v0 AS (
+  SELECT kx.doc_id, pc.v AS vk FROM kx JOIN pc ON kq >= lo AND kq < hi
+),
+v1 AS (
+  SELECT kx.doc_id, pc.v AS vk1 FROM kx JOIN pc ON kq1 >= lo AND kq1 < hi
+)
+SELECT kx.doc_id, kx.source, kx.s AS n_chars,
+       {_rd('CAST(r2 - 1 AS DOUBLE) / (2.0 * n_s)', 6)} AS src_pct,
+       {_rd('CAST(vk AS DOUBLE) + frac * (vk1 - vk)', 6)} AS normalized_len
+FROM kx JOIN v0 ON kx.doc_id = v0.doc_id JOIN v1 ON kx.doc_id = v1.doc_id"""
+
+
 def q_vocab_jaccard_sources() -> str:
     """Mirrors operators/text.vocab_jaccard_sources: shared tokenizer,
     exact set sizes, one 6dp-rounded division."""

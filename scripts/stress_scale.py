@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "q_cdc_chunk_dedup",
     "q_vocab_jaccard",
     "q_readability",
+    "q_quantile_normalize",
 ]
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"

@@ -673,3 +673,17 @@ def test_interarrival_profile_single_user_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quantile_normalize_lookup_is_equi_join(spark):
+    """The pooled order-statistic lookup executes as the bucket
+    EQUI-join (spans exploded to fixed 2^12 rank buckets) — never a
+    nested-loop range join, never a cartesian product."""
+    from clusterforge_spark.operators import text as TX
+
+    df = TX.quantile_normalize_lengths(_t(spark, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the sole nested-loop is the metadata-sized sources×1 n_total
+    # attach; the row-data joins are all hash/sort-merge equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan

@@ -604,3 +604,26 @@ def test_vocab_jaccard_sources_closed_form(spark):
     assert rows[("a", "b")]["jaccard"] == third
     assert rows[("a", "c")]["jaccard"] == two_thirds
     assert rows[("b", "c")]["jaccard"] == two_thirds
+
+
+def test_quantile_normalize_lengths_closed_form(spark):
+    """Two sources with identical shape but shifted scale: source A
+    lengths {10,20,30}, source B {100,200,300}. Pooled sorted:
+    [10,20,30,100,200,300] (N=6). The middle doc of each source sits at
+    src_pct 0.5 → pooled index x = 2.5 → 65.0 for BOTH — the point of
+    quantile normalization. The min doc of each source (p=1/6 → x=5/6)
+    interpolates to 10 + (5/6)·10 = 18.333333."""
+    from clusterforge_spark.operators.text import quantile_normalize_lengths
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+            (4, "b", 100), (5, "b", 200), (6, "b", 300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r for r in quantile_normalize_lengths(df).collect()}
+    assert len(out) == 6
+    assert out[2].src_pct == 0.5 and out[5].src_pct == 0.5
+    assert out[2].normalized_len == 65.0
+    assert out[5].normalized_len == 65.0
+    assert out[1].normalized_len == 18.333333
+    assert out[4].normalized_len == 18.333333
+    # extremes map to pooled extremes: p = 5/6 → x = 25/6 → 216.666667
+    assert out[3].normalized_len == out[6].normalized_len == 216.666667
