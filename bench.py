@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_grouped_linreg",
     "q_event_transitions",
     "q_interarrival_profile",
+    "q_rolling_median",
     "q_reservoir_per_group",
     "q_nb_classify",
     "q_nb_confusion",

@@ -3199,6 +3199,49 @@ def anova_f(orders: DataFrame) -> DataFrame:
 ACF_MAX_LAG = 7
 
 
+#: half-width of the rolling-median frame (±3 days ⇒ a 7-day window)
+ROLLMED_HALF = 3
+
+
+def rolling_median_daily(lineitem: DataFrame, half: int = ROLLMED_HALF) -> DataFrame:
+    """7-day rolling MEDIAN smoother over the daily-revenue series plus
+    the residual — the robust trend/anomaly decomposition (a median
+    filter ignores single-day spikes that drag a rolling mean, so the
+    residual isolates exactly those spikes).
+
+    Same scale posture as acf_daily_revenue: one exact-cent hash
+    aggregate over the fact table, then every window runs on the
+    DAY-COUNT-bounded series (calendar-bounded, not data-bounded). The
+    frame is positional (ROWS ±half) over the unique day key, so both
+    engines see identical frames; the median interpolates exact-e4
+    integers and is rounded 6dp before the residual subtraction.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        lineitem.select(
+            F.expr(
+                "cast(floor(unix_micros(date_trunc('day', l_shipdate))"
+                " / 86400000000) as bigint)"
+            ).alias("day"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_e4").cast("long").alias("x_e4"))
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    m = daily.withColumn("med_e4", F.expr("percentile(x_e4, 0.5)").over(w))
+    med = round_det(F.col("med_e4") / F.lit(1e4), 6)
+    return m.select(
+        "day",
+        round_det(F.col("x_e4").cast("double") / F.lit(1e4), 4).alias("revenue"),
+        med.alias("med7"),
+        round_det(
+            F.col("x_e4").cast("double") / F.lit(1e4) - med, 6
+        ).alias("residual"),
+    )
+
+
 def acf_daily_revenue(lineitem: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
     """Sample autocorrelation of the daily-revenue series at lags
     1..``max_lag`` — the seasonality screen behind "is revenue weekly-

@@ -4496,6 +4496,33 @@ SELECT k AS n_groups, n AS n_rows,
 FROM tot"""
 
 
+def q_rolling_median_daily() -> str:
+    """Mirrors operators/relational.rolling_median_daily: exact-e4 daily
+    totals, positional ROWS +-3 frame over the unique day key, 6dp
+    median before the residual subtraction."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import ROLLMED_HALF
+
+    h = ROLLMED_HALF
+    med = _rd("med_e4 / 10000.0", 6)
+    return f"""WITH daily AS (
+  SELECT CAST(floor(epoch_us(date_trunc('day', l_shipdate::TIMESTAMP))
+              / 86400000000) AS BIGINT) AS day,
+         CAST(sum({_REV_E4}) AS BIGINT) AS x_e4
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT day, x_e4,
+         quantile_cont(x_e4, 0.5) OVER (ORDER BY day
+           ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING) AS med_e4
+  FROM daily
+)
+SELECT day,
+       {_rd("CAST(x_e4 AS DOUBLE) / 10000.0", 4)} AS revenue,
+       {med} AS med7,
+       {_rd(f"CAST(x_e4 AS DOUBLE) / 10000.0 - {med}", 6)} AS residual
+FROM m"""
+
+
 def q_acf_daily_revenue() -> str:
     from clusterforge_spark.operators.relational import ACF_MAX_LAG
 

@@ -106,6 +106,7 @@ LINEITEM_QUERIES = {
     "q_stl_decompose",
     "q_market_basket",
     "q_theil_sen",
+    "q_rolling_median",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"

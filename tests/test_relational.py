@@ -980,3 +980,30 @@ def test_market_basket_closed_form(spark):
     assert r["support"] == 0.75
     assert r["confidence"] == 0.75
     assert r["lift"] == 1.0
+
+
+def test_rolling_median_daily_closed_form(spark):
+    """Five days at 10,10,1000,10,10 (a one-day spike): the ±3-row
+    frame spans the whole series for the middle days, so every med7 is
+    10.0 and the spike's residual is exactly 990. Edge frames (first
+    day sees 4 values 10,10,1000,10 → interpolated median 10)."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import rolling_median_daily
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, rev in enumerate([10.0, 10.0, 1000.0, 10.0, 10.0]):
+        rows.append((base + dt.timedelta(days=i), rev, 0.0))
+    df = spark.createDataFrame(
+        rows, "l_shipdate timestamp, l_extendedprice double, l_discount double"
+    )
+    out = {r.day: r for r in rolling_median_daily(df).collect()}
+    assert len(out) == 5
+    days = sorted(out)
+    spike = out[days[2]]
+    assert spike.revenue == 1000.0
+    assert spike.med7 == 10.0
+    assert spike.residual == 990.0
+    assert all(out[d].med7 == 10.0 for d in days)
+    assert all(out[d].residual == 0.0 for d in days if d != days[2])
