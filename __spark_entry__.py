@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_quantile_normalize"] = lambda spark, sf: TX.quantile_normalize_lengths(
         _t(spark, sf, "documents")
     )
+    q["q_wasserstein_drift"] = lambda spark, sf: TX.wasserstein_length_by_source(
+        _t(spark, sf, "documents")
+    )
     q["q_kaplan_meier"] = lambda spark, sf: R.kaplan_meier(
         _t(spark, sf, "orders")
     )
@@ -911,6 +914,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_theil_sen": OSQL.q_theil_sen(),
         "q_readability": OSQL.q_readability_profile(),
         "q_quantile_normalize": OSQL.q_quantile_normalize_lengths(),
+        "q_wasserstein_drift": OSQL.q_wasserstein_by_source(),
         "q_kaplan_meier": OSQL.q_kaplan_meier(),
         "q_temporal_split": OSQL.q_temporal_split(),
         "q_market_basket": OSQL.q_market_basket(),

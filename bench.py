@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_theil_sen",
     "q_readability",
     "q_quantile_normalize",
+    "q_wasserstein_drift",
     "q_kaplan_meier",
     "q_temporal_split",
     "q_market_basket",

@@ -1705,3 +1705,74 @@ def quantile_normalize_lengths(documents: DataFrame) -> DataFrame:
             6,
         ).alias("normalized_len"),
     )
+
+
+def wasserstein_length_by_source(documents: DataFrame) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) distance between each source's
+    doc-length distribution and the pooled corpus — the integral
+    companion to the KS max-gap and PSI bucket tests: W1 = ∫|F_s − F_p|
+    over the length axis, in character units ("how many characters of
+    mass must move to align this source with the corpus").
+
+    Exactness discipline: the naive Σ|cumS/nS − cumP/N|·gap sums
+    arbitrary doubles, whose partition order would leak into the
+    result. Instead each term's numerator |cumS·N − cumP·nS|·gap is an
+    exact decimal(38,0) integer, summed exactly, with ONE double
+    division by nS·N at the end (6dp) — order-independent under any
+    partitioning. (Headroom: the numerator sum stays inside 38 digits
+    up to ~1e12 docs with 1e6-char lengths.)
+
+    Scale shape: the value grid is sources × pooled-distinct-lengths
+    (sources are dim-sized; distinct lengths are domain-bounded). The
+    pooled CDF uses the distributed prefix sum; per-source CDFs use
+    windows PARTITIONED by source — parallel across sources. One
+    equi-join on length, no nested loops.
+    """
+    from pyspark.sql.window import Window
+
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    d = documents.select("source", F.col("n_chars").cast("long").alias("v"))
+
+    ph = d.groupBy("v").agg(F.count(F.lit(1)).alias("cntp"))
+    pooled = prefix_sum_before(ph, "v", ["cntp"]).select(
+        "v", "cntp", (F.col("cum_cntp") + F.col("cntp")).alias("cump")
+    )
+    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+
+    shist = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnts"))
+    ns = shist.groupBy("source").agg(F.sum("cnts").cast("long").alias("n_s"))
+
+    # pooled (data-proportional) is the big side; the sources×1 scalar
+    # frame broadcasts, so the grid build is map-side over pooled
+    grid = (
+        pooled.select("v", "cump")
+        .crossJoin(F.broadcast(ns.crossJoin(n_row)))
+        .join(shist, ["source", "v"], "left")
+        .fillna({"cnts": 0})
+    )
+    wsrc = Window.partitionBy("source").orderBy("v")
+    grid = grid.withColumn(
+        "cums",
+        F.sum("cnts").over(wsrc.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("gap", F.lead("v").over(wsrc) - F.col("v"))
+
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("cums").cast(dec) * F.col("n_total").cast(dec)
+        - F.col("cump").cast(dec) * F.col("n_s").cast(dec)
+    ) * F.col("gap").cast(dec)
+    agg = (
+        grid.filter(F.col("gap").isNotNull())
+        .groupBy("source", "n_s", "n_total")
+        .agg(F.sum(num).alias("num_sum"))
+    )
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        round_det(
+            F.col("num_sum").cast("double")
+            / (F.col("n_s").cast("double") * F.col("n_total").cast("double")),
+            6,
+        ).alias("w1_len"),
+    )

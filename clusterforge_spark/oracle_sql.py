@@ -5050,6 +5050,50 @@ SELECT c_mktsegment, n_customers,
 FROM seg CROSS JOIN g"""
 
 
+def q_wasserstein_by_source() -> str:
+    """Mirrors operators/text.wasserstein_length_by_source: exact
+    HUGEINT term numerators, one double division per source, 6dp."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+ph AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cntp FROM d GROUP BY v
+),
+pooled AS (
+  SELECT v, sum(cntp) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+  FROM ph
+),
+shist AS (SELECT source, v, count(*) AS cnts FROM d GROUP BY source, v),
+ns AS (SELECT source, CAST(sum(cnts) AS BIGINT) AS n_s FROM shist GROUP BY source),
+grid AS (
+  SELECT ns.source, ns.n_s, n.n_total, pooled.v, pooled.cump,
+         coalesce(shist.cnts, 0) AS cnts
+  FROM pooled CROSS JOIN ns CROSS JOIN n
+  LEFT JOIN shist ON shist.source = ns.source AND shist.v = pooled.v
+),
+cdf AS (
+  SELECT source, n_s, n_total, v, cump,
+         sum(cnts) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+         lead(v) OVER (PARTITION BY source ORDER BY v) - v AS gap
+  FROM grid
+),
+a AS (
+  SELECT source, n_s, n_total,
+         sum(abs(CAST(cums AS HUGEINT) * n_total
+                 - CAST(cump AS HUGEINT) * n_s) * gap) AS num_sum
+  FROM cdf WHERE gap IS NOT NULL
+  GROUP BY source, n_s, n_total
+)
+SELECT source, n_s AS n_docs,
+       {_rd('CAST(num_sum AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(n_total AS DOUBLE))', 6)} AS w1_len
+FROM a"""
+
+
 def q_quantile_normalize_lengths() -> str:
     """Mirrors operators/text.quantile_normalize_lengths: doubled
     average-ties source ranks, HUGEINT index split, pooled inverse-ECDF

@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "q_vocab_jaccard",
     "q_readability",
     "q_quantile_normalize",
+    "q_wasserstein_drift",
 ]
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"

@@ -627,3 +627,26 @@ def test_quantile_normalize_lengths_closed_form(spark):
     assert out[4].normalized_len == 18.333333
     # extremes map to pooled extremes: p = 5/6 → x = 25/6 → 216.666667
     assert out[3].normalized_len == out[6].normalized_len == 216.666667
+
+
+def test_wasserstein_by_source_closed_form(spark):
+    """Source a = {0, 10}, source b = {10, 20} (pooled {0,10,10,20}):
+    W1(a, pooled) = ∫|F_a − F_p| = |1/2−1/4|·10 + |1−3/4|·10 = 5.0,
+    symmetric for b. A source equal to the pooled distribution has
+    W1 = 0 (scipy.stats.wasserstein_distance cross-check)."""
+    from clusterforge_spark.operators.text import wasserstein_length_by_source
+
+    rows = [(1, "a", 0), (2, "a", 10), (3, "b", 10), (4, "b", 20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in wasserstein_length_by_source(df).collect()}
+    assert out["a"].w1_len == 5.0
+    assert out["b"].w1_len == 5.0
+    assert out["a"].n_docs == 2
+
+    same = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate(
+            [("x", 5), ("x", 15), ("y", 5), ("y", 15)])],
+        "doc_id long, source string, n_chars long",
+    )
+    out2 = {r.source: r for r in wasserstein_length_by_source(same).collect()}
+    assert out2["x"].w1_len == 0.0 and out2["y"].w1_len == 0.0
