@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rolling_median"] = lambda spark, sf: R.rolling_median_daily(
         _t(spark, sf, "lineitem")
     )
+    q["q_weekly_churn"] = lambda spark, sf: R.weekly_churn(
+        _t(spark, sf, "events")
+    )
     q["q_reservoir_per_group"] = lambda spark, sf: TX.reservoir_per_group(
         _t(spark, sf, "documents")
     )
@@ -795,6 +798,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_event_transitions": OSQL.q_event_transitions(),
         "q_interarrival_profile": OSQL.q_interarrival_profile(),
         "q_rolling_median": OSQL.q_rolling_median_daily(),
+        "q_weekly_churn": OSQL.q_weekly_churn(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_nb_confusion": OSQL.q_nb_confusion(),

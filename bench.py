@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_interarrival_profile",
     "q_rolling_median",
+    "q_weekly_churn",
     "q_reservoir_per_group",
     "q_nb_classify",
     "q_nb_confusion",

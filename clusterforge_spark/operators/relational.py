@@ -3199,6 +3199,59 @@ def anova_f(orders: DataFrame) -> DataFrame:
 ACF_MAX_LAG = 7
 
 
+def weekly_churn(events: DataFrame) -> DataFrame:
+    """Weekly churn series: of the users active in week w, how many
+    came back in week w+1 — the retention complement of the cohort
+    matrix, reported as the per-week churn rate a growth dashboard
+    tracks.
+
+    Weeks are integer epoch-weeks (floor(epoch_day/7) — identical
+    arithmetic in any engine; calendar-week TRUNC conventions differ
+    between engines and would make the buckets themselves ambiguous).
+    Plan: one distinct (user, week) aggregate, a self equi-join on
+    (user, week+1) as a left_semi probe, a per-week count — all keyed
+    shuffles, no windows. The final week has no lookahead and is
+    excluded (bounded 1-row broadcast of max week).
+    """
+    wk = F.expr(
+        "cast(floor(floor(unix_micros(ts) / 86400000000) / 7) as bigint)"
+    ).alias("wk")
+    active = events.select("user_id", wk).distinct()
+    nxt = active.select(
+        F.col("user_id").alias("u2"), (F.col("wk") - F.lit(1)).alias("wk2")
+    )
+    retained = active.join(
+        nxt, (F.col("user_id") == F.col("u2")) & (F.col("wk") == F.col("wk2")),
+        "left_semi",
+    )
+    max_wk = active.agg(F.max("wk").alias("max_wk"))
+    per = (
+        active.groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(
+            retained.groupBy("wk").agg(
+                F.count(F.lit(1)).cast("long").alias("n_retained")
+            ),
+            "wk",
+            "left",
+        )
+        .fillna({"n_retained": 0})
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") < F.col("max_wk"))
+    )
+    return per.select(
+        "wk",
+        "n_active",
+        "n_retained",
+        (F.col("n_active") - F.col("n_retained")).alias("n_churned"),
+        round_det(
+            (F.col("n_active") - F.col("n_retained")).cast("double")
+            / F.col("n_active").cast("double"),
+            4,
+        ).alias("churn_rate"),
+    )
+
+
 #: half-width of the rolling-median frame (±3 days ⇒ a 7-day window)
 ROLLMED_HALF = 3
 

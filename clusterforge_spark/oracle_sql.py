@@ -4496,6 +4496,36 @@ SELECT k AS n_groups, n AS n_rows,
 FROM tot"""
 
 
+def q_weekly_churn() -> str:
+    """Mirrors operators/relational.weekly_churn: integer epoch-weeks,
+    EXISTS next-week probe, final week excluded."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch_us(ts::TIMESTAMP) / 86400000000) / 7) AS BIGINT)
+           AS wk
+  FROM events
+),
+ret AS (
+  SELECT a.wk, CAST(count(*) AS BIGINT) AS n_retained
+  FROM active a
+  WHERE EXISTS (SELECT 1 FROM active b
+                WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+  GROUP BY a.wk
+),
+per AS (
+  SELECT a.wk, CAST(count(*) AS BIGINT) AS n_active FROM active a GROUP BY a.wk
+),
+mx AS (SELECT max(wk) AS max_wk FROM active)
+SELECT per.wk, per.n_active,
+       coalesce(ret.n_retained, 0) AS n_retained,
+       per.n_active - coalesce(ret.n_retained, 0) AS n_churned,
+       {_rd('CAST(per.n_active - coalesce(ret.n_retained, 0) AS DOUBLE) / per.n_active', 4)} AS churn_rate
+FROM per LEFT JOIN ret ON per.wk = ret.wk CROSS JOIN mx
+WHERE per.wk < mx.max_wk"""
+
+
 def q_rolling_median_daily() -> str:
     """Mirrors operators/relational.rolling_median_daily: exact-e4 daily
     totals, positional ROWS +-3 frame over the unique day key, 6dp

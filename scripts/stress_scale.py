@@ -78,6 +78,7 @@ EVENTS_QUERIES = {
     "q_tukey_fences",
     "q_lorenz_deciles",
     "q_interarrival_profile",
+    "q_weekly_churn",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"

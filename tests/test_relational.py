@@ -1007,3 +1007,27 @@ def test_rolling_median_daily_closed_form(spark):
     assert spike.residual == 990.0
     assert all(out[d].med7 == 10.0 for d in days)
     assert all(out[d].residual == 0.0 for d in days if d != days[2])
+
+
+def test_weekly_churn_closed_form(spark):
+    """Users {1,2,3} active in week 0; only {1,2} return in week 1;
+    only {1} in week 2 → week-0 churn 1/3, week-1 churn 1/2; week 2
+    (the max week) is excluded — no lookahead exists for it."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import weekly_churn
+
+    t0 = dt.datetime(1970, 1, 1)  # epoch-week 0 by construction
+    rows = []
+    eid = 0
+    for wk, users in enumerate([[1, 2, 3], [1, 2], [1]]):
+        for u in users:
+            eid += 1
+            rows.append((eid, u, t0 + dt.timedelta(weeks=wk)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.wk: r for r in weekly_churn(df).collect()}
+    assert sorted(out) == [0, 1]
+    assert out[0].n_active == 3 and out[0].n_retained == 2
+    assert out[0].n_churned == 1 and out[0].churn_rate == 0.3333
+    assert out[1].n_active == 2 and out[1].n_retained == 1
+    assert out[1].churn_rate == 0.5
