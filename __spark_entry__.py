@@ -191,6 +191,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_weekly_churn"] = lambda spark, sf: R.weekly_churn(
         _t(spark, sf, "events")
     )
+    q["q_behavior_profile"] = lambda spark, sf: R.user_behavior_profile(
+        _t(spark, sf, "events")
+    )
+    q["q_fulfillment_latency"] = lambda spark, sf: R.fulfillment_latency(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
+    q["q_longest_streak"] = lambda spark, sf: R.longest_streak(
+        _t(spark, sf, "events")
+    )
+    q["q_rolling_active_users"] = lambda spark, sf: R.rolling_active_users(
+        _t(spark, sf, "events")
+    )
+    q["q_returns_rate_by_brand"] = lambda spark, sf: R.returns_rate_by_brand(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+    q["q_kendall_daily"] = lambda spark, sf: R.kendall_daily(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_latency_moments"] = lambda spark, sf: R.latency_moments(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
+    q["q_new_vs_returning"] = lambda spark, sf: R.new_vs_returning(
+        _t(spark, sf, "orders")
+    )
+    q["q_lexical_richness"] = lambda spark, sf: TX.lexical_richness(
+        _t(spark, sf, "documents")
+    )
+    q["q_feature_hashing"] = lambda spark, sf: TX.feature_hashing(
+        _t(spark, sf, "documents")
+    )
     q["q_reservoir_per_group"] = lambda spark, sf: TX.reservoir_per_group(
         _t(spark, sf, "documents")
     )
@@ -799,6 +829,16 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_interarrival_profile": OSQL.q_interarrival_profile(),
         "q_rolling_median": OSQL.q_rolling_median_daily(),
         "q_weekly_churn": OSQL.q_weekly_churn(),
+        "q_behavior_profile": OSQL.q_user_behavior_profile(),
+        "q_fulfillment_latency": OSQL.q_fulfillment_latency(),
+        "q_longest_streak": OSQL.q_longest_streak(),
+        "q_rolling_active_users": OSQL.q_rolling_active_users(),
+        "q_returns_rate_by_brand": OSQL.q_returns_rate_by_brand(),
+        "q_kendall_daily": OSQL.q_kendall_daily(),
+        "q_latency_moments": OSQL.q_latency_moments(),
+        "q_new_vs_returning": OSQL.q_new_vs_returning(),
+        "q_lexical_richness": OSQL.q_lexical_richness(),
+        "q_feature_hashing": OSQL.q_feature_hashing(),
         "q_reservoir_per_group": OSQL.q_reservoir_per_group(),
         "q_nb_classify": OSQL.q_nb_classify(),
         "q_nb_confusion": OSQL.q_nb_confusion(),

@@ -73,6 +73,16 @@ BENCH_QUERIES = [
     "q_interarrival_profile",
     "q_rolling_median",
     "q_weekly_churn",
+    "q_behavior_profile",
+    "q_fulfillment_latency",
+    "q_longest_streak",
+    "q_rolling_active_users",
+    "q_returns_rate_by_brand",
+    "q_kendall_daily",
+    "q_latency_moments",
+    "q_new_vs_returning",
+    "q_lexical_richness",
+    "q_feature_hashing",
     "q_reservoir_per_group",
     "q_nb_classify",
     "q_nb_confusion",

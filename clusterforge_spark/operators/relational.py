@@ -3918,3 +3918,394 @@ def market_basket(lineitem: DataFrame) -> DataFrame:
         ).alias("lift"),
     )
     return out.orderBy(F.col("lift").desc(), "p1", "p2").limit(BASKET_TOP_K)
+
+
+def user_behavior_profile(events: DataFrame) -> DataFrame:
+    """Per-user behavioral profile: modal event type (deterministic
+    tie-break: higher count, then lexicographically smaller type), its
+    share, and the Shannon entropy of the user's type mix — the
+    diversity-vs-specialization signal behind bot heuristics (a scripted
+    account hammers one type: share→1, entropy→0).
+
+    One (user, type) count aggregate; the mode comes from a row_number
+    window PARTITIONED by user (parallel, group size ≤ #types); entropy
+    is −Σ(c/n)·log2(c/n) over ≤ #types exact ratios, 6dp (the LM/KL
+    family's accepted log determinism).
+    """
+    from pyspark.sql.window import Window
+
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id")
+    ut = ut.withColumn("n_events", F.sum("cnt").over(w)).withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+        ),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_events").cast("double")
+    per = ut.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("top_type"),
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long").alias("top_cnt"),
+        F.sum(-p * F.log2(p)).alias("h"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "top_type",
+        round_det(
+            F.col("top_cnt").cast("double") / F.col("n_events").cast("double"), 4
+        ).alias("top_share"),
+        round_det(F.col("h"), 6).alias("type_entropy"),
+    )
+
+
+def fulfillment_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order-to-ship latency SLA report per order priority: exact
+    day-count latency distribution (mean / p50 / p90 / max) — the
+    fulfillment dashboard every TPC-H-shaped retail schema wants.
+
+    Latency is an exact integer day difference; one fact-fact equi-join
+    on orderkey (the orders side projects two columns before the
+    shuffle), one hash aggregate with the exact sort-based percentile.
+    """
+    lat = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("lat_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        round_det(
+            F.sum("lat_days").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_days"),
+        round_det(F.expr("percentile(lat_days, 0.5)"), 6).alias("p50_days"),
+        round_det(F.expr("percentile(lat_days, 0.9)"), 6).alias("p90_days"),
+        F.max("lat_days").alias("max_days"),
+    )
+
+
+def longest_streak(events: DataFrame) -> DataFrame:
+    """Per-user longest run of consecutive active days — the classic
+    gaps-and-islands operator (streak badges, habit metrics), which the
+    reference's fixed pipeline has no analog for but any engagement
+    schema needs.
+
+    Days are integer epoch-days (floor(epoch_us/86400e6) — identical
+    arithmetic in any engine). The island key is day − row_number()
+    PARTITIONED by user (constant within a consecutive run): one
+    distinct aggregate, one user-partitioned window (group size = the
+    user's active-day count, never global), one re-aggregate — all
+    keyed shuffles, deterministic integers end to end.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.expr(
+        "cast(floor(unix_micros(ts) / 86400000000) as bigint)"
+    ).alias("day")
+    ud = events.select("user_id", day).distinct()
+    grp = (
+        F.col("day")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    ).alias("grp")
+    runs = ud.select("user_id", "day", grp).groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
+
+
+def rolling_active_users(events: DataFrame) -> DataFrame:
+    """Daily active users (DAU) and 7-day rolling active users (WAU)
+    with the DAU/WAU stickiness ratio, on a gap-filled calendar spine —
+    the growth dashboard's headline series.
+
+    Exact rolling distinct WITHOUT a range join or a count-distinct
+    window (neither is exact-and-scalable): each distinct (user, day)
+    row is exploded to the ≤7 spine days whose trailing window covers
+    it (sequence(day, day+6)), deduped, and counted per spine day — a
+    keyed shuffle whose size is bounded by 7 × |user-days|. The spine
+    is the full [min_day, max_day] calendar (one-row sequence explode,
+    calendar-bounded at any SF).
+    """
+    day = F.expr(
+        "cast(floor(unix_micros(ts) / 86400000000) as bigint)"
+    ).alias("day")
+    ud = events.select("user_id", day).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("epoch_day")
+    )
+    dau = ud.groupBy(F.col("day").alias("epoch_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("epoch_day"),
+        )
+        .distinct()
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau_7d"))
+    )
+    out = (
+        spine.join(dau, "epoch_day", "left")
+        .join(cover, "epoch_day", "left")
+        .fillna({"dau": 0, "wau_7d": 0})
+    )
+    return out.select(
+        "epoch_day",
+        "dau",
+        "wau_7d",
+        F.when(
+            F.col("wau_7d") > 0,
+            round_det(
+                F.col("dau").cast("double") / F.col("wau_7d").cast("double"), 4
+            ),
+        ).otherwise(F.lit(0.0)).alias("stickiness"),
+    )
+
+
+def returns_rate_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return-rate report per part brand: line share and exact revenue
+    share flagged RETURNED (l_returnflag = 'R') — the merchandising
+    quality dashboard over the TPC-H-shaped retail schema.
+
+    Facts pre-pruned to (partkey, flag, exact e4 revenue) before the
+    join; the part dimension is broadcast (projected to 2 columns), so
+    the only shuffle is the final ≤|brands| hash aggregate. Money sums
+    are order-independent exact integers (REVENUE_E4 rules).
+    """
+    li = lineitem.select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").alias("is_ret"),
+        F.expr(f"{REVENUE_E4} as revenue_e4"),
+    )
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    e4 = "cast(revenue_e4 as decimal(38,0))"
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.expr("case when is_ret then 1 else 0 end")).cast("long").alias(
+            "n_returned"
+        ),
+        round_det(
+            F.expr(
+                "cast(sum(case when is_ret then 1 else 0 end) as double)"
+                " / count(1)"
+            ),
+            4,
+        ).alias("return_rate"),
+        round_det(
+            F.expr(f"cast(sum({e4}) as double) / 10000.0"), 2
+        ).alias("revenue"),
+        round_det(
+            F.expr(
+                f"cast(sum(case when is_ret then {e4} else cast(0 as decimal(38,0)) end) as double)"
+                " / 10000.0"
+            ),
+            2,
+        ).alias("returned_revenue"),
+    )
+
+
+def kendall_daily(lineitem: DataFrame) -> DataFrame:
+    """Kendall tau-b between the daily revenue and daily quantity
+    series — completing the correlation family (Pearson corr_matrix,
+    Spearman spearman_matrix, Kendall) with the rank-concordance
+    member that is robust to any monotone transform.
+
+    Both daily series are exact integers (e4 revenue, e2 quantity), so
+    every pair comparison is exact and the concordant/discordant/tie
+    counts are deterministic. The all-pairs stage is a self-join of the
+    DAILY aggregate with itself — calendar-bounded (n days ≈ 2.4k for
+    7 years at ANY raw-data scale, ~3M pairs), so the quadratic is on
+    the calendar, never on the fact table. tau_b =
+    (C−D)/sqrt((C+D+Ty)·(C+D+Tx)) from exact integer counts.
+    """
+    daily = (
+        lineitem.select(
+            F.expr(
+                "cast(floor(unix_micros(l_shipdate) / 86400000000) as bigint)"
+            ).alias("day"),
+            F.expr(f"{REVENUE_E4} as revenue_e4"),
+            F.expr(
+                "cast(floor(l_quantity * 100 + 0.5) as bigint) as qty_e2"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("cast(revenue_e4 as decimal(38,0))")).alias("rev"),
+            F.sum(F.expr("cast(qty_e2 as decimal(38,0))")).alias("qty"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("rev").alias("r1"), F.col("qty").alias("q1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("rev").alias("r2"), F.col("qty").alias("q2")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    cnt = pairs.agg(
+        F.sum(
+            F.expr(
+                "case when (r1 < r2 and q1 < q2) or (r1 > r2 and q1 > q2)"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.expr(
+                "case when (r1 < r2 and q1 > q2) or (r1 > r2 and q1 < q2)"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("discordant"),
+        F.sum(
+            F.expr("case when r1 = r2 and q1 <> q2 then 1 else 0 end")
+        ).cast("long").alias("ties_rev"),
+        F.sum(
+            F.expr("case when q1 = q2 and r1 <> r2 then 1 else 0 end")
+        ).cast("long").alias("ties_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return cnt.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_rev",
+        "ties_qty",
+        round_det(
+            F.expr(
+                "cast(concordant - discordant as double) / "
+                "sqrt(cast(concordant + discordant + ties_qty as double) * "
+                "cast(concordant + discordant + ties_rev as double))"
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def latency_moments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Higher-moment profile of the order-to-ship latency per priority:
+    population variance, skewness and excess kurtosis from EXACT
+    integer power sums — completing the distribution-profile family
+    (percentiles in fulfillment_latency; moments here).
+
+    Latencies are small integers, so S1..S4 = Σ lat^k accumulate in
+    decimal(38,0) (HUGEINT on the oracle side): order-independent and
+    exact at any row count — the double-Σ reorder hazard that motivates
+    REVENUE_E4 applies to x⁴ sums even harder. The final double
+    arithmetic is the same IEEE expression in both engines on identical
+    exact inputs. skew = m3/(m2·√m2) (sqrt, not pow(·,1.5) — pow is
+    libm-dependent, sqrt is IEEE-exact).
+    """
+    lat = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.expr(
+            "cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date))"
+            " as decimal(38,0))"
+        ).alias("x"),
+    )
+    s = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    mu = "(cast(s1 as double) / n)"
+    r2 = "(cast(s2 as double) / n)"
+    r3 = "(cast(s3 as double) / n)"
+    r4 = "(cast(s4 as double) / n)"
+    m2 = f"({r2} - {mu} * {mu})"
+    m3 = f"({r3} - 3 * {mu} * {r2} + 2 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"({r4} - 4 * {mu} * {r3} + 6 * {mu} * {mu} * {r2}"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        round_det(F.expr(mu), 6).alias("mean_days"),
+        round_det(F.expr(m2), 6).alias("var_pop"),
+        round_det(F.expr(f"{m3} / ({m2} * sqrt({m2}))"), 6).alias("skewness"),
+        round_det(F.expr(f"{m4} / ({m2} * {m2}) - 3"), 6).alias("kurtosis_excess"),
+    )
+
+
+def new_vs_returning(orders: DataFrame) -> DataFrame:
+    """Monthly revenue split between NEW customers (their first-ever
+    order month) and RETURNING ones — the acquisition-vs-retention
+    decomposition every revenue dashboard leads with.
+
+    The first-order month per customer is a keyed aggregate (partial
+    map-side combine), joined back on custkey — both shuffles are on
+    the customer key; the final aggregate is ≤ |months|. Money is
+    exact integer cents summed in decimal(38,0).
+    """
+    ym = F.expr(
+        "cast(year(o_orderdate) * 100 + month(o_orderdate) as int)"
+    ).alias("ym")
+    cents = F.expr(
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+    ).alias("cents")
+    o = orders.select("o_custkey", ym, cents)
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    j = o.join(first, "o_custkey").withColumn(
+        "is_new", F.col("ym") == F.col("first_ym")
+    )
+    dec = "cast(cents as decimal(38,0))"
+    zero = "cast(0 as decimal(38,0))"
+    out = j.groupBy("ym").agg(
+        F.sum(F.expr("case when is_new then 1 else 0 end")).cast("long").alias(
+            "n_new"
+        ),
+        F.sum(F.expr("case when is_new then 0 else 1 end")).cast("long").alias(
+            "n_returning"
+        ),
+        F.sum(F.expr(f"case when is_new then {dec} else {zero} end")).alias(
+            "rev_new_c"
+        ),
+        F.sum(F.expr(f"case when is_new then {zero} else {dec} end")).alias(
+            "rev_ret_c"
+        ),
+    )
+    return out.select(
+        "ym",
+        "n_new",
+        "n_returning",
+        round_det(F.expr("cast(rev_new_c as double) / 100.0"), 2).alias(
+            "rev_new"
+        ),
+        round_det(F.expr("cast(rev_ret_c as double) / 100.0"), 2).alias(
+            "rev_returning"
+        ),
+        round_det(
+            F.expr(
+                "cast(rev_new_c as double) / "
+                "(cast(rev_new_c as double) + cast(rev_ret_c as double))"
+            ),
+            4,
+        ).alias("new_rev_share"),
+    )

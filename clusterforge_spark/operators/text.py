@@ -1776,3 +1776,72 @@ def wasserstein_length_by_source(documents: DataFrame) -> DataFrame:
             6,
         ).alias("w1_len"),
     )
+
+
+def lexical_richness(documents: DataFrame) -> DataFrame:
+    """Per-source lexical-richness profile: type-token ratio and hapax
+    legomena share — the vocabulary-health signal that separates
+    natural prose (Zipf tail of one-off words) from template/generated
+    text (tiny vocabulary reused), complementing repetition_stats
+    (within-doc) with a cross-corpus view.
+
+    explode(tokens) → one (source, token) count aggregate (map-side
+    partial absorbs per-doc repetition before the shuffle) → one
+    ≤|sources| re-aggregate. Exact integer counts; ratios 6dp.
+    """
+    ex = documents.select(
+        "source", F.explode(H.tokens_col("text")).alias("token")
+    )
+    tc = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return tc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("case when cnt = 1 then 1 else 0 end")).cast("long").alias(
+            "n_hapax"
+        ),
+        round_det(
+            F.expr("cast(count(1) as double) / cast(sum(cnt) as double)"), 6
+        ).alias("type_token_ratio"),
+        round_det(
+            F.expr(
+                "cast(sum(case when cnt = 1 then 1 else 0 end) as double)"
+                " / cast(count(1) as double)"
+            ),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+#: feature-hashing width (buckets) — small enough that the per-source
+#: output is a bounded ≤ sources × 64 rows at any corpus size.
+FEATURE_HASH_W = 64
+
+
+def feature_hashing(documents: DataFrame, width: int = FEATURE_HASH_W) -> DataFrame:
+    """Hashing-trick feature vectorizer (the sklearn FeatureHasher /
+    vw-style primitive): every token is folded into one of `width`
+    buckets by the engine-exact md5 bucket used by the Count-Min family
+    (sketches._bucket semantics, salt 0), and each (source, bucket)
+    cell reports its total weight and how many distinct tokens collided
+    into it — the collision audit that tells you whether `width` is
+    big enough BEFORE training on hashed features.
+
+    explode → one (source, bucket) aggregate with map-side combine;
+    distinct-token collisions via an inner (source, bucket, token)
+    pre-aggregate. Output is bounded by |sources| × width.
+    """
+    from clusterforge_spark.operators.sketches import _bucket
+
+    ex = documents.select(
+        "source",
+        F.explode(H.tokens_col("text")).alias("token"),
+    ).select(
+        "source", "token", F.expr(_bucket("token", 0, width)).alias("bucket")
+    )
+    per_tok = ex.groupBy("source", "bucket", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_tok.groupBy("source", "bucket").agg(
+        F.sum("cnt").cast("long").alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+    )

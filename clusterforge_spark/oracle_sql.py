@@ -4496,6 +4496,58 @@ SELECT k AS n_groups, n AS n_rows,
 FROM tot"""
 
 
+def q_user_behavior_profile() -> str:
+    """Mirrors operators/relational.user_behavior_profile: windowed mode
+    with (count desc, type asc) tie-break, log2 entropy 6dp."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH ut AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+         sum(cnt) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM ut
+),
+a AS (
+  SELECT user_id,
+         CAST(max(n_events) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         min(CASE WHEN rn = 1 THEN event_type END) AS top_type,
+         CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+         sum(-(CAST(cnt AS DOUBLE) / n_events)
+             * log2(CAST(cnt AS DOUBLE) / n_events)) AS h
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n_events, n_types, top_type,
+       {_rd('CAST(top_cnt AS DOUBLE) / n_events', 4)} AS top_share,
+       {_rd('h', 6)} AS type_entropy
+FROM a"""
+
+
+def q_fulfillment_latency() -> str:
+    """Mirrors operators/relational.fulfillment_latency: exact integer
+    day latencies, quantile_cont percentiles 6dp."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS BIGINT)
+           AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       {_rd('CAST(sum(lat_days) AS DOUBLE) / count(*)', 4)} AS mean_days,
+       {_rd('quantile_cont(lat_days, 0.5)', 6)} AS p50_days,
+       {_rd('quantile_cont(lat_days, 0.9)', 6)} AS p90_days,
+       max(lat_days) AS max_days
+FROM lat GROUP BY o_orderpriority"""
+
+
 def q_weekly_churn() -> str:
     """Mirrors operators/relational.weekly_churn: integer epoch-weeks,
     EXISTS next-week probe, final week excluded."""
@@ -5323,3 +5375,245 @@ FROM (
 )"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def q_longest_streak() -> str:
+    """Mirrors operators/relational.longest_streak: epoch-day islands
+    via day − row_number per user."""
+    return """WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+r2 AS (
+  SELECT user_id, grp, count(*) AS run_len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM r2 GROUP BY user_id"""
+
+
+def q_rolling_active_users() -> str:
+    """Mirrors operators/relational.rolling_active_users: explode-to-
+    spine exact rolling distinct, gap-filled calendar."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+spine AS (
+  SELECT unnest(generate_series(mn, mx)) AS epoch_day FROM bounds
+),
+dau AS (
+  SELECT day AS epoch_day, CAST(count(*) AS BIGINT) AS dau
+  FROM ud GROUP BY day
+),
+cover AS (
+  SELECT epoch_day, CAST(count(*) AS BIGINT) AS wau_7d FROM (
+    SELECT DISTINCT user_id,
+           unnest(generate_series(day, day + 6)) AS epoch_day
+    FROM ud
+  ) GROUP BY epoch_day
+)
+SELECT s.epoch_day,
+       coalesce(d.dau, 0) AS dau,
+       coalesce(c.wau_7d, 0) AS wau_7d,
+       CASE WHEN coalesce(c.wau_7d, 0) > 0
+            THEN {_rd('CAST(coalesce(d.dau, 0) AS DOUBLE) / c.wau_7d', 4)}
+            ELSE 0.0 END AS stickiness
+FROM spine s
+LEFT JOIN dau d ON s.epoch_day = d.epoch_day
+LEFT JOIN cover c ON s.epoch_day = c.epoch_day"""
+
+
+def q_returns_rate_by_brand() -> str:
+    """Mirrors operators/relational.returns_rate_by_brand: exact e4
+    revenue, conditional returned share."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    e4 = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    return f"""SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       {_rd("CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)}
+         AS return_rate,
+       {_rd(f"CAST(sum({e4}) AS DOUBLE) / 10000.0", 2)} AS revenue,
+       {_rd(f"CAST(sum(CASE WHEN l_returnflag = 'R' THEN {e4} ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) / 10000.0", 2)}
+         AS returned_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
+
+
+def q_kendall_daily() -> str:
+    """Mirrors operators/relational.kendall_daily: exact-integer daily
+    series, calendar-bounded all-pairs concordance, tau-b."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    e4 = (
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT)"
+    )
+    return f"""WITH daily AS (
+  SELECT CAST(floor(epoch_us(l_shipdate::TIMESTAMP) / 86400000000) AS BIGINT)
+           AS day,
+         sum({e4}) AS rev,
+         sum(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT))
+           AS qty
+  FROM lineitem GROUP BY day
+),
+pairs AS (
+  SELECT a.rev AS r1, a.qty AS q1, b.rev AS r2, b.qty AS q2
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN (r1 < r2 AND q1 < q2) OR (r1 > r2 AND q1 > q2)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN (r1 < r2 AND q1 > q2) OR (r1 > r2 AND q1 < q2)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN r1 = r2 AND q1 <> q2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS ties_rev,
+    CAST(sum(CASE WHEN q1 = q2 AND r1 <> r2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS ties_qty,
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs, concordant, discordant, ties_rev, ties_qty,
+       {_rd('CAST(concordant - discordant AS DOUBLE) / sqrt(CAST(concordant + discordant + ties_qty AS DOUBLE) * CAST(concordant + discordant + ties_rev AS DOUBLE))', 6)}
+         AS tau_b
+FROM cnt CROSS JOIN nd"""
+
+
+def q_latency_moments() -> str:
+    """Mirrors operators/relational.latency_moments: HUGEINT power
+    sums, identical IEEE double expressions (sqrt, not pow)."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    r2 = "(CAST(s2 AS DOUBLE) / n)"
+    r3 = "(CAST(s3 AS DOUBLE) / n)"
+    r4 = "(CAST(s4 AS DOUBLE) / n)"
+    m2 = f"({r2} - {mu} * {mu})"
+    m3 = f"({r3} - 3 * {mu} * {r2} + 2 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"({r4} - 4 * {mu} * {r3} + 6 * {mu} * {mu} * {r2}"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    return f"""WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS HUGEINT)
+           AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+s AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+  FROM lat GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       {_rd(mu, 6)} AS mean_days,
+       {_rd(m2, 6)} AS var_pop,
+       {_rd(f'{m3} / ({m2} * sqrt({m2}))', 6)} AS skewness,
+       {_rd(f'{m4} / ({m2} * {m2}) - 3', 6)} AS kurtosis_excess
+FROM s"""
+
+
+def q_new_vs_returning() -> str:
+    """Mirrors operators/relational.new_vs_returning: first-order month
+    per customer, exact cents split."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    return f"""WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate::DATE) * 100 + month(o_orderdate::DATE) AS INTEGER)
+           AS ym,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY o_custkey),
+j AS (
+  SELECT o.ym, o.cents, o.ym = f.first_ym AS is_new
+  FROM o JOIN f ON o.o_custkey = f.o_custkey
+),
+a AS (
+  SELECT ym,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_returning,
+         sum(CASE WHEN is_new THEN CAST(cents AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS rev_new_c,
+         sum(CASE WHEN is_new THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(cents AS HUGEINT) END) AS rev_ret_c
+  FROM j GROUP BY ym
+)
+SELECT ym, n_new, n_returning,
+       {_rd('CAST(rev_new_c AS DOUBLE) / 100.0', 2)} AS rev_new,
+       {_rd('CAST(rev_ret_c AS DOUBLE) / 100.0', 2)} AS rev_returning,
+       {_rd('CAST(rev_new_c AS DOUBLE) / (CAST(rev_new_c AS DOUBLE) + CAST(rev_ret_c AS DOUBLE))', 4)}
+         AS new_rev_share
+FROM a"""
+
+
+def q_lexical_richness() -> str:
+    """Mirrors operators/text.lexical_richness: per-source TTR + hapax
+    share over the shared tokenizer."""
+    from clusterforge_spark.functions.hashing import tokens_sql
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    toks = tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+),
+tc AS (
+  SELECT source, token, count(*) AS cnt FROM ex GROUP BY source, token
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       {_rd('CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)', 6)}
+         AS type_token_ratio,
+       {_rd('CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)}
+         AS hapax_share
+FROM tc GROUP BY source"""
+
+
+def q_feature_hashing() -> str:
+    """Mirrors operators/text.feature_hashing: md5-bucket fold
+    (sketches._bucket_sql, salt 0) + collision audit."""
+    from clusterforge_spark.functions.hashing import tokens_sql
+    from clusterforge_spark.operators.sketches import _bucket_sql
+    from clusterforge_spark.operators.text import FEATURE_HASH_W
+
+    toks = tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+),
+b AS (
+  SELECT source, token, {_bucket_sql('token', 0, FEATURE_HASH_W)} AS bucket
+  FROM ex
+),
+pt AS (
+  SELECT source, bucket, token, count(*) AS cnt
+  FROM b GROUP BY source, bucket, token
+)
+SELECT source, bucket,
+       CAST(sum(cnt) AS BIGINT) AS weight,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens
+FROM pt GROUP BY source, bucket"""

@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "q_cdc_chunk_dedup",
     "q_vocab_jaccard",
     "q_readability",
+    "q_lexical_richness",
+    "q_feature_hashing",
     "q_quantile_normalize",
     "q_wasserstein_drift",
 ]
@@ -79,6 +81,9 @@ EVENTS_QUERIES = {
     "q_lorenz_deciles",
     "q_interarrival_profile",
     "q_weekly_churn",
+    "q_behavior_profile",
+    "q_longest_streak",
+    "q_rolling_active_users",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
@@ -109,6 +114,10 @@ LINEITEM_QUERIES = {
     "q_market_basket",
     "q_theil_sen",
     "q_rolling_median",
+    "q_fulfillment_latency",
+    "q_returns_rate_by_brand",
+    "q_kendall_daily",
+    "q_latency_moments",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
@@ -123,6 +132,7 @@ ORDERS_QUERIES = {
     "q_temporal_split",
     "q_target_encoding",
     "q_hhi_by_segment",
+    "q_new_vs_returning",
 }
 
 BIG_EMB_PATH = "/tmp/stress_embeddings_10x.parquet"

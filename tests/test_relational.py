@@ -1031,3 +1031,194 @@ def test_weekly_churn_closed_form(spark):
     assert out[0].n_churned == 1 and out[0].churn_rate == 0.3333
     assert out[1].n_active == 2 and out[1].n_retained == 1
     assert out[1].churn_rate == 0.5
+
+
+def test_user_behavior_profile_closed_form(spark):
+    """User 1: 3 clicks + 1 view → top 'click' 0.75, H = 0.811278
+    (= −¾log2¾ − ¼log2¼). User 2: tie 2-2 between 'view' and 'click'
+    → lexicographic tie-break picks 'click'; H = 1."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import user_behavior_profile
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, et, t) for i, et in enumerate(["click"] * 3 + ["view"])]
+    rows += [(10 + i, 2, et, t) for i, et in enumerate(["view", "click", "view", "click"])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.user_id: r for r in user_behavior_profile(df).collect()}
+    assert out[1].top_type == "click" and out[1].top_share == 0.75
+    assert out[1].type_entropy == 0.811278
+    assert out[2].top_type == "click" and out[2].top_share == 0.5
+    assert out[2].type_entropy == 1.0
+
+
+def test_fulfillment_latency_closed_form(spark):
+    """Latencies {1,2,10} days for one priority: mean 4.3333, p50 2,
+    p90 = 2 + 0.8·8 = 8.4, max 10."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import fulfillment_latency
+
+    d0 = dt.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, d0, "1-URGENT") for k in (1, 2, 3)],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, d0 + dt.timedelta(days=1)), (2, d0 + dt.timedelta(days=2)),
+         (3, d0 + dt.timedelta(days=10))],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = fulfillment_latency(li, orders).collect()[0]
+    assert r.n_lineitems == 3
+    assert r.mean_days == 4.3333
+    assert r.p50_days == 2.0
+    assert r.p90_days == 8.4
+    assert r.max_days == 10
+
+
+def test_longest_streak_closed_form(spark):
+    """User 1 active on days {0,1,2,5,6}: runs {3,2} → longest 3,
+    2 streaks, 5 active days. User 2: single day → 1/1/1. Duplicate
+    events on one day must not split runs."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import longest_streak
+
+    d0 = dt.datetime(1970, 1, 1)
+    rows = [(i, 1, "click", d0 + dt.timedelta(days=d))
+            for i, d in enumerate([0, 1, 2, 5, 6, 2])]  # day 2 twice
+    rows.append((99, 2, "view", d0 + dt.timedelta(days=10)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.user_id: r for r in longest_streak(df).collect()}
+    assert out[1].n_active_days == 5
+    assert out[1].n_streaks == 2
+    assert out[1].longest_streak == 3
+    assert out[2].n_active_days == 1 and out[2].longest_streak == 1
+
+
+def test_rolling_active_users_closed_form(spark):
+    """Users {1,2} on day 0, user 1 on day 2, nobody days 1,3:
+    spine = [0,2]; day0 dau=2 wau=2; day1 dau=0 wau=2 (trailing
+    window covers day 0); day2 dau=1 wau=2, stickiness 0.5."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import rolling_active_users
+
+    d0 = dt.datetime(1970, 1, 1)
+    rows = [(1, 1, "c", d0), (2, 2, "c", d0),
+            (3, 1, "c", d0 + dt.timedelta(days=2))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.epoch_day: r for r in rolling_active_users(df).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0].dau == 2 and out[0].wau_7d == 2 and out[0].stickiness == 1.0
+    assert out[1].dau == 0 and out[1].wau_7d == 2 and out[1].stickiness == 0.0
+    assert out[2].dau == 1 and out[2].wau_7d == 2 and out[2].stickiness == 0.5
+
+
+def test_returns_rate_by_brand_closed_form(spark):
+    """Brand A: 2 lines (one returned), revenue 10+20=30, returned 20
+    → rate 0.5, returned_revenue 20.0. Brand B: no returns."""
+    from clusterforge_spark.operators.relational import returns_rate_by_brand
+
+    li = spark.createDataFrame(
+        [(1, 100, 1, 10.0, 0.0, "N"), (1, 100, 2, 20.0, 0.0, "R"),
+         (2, 200, 1, 5.0, 0.0, "N")],
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    part = spark.createDataFrame(
+        [(100, "A"), (200, "B")], "p_partkey long, p_brand string"
+    )
+    out = {r.p_brand: r for r in returns_rate_by_brand(li, part).collect()}
+    assert out["A"].n_lines == 2 and out["A"].n_returned == 1
+    assert out["A"].return_rate == 0.5
+    assert out["A"].revenue == 30.0 and out["A"].returned_revenue == 20.0
+    assert out["B"].n_returned == 0 and out["B"].returned_revenue == 0.0
+
+
+def test_kendall_daily_closed_form(spark):
+    """Three days with (rev, qty) = (10,1), (20,3), (30,2): pairs
+    (1,2) concordant, (1,3) concordant, (2,3) discordant → tau_b =
+    (2−1)/sqrt(3·3) = 0.333333, no ties."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import kendall_daily
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10.0, 0.0, 1.0, d0),
+        (2, 20.0, 0.0, 3.0, d0 + dt.timedelta(days=1)),
+        (3, 30.0, 0.0, 2.0, d0 + dt.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_quantity double, l_shipdate timestamp",
+    )
+    r = kendall_daily(df).collect()[0]
+    assert r.n_days == 3 and r.n_pairs == 3
+    assert r.concordant == 2 and r.discordant == 1
+    assert r.ties_rev == 0 and r.ties_qty == 0
+    assert r.tau_b == 0.333333
+
+
+def test_latency_moments_vs_numpy(spark):
+    """Exact power-sum moments equal numpy's population moments on the
+    same integer latencies (scipy-convention skew/excess kurtosis)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import latency_moments
+
+    lats = [1, 2, 2, 3, 10, 40]
+    d0 = dt.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, d0, "1-URGENT") for k in range(len(lats))],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(k, d0 + dt.timedelta(days=int(v))) for k, v in enumerate(lats)],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = latency_moments(li, orders).collect()[0]
+    x = np.array(lats, dtype=float)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    assert r.n == 6
+    assert abs(r.mean_days - x.mean()) < 1e-6
+    assert abs(r.var_pop - m2) < 1e-5
+    assert abs(r.skewness - m3 / m2**1.5) < 1e-5
+    assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-5
+
+
+def test_new_vs_returning_closed_form(spark):
+    """Cust 1 orders in Jan (first) and Feb; cust 2 only Feb. Jan:
+    1 new order 100.00. Feb: cust 1 returning 50.00 + cust 2 new
+    25.00 → new_rev_share = 25/75 = 0.3333."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import new_vs_returning
+
+    rows = [
+        (1, 1, 100.0, dt.date(2024, 1, 5)),
+        (2, 1, 50.0, dt.date(2024, 2, 10)),
+        (3, 2, 25.0, dt.date(2024, 2, 20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+    )
+    out = {r.ym: r for r in new_vs_returning(df).collect()}
+    assert out[202401].n_new == 1 and out[202401].n_returning == 0
+    assert out[202401].rev_new == 100.0 and out[202401].new_rev_share == 1.0
+    assert out[202402].n_new == 1 and out[202402].n_returning == 1
+    assert out[202402].rev_new == 25.0 and out[202402].rev_returning == 50.0
+    assert out[202402].new_rev_share == 0.3333

@@ -650,3 +650,47 @@ def test_wasserstein_by_source_closed_form(spark):
     )
     out2 = {r.source: r for r in wasserstein_length_by_source(same).collect()}
     assert out2["x"].w1_len == 0.0 and out2["y"].w1_len == 0.0
+
+
+def test_lexical_richness_closed_form(spark):
+    """Source s1: tokens {a:2, b:2, c:1} → 5 tokens, 3 types, 1 hapax,
+    TTR 0.6, hapax share 1/3."""
+    from clusterforge_spark.operators.text import lexical_richness
+
+    df = spark.createDataFrame(
+        [(1, "a b b", "en", "s1"), (2, "A c", "en", "s1"),
+         (3, "x x", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.source: r for r in lexical_richness(df).collect()}
+    assert out["s1"].n_tokens == 5 and out["s1"].n_types == 3
+    assert out["s1"].n_hapax == 1
+    assert out["s1"].type_token_ratio == 0.6
+    assert out["s1"].hapax_share == 0.333333
+    assert out["s2"].n_types == 1 and out["s2"].n_hapax == 0
+
+
+def test_feature_hashing_matches_python_md5(spark):
+    """Bucket fold and collision counts equal a Python replica of the
+    md5('0|token') 60-bit arithmetic on the same tokens."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from clusterforge_spark.operators.text import FEATURE_HASH_W, feature_hashing
+
+    texts = [(1, "apple banana apple", "en", "s1"), (2, "cherry date", "en", "s1")]
+    df = spark.createDataFrame(
+        texts, "doc_id long, text string, lang string, source string"
+    )
+    toks = Counter()
+    for _, t, _, _ in texts:
+        toks.update(w for w in t.lower().split() if w)
+    want_w: dict = defaultdict(int)
+    want_d: dict = defaultdict(set)
+    for tok, c in toks.items():
+        b = int(hashlib.md5(f"0|{tok}".encode()).hexdigest()[:15], 16) % FEATURE_HASH_W
+        want_w[("s1", b)] += c
+        want_d[("s1", b)].add(tok)
+    rows = feature_hashing(df).collect()
+    got = {(r.source, r.bucket): (r.weight, r.n_distinct_tokens) for r in rows}
+    assert got == {k: (want_w[k], len(want_d[k])) for k in want_w}
