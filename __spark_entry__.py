@@ -209,6 +209,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_kendall_daily"] = lambda spark, sf: R.kendall_daily(
         _t(spark, sf, "lineitem")
     )
+    q["q_seasonal_naive"] = lambda spark, sf: R.seasonal_naive_mase(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_pettitt_changepoint"] = lambda spark, sf: R.pettitt_changepoint(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_bollinger_breaches"] = lambda spark, sf: R.bollinger_breaches(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_ljung_box"] = lambda spark, sf: R.ljung_box(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_runs_test"] = lambda spark, sf: R.runs_test(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_grubbs_outlier"] = lambda spark, sf: R.grubbs_outlier(
+        _t(spark, sf, "lineitem")
+    )
     q["q_latency_moments"] = lambda spark, sf: R.latency_moments(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
     )
@@ -835,6 +853,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_rolling_active_users": OSQL.q_rolling_active_users(),
         "q_returns_rate_by_brand": OSQL.q_returns_rate_by_brand(),
         "q_kendall_daily": OSQL.q_kendall_daily(),
+        "q_seasonal_naive": OSQL.q_seasonal_naive(),
+        "q_pettitt_changepoint": OSQL.q_pettitt_changepoint(),
+        "q_bollinger_breaches": OSQL.q_bollinger_breaches(),
+        "q_ljung_box": OSQL.q_ljung_box(),
+        "q_runs_test": OSQL.q_runs_test(),
+        "q_grubbs_outlier": OSQL.q_grubbs_outlier(),
         "q_latency_moments": OSQL.q_latency_moments(),
         "q_new_vs_returning": OSQL.q_new_vs_returning(),
         "q_lexical_richness": OSQL.q_lexical_richness(),

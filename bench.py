@@ -79,6 +79,12 @@ BENCH_QUERIES = [
     "q_rolling_active_users",
     "q_returns_rate_by_brand",
     "q_kendall_daily",
+    "q_seasonal_naive",
+    "q_pettitt_changepoint",
+    "q_bollinger_breaches",
+    "q_ljung_box",
+    "q_runs_test",
+    "q_grubbs_outlier",
     "q_latency_moments",
     "q_new_vs_returning",
     "q_lexical_richness",

@@ -4309,3 +4309,702 @@ def new_vs_returning(orders: DataFrame) -> DataFrame:
             4,
         ).alias("new_rev_share"),
     )
+
+
+def _daily_revenue_e4(lineitem: DataFrame) -> DataFrame:
+    """Shared first stage of the time-series diagnostics family: one
+    exact-cent hash aggregate collapsing the fact table to the daily
+    revenue series (d, x_e4) with x_e4 an exact decimal(38,0) in 1e-4
+    currency units. Everything downstream of this runs on a
+    CALENDAR-bounded series (more data means more rows per day, never
+    more days), the scale argument shared with acf_daily_revenue.
+    """
+    return (
+        lineitem.select(
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("d")
+        .agg(F.sum("rev_e4").alias("x_e4"))
+    )
+
+
+#: seasonal period for the naive-forecast error baseline (weekly)
+SEASONAL_LAG = 7
+
+
+def seasonal_naive_mase(lineitem: DataFrame) -> DataFrame:
+    """Forecast-quality floor for the daily-revenue series: MAE of the
+    seasonal-naive forecast (x̂_t = x_{t−7}) against MAE of the one-step
+    naive (x̂_t = x_{t−1}), and their ratio — the MASE denominator
+    convention (Hyndman & Koehler 2006). Any real forecasting model has
+    to beat the seasonal-naive row before it earns cluster time; this
+    query computes the bar.
+
+    Both error sums are exact BIGINT e4 sums of |lag differences| of the
+    exact daily series (positional lags of the date-ordered observed
+    series, the acf_daily_revenue convention), so the MAEs and their
+    ratio are single identical IEEE divisions on exact inputs —
+    engine-stable without any tolerance.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("d")
+    lagged = _daily_revenue_e4(lineitem).select(
+        "x_e4",
+        F.lag("x_e4", 1).over(w).alias("l1"),
+        F.lag("x_e4", SEASONAL_LAG).over(w).alias("l7"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("x_e4") - F.col("l7"))).alias("s7"),
+        F.count("l7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("x_e4") - F.col("l1"))).alias("s1"),
+        F.count("l1").cast("long").alias("n1"),
+    )
+    mae7 = F.col("s7").cast("double") / F.lit(1e4) / F.col("n7").cast("double")
+    mae1 = F.col("s1").cast("double") / F.lit(1e4) / F.col("n1").cast("double")
+    return agg.select(
+        "n_days",
+        round_det(mae7, 2).alias("mae_seasonal"),
+        round_det(mae1, 2).alias("mae_naive"),
+        round_det(mae7 / mae1, 4).alias("mase"),
+    )
+
+
+def pettitt_changepoint(lineitem: DataFrame) -> DataFrame:
+    """Pettitt (1979) rank-based changepoint on the daily-revenue
+    series — the distribution-free companion to cusum_changepoint
+    (which assumes a level shift in the MEAN; Pettitt detects any
+    stochastic dominance shift and is immune to outlier days).
+
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i) is computed WITHOUT the n²
+    pair join via the midrank identity U_t = t(n+1) − 2·Σ_{i≤t} r_i
+    (r_i = average rank): doubled midranks 2r_i = 2·rank_min + ties − 1
+    stay exact BIGINTs, so K = max|U_t| and its argmax date are exact
+    integer arithmetic end-to-end; only the approximate significance
+    p ≈ 2·exp(−6K²/(n³+n²)) goes through double, rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily_revenue_e4(lineitem)
+    by_val = daily.join(
+        daily.groupBy(F.col("x_e4").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("ties")
+        ),
+        F.col("x_e4") == F.col("v"),
+    ).select(
+        "d",
+        "x_e4",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("x_e4")).cast("long")
+            + F.col("ties")
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    wd = Window.orderBy("d")
+    cum = by_val.select(
+        "d",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("r2").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cr2"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            "n",
+            F.col("t"),
+            (F.col("t") * (F.col("n") + 1) - F.col("cr2")).alias("u_t"),
+        )
+        # U_n ≡ 0 by construction; the candidate changepoints are t < n
+        .filter(F.col("t") < F.col("n"))
+    )
+    best = u.agg(F.max(F.abs(F.col("u_t"))).alias("k"))
+    out = (
+        u.join(F.broadcast(best), F.abs(F.col("u_t")) == F.col("k"))
+        .orderBy("d")
+        .limit(1)
+    )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("change_date"),
+        F.col("k").cast("long").alias("k_stat"),
+        round_det(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(F.lit(-6.0) * kk * kk / (nn * nn * nn + nn * nn)),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+#: Bollinger window width (trailing days, inclusive) and band half-width
+BOLLINGER_W = 7
+BOLLINGER_K = 2
+
+
+def bollinger_breaches(lineitem: DataFrame) -> DataFrame:
+    """Bollinger-band breach calendar for the daily-revenue series:
+    days where revenue leaves the trailing-7-day mean ± 2σ envelope,
+    counted per month — the volatility-aware alerting rule (a fixed
+    threshold pages on seasonality; a band scaled by local σ does not).
+
+    The breach predicate is EXACT INTEGER arithmetic end-to-end — no
+    floats anywhere: with S = Σ window x_e4 and S₂ = Σ window x_e4²
+    (both decimal(38,0)-exact), x > m + kσ ⇔ 7x − S > 0 ∧
+    (7x − S)² > k²·(7·S₂ − S²), the mean/σ comparison cleared of
+    divisions and the sqrt squared away. Worst-case magnitude at
+    100 TB (daily e4 totals ~5e14): 7·S₂ ≈ 1e31 and (7x−S)² ≈ 1e31,
+    both far inside decimal(38,0) — the determinism does not decay
+    with scale.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("d").rowsBetween(-(BOLLINGER_W - 1), 0)
+    )
+    sq = F.expr("cast(x_e4 as decimal(19,0)) * cast(x_e4 as decimal(19,0))")
+    base = _daily_revenue_e4(lineitem).select(
+        "d",
+        "x_e4",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("x_e4").over(w).alias("s"),
+        F.sum(sq).over(w).alias("s2"),
+    ).filter(F.col("wn") == BOLLINGER_W)
+    d7 = F.expr(f"cast({BOLLINGER_W} as decimal(38,0)) * x_e4 - s")
+    disc = F.expr(
+        f"cast({BOLLINGER_K * BOLLINGER_K} as decimal(38,0))"
+        f" * (cast({BOLLINGER_W} as decimal(38,0)) * s2 - s * s)"
+    )
+    flagged = base.select(
+        F.date_format("d", "yyyy-MM").alias("ym"),
+        d7.alias("d7"),
+        disc.alias("disc"),
+    ).select(
+        "ym",
+        ((F.col("d7") > 0) & (F.col("d7") * F.col("d7") > F.col("disc"))).alias(
+            "up"
+        ),
+        ((F.col("d7") < 0) & (F.col("d7") * F.col("d7") > F.col("disc"))).alias(
+            "dn"
+        ),
+    )
+    return flagged.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("up").cast("long")).cast("long").alias("n_upper"),
+        F.sum(F.col("dn").cast("long")).cast("long").alias("n_lower"),
+    )
+
+
+#: Ljung-Box lag depth (one week, matching the ACF screen)
+LJUNG_BOX_LAGS = 7
+
+
+def ljung_box(lineitem: DataFrame) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue series:
+    Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k) over the first m=7 sample
+    autocorrelations — the standard "is there ANY autocorrelation left"
+    diagnostic run on model residuals; here on the raw series it
+    quantifies how far revenue is from white noise (it is very far:
+    weekly seasonality shows up as a huge Q).
+
+    Reuses the acf_daily_revenue sufficient-statistics shape: one daily
+    exact-cent aggregate, one ordered window building the m positional
+    lag columns, one global aggregate of dev·dev_k products. r_k stays
+    unrounded through Q; only the final statistic is rounded (4dp),
+    the ACF family's summation-headroom convention.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily_revenue_e4(lineitem)
+    mean = daily.agg(
+        (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "xbar_e4"
+        )
+    )
+    w = Window.orderBy("d")
+    lags = range(1, LJUNG_BOX_LAGS + 1)
+    lagged = daily.crossJoin(F.broadcast(mean)).select(
+        ((F.col("x_e4").cast("double") - F.col("xbar_e4")) / F.lit(1e4)).alias(
+            "dev"
+        ),
+        *[
+            (
+                (F.lag("x_e4", k).over(w).cast("double") - F.col("xbar_e4"))
+                / F.lit(1e4)
+            ).alias(f"dev_{k}")
+            for k in lags
+        ],
+    )
+    one = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in lags
+        ],
+    )
+    nn = F.col("n").cast("double")
+    q = (
+        nn
+        * (nn + F.lit(2.0))
+        * sum(
+            (F.col(f"num_{k}") / F.col("den"))
+            * (F.col(f"num_{k}") / F.col("den"))
+            / (nn - F.lit(float(k)))
+            for k in lags
+        )
+    )
+    return one.select(
+        F.col("n").alias("n_days"),
+        F.lit(LJUNG_BOX_LAGS).cast("long").alias("m_lags"),
+        round_det(q, 4).alias("q_stat"),
+    )
+
+
+def runs_test(lineitem: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median sign sequence random, or does it cluster (trend /
+    regime persistence)? Completes the nonparametric-diagnostics family
+    (Mann-Kendall monotone trend, Pettitt changepoint, runs randomness).
+
+    The threshold is the LOWER MEDIAN — the ⌈n/2⌉-th smallest daily
+    e4 total, an exact order statistic via one calendar-bounded sort
+    window, never an interpolated percentile (which is float-fragile
+    across engines). Days exactly equal to the median are dropped (the
+    classical treatment), runs are counted from sign flips in date
+    order, and only the final z = (R − μ_R)/σ_R goes through double
+    (identical IEEE ops on exact integer counts), rounded 4dp.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily_revenue_e4(lineitem)
+    ranked = daily.select(
+        "d",
+        "x_e4",
+        F.row_number().over(Window.orderBy("x_e4", "d")).cast("long").alias("pos"),
+    )
+    n_tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("pos") == F.expr("(n_tot + 1) div 2"))
+        .select(F.col("x_e4").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x_e4") != F.col("med"))
+        .select("d", (F.col("x_e4") > F.col("med")).alias("up"))
+    )
+    w = Window.orderBy("d")
+    flips = signs.select(
+        F.col("up").cast("long").alias("up"),
+        F.when(
+            F.lag("up").over(w).isNull() | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("up").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("up")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    sig2 = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return agg.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        round_det((F.col("n_runs").cast("double") - mu) / F.sqrt(sig2), 4).alias(
+            "z_stat"
+        ),
+    )
+
+
+def grubbs_outlier(lineitem: DataFrame) -> DataFrame:
+    """Grubbs' maximum-normed-residual test on the daily-revenue
+    series: the single most anomalous day and its G = max|x−x̄|/s
+    statistic (sample stddev) — the classical "is the worst day a real
+    outlier" screen that complements the batch z-score/MAD/Tukey
+    outlier family with a test-statistic formulation.
+
+    Sufficient statistics (n, Σx, Σx², max|n·x−Σx|) are all exact
+    decimal(38,0) on e4 units — n·Var·n(n−1) = n·Σx²·(n) − ... is
+    cleared of divisions the same way as bollinger_breaches, so the
+    ARGMAX day is an exact integer comparison; only G itself goes
+    through double (identical IEEE ops on exact inputs), rounded 4dp.
+    """
+    daily = _daily_revenue_e4(lineitem)
+    sq = F.expr("cast(x_e4 as decimal(19,0)) * cast(x_e4 as decimal(19,0))")
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_e4").alias("s"),
+        F.sum(sq).alias("s2"),
+    )
+    dev = F.expr("abs(cast(n as decimal(38,0)) * x_e4 - s)")
+    with_dev = daily.crossJoin(F.broadcast(stats)).select(
+        "d", "n", "s", "s2", dev.alias("ndev")
+    )
+    best = with_dev.agg(F.max("ndev").alias("max_ndev"))
+    top = (
+        with_dev.join(F.broadcast(best), F.col("ndev") == F.col("max_ndev"))
+        .orderBy("d")
+        .limit(1)
+    )
+    nn = F.col("n").cast("double")
+    # s² (sample) in e8 units × n²(n−1): n·S2 − S² all exact, then one
+    # sqrt; G = (max|n·x−S|/n) / sqrt((n·S2−S²)/(n(n−1))) rearranged to
+    # G = max|n·x−S| · sqrt((n−1)) / sqrt(n·(n·S2−S²))
+    g = (
+        F.col("ndev").cast("double")
+        * F.sqrt(nn - F.lit(1.0))
+        / F.sqrt(nn * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double"))
+    )
+    return top.select(
+        F.date_format("d", "yyyy-MM-dd").alias("outlier_date"),
+        F.col("n").alias("n_days"),
+        round_det(g, 4).alias("g_stat"),
+    )
+
+
+def jarque_bera(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Jarque-Bera normality test on the GLOBAL order-to-ship latency
+    distribution — the one-number companion to the per-priority
+    :func:`latency_moments` profile: JB = n·(S²/6 + K²/24) with S the
+    sample skewness and K the excess kurtosis, asymptotically χ²(2)
+    under normality. Latency is the rare column where the x⁴ power sum
+    stays exact at ANY scale (day counts are small integers: x⁴ ≤ ~2e8,
+    so Σx⁴ over 10¹² rows is < 10²¹ ≪ decimal(38,0)); the moment ratios
+    and JB are one fixed IEEE expression on exact inputs, bit-stable
+    across engines.  Reference parity: extends main.rs's report stage
+    (stats summary) with the normality screen the reference prints
+    means/stddevs for but never tests.
+    """
+    lat = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.expr(
+            "cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date))"
+            " as decimal(38,0))"
+        ).alias("x")
+    )
+    s = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    mu = "(cast(s1 as double) / n)"
+    r2 = "(cast(s2 as double) / n)"
+    r3 = "(cast(s3 as double) / n)"
+    r4 = "(cast(s4 as double) / n)"
+    m2 = f"({r2} - {mu} * {mu})"
+    m3 = f"({r3} - 3 * {mu} * {r2} + 2 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"({r4} - 4 * {mu} * {r3} + 6 * {mu} * {mu} * {r2}"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    skew = f"({m3} / ({m2} * sqrt({m2})))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3)"
+    jb = f"(n * ({skew} * {skew} / 6.0 + {kurt} * {kurt} / 24.0))"
+    return s.select(
+        "n",
+        round_det(F.expr(skew), 6).alias("skewness"),
+        round_det(F.expr(kurt), 6).alias("kurtosis_excess"),
+        round_det(F.expr(jb), 2).alias("jb_stat"),
+    )
+
+
+#: candidate periods (days) scanned by the revenue periodogram
+PERIODOGRAM_PERIODS = tuple(range(2, 15))
+#: day-index anchor for the periodogram phase (any fixed date works;
+#: it must only be IDENTICAL in both engines)
+PERIODOGRAM_ANCHOR = "1992-01-01"
+
+
+def periodogram_tables(periods=PERIODOGRAM_PERIODS):
+    """cos/sin lookup tables per candidate period, as Python float
+    literals injected into BOTH engines. cos()/sin() are NOT guaranteed
+    bit-identical between the JVM (StrictMath-adjacent) and libm — so
+    neither engine ever calls them: for period p the phase angle only
+    takes p distinct values 2πj/p (j = day_index mod p), and the j-th
+    table entry is computed ONCE here with Python's libm and shipped to
+    both engines as the same literal double.
+    """
+    import math
+
+    return {
+        p: (
+            [math.cos(2.0 * math.pi * j / p) for j in range(p)],
+            [math.sin(2.0 * math.pi * j / p) for j in range(p)],
+        )
+        for p in periods
+    }
+
+
+def periodogram_daily(lineitem: DataFrame) -> DataFrame:
+    """Periodogram scan of the daily-revenue series at candidate
+    periods 2..14 days: power_frac(p) = (C_p² + S_p²) / (n·Σdev²) with
+    C_p = Σ dev_t·cos(2πt/p), S_p likewise — the spectral "which cycle
+    length explains the series" reading that complements the lag-domain
+    ACF (acf_daily_revenue flags THAT it's weekly; the periodogram ranks
+    7 against every other candidate period).
+
+    Scale shape: identical to the ACF family — one exact-cent daily
+    aggregate over the fact table, then a single k-column aggregate over
+    the CALENDAR-bounded series. The trig values come from
+    :func:`periodogram_tables` literals (p distinct phases per period),
+    so both engines multiply identical doubles; sums are plain doubles
+    over the bounded day count with the ratio rounded 4dp (the repo's
+    downstream-of-division convention).
+    """
+    tables = periodogram_tables()
+    daily = _daily_revenue_e4(lineitem)
+    mean = daily.agg(
+        (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "xbar_e4"
+        )
+    )
+    t = F.expr(
+        f"datediff(cast(d as date), date'{PERIODOGRAM_ANCHOR}')"
+    ).alias("t")
+    dev = daily.crossJoin(F.broadcast(mean)).select(
+        t,
+        ((F.col("x_e4").cast("double") - F.col("xbar_e4")) / F.lit(1e4)).alias(
+            "dev"
+        ),
+    )
+    cols = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+    ]
+    for p, (cos_t, sin_t) in tables.items():
+        j = (F.col("t") % F.lit(p)).cast("int") + F.lit(1)
+        carr = F.array(*[F.lit(v) for v in cos_t])
+        sarr = F.array(*[F.lit(v) for v in sin_t])
+        cols.append(
+            F.sum(F.col("dev") * F.element_at(carr, j)).alias(f"c_{p}")
+        )
+        cols.append(
+            F.sum(F.col("dev") * F.element_at(sarr, j)).alias(f"s_{p}")
+        )
+    one = dev.agg(*cols)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("period_days"),
+                        round_det(
+                            (
+                                F.col(f"c_{p}") * F.col(f"c_{p}")
+                                + F.col(f"s_{p}") * F.col(f"s_{p}")
+                            )
+                            / (F.col("n").cast("double") * F.col("den")),
+                            6,
+                        ).alias("power_frac"),
+                    )
+                    for p in tables
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+#: PACF depth (same weekly horizon as ACF_MAX_LAG)
+PACF_MAX_LAG = 7
+
+
+def pacf_exprs(max_lag: int = PACF_MAX_LAG) -> list[tuple[str, str]]:
+    """Durbin-Levinson recursion as an ordered list of (column, SQL
+    expression) steps over input columns r_1..r_max_lag — the SHARED
+    plan both the Spark operator and the DuckDB oracle execute, so the
+    two engines run the exact same IEEE op DAG (each step only
+    references earlier names; only +,-,*,/ appear).
+
+    phi_k_k is the lag-k partial autocorrelation:
+      phi_1_1 = r_1
+      phi_k_k = (r_k − Σ_j phi_{k-1}_j·r_{k−j}) / (1 − Σ_j phi_{k-1}_j·r_j)
+      phi_k_j = phi_{k-1}_j − phi_k_k·phi_{k-1}_{k−j}
+    with the Σ folds written left-to-right in j order.
+    """
+    steps: list[tuple[str, str]] = [("phi_1_1", "r_1")]
+    for k in range(2, max_lag + 1):
+        num = f"r_{k}"
+        den = "1.0"
+        for j in range(1, k):
+            num = f"({num} - phi_{k-1}_{j} * r_{k-j})"
+            den = f"({den} - phi_{k-1}_{j} * r_{j})"
+        steps.append((f"phi_{k}_{k}", f"{num} / {den}"))
+        for j in range(1, k):
+            steps.append(
+                (
+                    f"phi_{k}_{j}",
+                    f"(phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j})",
+                )
+            )
+    return steps
+
+
+def pacf_daily(lineitem: DataFrame, max_lag: int = PACF_MAX_LAG) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series at lags
+    1..7 via the Durbin-Levinson recursion — "is the weekly spike a
+    direct lag-7 effect or just propagated lag-1 correlation", the
+    question the raw ACF can't answer.
+
+    The heavy stage is the same exact-cent daily aggregate as
+    acf_daily_revenue; the r_k sufficient ratios reduce to ONE row, and
+    the O(max_lag²) recursion runs as a fixed expression DAG on that
+    row (:func:`pacf_exprs` — literally the same SQL text the oracle
+    executes, so cross-engine bit-equality is by construction, not by
+    care). Output: (lag, pacf 4dp), max_lag rows.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily_revenue_e4(lineitem)
+    mean = daily.agg(
+        (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "xbar_e4"
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.crossJoin(F.broadcast(mean)).select(
+        ((F.col("x_e4").cast("double") - F.col("xbar_e4")) / F.lit(1e4)).alias(
+            "dev"
+        ),
+        *[
+            (
+                (F.lag("x_e4", k).over(w).cast("double") - F.col("xbar_e4"))
+                / F.lit(1e4)
+            ).alias(f"dev_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    one = lagged.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    ).select(
+        *[
+            (F.col(f"num_{k}") / F.col("den")).alias(f"r_{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    for name, expr in pacf_exprs(max_lag):
+        one = one.withColumn(name, F.expr(expr))
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        round_det(F.col(f"phi_{k}_{k}"), 4).alias("pacf"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+#: cross-correlation window: order-count leads/lags revenue by up to a week
+CCF_MAX_LAG = 7
+
+
+def ccf_revenue_orders(
+    lineitem: DataFrame, orders: DataFrame, max_lag: int = CCF_MAX_LAG
+) -> DataFrame:
+    """Cross-correlation between daily revenue (x, by ship date) and
+    daily order count (y, by order date) at lags −7..+7:
+    ccf(l) = Σ_t dx_t·dy_{t+l} / √(Σdx²·Σdy²) — "do order spikes LEAD
+    revenue spikes, and by how many days" (they should, by the
+    order→ship fulfillment delay; the argmax lag estimates it).
+
+    Shape: two independent exact-integer daily aggregates (revenue e4
+    decimals / order counts), means over each full series, then the
+    y-side fans out ×(2L+1) via a lag explode on its CALENDAR-bounded
+    daily table and equi-joins x on integer day index — one keyed join
+    of two tiny series, no window, no cross join. Deviations are
+    identical IEEE doubles on exact inputs; the final ratio is rounded
+    4dp. Alignment convention: products are summed over the INNER
+    overlap of the two date ranges at each lag, normalized by the
+    full-series variance product (the textbook sample-CCF denominator).
+    """
+    xd = (
+        lineitem.select(
+            F.expr(
+                f"datediff(cast(l_shipdate as date), date'{PERIODOGRAM_ANCHOR}')"
+            ).alias("t"),
+            F.expr(f"cast({REVENUE_E4} as decimal(38,0)) as rev_e4"),
+        )
+        .groupBy("t")
+        .agg(F.sum("rev_e4").alias("x_e4"))
+    )
+    yd = (
+        orders.select(
+            F.expr(
+                f"datediff(cast(o_orderdate as date), date'{PERIODOGRAM_ANCHOR}')"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    xstat = xd.agg(
+        (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "xbar_e4"
+        ),
+        F.sum(
+            F.pow(
+                (F.col("x_e4").cast("double")
+                 - F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(1e4),
+                F.lit(2.0),
+            )
+        ).alias("_unused"),
+    ).select("xbar_e4")
+    ystat = yd.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias("ybar")
+    )
+    dx = xd.crossJoin(F.broadcast(xstat)).select(
+        "t",
+        ((F.col("x_e4").cast("double") - F.col("xbar_e4")) / F.lit(1e4)).alias("dx"),
+    )
+    dy = yd.crossJoin(F.broadcast(ystat)).select(
+        "t", (F.col("y").cast("double") - F.col("ybar")).alias("dy")
+    )
+    den = dx.agg(F.sum(F.col("dx") * F.col("dx")).alias("sxx")).crossJoin(
+        dy.agg(F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    fan = dy.select(
+        F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag"), "t", "dy"
+    ).select("lag", (F.col("t") - F.col("lag")).alias("t_join"), "dy")
+    prods = dx.join(fan, F.col("t") == F.col("t_join")).groupBy("lag").agg(
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+    )
+    return (
+        prods.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_overlap",
+            round_det(
+                F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 4
+            ).alias("ccf"),
+        )
+    )

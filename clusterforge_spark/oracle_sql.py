@@ -5617,3 +5617,207 @@ SELECT source, bucket,
        CAST(sum(cnt) AS BIGINT) AS weight,
        CAST(count(*) AS BIGINT) AS n_distinct_tokens
 FROM pt GROUP BY source, bucket"""
+
+
+# --------------------------------------------------------------------------
+# time-series diagnostics family (seasonal-naive MASE, Pettitt, Bollinger,
+# Ljung-Box, runs test, Grubbs)
+# --------------------------------------------------------------------------
+
+_DAILY_E4 = """daily AS (
+  SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d,
+         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT)) AS x_e4
+  FROM lineitem GROUP BY 1
+)"""
+
+
+def q_seasonal_naive() -> str:
+    """Mirrors operators/relational.seasonal_naive_mase: exact BIGINT
+    error sums over positional lags, identical IEEE divisions."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    mae7 = "CAST(s7 AS DOUBLE) / 10000.0 / CAST(n7 AS DOUBLE)"
+    mae1 = "CAST(s1 AS DOUBLE) / 10000.0 / CAST(n1 AS DOUBLE)"
+    return f"""WITH {_DAILY_E4},
+lagged AS (
+  SELECT x_e4,
+         lag(x_e4, 1) OVER (ORDER BY d) AS l1,
+         lag(x_e4, 7) OVER (ORDER BY d) AS l7
+  FROM daily
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         sum(abs(x_e4 - l7)) AS s7, CAST(count(l7) AS BIGINT) AS n7,
+         sum(abs(x_e4 - l1)) AS s1, CAST(count(l1) AS BIGINT) AS n1
+  FROM lagged
+)
+SELECT n_days,
+       {_rd(mae7, 2)} AS mae_seasonal,
+       {_rd(mae1, 2)} AS mae_naive,
+       {_rd(f'({mae7}) / ({mae1})', 4)} AS mase
+FROM a"""
+
+
+def q_pettitt_changepoint() -> str:
+    """Mirrors operators/relational.pettitt_changepoint: doubled-midrank
+    identity, exact BIGINT U_t, double only in the p approximation."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    kk = "CAST(k AS DOUBLE)"
+    nn = "CAST(n AS DOUBLE)"
+    return f"""WITH {_DAILY_E4},
+ties AS (SELECT x_e4 AS v, CAST(count(*) AS BIGINT) AS ties FROM daily GROUP BY 1),
+bv AS (
+  SELECT d,
+         2 * CAST(rank() OVER (ORDER BY x_e4) AS BIGINT) + ties - 1 AS r2
+  FROM daily JOIN ties ON x_e4 = v
+),
+cum AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         sum(r2) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr2
+  FROM bv
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+u AS (
+  SELECT d, n, t * (n + 1) - cr2 AS u_t
+  FROM cum CROSS JOIN nc WHERE t < n
+),
+best AS (SELECT max(abs(u_t)) AS k FROM u),
+top AS (SELECT d, n, k FROM u JOIN best ON abs(u_t) = k ORDER BY d LIMIT 1)
+SELECT strftime(d, '%Y-%m-%d') AS change_date,
+       CAST(k AS BIGINT) AS k_stat,
+       {_rd(f'least(1.0, 2.0 * exp(-6.0 * {kk} * {kk} / ({nn} * {nn} * {nn} + {nn} * {nn})))', 6)}
+         AS p_approx
+FROM top"""
+
+
+def q_bollinger_breaches() -> str:
+    """Mirrors operators/relational.bollinger_breaches: the breach
+    predicate is exact HUGEINT arithmetic — no floats anywhere."""
+    return f"""WITH {_DAILY_E4},
+base AS (
+  SELECT d, x_e4,
+         count(*) OVER w AS wn,
+         sum(x_e4) OVER w AS s,
+         sum(x_e4 * x_e4) OVER w AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT strftime(d, '%Y-%m') AS ym,
+         7 * x_e4 - s AS d7,
+         4 * (7 * s2 - s * s) AS disc
+  FROM base WHERE wn = 7
+)
+SELECT ym,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN d7 > 0 AND d7 * d7 > disc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upper,
+       CAST(sum(CASE WHEN d7 < 0 AND d7 * d7 > disc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lower
+FROM f GROUP BY ym"""
+
+
+def q_ljung_box() -> str:
+    """Mirrors operators/relational.ljung_box: ACF sufficient-statistics
+    shape, Q accumulated left-to-right over k=1..m."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import LJUNG_BOX_LAGS
+
+    lags = range(1, LJUNG_BOX_LAGS + 1)
+    devs = ",\n         ".join(
+        f"(CAST(lag(x_e4, {k}) OVER (ORDER BY d) AS DOUBLE) - xbar_e4) / 10000.0 AS dev_{k}"
+        for k in lags
+    )
+    nums = ", ".join(f"sum(dev * dev_{k}) AS num_{k}" for k in lags)
+    nn = "CAST(n AS DOUBLE)"
+    terms = " + ".join(
+        f"(num_{k} / den) * (num_{k} / den) / ({nn} - {float(k)!r})" for k in lags
+    )
+    q = f"{nn} * ({nn} + 2.0) * ({terms})"
+    return f"""WITH {_DAILY_E4},
+m AS (
+  SELECT CAST(sum(x_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar_e4 FROM daily
+),
+lagged AS (
+  SELECT (CAST(x_e4 AS DOUBLE) - xbar_e4) / 10000.0 AS dev,
+         {devs}
+  FROM daily, m
+),
+one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(dev * dev) AS den, {nums} FROM lagged
+)
+SELECT n AS n_days,
+       CAST({LJUNG_BOX_LAGS} AS BIGINT) AS m_lags,
+       {_rd(q, 4)} AS q_stat
+FROM one"""
+
+
+def q_runs_test() -> str:
+    """Mirrors operators/relational.runs_test: exact lower-median order
+    statistic, integer run counts, double only in z."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    n1 = "CAST(n_above AS DOUBLE)"
+    n2 = "CAST(n_below AS DOUBLE)"
+    nn = f"({n1} + {n2})"
+    mu = f"2.0 * {n1} * {n2} / {nn} + 1.0"
+    sig2 = f"2.0 * {n1} * {n2} * (2.0 * {n1} * {n2} - {nn}) / ({nn} * {nn} * ({nn} - 1.0))"
+    return f"""WITH {_DAILY_E4},
+ranked AS (
+  SELECT d, x_e4,
+         CAST(row_number() OVER (ORDER BY x_e4, d) AS BIGINT) AS pos
+  FROM daily
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM daily),
+med AS (
+  SELECT x_e4 AS med FROM ranked CROSS JOIN nt WHERE pos = (n_tot + 1) // 2
+),
+signs AS (
+  SELECT d, x_e4 > med AS up FROM daily CROSS JOIN med WHERE x_e4 <> med
+),
+flips AS (
+  SELECT CAST(up AS BIGINT) AS up,
+         CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                   OR lag(up) OVER (ORDER BY d) <> up THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+a AS (
+  SELECT CAST(sum(up) AS BIGINT) AS n_above,
+         CAST(sum(1 - up) AS BIGINT) AS n_below,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM flips
+)
+SELECT n_above, n_below, n_runs,
+       {_rd(f'(CAST(n_runs AS DOUBLE) - ({mu})) / sqrt({sig2})', 4)} AS z_stat
+FROM a"""
+
+
+def q_grubbs_outlier() -> str:
+    """Mirrors operators/relational.grubbs_outlier: exact HUGEINT
+    sufficient statistics, division-free argmax, double only in G."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    nn = "CAST(n AS DOUBLE)"
+    g = (
+        f"CAST(ndev AS DOUBLE) * sqrt({nn} - 1.0)"
+        f" / sqrt({nn} * CAST(n * s2 - s * s AS DOUBLE))"
+    )
+    return f"""WITH {_DAILY_E4},
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x_e4) AS s, sum(x_e4 * x_e4) AS s2
+  FROM daily
+),
+wd AS (
+  SELECT d, n, s, s2, abs(n * x_e4 - s) AS ndev FROM daily CROSS JOIN st
+),
+best AS (SELECT max(ndev) AS max_ndev FROM wd),
+top AS (
+  SELECT d, n, s, s2, ndev FROM wd JOIN best ON ndev = max_ndev ORDER BY d LIMIT 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS outlier_date,
+       n AS n_days,
+       {_rd(g, 4)} AS g_stat
+FROM top"""

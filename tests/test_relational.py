@@ -1222,3 +1222,133 @@ def test_new_vs_returning_closed_form(spark):
     assert out[202402].n_new == 1 and out[202402].n_returning == 1
     assert out[202402].rev_new == 25.0 and out[202402].rev_returning == 50.0
     assert out[202402].new_rev_share == 0.3333
+
+
+def _daily_lineitem(spark, values, start=None):
+    """One lineitem row per day with l_extendedprice = value: the daily
+    e4 revenue series is exactly value*1e4·100... i.e. value*100 cents
+    × 100 = value·1e4 e4-units, so the series is proportional to the
+    input values (discount 0)."""
+    import datetime as dt
+
+    d0 = start or dt.datetime(2024, 1, 1)
+    rows = [
+        (i, float(v), 0.0, 1.0, d0 + dt.timedelta(days=i))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_quantity double, l_shipdate timestamp",
+    )
+
+
+def test_seasonal_naive_vs_numpy(spark):
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import seasonal_naive_mase
+
+    vals = [10, 12, 9, 14, 11, 13, 10, 11, 13, 8, 15, 12, 12, 11, 10, 14]
+    r = seasonal_naive_mase(_daily_lineitem(spark, vals)).collect()[0]
+    x = np.array(vals, dtype=float)
+    mae7 = np.abs(x[7:] - x[:-7]).mean()
+    mae1 = np.abs(x[1:] - x[:-1]).mean()
+    assert r.n_days == len(vals)
+    assert abs(r.mae_seasonal - mae7) < 1e-9
+    assert abs(r.mae_naive - mae1) < 1e-9
+    assert abs(r.mase - mae7 / mae1) < 1e-4
+
+
+def test_pettitt_matches_sign_bruteforce(spark):
+    """The midrank identity must reproduce the literal
+    U_t = ΣΣ sgn(x_j − x_i) definition, ties included."""
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import pettitt_changepoint
+
+    vals = [5, 7, 5, 6, 9, 12, 11, 12, 13, 12]  # shift up at index 4, ties
+    x = np.array(vals, dtype=float)
+    n = len(x)
+    u = [
+        sum(np.sign(x[j] - x[i]) for i in range(t + 1) for j in range(t + 1, n))
+        for t in range(n - 1)
+    ]
+    k_exp = int(max(abs(v) for v in u))
+    t_best = min(t for t, v in enumerate(u) if abs(v) == k_exp)
+    r = pettitt_changepoint(_daily_lineitem(spark, vals)).collect()[0]
+    assert r.k_stat == k_exp
+    assert r.change_date == f"2024-01-{1 + t_best:02d}"
+    p = min(1.0, 2.0 * np.exp(-6.0 * k_exp * k_exp / (n**3 + n**2)))
+    assert abs(r.p_approx - p) < 1e-6
+
+
+def test_bollinger_breaches_closed_form(spark):
+    """Flat series + one huge spike on a full-window day: exactly one
+    upper breach; the first 6 days (incomplete window) are excluded."""
+    from clusterforge_spark.operators.relational import bollinger_breaches
+
+    vals = [10.0] * 9 + [100.0] + [10.0] * 5
+    out = {r.ym: r for r in bollinger_breaches(_daily_lineitem(spark, vals)).collect()}
+    jan = out["2024-01"]
+    assert jan.n_days == len(vals) - 6
+    assert jan.n_upper == 1
+    # the post-spike days have the spike inside their window (huge σ) —
+    # a flat 10 is not below mean − 2σ there, and the flat tail windows
+    # containing only 10s have σ = 0 with x = mean
+    assert jan.n_lower == 0
+
+
+def test_ljung_box_vs_numpy(spark):
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import ljung_box
+
+    vals = [10, 12, 9, 14, 11, 13, 10, 11, 13, 8, 15, 12, 12, 11, 10, 14, 9, 13]
+    x = np.array(vals, dtype=float)
+    n = len(x)
+    dev = x - x.mean()
+    den = (dev * dev).sum()
+    q = 0.0
+    for k in range(1, 8):
+        r_k = (dev[k:] * dev[:-k]).sum() / den
+        q += r_k * r_k / (n - k)
+    q *= n * (n + 2)
+    r = ljung_box(_daily_lineitem(spark, vals)).collect()[0]
+    assert r.n_days == n and r.m_lags == 7
+    assert abs(r.q_stat - q) < 1e-3
+
+
+def test_runs_test_closed_form(spark):
+    """Series 1,9,1,9,... strictly alternates around its median band:
+    with values {1,9} the lower median is 1, equal-to-median days drop,
+    leaving all the 9s = one run each... use a 3-level series instead
+    where the median is unique."""
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import runs_test
+
+    # median (lower, of 7) = 5; drops the one 5; signs: 1,9,1,9,9,1 →
+    # runs: [1][9][1][9 9][1] = 5 runs, n1 (above)=3, n2=3
+    vals = [1, 9, 1, 9, 5, 9, 1]
+    r = runs_test(_daily_lineitem(spark, vals)).collect()[0]
+    assert r.n_above == 3 and r.n_below == 3 and r.n_runs == 5
+    n1, n2 = 3.0, 3.0
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    sig2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    z = (5 - mu) / np.sqrt(sig2)
+    assert abs(r.z_stat - z) < 1e-4
+
+
+def test_grubbs_vs_numpy(spark):
+    import numpy as np
+
+    from clusterforge_spark.operators.relational import grubbs_outlier
+
+    vals = [10, 11, 10, 12, 11, 10, 50, 11, 12, 10]
+    x = np.array(vals, dtype=float)
+    g = np.max(np.abs(x - x.mean())) / x.std(ddof=1)
+    r = grubbs_outlier(_daily_lineitem(spark, vals)).collect()[0]
+    assert r.n_days == len(vals)
+    assert r.outlier_date == "2024-01-07"
+    assert abs(r.g_stat - g) < 1e-4
