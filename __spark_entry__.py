@@ -442,6 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_cusum_changepoint"] = lambda spark, sf: R.cusum_changepoint(
         _t(spark, sf, "lineitem")
     )
+    q["q_periodogram_daily"] = lambda spark, sf: R.periodogram_daily(
+        _t(spark, sf, "lineitem")
+    )
+    q["q_pacf_daily"] = lambda spark, sf: R.pacf_daily(_t(spark, sf, "lineitem"))
+    q["q_ccf_revenue_orders"] = lambda spark, sf: R.ccf_revenue_orders(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
     q["q_jsonl_roundtrip"] = lambda spark, sf: SNK.roundtrip_jsonl_doc_stats(
         _t(spark, sf, "documents")
     )
@@ -970,6 +977,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_anova_f": OSQL.q_anova_f(),
         "q_acf_daily_revenue": OSQL.q_acf_daily_revenue(),
         "q_cusum_changepoint": OSQL.q_cusum_changepoint(),
+        "q_periodogram_daily": OSQL.q_periodogram_daily(),
+        "q_pacf_daily": OSQL.q_pacf_daily(),
+        "q_ccf_revenue_orders": OSQL.q_ccf_revenue_orders(),
         "q_jsonl_roundtrip": OSQL.q_jsonl_roundtrip(),
         "q_orc_roundtrip": OSQL.q_orc_roundtrip(),
         "q_embedding_covariance": OSQL.q_embedding_covariance(),

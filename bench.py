@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "q_anova_f",
     "q_acf_daily_revenue",
     "q_cusum_changepoint",
+    "q_periodogram_daily",
+    "q_pacf_daily",
+    "q_ccf_revenue_orders",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
     "q_embedding_covariance",

@@ -3587,6 +3587,17 @@ def theil_sen(lineitem: DataFrame) -> DataFrame:
         ).alias("slope")
     )
     slope = exact_quantile(slopes, "slope", 0.5)
+    spark = lineitem.sparkSession
+    if slope is None:
+        # degenerate series (< 2 distinct days): no pairwise slope
+        # exists, so the estimator is undefined — return the one-row
+        # report with null slope/intercept rather than crashing in
+        # _round_half_up(None).
+        n_days = daily.count()
+        return spark.createDataFrame(
+            [(int(n_days), 0, None, None)],
+            "n_days long, n_pairs long, slope_per_day double, intercept double",
+        )
     resid = daily.select(
         (
             F.col("x").cast("double") / F.lit(1e4)
@@ -3595,7 +3606,6 @@ def theil_sen(lineitem: DataFrame) -> DataFrame:
     )
     icept = exact_quantile(resid, "r", 0.5)
     n_days = daily.count()
-    spark = lineitem.sparkSession
     row = [
         (
             int(n_days),
@@ -4967,16 +4977,8 @@ def ccf_revenue_orders(
     xstat = xd.agg(
         (F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "xbar_e4"
-        ),
-        F.sum(
-            F.pow(
-                (F.col("x_e4").cast("double")
-                 - F.sum("x_e4").cast("double") / F.count(F.lit(1)).cast("double"))
-                / F.lit(1e4),
-                F.lit(2.0),
-            )
-        ).alias("_unused"),
-    ).select("xbar_e4")
+        )
+    )
     ystat = yd.agg(
         (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias("ybar")
     )

@@ -490,7 +490,16 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
                     F.broadcast(exact.select(F.col("et").alias("s2"), F.col("n_exact").alias("xb"))),
                     "s2",
                 )
-                .join(inter_exact, ["s1", "s2"])
+                # LEFT join: a type pair with an EMPTY exact hash
+                # intersection must still appear in the report (with
+                # exact_inter = 0) — an inner join would silently drop
+                # exactly the disjoint pairs a set-ops report exists to
+                # surface.
+                .join(inter_exact, ["s1", "s2"], "left")
+                .withColumn(
+                    "inter_exact",
+                    F.coalesce(F.col("inter_exact"), F.lit(0).cast("long")),
+                )
                 .select(
                     "s1",
                     "s2",

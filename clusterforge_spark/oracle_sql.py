@@ -4656,6 +4656,142 @@ FROM stat WHERE stat = (SELECT max(stat) FROM stat)
 ORDER BY d LIMIT 1"""
 
 
+def q_periodogram_daily() -> str:
+    """Mirrors operators/relational.periodogram_daily: the trig values
+    are the SAME Python-libm literals shipped to both engines
+    (periodogram_tables), so neither engine calls cos/sin."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import (
+        PERIODOGRAM_ANCHOR,
+        periodogram_tables,
+    )
+
+    rev = _REV_E4
+    tables = periodogram_tables()
+    cols = []
+    for p, (cos_t, sin_t) in tables.items():
+        carr = "[" + ", ".join(repr(v) for v in cos_t) + "]"
+        sarr = "[" + ", ".join(repr(v) for v in sin_t) + "]"
+        idx = f"CAST(t % {p} AS INT) + 1"
+        cols.append(f"sum(dev * list_extract({carr}, {idx})) AS c_{p}")
+        cols.append(f"sum(dev * list_extract({sarr}, {idx})) AS s_{p}")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS BIGINT) AS period_days, "
+        + _rd(f"(c_{p} * c_{p} + s_{p} * s_{p}) / (CAST(n AS DOUBLE) * den)", 6)
+        + " AS power_frac FROM one"
+        for p in tables
+    )
+    col_block = ",\n         ".join(cols)
+    return f"""WITH daily AS (
+  SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d, sum({rev}) AS x_e4
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(sum(x_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar_e4 FROM daily
+), dev AS (
+  SELECT datediff('day', DATE '{PERIODOGRAM_ANCHOR}', CAST(d AS DATE)) AS t,
+         (CAST(x_e4 AS DOUBLE) - xbar_e4) / 10000.0 AS dev
+  FROM daily, m
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(dev * dev) AS den,
+         {col_block}
+  FROM dev
+)
+{unions}"""
+
+
+def q_pacf_daily() -> str:
+    """Mirrors operators/relational.pacf_daily. The Durbin-Levinson
+    recursion is the SHARED expression DAG from pacf_exprs(): both
+    engines execute the identical SQL text, so the IEEE op sequence is
+    equal by construction."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import PACF_MAX_LAG, pacf_exprs
+
+    rev = _REV_E4
+    lags = range(1, PACF_MAX_LAG + 1)
+    devs = ",\n         ".join(
+        f"(CAST(lag(x_e4, {k}) OVER (ORDER BY d) AS DOUBLE) - xbar_e4)"
+        f" / 10000.0 AS dev_{k}"
+        for k in lags
+    )
+    nums = ", ".join(f"sum(dev * dev_{k}) AS num_{k}" for k in lags)
+    rs = ", ".join(f"num_{k} / den AS r_{k}" for k in lags)
+    inner = "SELECT * FROM r"
+    for name, expr in pacf_exprs(PACF_MAX_LAG):
+        inner = f"SELECT *, ({expr}) AS {name} FROM ({inner})"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, "
+        + _rd(f"phi_{k}_{k}", 4)
+        + " AS pacf FROM fin"
+        for k in lags
+    )
+    return f"""WITH daily AS (
+  SELECT date_trunc('day', l_shipdate::TIMESTAMP) AS d, sum({rev}) AS x_e4
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(sum(x_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar_e4 FROM daily
+), lagged AS (
+  SELECT (CAST(x_e4 AS DOUBLE) - xbar_e4) / 10000.0 AS dev,
+         {devs}
+  FROM daily, m
+), one AS (
+  SELECT sum(dev * dev) AS den, {nums} FROM lagged
+), r AS (
+  SELECT {rs} FROM one
+), fin AS (
+  {inner}
+)
+{unions}"""
+
+
+def q_ccf_revenue_orders() -> str:
+    """Mirrors operators/relational.ccf_revenue_orders: two daily exact
+    aggregates, lag fan-out on the order series, inner-overlap products,
+    full-series variance denominator."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import (
+        CCF_MAX_LAG,
+        PERIODOGRAM_ANCHOR,
+    )
+
+    rev = _REV_E4
+    return f"""WITH xd AS (
+  SELECT datediff('day', DATE '{PERIODOGRAM_ANCHOR}', CAST(l_shipdate AS DATE)) AS t,
+         sum({rev}) AS x_e4
+  FROM lineitem GROUP BY 1
+), yd AS (
+  SELECT datediff('day', DATE '{PERIODOGRAM_ANCHOR}', CAST(o_orderdate AS DATE)) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), xstat AS (
+  SELECT CAST(sum(x_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar_e4 FROM xd
+), ystat AS (
+  SELECT CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ybar FROM yd
+), dx AS (
+  SELECT t, (CAST(x_e4 AS DOUBLE) - xbar_e4) / 10000.0 AS dx FROM xd, xstat
+), dy AS (
+  SELECT t, (CAST(y AS DOUBLE) - ybar) AS dy FROM yd, ystat
+), den AS (
+  SELECT (SELECT sum(dx * dx) FROM dx) AS sxx,
+         (SELECT sum(dy * dy) FROM dy) AS syy
+), fan AS (
+  SELECT l.lag AS lag, dy.t - l.lag AS t_join, dy.dy AS dy
+  FROM dy CROSS JOIN (
+    SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag
+  ) l
+), prods AS (
+  SELECT fan.lag,
+         sum(dx.dx * fan.dy) AS sxy,
+         CAST(count(*) AS BIGINT) AS n_overlap
+  FROM dx JOIN fan ON dx.t = fan.t_join
+  GROUP BY fan.lag
+)
+SELECT CAST(prods.lag AS BIGINT) AS lag, n_overlap,
+       {_rd('sxy / sqrt(sxx * syy)', 4)} AS ccf
+FROM prods, den"""
+
+
 # --------------------------------------------------------------------------
 # connector roundtrips + embedding covariance
 # --------------------------------------------------------------------------
@@ -5329,14 +5465,14 @@ SELECT pe.s1 AS s1, pe.s2 AS s2,
        {_rd('i_est', 4)} AS est_inter,
        xa.n_exact AS exact_a,
        xb.n_exact AS exact_b,
-       CAST(xa.n_exact + xb.n_exact - ie.ix AS BIGINT) AS exact_union,
-       ie.ix AS exact_inter
+       CAST(xa.n_exact + xb.n_exact - coalesce(ie.ix, 0) AS BIGINT) AS exact_union,
+       CAST(coalesce(ie.ix, 0) AS BIGINT) AS exact_inter
 FROM pe
 JOIN pest ea ON ea.et = pe.s1
 JOIN pest eb ON eb.et = pe.s2
 JOIN exact xa ON xa.et = pe.s1
 JOIN exact xb ON xb.et = pe.s2
-JOIN inter_exact ie ON ie.s1 = pe.s1 AND ie.s2 = pe.s2"""
+LEFT JOIN inter_exact ie ON ie.s1 = pe.s1 AND ie.s2 = pe.s2"""
 
 
 def q_fk_integrity() -> str:

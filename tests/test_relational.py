@@ -635,6 +635,58 @@ def test_cusum_finds_planted_level_shift(spark):
     assert abs(r["cusum_stat"] - 1000.0) < 1e-9
 
 
+def test_periodogram_planted_period_two(spark):
+    """A perfectly alternating series concentrates ALL spectral power at
+    period 2: C_2 = Σ dev·cos(πt) = ±n·a, S_2 = 0, so power_frac(2) =
+    (na)²/(n·na²) = 1 exactly; every other candidate period gets less."""
+    df = _daily_lineitem(spark, [100.0 if t % 2 == 0 else 200.0 for t in range(10)])
+    out = {r["period_days"]: r["power_frac"] for r in R.periodogram_daily(df).collect()}
+    assert abs(out[2] - 1.0) < 1e-9
+    assert all(out[p] <= out[2] + 1e-12 for p in out)
+
+
+def test_pacf_closed_form_lag2(spark):
+    """Alternating 10-day series: r1 = −0.9, r2 = 0.8 (the ACF test's
+    values), so phi_1_1 = r1 and phi_2_2 = (r2 − r1²)/(1 − r1²) =
+    −0.01/0.19 — Durbin-Levinson by hand."""
+    df = _daily_lineitem(spark, [100.0 if t % 2 == 0 else 200.0 for t in range(10)])
+    out = {r["lag"]: r["pacf"] for r in R.pacf_daily(df, max_lag=2).collect()}
+    assert abs(out[1] - (-0.9)) < 1e-9
+    assert abs(out[2] - round(-0.01 / 0.19, 4)) < 2e-4
+
+
+def test_ccf_planted_lead(spark):
+    """Orders spike on day 5, revenue spikes on day 7 (2-day fulfillment
+    lag): ccf(l) pairs revenue_t with orders_{t+l}, so the peak lands at
+    lag −2."""
+    import datetime as dt
+
+    li = _daily_lineitem(spark, [300.0 if t == 7 else 100.0 for t in range(10)])
+    d0 = dt.datetime(2024, 1, 1)
+    orows = []
+    k = 0
+    for t in range(10):
+        for _ in range(3 if t == 5 else 1):
+            orows.append((k, d0 + dt.timedelta(days=t)))
+            k += 1
+    orders = spark.createDataFrame(
+        orows, "o_orderkey long, o_orderdate timestamp"
+    )
+    rows = R.ccf_revenue_orders(li, orders, max_lag=3).collect()
+    assert len(rows) == 7
+    best = max(rows, key=lambda r: r["ccf"])
+    assert best["lag"] == -2
+
+
+def test_theil_sen_single_day_returns_null_row(spark):
+    """< 2 distinct days → no pairwise slope exists; the report row
+    carries null slope/intercept instead of crashing (ADVICE r5)."""
+    df = _daily_lineitem(spark, [100.0])
+    r = R.theil_sen(df).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (1, 0)
+    assert r["slope_per_day"] is None and r["intercept"] is None
+
+
 def test_tpch_q13_counts_zero_order_customers(spark):
     """A customer with only excluded-priority orders lands in the
     c_count = 0 bucket — the left-join semantics Q13 exists to test."""

@@ -127,6 +127,31 @@ def test_kmv_exact_when_under_k(spark):
     assert r["est_inter"] == 6.0
 
 
+def test_kmv_disjoint_pair_reports_zero_intersection(spark):
+    """A type pair with NO shared users must still appear in the report
+    with exact_inter = 0 (ADVICE r5: the inner join on inter_exact
+    silently dropped exactly the disjoint pairs)."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.sketches import kmv_set_ops
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, i, "A", 1.0, "{}") for i in range(1, 11)]
+    rows += [(100 + i, t, 1000 + i, "B", 1.0, "{}") for i in range(1, 11)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = kmv_set_ops(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s1"], r["s2"]) == ("A", "B")
+    assert r["exact_inter"] == 0
+    assert r["exact_union"] == 20
+    assert r["est_inter"] == 0.0
+
+
 def test_kmv_full_sketch_matches_python_md5(spark):
     """Forced tiny k: the (k−1)·2⁶⁰/h_k estimate reproduces the value
     computed from Python's own md5 of the same user ids."""
