@@ -72,6 +72,7 @@ def prefix_sum_before(
     order_col: str,
     cnt_cols: tuple[str, ...] | list[str],
     bucket_shift: int = 16,
+    prescale: float | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum(s) over an ordered histogram, distributed.
 
@@ -110,8 +111,15 @@ def prefix_sum_before(
     # clamp keeps the ANSI cast abort-free for wide decimal order keys
     # (gini's per-user cent sums are decimal(38,0)); everything beyond
     # the int64 range collapses into the extreme buckets, which is still
-    # an order-preserving range coarsening, the only property needed
+    # an order-preserving range coarsening, the only property needed.
+    # ``prescale`` (a positive multiplier, applied before the clamp)
+    # widens SMALL-RANGE keys so the shift still yields many buckets:
+    # a double in [0, 600) lands entirely in bucket 0 at shift 16, but
+    # prescale 2**16 makes the bucket id floor(value) — the multiply is
+    # monotone non-decreasing, the only property bucketing needs.
     v = F.col(order_col)
+    if prescale is not None:
+        v = v.cast("double") * F.lit(float(prescale))
     lo, hi = F.lit(-(2**63)).cast("decimal(38,0)"), F.lit(2**63 - 1).cast(
         "decimal(38,0)"
     )
@@ -139,6 +147,79 @@ def prefix_sum_before(
     for c in cnt_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_in_{c}"))
     return out.drop("_b", *[f"_in_{c}" for c in cnt_cols], *[f"_off_{c}" for c in cnt_cols])
+
+
+def total_order_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    descending: bool = False,
+    prescale: float | None = 65536.0,
+    bucket_shift: int = 16,
+    rank_name: str = "_rank",
+) -> DataFrame:
+    """Exact 1-based global rank under the TOTAL order (value_col
+    [asc|desc], tiebreak_col asc) — the scale path around
+    ``row_number()/ntile() OVER (ORDER BY ...)``, whose partition-less
+    window moves EVERY row through one task (Spark's own WindowExec
+    warning). Distributed decomposition:
+
+      rank(row) = #rows with strictly smaller value   (histogram prefix
+                  sum via :func:`prefix_sum_before` — two-level, never
+                  a data-proportional single partition)
+                + row_number within the row's tie group (window
+                  PARTITIONED by value — parallel across values)
+
+    Bit-identical to the single-partition form for non-null keys.
+    Caveats: ``descending`` is implemented by negating the key, so
+    nulls would sort FIRST (a desc window puts them last) — callers
+    must have non-null value/tiebreak columns; tiebreak must be unique
+    within a tie group for a deterministic total order. Skew note: one
+    hot value serializes its own tie group only, never the whole table.
+    """
+    from pyspark.sql.window import Window
+
+    ordv = F.col(value_col)
+    if descending:
+        ordv = -ordv
+    base = df.withColumn("_ov", ordv)
+    hist = base.groupBy("_ov").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    pre = prefix_sum_before(
+        hist, "_ov", ("_c",), bucket_shift=bucket_shift, prescale=prescale
+    ).select("_ov", "cum__c")
+    w_tie = Window.partitionBy("_ov").orderBy(F.col(tiebreak_col).asc())
+    return (
+        base.withColumn("_tr", F.row_number().over(w_tie).cast("long"))
+        .join(pre, "_ov")
+        .withColumn(rank_name, F.col("cum__c") + F.col("_tr"))
+        .drop("_ov", "_tr", "cum__c")
+    )
+
+
+def ntile_from_rank(rank, n, k: int):
+    """Exact ``ntile(k)`` bucket id from a 1-based total-order rank and
+    the total row count (both Column expressions, LONG, positive) —
+    pure integer arithmetic, no window.
+
+    ntile semantics: with n rows, b = n div k and r = n mod k, the
+    first r buckets hold b+1 rows, the rest hold b. Floor-division is
+    computed as (a − a mod m) / m: the numerator is an exact multiple
+    of m, so the IEEE division is exact for a < 2⁵³ (9e15 rows — far
+    beyond any real rank), making the bucket id bit-stable.
+    """
+
+    def fdiv(a, m):
+        return ((a - a % m) / m).cast("long")
+
+    kL = F.lit(k).cast("long")
+    b = fdiv(n, kL)
+    r = n % kL
+    cut = r * (b + F.lit(1))
+    return F.when(
+        rank <= cut, fdiv(rank - F.lit(1), b + F.lit(1)) + F.lit(1)
+    ).otherwise(
+        r + fdiv(rank - cut - F.lit(1), F.greatest(b, F.lit(1).cast("long"))) + F.lit(1)
+    )
 
 
 def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:

@@ -308,31 +308,50 @@ def rfm_segments(rfm: DataFrame) -> DataFrame:
     (Champions / Loyal / At-Risk...) that sits beside the K-means
     clustering as the interpretable alternative on the same features.
 
-    Each of R/F/M is scored 1-5 by ntile over a TOTAL order (metric +
-    user_id tie-break, recency reversed so fresher = higher), then a
-    deterministic CASE cascade assigns the first matching segment. One
-    global sort per metric (three ntiles share one window stage); at
-    100 TB swap exact ntile for approx-quantile range bounds.
-    """
-    from pyspark.sql.window import Window
+    Each of R/F/M is scored 1-5 by exact ntile semantics over a TOTAL
+    order (metric + user_id tie-break, recency reversed so fresher =
+    higher), then a deterministic CASE cascade assigns the first
+    matching segment.
 
-    scored = rfm.select(
-        "user_id",
-        "recency",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency").desc(), F.col("user_id")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
-        .cast("long")
-        .alias("m_score"),
+    Scale shape: NO partition-less window. Each metric's global rank
+    comes from partitioning.total_order_rank (histogram prefix sum +
+    metric-local tie window, all stages parallel; the r5 version's
+    three ``ntile(5) OVER (ORDER BY …)`` windows each moved every
+    customer row through ONE task) and the quintile id is integer
+    arithmetic via ntile_from_rank — bit-identical output. The three
+    rank passes re-join on user_id: three hash shuffles of the
+    one-row-per-customer frame, each parallel.
+    """
+    from clusterforge_spark.functions.partitioning import (
+        ntile_from_rank,
+        total_order_rank,
+    )
+
+    def _rank_of(metric: str, out: str, descending: bool) -> DataFrame:
+        return total_order_rank(
+            rfm.select("user_id", metric),
+            metric,
+            "user_id",
+            descending=descending,
+            rank_name=out,
+        ).select("user_id", out)
+
+    n_df = F.broadcast(rfm.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    scored = (
+        rfm.select("user_id", "recency", "frequency", "monetary")
+        .join(_rank_of("recency", "_rr", True), "user_id")
+        .join(_rank_of("frequency", "_fr", False), "user_id")
+        .join(_rank_of("monetary", "_mr", False), "user_id")
+        .crossJoin(n_df)
+        .select(
+            "user_id",
+            "recency",
+            "frequency",
+            "monetary",
+            ntile_from_rank(F.col("_rr"), F.col("_n"), 5).alias("r_score"),
+            ntile_from_rank(F.col("_fr"), F.col("_n"), 5).alias("f_score"),
+            ntile_from_rank(F.col("_mr"), F.col("_n"), 5).alias("m_score"),
+        )
     )
     seg = None
     for label, cond in reversed(RFM_SEGMENT_RULES):

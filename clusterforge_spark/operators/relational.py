@@ -1622,19 +1622,33 @@ def session_paths(events: DataFrame, gap_minutes: int = 30, k: int = 20) -> Data
 
 
 def decile_stats(events: DataFrame, n_buckets: int = 10) -> DataFrame:
-    """Equal-frequency value buckets (ntile) with per-bucket aggregates —
-    the quantile-bucketing feature transform (score banding, risk
-    deciles). The ntile ordering is made total with the event_id
-    tie-break, so bucket membership is deterministic; per-bucket sums
-    are decimal-exact. One global sort (ntile needs it) + one hash agg.
-    At 100 TB swap the exact ntile for approx-quantile range bounds;
-    this is the exact variant.
-    """
-    from pyspark.sql.window import Window
+    """Equal-frequency value buckets (ntile semantics) with per-bucket
+    aggregates — the quantile-bucketing feature transform (score
+    banding, risk deciles). The ordering is made total with the
+    event_id tie-break, so bucket membership is deterministic;
+    per-bucket sums are decimal-exact.
 
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
-    bucketed = events.select(
-        "value", F.ntile(n_buckets).over(w).cast("long").alias("decile")
+    Scale shape: NO partition-less window. The global rank comes from
+    partitioning.total_order_rank (histogram prefix sum + value-local
+    tie window, all stages parallel) and the ntile bucket id is integer
+    arithmetic on (rank, n) via ntile_from_rank — bit-identical to
+    ``ntile() OVER (ORDER BY value, event_id)`` without the
+    one-task global sort that window plans.
+    """
+    from clusterforge_spark.functions.partitioning import (
+        ntile_from_rank,
+        total_order_rank,
+    )
+
+    ranked = total_order_rank(
+        events.select("value", "event_id"), "value", "event_id"
+    )
+    n_df = F.broadcast(
+        events.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    bucketed = ranked.crossJoin(n_df).select(
+        "value",
+        ntile_from_rank(F.col("_rank"), F.col("_n"), n_buckets).alias("decile"),
     )
     return bucketed.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -892,11 +892,15 @@ def vocabulary_growth(documents: DataFrame) -> DataFrame:
 
     Same one-pass shape as user_growth: each token's FIRST doc
     (min doc_id) marks where it enters the vocabulary; per-doc new-token
-    counts and token totals then fold into running sums with one tiny
-    ordered window. No cumulative-distinct state anywhere.
-    """
-    from pyspark.sql.window import Window
+    counts and token totals then fold into running sums.
 
+    Scale shape: the running sums go through
+    partitioning.prefix_sum_before (two-level bucketed prefix over the
+    one-row-per-doc table) instead of a partition-less cumulative
+    window — the r5 version's ``ORDER BY doc_id`` window was a serial
+    stage proportional to corpus size. Inclusive cum = exclusive
+    prefix + own row, exact integer arithmetic, identical output.
+    """
     toks = H.tokens_col("text")
     ex = documents.select("doc_id", F.explode(toks).alias("token"))
     per_doc = ex.groupBy("doc_id").agg(
@@ -908,16 +912,20 @@ def vocabulary_growth(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("new_vocab", F.lit(0).cast("long")).alias("new_vocab"),
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .withColumn("vocab_size", F.sum("new_vocab").over(w).cast("long"))
+    joined = per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("new_vocab", F.lit(0).cast("long")).alias("new_vocab"),
+    )
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    pre = prefix_sum_before(joined, "doc_id", ("n_tokens", "new_vocab"))
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "new_vocab",
+        (F.col("cum_n_tokens") + F.col("n_tokens")).cast("long").alias("cum_tokens"),
+        (F.col("cum_new_vocab") + F.col("new_vocab")).cast("long").alias("vocab_size"),
     )
 
 

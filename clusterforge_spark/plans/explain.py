@@ -44,3 +44,60 @@ def exchange_count(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line and "reused" not in line.lower()
     )
+
+
+def _spec_args(text: str, start: int) -> list[str]:
+    """Top-level comma-split of the parenthesized args beginning at
+    ``text[start]`` (which must be '(')."""
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    for ch in text[start:]:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    return args
+
+
+def partitionless_window_specs(df: DataFrame) -> list[str]:
+    """Every ``windowspecdefinition`` in the OPTIMIZED plan whose
+    partition-column list is EMPTY — i.e. a window that plans as a
+    single-partition exchange + one-task sort over its whole input
+    (Spark's WindowExec emits a runtime warning for exactly this).
+
+    A spec's args are [partition cols..., sort specs..., frame]; sort
+    specs end with 'ASC/DESC NULLS ...' and the frame is a
+    'specifiedwindowframe(...)' — so a spec whose FIRST top-level arg
+    is already a sort spec or the frame has no partition columns.
+    Used by the contract-wide sweep test: data-proportional operators
+    must never plan one of these (calendar-bounded / k-row inputs are
+    allowlisted per query).
+    """
+    text = df._jdf.queryExecution().optimizedPlan().toString()
+    out: list[str] = []
+    needle = "windowspecdefinition"
+    i = 0
+    while True:
+        i = text.find(needle, i)
+        if i < 0:
+            break
+        args = _spec_args(text, i + len(needle))
+        if args:
+            first = args[0]
+            is_sort = first.endswith("NULLS FIRST") or first.endswith("NULLS LAST")
+            is_frame = first.startswith("specifiedwindowframe")
+            if is_sort or is_frame:
+                out.append(first)
+        i += len(needle)
+    return out

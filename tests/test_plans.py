@@ -687,3 +687,77 @@ def test_quantile_normalize_lookup_is_equi_join(spark):
     # attach; the row-data joins are all hash/sort-merge equi-joins
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# contract-wide single-partition-window sweep (r5 verdict item 1)
+# --------------------------------------------------------------------------
+
+#: Queries allowed to plan a partition-less window, with WHY its input is
+#: bounded (never data-proportional). The prefix_sum_before bucket-offset
+#: window (sort key `_b`, rows = #buckets) is exempted in the sweep itself.
+PARTITIONLESS_WINDOW_ALLOWLIST = {
+    # calendar-bounded daily/weekly series (rows = #days, never #events)
+    "q_acf_daily_revenue",
+    "q_bollinger_breaches",
+    "q_cusum_changepoint",
+    "q_gap_fill_daily",
+    "q_kaplan_meier",  # ordered by survival time t in days — calendar-bounded
+    "q_ljung_box",
+    "q_order_backlog",
+    "q_pacf_daily",
+    "q_pettitt_changepoint",
+    "q_rolling_median",
+    "q_runs_test",
+    "q_seasonal_naive",
+    "q_stl_decompose",
+    "q_temporal_split",
+    "q_user_growth",
+    # domain-bounded histograms (rows = #distinct domain values:
+    # 2^12 rank buckets / bounded conversion minutes / discount-qty-tax
+    # value domains / per-key count histogram above a hash agg)
+    "q_quantile_sketch",
+    "q_time_to_convert",
+    "q_spearman_matrix",
+    "q_key_skew_profile",
+    # k-row / fixed-bucket frames (post-TakeOrderedAndProject or 10 deciles)
+    "q_lorenz_deciles",
+    "q_zipf_slope",
+    "q_skyline_orders",
+    "q_sim_search_topk",
+    "q_sim_search_lsh",
+    "q_sim_search_ivf",
+    "q_sim_search_ivf_trained",
+    "q_sim_search_pq",
+    "q_sim_search_filtered",
+}
+
+
+def test_no_partitionless_window_over_data_proportional_input(spark):
+    """Sweep EVERY contract query's optimized plan: a window with no
+    PARTITION BY plans a single-partition exchange + one-task sort over
+    its whole input — acceptable only when that input is bounded
+    (calendar days, value domains, post-limit k rows). The allowlist is
+    exact-equality so a new query can neither silently reintroduce a
+    data-proportional global sort NOR keep a stale exemption.
+    decile_stats / rfm_segments / vocabulary_growth were rebuilt on
+    total_order_rank / prefix_sum_before in r6 precisely to leave this
+    list."""
+    import __spark_entry__ as E
+
+    offenders = set()
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_DIR)
+        specs = [
+            s
+            for s in X.partitionless_window_specs(df)
+            if not s.startswith("_b#")
+        ]
+        if specs:
+            offenders.add(name)
+    assert offenders == PARTITIONLESS_WINDOW_ALLOWLIST, (
+        f"new data-proportional global sorts: "
+        f"{sorted(offenders - PARTITIONLESS_WINDOW_ALLOWLIST)}; "
+        f"stale allowlist entries: "
+        f"{sorted(PARTITIONLESS_WINDOW_ALLOWLIST - offenders)}"
+    )

@@ -303,6 +303,45 @@ def test_prefix_sum_before_matches_serial(spark, vals, shift):
 
 
 @given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=10),
+    desc=st.booleans(),
+)
+@settings(max_examples=10, deadline=None)
+def test_total_order_rank_ntile_matches_window(spark, vals, k, desc):
+    """total_order_rank + ntile_from_rank is bit-identical to
+    ``ntile(k) OVER (ORDER BY value [DESC], id)`` for any value list
+    (heavy ties included) and any k — including k > n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clusterforge_spark.functions.partitioning import (
+        ntile_from_rank,
+        total_order_rank,
+    )
+
+    rows = [(i, float(v) / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    ordv = F.col("value").desc() if desc else F.col("value").asc()
+    w = Window.orderBy(ordv, F.col("id").asc())
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(k).over(w).cast("long").alias("nt")).collect()
+    }
+    ranked = total_order_rank(df, "value", "id", descending=desc)
+    n_df = F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    got = {
+        r["id"]: r["nt"]
+        for r in ranked.crossJoin(n_df)
+        .select("id", ntile_from_rank(F.col("_rank"), F.col("_n"), k).alias("nt"))
+        .collect()
+    }
+    assert got == want
+
+
+@given(
     counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
     cap=st.integers(min_value=1, max_value=50),
 )
