@@ -372,6 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_tpch_waiting_suppliers"] = lambda spark, sf: R.tpch_waiting_suppliers(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "supplier")
     )
+    q["q_tpch_shipmode_priority"] = lambda spark, sf: R.tpch_shipmode_priority(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
     q["q_tpch_priority_check"] = lambda spark, sf: R.tpch_priority_check(
         _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
@@ -961,6 +964,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_tpch_promo_revenue": OSQL.q_tpch_promo_revenue(),
         "q_tpch_brand_volume": OSQL.q_tpch_brand_volume(),
         "q_tpch_waiting_suppliers": OSQL.q_tpch_waiting_suppliers(),
+        "q_tpch_shipmode_priority": OSQL.q_tpch_shipmode_priority(),
         "q_tpch_priority_check": OSQL.q_tpch_priority_check(),
         "q_tpch_volume_shipping": OSQL.q_tpch_volume_shipping(),
         "q_tpch_market_share": OSQL.q_tpch_market_share(),

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_tpch_promo_revenue",
     "q_tpch_brand_volume",
     "q_tpch_waiting_suppliers",
+    "q_tpch_shipmode_priority",
     "q_tpch_priority_check",
     "q_tpch_volume_shipping",
     "q_tpch_market_share",

@@ -3151,6 +3151,81 @@ def tpch_excess_supply(
     )
 
 
+#: TPC-H Q12 adaptation: the observed lineitem has no l_shipmode /
+#: l_commitdate / l_receiptdate, so (like Q2/Q11/Q16/Q20's observed-supply
+#: adaptation) the missing columns are DERIVED deterministically from
+#: existing integer keys — identical arithmetic in both engines.
+Q12_MODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+Q12_TARGET_MODES = ("MAIL", "SHIP")
+#: receipt-day window [1996-01-01, 1998-01-01) as epoch-day indexes
+Q12_RECEIPT_DAYS = (9496, 10227)
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def tpch_shipmode_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shipmode priority: per ship mode, how many LATE lines
+    (commit < receipt, ship < commit, receipt in a 2-year window) belong
+    to high- vs low-priority orders — the "does cheap shipping delay
+    urgent orders" audit.
+
+    Derived columns (public Q12 semantics on the observed schema):
+      shipmode    = Q12_MODES[(31·l_orderkey + l_linenumber) mod 7]
+      commit_day  = ship_day + ((l_orderkey + 3·l_linenumber) mod 60 − 30)
+      receipt_day = ship_day + ((5·l_orderkey + 7·l_linenumber) mod 90 − 30)
+    with ship_day = unix_micros/86400e6 — all exact integer arithmetic,
+    so both engines derive identical rows.
+
+    Spark shape: the mode + lateness + window predicates apply BEFORE
+    the join (map-side, ~2/7 × window selectivity on the fact table),
+    one hash join on orderkey, one 2-row conditional aggregate with
+    map-side partials. No window, no global sort.
+    Ref shape: public TPC-H Q12 (shipping modes and order priority).
+    """
+    d_lo, d_hi = Q12_RECEIPT_DAYS
+    mode_arr = F.array(*[F.lit(m) for m in Q12_MODES])
+    idx = (
+        F.pmod(F.col("l_orderkey") * F.lit(31) + F.col("l_linenumber"), F.lit(7))
+        .cast("int")
+        + F.lit(1)
+    )
+    ship_day = F.expr("div(unix_micros(l_shipdate), 86400000000)")
+    commit_day = ship_day + F.pmod(
+        F.col("l_orderkey") + F.lit(3) * F.col("l_linenumber"), F.lit(60)
+    ) - F.lit(30)
+    receipt_day = ship_day + F.pmod(
+        F.lit(5) * F.col("l_orderkey") + F.lit(7) * F.col("l_linenumber"), F.lit(90)
+    ) - F.lit(30)
+    late = (
+        lineitem.select(
+            "l_orderkey",
+            F.element_at(mode_arr, idx).alias("l_shipmode"),
+            ship_day.alias("_sd"),
+            commit_day.alias("_cd"),
+            receipt_day.alias("_rd"),
+        )
+        .filter(
+            F.col("l_shipmode").isin(*Q12_TARGET_MODES)
+            & (F.col("_cd") < F.col("_rd"))
+            & (F.col("_sd") < F.col("_cd"))
+            & (F.col("_rd") >= d_lo)
+            & (F.col("_rd") < d_hi)
+        )
+        .select("l_orderkey", "l_shipmode")
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        late.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # classical statistics: one-way ANOVA, autocorrelation, CUSUM changepoint
 # ---------------------------------------------------------------------------

@@ -4225,6 +4225,45 @@ WHERE o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
 GROUP BY o_orderpriority"""
 
 
+def q_tpch_shipmode_priority() -> str:
+    """Mirrors operators/relational.tpch_shipmode_priority: the derived
+    shipmode/commit/receipt columns are identical integer arithmetic on
+    the same keys (public TPC-H Q12 adapted onto the observed schema)."""
+    from clusterforge_spark.operators.relational import (
+        Q12_HIGH,
+        Q12_MODES,
+        Q12_RECEIPT_DAYS,
+        Q12_TARGET_MODES,
+    )
+
+    d_lo, d_hi = Q12_RECEIPT_DAYS
+    modes = "[" + ", ".join(f"'{m}'" for m in Q12_MODES) + "]"
+    targets = ", ".join(f"'{m}'" for m in Q12_TARGET_MODES)
+    high = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""WITH l AS (
+  SELECT l_orderkey,
+         {modes}[CAST((31 * l_orderkey + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+         CAST(epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS BIGINT) AS sd,
+         (l_orderkey + 3 * l_linenumber) % 60 - 30 AS clag,
+         (5 * l_orderkey + 7 * l_linenumber) % 90 - 30 AS rlag
+  FROM lineitem
+), late AS (
+  SELECT l_orderkey, l_shipmode
+  FROM l
+  WHERE l_shipmode IN ({targets})
+    AND sd + clag < sd + rlag
+    AND sd < sd + clag
+    AND sd + rlag >= {d_lo} AND sd + rlag < {d_hi}
+)
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ({high}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({high}) THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM late JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_shipmode"""
+
+
 def q_tpch_volume_shipping() -> str:
     from clusterforge_spark.operators.relational import Q7_NATIONS, Q7_SHIP_WINDOW
 

@@ -687,6 +687,51 @@ def test_theil_sen_single_day_returns_null_row(spark):
     assert r["slope_per_day"] is None and r["intercept"] is None
 
 
+def test_tpch_q12_high_low_split(spark):
+    """Hand-built rows hitting every predicate branch: only the
+    MAIL/SHIP-mode, late (ship < commit < receipt), in-window lines
+    count, split by order priority."""
+    import datetime as dt
+
+    from clusterforge_spark.operators.relational import (
+        Q12_MODES,
+        Q12_RECEIPT_DAYS,
+        tpch_shipmode_priority,
+    )
+
+    d0 = dt.datetime(1970, 1, 1) + dt.timedelta(days=Q12_RECEIPT_DAYS[0])
+    # pick orderkeys whose derived mode is MAIL or SHIP, and one that isn't
+    def mode_of(ok, ln):
+        return Q12_MODES[(31 * ok + ln) % 7]
+
+    keys = [ok for ok in range(1, 200) if mode_of(ok, 1) in ("MAIL", "SHIP")]
+    other = next(ok for ok in range(1, 200) if mode_of(ok, 1) not in ("MAIL", "SHIP"))
+    # lateness: clag = (ok + 3) % 60 - 30 must be > 0 and rlag > clag
+    def late(ok):
+        clag = (ok + 3) % 60 - 30
+        rlag = (5 * ok + 7) % 90 - 30
+        return clag > 0 and rlag > clag
+
+    hits = [ok for ok in keys if late(ok)][:4]
+    assert len(hits) == 4, "need 4 qualifying keys for the fixture"
+    li_rows = [(ok, 1, d0) for ok in hits] + [(other, 1, d0)]
+    li = spark.createDataFrame(
+        li_rows, "l_orderkey long, l_linenumber int, l_shipdate timestamp"
+    )
+    orders = spark.createDataFrame(
+        [(hits[0], "1-URGENT"), (hits[1], "2-HIGH"), (hits[2], "5-LOW"),
+         (hits[3], "3-MEDIUM"), (other, "1-URGENT")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    got = {
+        r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
+        for r in tpch_shipmode_priority(li, orders).collect()
+    }
+    assert sum(h for h, _ in got.values()) == 2
+    assert sum(lo for _, lo in got.values()) == 2
+    assert set(got) <= {"MAIL", "SHIP"}
+
+
 def test_tpch_q13_counts_zero_order_customers(spark):
     """A customer with only excluded-priority orders lands in the
     c_count = 0 bucket — the left-join semantics Q13 exists to test."""
