@@ -314,3 +314,63 @@ def test_exact_gram_is_exact_past_int64():
     ]
     assert [[int(g[i][j]) for j in range(2)] for i in range(2)] == expect
     assert any(abs(v) >= 2**63 for row in expect for v in row)
+
+
+def test_hi_lo_split_roundtrip():
+    """The hi/lo int64 transport recombines exactly for values beyond
+    int64 in both signs (hi·2⁶² + lo with lo ∈ [0, 2⁶²))."""
+    import numpy as np
+
+    from clusterforge_spark.operators.similarity import _hi_lo
+
+    vals = [0, 1, -1, 2**62 - 1, 2**62, -(2**62), 2**75 + 12345,
+            -(2**75) - 12345, 3**40, -(3**40)]
+    hi, lo = _hi_lo(np, vals)
+    assert all(0 <= int(l) < 2**62 for l in lo)
+    got = [int(h) * 2**62 + int(l) for h, l in zip(hi, lo)]
+    assert got == vals
+
+
+def test_gramian_with_moments_matches_direct(spark, embeddings):
+    """The single-pass with_moments stats equal the separately computed
+    Gramian / first-moment / count aggregates (per label)."""
+    from clusterforge_spark.operators.similarity import (
+        _gramian_partials,
+        _split_stat_rows,
+    )
+
+    rows = _gramian_partials(embeddings, by_label=True, with_moments=True).collect()
+    spp, s, n = _split_stat_rows(rows, with_label=True)
+    plain = _gramian_partials(embeddings, by_label=True).collect()
+    want_spp = {}
+    for r in plain:
+        want_spp.setdefault(int(r["label"]), {})[(int(r["i"]), int(r["j"]))] = int(
+            r["spp"]
+        )
+    assert {k: dict(v) for k, v in spp.items()} == want_spp
+    # first moments + counts against a plain SQL aggregate
+    from pyspark.sql import functions as F
+
+    ref = (
+        embeddings.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint) as vm"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum(F.expr("cast(vm as decimal(38,0))")).alias("s"))
+        .collect()
+    )
+    for r in ref:
+        assert s[int(r["label"])][int(r["dim"])] == int(r["s"])
+    counts = {
+        int(r["label"]): int(r["c"])
+        for r in embeddings.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert dict(n) == counts
