@@ -45,8 +45,20 @@ class PipelineResult:
     cluster_sizes: list[tuple[int, int, float]]  # (cluster, size, pct)
     silhouette: float | None
     timings: dict[str, float] = field(default_factory=dict)
-    assignments: DataFrame | None = None
     scaler_params: dict | None = None
+    #: lazy assignment-frame construction: building the scale+assign
+    #: DataFrame is ~0.45 s of pure py4j expression plumbing (measured
+    #: at sf0.1) that stats/bench/predict consumers never execute — only
+    #: viz/report paths read ``assignments``, so the plan is built on
+    #: first access (same laziness Spark itself gives the EXECUTION)
+    assignments_builder: object | None = field(default=None, repr=False)
+    _assignments: DataFrame | None = field(default=None, repr=False)
+
+    @property
+    def assignments(self) -> DataFrame | None:
+        if self._assignments is None and self.assignments_builder is not None:
+            self._assignments = self.assignments_builder()
+        return self._assignments
 
 
 def _numpy_kmeans(feats, k: int, max_iter: int, tol: float, seed: int):
@@ -224,8 +236,10 @@ def run_full_pipeline(
         idx = np.arange(min(n, silhouette_n))  # rows already key-sorted
         sil = _numpy_silhouette(x[idx], labels[idx])
         timings["silhouette"] = time.perf_counter() - t0
-        assigned = C.assign_nearest(
-            FE.scale_features(rfm), tuple(tuple(c) for c in centroids), ZCOLS
+        cent_t = tuple(tuple(c) for c in centroids)
+        assigned = None
+        assign_builder = lambda: C.assign_nearest(  # noqa: E731
+            FE.scale_features(rfm), cent_t, ZCOLS
         )
     else:
         scaled = FE.scale_features(rfm).cache()
@@ -246,6 +260,7 @@ def run_full_pipeline(
             M.silhouette_sample(assigned, id_col="user_id", cols=ZCOLS, n=silhouette_n)
         ).collect()[0].mean_silhouette
         timings["silhouette"] = time.perf_counter() - t0
+        assign_builder = None
 
     result = PipelineResult(
         n_rows=n_rows,
@@ -256,8 +271,9 @@ def run_full_pipeline(
         cluster_sizes=sizes,
         silhouette=float(sil) if sil is not None else None,
         timings=timings,
-        assignments=assigned,
         scaler_params=scaler_params,
+        assignments_builder=assign_builder,
+        _assignments=assigned,
     )
     if model_path is not None:
         from clusterforge_spark.model_store import save_model
@@ -332,7 +348,6 @@ def run_prediction(
             cluster_sizes=m.cluster_sizes,
             silhouette=None,
             timings={},
-            assignments=None,
             scaler_params=m.scaler_params,
         )
         return cluster, result
