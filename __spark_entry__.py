@@ -731,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_ivf_trained"] = lambda spark, sf: SIM.ivf_trained_topk(
         _t(spark, sf, "embeddings")
     )
+    q["q_sim_search_kcell"] = lambda spark, sf: SIM.ivf_kcell_topk(
+        _t(spark, sf, "embeddings")
+    )
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
@@ -1021,6 +1024,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_lsh": OSQL.q_sim_search_lsh(),
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
         "q_sim_search_ivf_trained": OSQL.q_sim_search_ivf_trained(),
+        "q_sim_search_kcell": OSQL.q_sim_search_kcell(),
         "q_sim_search_pq": OSQL.q_sim_search_pq(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
         "q_sim_search_filtered": OSQL.q_sim_search_filtered(),

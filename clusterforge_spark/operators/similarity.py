@@ -10,11 +10,16 @@ Three strategies with identical output shape (vec_id, cos_sim, rank):
   nearest cell (argmin L2, tie→lowest index), probe the query's 2
   nearest cells, exact rerank.
 
-At 100 TB the scale path is LSH/IVF: candidates shrink by the bucket
-fan-out while the scan stays a map-only projection (bucket assignment is
-literal arithmetic inside codegen — no shuffle, no UDF). All three are
-deterministic and oracle-checkable because the "random" projections are
-fixed literals shared with the SQL side (functions/vector.py).
+At 100 TB the PRIMARY scale path is the k-cell trained index
+(:func:`ivf_kcell_topk`): a data-sized codebook (⌈√n⌉ cells by the
+standard IVF sizing — ~10⁵ cells at 10¹⁰ vectors) trained from a
+deterministic KMV sample with an exact Lloyd step, broadcast as a packed
+model; assignment stays a map-only codegen fold. The literal 8-cell
+LSH/IVF ladders remain as the demo-scale variants. All strategies are
+deterministic and oracle-checkable because the "random" projections and
+seeds are fixed literals / md5 arithmetic shared with the SQL side
+(functions/vector.py), and :func:`ann_recall` reports the recall vs
+candidate-fan-out frontier for every ladder.
 """
 
 from __future__ import annotations
@@ -301,6 +306,171 @@ def ivf_trained_topk(
     cand = assigned.join(
         F.broadcast(qcells), assigned.cell == F.col("label")
     )
+    scored = cand.select(
+        "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
+    )
+    return _ranked_topk(scored, k)
+
+
+#: multiprobe depths reported by the recall/fan-out frontier query
+IVF_KCELL_NPROBES = (1, 4, 8)
+
+
+def _pack_cells(cells: DataFrame) -> DataFrame:
+    """1-row packed quantizer model (list<struct<cell,cent>>) for
+    broadcast — the codebook never round-trips through the driver."""
+    return cells.agg(F.collect_list(F.struct("cell", "cent")).alias("cells"))
+
+
+def _assign_packed(embeddings: DataFrame, packed: DataFrame) -> DataFrame:
+    """Map-only nearest-cell assignment against a broadcast packed
+    codebook: per vector, fold the squared distance to every centroid
+    inside codegen and take the lexicographic (dist, cell) min — no
+    shuffle, no UDF, linear in corpus size at any cell count."""
+
+    def _cs(c):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c.getField("cent"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return F.struct(d.alias("d"), c.getField("cell").alias("l"))
+
+    return embeddings.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "embedding",
+        F.array_min(F.transform(F.col("cells"), _cs))
+        .getField("l")
+        .cast("long")
+        .alias("cell"),
+    )
+
+
+def ivf_kcell_seeds(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic codebook seeds: the ``n_cells`` vectors with the
+    smallest md5(vec_id) 60-bit hash (the KMV bottom-k trick — an
+    order-free uniform sample both engines reproduce bit-for-bit).
+    Plans as TakeOrderedAndProject + a k-row post-limit window."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("h", "vec_id")
+    return (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10)"
+                " as bigint)"
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(int(n_cells))
+        .withColumn("cell", F.row_number().over(w).cast("long") - F.lit(1))
+        .select(
+            "cell",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("cent"),
+        )
+    )
+
+
+def ivf_kcell_cells(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """DATA-SIZED trained IVF codebook: ``n_cells`` KMV-seeded centroids
+    refined by ONE exact Lloyd step — the primary ANN quantizer (the
+    8-cell literal index caps fan-out at demo scale; this one is sized
+    ceil(√n) by default, the standard IVF cell-count rule).
+
+    The Lloyd step is fully distributed AND oracle-exact: assignment is
+    the map-only broadcast fold (:func:`_assign_packed`); the refined
+    centroid means come from exact micro-unit integer sums (one hash
+    aggregate keyed on cells × dims), divided and 4dp-rounded in a fixed
+    op order both engines share. A seed is always a member of its own
+    cell (distance 0), so no cell is empty.
+
+    At 100 TB: seeds train on the KMV sample exactly as here (the
+    bottom-k is a uniform corpus sample at any scale), more Lloyd steps
+    are the same two stages repeated, and the packed broadcast stays
+    n_cells·d doubles — megabytes for k≈10⁵ cells."""
+    seeds = ivf_kcell_seeds(embeddings, n_cells)
+    assigned0 = _assign_packed(embeddings, _pack_cells(seeds))
+    cents = (
+        assigned0.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "cell",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr("cast(floor(cast(x as double) * 1e6 + 0.5) as bigint) as xm"),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.expr("cast(xm as decimal(38,0))")).alias("sm"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .select(
+            "cell",
+            "pos",
+            round_det(
+                F.col("sm").cast("double") / F.col("c").cast("double") / F.lit(1e6),
+                4,
+            ).alias("cval"),
+        )
+    )
+    return cents.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cent")
+    )
+
+
+def _kcell_n_cells(embeddings: DataFrame) -> int:
+    """ceil(√n) — the standard IVF cell-count sizing (bounded driver
+    scalar: one count)."""
+    import math
+
+    return int(math.ceil(math.sqrt(max(embeddings.count(), 1))))
+
+
+def ivf_kcell_candidates(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    nprobe: int = 4,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Candidate set of the k-cell trained index: assign the corpus to
+    the refined codebook, probe the query's ``nprobe`` nearest cells."""
+    query = query or V.QUERY_VEC
+    n_cells = n_cells or _kcell_n_cells(embeddings)
+    # cache the trained codebook (n_cells rows): it feeds BOTH the
+    # query-probe branch and the packed assignment branch of the same
+    # plan, and CacheManager dedups repeated calls in a session
+    cells = ivf_kcell_cells(embeddings, n_cells).cache()
+    qcells = (
+        cells.select(
+            "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
+        )
+        .orderBy("qd", "cell")
+        .limit(int(nprobe))
+        .select("cell")
+    )
+    assigned = _assign_packed(embeddings, _pack_cells(cells))
+    return assigned.join(F.broadcast(qcells), "cell").select("vec_id", "embedding")
+
+
+def ivf_kcell_topk(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Top-k through the k-cell trained index: candidates from
+    :func:`ivf_kcell_candidates`, exact cosine rerank, deterministic
+    rank."""
+    query = query or V.QUERY_VEC
+    cand = ivf_kcell_candidates(embeddings, query, nprobe=nprobe, n_cells=n_cells)
     scored = cand.select(
         "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
     )
@@ -789,30 +959,90 @@ def embedding_covariance_gramian(embeddings: DataFrame) -> DataFrame:
     return _cov_cells(_gramian_partials(embeddings), _dim_sums(embeddings))
 
 
-def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
-    """Recall@k of the approximate search ladders (IVF, sign-LSH)
-    against the brute-force ground truth — the quality metric that
-    decides whether an ANN configuration (nprobe, bands) is shippable.
-    One row per strategy: overlap count and recall.
+def ann_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    kcell_nprobes: tuple[int, ...] = IVF_KCELL_NPROBES,
+) -> DataFrame:
+    """Recall@k AND candidate fan-out of every approximate search ladder
+    (literal IVF, sign-LSH, and the k-cell trained index at several
+    probe depths) against the brute-force ground truth — the frontier
+    that decides whether an ANN configuration is shippable. One row per
+    strategy: candidate count, fan-out fraction, overlap, recall.
 
-    All three top-k sets are deterministic (literal query, fixed
-    tie-breaks), so recall itself is oracle-exact — a rare property this
-    engine gets from its seeded-literal ANN design. Each strategy's
-    candidate set is k rows; the joins are k-row metadata joins above
-    the corpus-sized scans.
+    All candidate sets are deterministic (literal query, KMV seeds,
+    fixed tie-breaks), so the whole report is oracle-exact — a rare
+    property this engine gets from its seeded-literal ANN design.
+
+    Honest-measurement note: this synthetic corpus is ISOTROPIC (the
+    best cosine to the query is ~0.39; the true top-10 spread across 7
+    of 10 latent labels), so recall ≈ fan-out for ANY partition-based
+    index — the flat frontier this report correctly measures. On a
+    clustered real corpus the same trained index concentrates neighbors
+    and the frontier bends; the report is how you see which regime
+    you're in before committing cluster time.
     """
+    query = V.QUERY_VEC
     truth = brute_force_topk(embeddings, k=k).select("vec_id")
-    parts = []
-    for name, fn in (("ivf", ivf_topk), ("lsh", lsh_topk)):
-        overlap = (
-            fn(embeddings, k=k)
-            .select("vec_id")
-            .join(truth, "vec_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    n_total = F.broadcast(
+        embeddings.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    n_cells = _kcell_n_cells(embeddings)
+
+    ivf_cells_probe = py_ivf_cells(query, V.IVF_CENTROIDS, 2)
+    lsh_planes = V.HYPERPLANES[:8]
+    qb = V.py_lsh_bucket(query, lsh_planes)
+    lsh_probe = sorted({qb} | {qb ^ (1 << j) for j in range(8)})
+    cands: list[tuple[str, DataFrame]] = [
+        (
+            "ivf",
+            ivf_assign(embeddings)
+            .filter(F.col("cell").isin([int(c) for c in ivf_cells_probe]))
+            .select("vec_id"),
+        ),
+        (
+            "lsh",
+            embeddings.withColumn("bucket", V.lsh_bucket("embedding", lsh_planes))
+            .filter(F.col("bucket").isin([int(p) for p in lsh_probe]))
+            .select("vec_id"),
+        ),
+    ]
+    # train the k-cell quantizer ONCE and share the assignment across
+    # probe depths (the per-depth candidate set only varies in which
+    # cells are probed); the cached frame is (vec_id, cell) — tiny
+    kc = ivf_kcell_cells(embeddings, n_cells).cache()
+    kc_assigned = (
+        _assign_packed(embeddings, _pack_cells(kc))
+        .select("vec_id", "cell")
+        .cache()
+    )
+    kc_qorder = kc.select(
+        "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
+    ).orderBy("qd", "cell")
+    for p in kcell_nprobes:
+        qcells = kc_qorder.limit(int(p)).select("cell")
+        cands.append(
+            (
+                f"kcell_p{p}",
+                kc_assigned.join(F.broadcast(qcells), "cell").select("vec_id"),
+            )
         )
+    parts = []
+    for name, cand in cands:
+        stats = cand.join(truth, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap")
+        )
+        counted = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         parts.append(
-            overlap.select(
+            counted.crossJoin(F.broadcast(stats))
+            .crossJoin(n_total)
+            .select(
                 F.lit(name).alias("strategy"),
+                "n_candidates",
+                round_det(
+                    F.col("n_candidates").cast("double") / F.col("_n").cast("double"),
+                    4,
+                ).alias("fanout"),
                 "n_overlap",
                 round_det(
                     F.col("n_overlap").cast("double") / F.lit(float(k)), 4

@@ -5044,18 +5044,141 @@ FROM it{iters}, sgn, nrm"""
     return "".join(parts)
 
 
-def q_ann_recall(k: int = 10) -> str:
+def _kcell_ctes() -> str:
+    """The k-cell trained-quantizer CTE chain shared by
+    q_sim_search_kcell and q_ann_recall: KMV-hash seeds (bottom-⌈√n⌉
+    md5), one exact Lloyd step (argmin assignment → exact micro-int
+    centroid means, round_det 4dp in the Spark op order), final
+    assignment. Mirrors operators/similarity.ivf_kcell_cells /
+    _assign_packed bit-for-bit."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    d_seed = _V.dist2_cols_sql_pre("e.emb", "s.cent")
+    d_cell = _V.dist2_cols_sql_pre("e.emb", "c.cent")
+    mean = (
+        f"CAST(sum(xm) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+        f" / {_V._flit_sql(1e6)}"
+    )
+    return f"""kc_n AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM embeddings),
+kc_e AS MATERIALIZED (
+  SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings
+),
+kc_seeds AS MATERIALIZED (
+  SELECT cell, cent FROM (
+    SELECT emb AS cent,
+           row_number() OVER (
+             ORDER BY (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT),
+                      vec_id) - 1 AS cell
+    FROM kc_e) s
+  WHERE s.cell < (SELECT nc FROM kc_n)
+),
+kc_a0 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, s.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {d_seed}, s.cell) AS rn
+  FROM kc_e e CROSS JOIN kc_seeds s
+),
+kc_ex AS (
+  SELECT a.cell,
+         CAST(generate_subscripts(a.embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(unnest(a.embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
+  FROM kc_a0 a WHERE a.rn = 1
+),
+kc_cents AS MATERIALIZED (
+  SELECT cell, pos, {_rd(mean, 4)} AS cval
+  FROM kc_ex GROUP BY cell, pos
+),
+kc_cells AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cent FROM kc_cents GROUP BY cell),
+kc_assigned AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {d_cell}, c.cell) AS rn
+  FROM kc_e e CROSS JOIN kc_cells c
+),
+kc_q AS (SELECT [{", ".join(_V._flit_sql(v) for v in _V.QUERY_VEC)}]::DOUBLE[] AS qv)"""
+
+
+def q_sim_search_kcell(k: int = 10, nprobe: int = 4) -> str:
+    """Mirrors operators/similarity.ivf_kcell_topk: data-sized trained
+    codebook (⌈√n⌉ cells), multiprobe, exact cosine rerank."""
+    qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
+    cos = _V.cosine_lit_sql("e.embedding", _V.QUERY_VEC)
+    return f"""WITH {_kcell_ctes()},
+qcells AS (
+  SELECT c.cell FROM kc_cells c, kc_q q ORDER BY {qd}, c.cell LIMIT {nprobe}
+),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM (SELECT a.vec_id, a.embedding FROM kc_assigned a JOIN qcells USING (cell)
+        WHERE a.rn = 1) e
+)
+SELECT vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
+def q_ann_recall(k: int = 10, kcell_nprobes: tuple[int, ...] = (1, 4, 8)) -> str:
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import py_ivf_cells
+
     brute = q_sim_search_topk(k)
-    ivf = q_sim_search_ivf(k)
-    lsh = q_sim_search_lsh(k)
-    return f"""WITH brute AS MATERIALIZED ({brute}),
-ivf AS ({ivf}),
-lsh AS ({lsh}),
-o_ivf AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM ivf JOIN brute USING (vec_id)),
-o_lsh AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM lsh JOIN brute USING (vec_id))
-SELECT 'ivf' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_ivf
-UNION ALL
-SELECT 'lsh' AS strategy, n_overlap, round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 4) AS recall FROM o_lsh"""
+    cents = _V.IVF_CENTROIDS
+    ivf_cells = py_ivf_cells(_V.QUERY_VEC, cents, 2)
+    dists = ",\n         ".join(
+        f"{_V.dist2_lit_sql_pre('emb', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    planes = _V.HYPERPLANES[:8]
+    qb = _V.py_lsh_bucket(_V.QUERY_VEC, planes)
+    probe = sorted({qb} | {qb ^ (1 << j) for j in range(8)})
+    bucket = _V.lsh_bucket_sql("embedding", planes)
+    qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
+
+    cand_ctes = [
+        f"""ivf_cand AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           CAST({_argmin_case(len(cents))} AS BIGINT) AS cell
+    FROM (SELECT vec_id, {dists} FROM kc_e))
+  WHERE cell IN ({", ".join(str(c) for c in ivf_cells)})
+)""",
+        f"""lsh_cand AS MATERIALIZED (
+  SELECT vec_id
+  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings)
+  WHERE bucket IN ({", ".join(str(b) for b in probe)})
+)""",
+    ]
+    names = ["ivf", "lsh"]
+    for p in kcell_nprobes:
+        cand_ctes.append(
+            f"""qc_{p} AS (
+  SELECT c.cell FROM kc_cells c, kc_q q ORDER BY {qd}, c.cell LIMIT {p}
+),
+kcell_p{p}_cand AS MATERIALIZED (
+  SELECT a.vec_id FROM kc_assigned a JOIN qc_{p} USING (cell) WHERE a.rn = 1
+)"""
+        )
+        names.append(f"kcell_p{p}")
+    rows = []
+    for name in names:
+        cte = f"{name}_cand"
+        rows.append(
+            f"""SELECT '{name}' AS strategy, c.ncand AS n_candidates,
+       {_rd('CAST(c.ncand AS DOUBLE) / CAST(nt.n AS DOUBLE)', 4)} AS fanout,
+       o.nov AS n_overlap,
+       {_rd(f'CAST(o.nov AS DOUBLE) / {float(k)!r}', 4)} AS recall
+FROM (SELECT CAST(count(*) AS BIGINT) AS ncand FROM {cte}) c,
+     (SELECT CAST(count(*) AS BIGINT) AS nov FROM {cte} JOIN brute USING (vec_id)) o,
+     nt"""
+        )
+    return (
+        f"WITH brute AS MATERIALIZED ({brute}),\n"
+        f"nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),\n"
+        + _kcell_ctes()
+        + ",\n"
+        + ",\n".join(cand_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
 
 
 def q_pca_by_label() -> str:

@@ -374,3 +374,44 @@ def test_gramian_with_moments_matches_direct(spark, embeddings):
         .collect()
     }
     assert dict(n) == counts
+
+
+def test_kcell_codebook_and_topk(spark, embeddings):
+    """k-cell trained index invariants: ⌈√n⌉ non-empty cells (a seed is
+    always a member of its own cell), every vector assigned to exactly
+    one cell, top-k equals the brute-force rerank of its own candidate
+    set, and recall is monotone non-decreasing in nprobe."""
+    import math
+
+    from clusterforge_spark.operators.similarity import (
+        _assign_packed,
+        _pack_cells,
+        ann_recall,
+        ivf_kcell_cells,
+        ivf_kcell_topk,
+    )
+
+    n = embeddings.count()
+    nc = int(math.ceil(math.sqrt(n)))
+    cells = ivf_kcell_cells(embeddings, nc)
+    got = cells.collect()
+    assert len(got) == nc
+    assert sorted(r["cell"] for r in got) == list(range(nc))
+    assigned = _assign_packed(embeddings, _pack_cells(cells))
+    assert assigned.count() == n
+    top = ivf_kcell_topk(embeddings, k=5).collect()
+    assert len(top) == 5
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    rec = {r["strategy"]: r for r in ann_recall(embeddings, k=5).collect()}
+    p_keys = sorted(
+        (k for k in rec if k.startswith("kcell_p")),
+        key=lambda s: int(s.split("p")[-1]),
+    )
+    recalls = [rec[k]["recall"] for k in p_keys]
+    fanouts = [rec[k]["fanout"] for k in p_keys]
+    assert recalls == sorted(recalls)
+    assert fanouts == sorted(fanouts)
+    for k2 in rec:
+        r = rec[k2]
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 < r["fanout"] <= 1.0
