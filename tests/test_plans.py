@@ -720,6 +720,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_time_to_convert",
     "q_spearman_matrix",
     "q_key_skew_profile",
+    # bounded-by-branch: the adaptive small regime's single-task sort is
+    # capped at RFM_SEGMENTS_SMALL_N rows BY CONSTRUCTION; the large
+    # regime is plan-pinned by test_rfm_segments_large_regime_plan
+    "q_rfm_segments",
     # k-row / fixed-bucket frames (post-TakeOrderedAndProject or 10 deciles)
     "q_lorenz_deciles",
     "q_zipf_slope",
@@ -763,3 +767,35 @@ def test_no_partitionless_window_over_data_proportional_input(spark):
         f"stale allowlist entries: "
         f"{sorted(PARTITIONLESS_WINDOW_ALLOWLIST - offenders)}"
     )
+
+
+def test_rfm_segments_large_regime_plan(spark):
+    """Forcing the distributed regime (small_n=0): no partition-less
+    window over anything but the prefix-sum bucket offsets — the
+    scale path never plans a data-proportional single-task sort."""
+    from clusterforge_spark.operators.features import compute_rfm, rfm_segments
+    from clusterforge_spark.sources.readers import load_table
+
+    rfm = compute_rfm(load_table(spark, SF_DIR, "events"))
+    df = rfm_segments(rfm, small_n=0)
+    specs = [
+        s for s in X.partitionless_window_specs(df) if not s.startswith("_b#")
+    ]
+    assert specs == [], f"data-proportional window in large regime: {specs}"
+
+
+def test_rfm_segments_regimes_agree(spark):
+    """Both regimes are exact ntile: identical rows either side of the
+    branch on the same input."""
+    from clusterforge_spark.operators.features import compute_rfm, rfm_segments
+    from clusterforge_spark.sources.readers import load_table
+
+    rfm = compute_rfm(load_table(spark, SF_DIR, "events")).cache()
+    small = {r["user_id"]: r for r in rfm_segments(rfm).collect()}
+    large = {r["user_id"]: r for r in rfm_segments(rfm, small_n=0).collect()}
+    assert set(small) == set(large)
+    for uid in small:
+        a, b = small[uid], large[uid]
+        assert (a["r_score"], a["f_score"], a["m_score"], a["segment"]) == (
+            b["r_score"], b["f_score"], b["m_score"], b["segment"]
+        )

@@ -644,6 +644,18 @@ def test_kafka_source_spec_options_and_decode(spark):
     assert opts["failOnDataLoss"] == "false"
     assert opts["maxOffsetsPerTrigger"] == "500"
     assert spec.reader(spark) is not None  # configured, not loaded
+    # contract: the spec produces a real readStream.format("kafka") plan
+    # attempt — load() must reach Spark's data-source RESOLUTION and
+    # fail with the kafka-connector-missing error (naming the artifact
+    # to deploy), not a config/validation error. With the connector jar
+    # on the classpath this exact call returns the wire-frame stream.
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        spec.reader(spark).load()
+    msg = str(ei.value).lower()
+    assert "kafka" in msg
+    assert "failed to find" in msg or "data_source_not_found" in msg or "deploy" in msg
 
     schema = T.StructType(
         [
