@@ -427,10 +427,18 @@ def main() -> int:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
-            if elapsed > RETIME_SEC:
+            # up to two re-times: one pause can land in one run; a
+            # multi-second straggler (r6 saw an 8 s reading for a query
+            # that times 1.3 s in isolation — accumulated old-gen debt)
+            # gets a GC nudge before its second re-time
+            tries = 0
+            while elapsed > RETIME_SEC and tries < 2:
+                if tries == 1:
+                    spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 elapsed = min(elapsed, time.perf_counter() - t0)
+                tries += 1
             qtimes[name] = round(elapsed, 3)
         except Exception as exc:  # noqa: BLE001
             qtimes[name] = -1.0
@@ -438,6 +446,11 @@ def main() -> int:
         if name in FAMILY_END:
             spark.catalog.clearCache()
             E._MEMO.clear()
+            # GC nudge at the family boundary: freed cache blocks stay
+            # in the old generation otherwise and surface as phantom
+            # multi-second pauses on whichever later query triggers the
+            # full collection
+            spark.sparkContext._jvm.System.gc()
 
     # --- output -----------------------------------------------------------
     # The driver keeps only a ~2 KB TAIL of stdout and json-parses it; a
