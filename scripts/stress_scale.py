@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "q_feature_hashing",
     "q_quantile_normalize",
     "q_wasserstein_drift",
+    "q_vocabulary_growth",
 ]
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -84,6 +85,7 @@ EVENTS_QUERIES = {
     "q_behavior_profile",
     "q_longest_streak",
     "q_rolling_active_users",
+    "q_decile_stats",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
@@ -118,6 +120,8 @@ LINEITEM_QUERIES = {
     "q_returns_rate_by_brand",
     "q_kendall_daily",
     "q_latency_moments",
+    "q_periodogram_daily",
+    "q_pacf_daily",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
@@ -142,6 +146,10 @@ BIG_EMB_PATH = "/tmp/stress_embeddings_10x.parquet"
 EMB_QUERIES = {
     "q_embedding_covariance",
     "q_embedding_dim_stats",
+    "q_pca_top_component",
+    "q_pca_by_label",
+    "q_sim_search_kcell",
+    "q_ann_recall",
 }
 
 

@@ -75,6 +75,24 @@ def test_survey_query_count_matches_contract():
     assert int(m.group(1)) == len(E.queries())
 
 
+def test_selfcheck_query_count_matches_contract():
+    """The LATEST committed SELFCHECK_r*.md's bolded "**N queries**"
+    claim equals len(queries()) — the r5 selfcheck recorded 226 while
+    the final tree shipped 232 (six queries landed after the recorded
+    sweep); this pin makes that drift a test failure."""
+    import glob
+    import re
+
+    latest = sorted(glob.glob("/root/repo/SELFCHECK_r*.md"))[-1]
+    text = open(latest, encoding="utf-8").read()
+    m = re.search(r"\*\*(\d+) queries\*\*", text)
+    assert m, f"{latest} no longer contains the pinned query-count phrase"
+    assert int(m.group(1)) == len(E.queries()), (
+        f"{latest} claims {m.group(1)} queries but the contract ships "
+        f"{len(E.queries())} — regenerate the selfcheck from the committed tree"
+    )
+
+
 def test_library_import_surface():
     """The package root re-exports the operator namespaces and the
     pipeline / model-store / curation / CLI entry points (the reference
