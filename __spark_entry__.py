@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["q_psi_ab"] = lambda spark, sf: VA.psi_ab(_t(spark, sf, "events"))
+    q["q_conformal_interval"] = lambda spark, sf: VA.conformal_interval(
+        _t(spark, sf, "orders")
+    )
+    q["q_calibration_bins"] = lambda spark, sf: VA.calibration_bins(
+        _t(spark, sf, "documents")
+    )
     q["q_quantile_sketch"] = lambda spark, sf: SK.quantile_histogram_estimate(
         _t(spark, sf, "events")
     )
@@ -297,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["q_kl_by_source"] = lambda spark, sf: TX.kl_divergence_by_source(
+        _t(spark, sf, "documents")
+    )
+    q["q_js_by_source"] = lambda spark, sf: TX.js_divergence_by_source(
         _t(spark, sf, "documents")
     )
     q["q_decile_stats"] = lambda spark, sf: R.decile_stats(_t(spark, sf, "events"))
@@ -889,6 +898,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_cramers_v": OSQL.q_cramers_v(),
         "q_k_anonymity": OSQL.q_k_anonymity(),
         "q_psi_ab": OSQL.q_psi_ab(),
+        "q_conformal_interval": OSQL.q_conformal_interval(),
+        "q_calibration_bins": OSQL.q_calibration_bins(),
         "q_quantile_sketch": OSQL.q_quantile_sketch(),
         "q_record_linkage": OSQL.q_record_linkage(),
         "q_key_skew_profile": OSQL.q_key_skew_profile(),
@@ -896,6 +907,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_session_cooccurrence": OSQL.q_session_cooccurrence(),
         "q_path_pattern": OSQL.q_path_pattern(),
         "q_kl_by_source": OSQL.q_kl_by_source(),
+        "q_js_by_source": OSQL.q_js_by_source(),
         "q_decile_stats": OSQL.q_decile_stats(),
         "q_dow_seasonality": OSQL.q_dow_seasonality(),
         "q_time_to_convert": OSQL.q_time_to_convert(),

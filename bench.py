@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_session_cooccurrence",
     "q_path_pattern",
     "q_kl_by_source",
+    "q_js_by_source",
     "q_decile_stats",
     "q_inverted_index",
     "q_zscore_outliers",
@@ -285,6 +286,8 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_normal_equations",
     "q_psi_ab",
+    "q_conformal_interval",
+    "q_calibration_bins",
     "q_quantile_sketch",
     "q_record_linkage",
     "q_key_skew_profile",

@@ -222,6 +222,56 @@ def ntile_from_rank(rank, n, k: int):
     )
 
 
+def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float | None:
+    """Exact k-th smallest value (1-based) of a numeric column — the
+    ORDER-STATISTIC sibling of :func:`exact_quantile` (which
+    interpolates; conformal prediction and other rank-defined cutoffs
+    need the raw order statistic). Same distributed shape: one range
+    repartition → per-partition counts (P-row collect) → one
+    partition-LOCAL row_number probe; never a global single-task sort.
+    Returns None on empty input or k out of range.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    withpid = (
+        vals.repartitionByRange(n_part, "_v")
+        .select("_v", F.spark_partition_id().alias("_pid"))
+        .cache()
+    )
+    try:
+        cnts = {
+            r["_pid"]: r["c"]
+            for r in withpid.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = sum(cnts.values())
+        if n == 0 or not (1 <= k <= n):
+            return None
+        target = k - 1  # 0-based global position
+        acc = 0
+        for pid in sorted(cnts):
+            c = cnts[pid]
+            if acc <= target < acc + c:
+                w = Window.partitionBy("_pid").orderBy("_v")
+                rows = (
+                    withpid.filter(F.col("_pid") == pid)
+                    .select("_v", (F.row_number().over(w) - 1).alias("_r"))
+                    .filter(F.col("_r") == target - acc)
+                    .collect()
+                )
+                return rows[0]["_v"]
+            acc += c
+        return None
+    finally:
+        withpid.unpersist()
+
+
 def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
     """Distributed EXACT linear-interpolation quantile of a numeric
     column — the scale path around Spark's ``percentile`` aggregate,

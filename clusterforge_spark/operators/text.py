@@ -834,6 +834,63 @@ def kl_divergence_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def js_divergence_by_source(documents: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence JS(P_source ‖ P_corpus) over token
+    unigram distributions, one row per source — the SYMMETRIC, bounded
+    [0,1]-bits drift signal that completes the divergence family (KL is
+    unbounded and asymmetric; PSI/KS/W1 live on value distributions).
+
+    Unlike KL, the corpus-side sum runs over EVERY corpus token (tokens
+    absent from the source still contribute 0.5·p_c·log2(p_c/m)), so the
+    term grid is sources × vocabulary — built as an explicit cross join
+    of two exact-count aggregates with a left join for the source
+    counts: |S|·|V| rows, hash-parallel, no window. Each term is
+    arithmetic on ratios of exact integers (identical doubles in both
+    engines — the kl_divergence_by_source convention) and the per-source
+    sum is the same token-sorted fixed-order fold.
+    """
+    toks = H.tokens_col("text")
+    ex = documents.select("source", F.explode(toks).alias("token"))
+    st = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    corpus = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    n_all = corpus.agg(F.sum("n_t").alias("n"))
+    grid = (
+        s_tot.crossJoin(corpus)
+        .join(st, ["source", "token"], "left")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p_s = (
+        F.coalesce(F.col("n_st"), F.lit(0)).cast("double")
+        / F.col("n_s").cast("double")
+    )
+    p_c = F.col("n_t").cast("double") / F.col("n").cast("double")
+    m = F.lit(0.5) * (p_s + p_c)
+    term = (
+        F.when(p_s > 0, F.lit(0.5) * p_s * F.log2(p_s / m)).otherwise(F.lit(0.0))
+        + F.lit(0.5) * p_c * F.log2(p_c / m)
+    )
+    terms = grid.select("source", "token", term.alias("term"))
+    folded = terms.groupBy("source").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("token").alias("tk"), F.col("term").alias("t"))
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("js"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_grid"),
+    )
+    return folded.select(
+        "source", "n_tokens_grid", round_det(F.col("js"), 6).alias("js_bits")
+    )
+
+
 def nb_confusion(
     documents: DataFrame, predictions: DataFrame | None = None
 ) -> DataFrame:

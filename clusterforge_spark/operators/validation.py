@@ -1343,3 +1343,155 @@ def fk_integrity(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+#: split-conformal miscoverage level (90% intervals)
+CONFORMAL_ALPHA = 0.1
+
+
+def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> DataFrame:
+    """Split-conformal prediction intervals for order value by priority
+    — the distribution-free uncertainty wrapper a serving pipeline puts
+    around ANY point model (here the train-split per-priority mean, the
+    simplest deterministic regressor) with finite-sample coverage
+    1−alpha guaranteed by the conformal theorem, no distributional
+    assumption.
+
+    Split discipline: md5(o_orderkey) mod 4 → {0,1} train / {2}
+    calibration / {3} test (the packing.hash_split convention —
+    deterministic, engine-identical). Nonconformity = |y − ŷ| on the
+    calibration split; q̂ is the ⌈(n_cal+1)(1−alpha)⌉-th SMALLEST score
+    — an exact order statistic, computed by the distributed
+    partitioning.exact_kth_smallest (a global sort-free range probe;
+    ``percentile`` interpolates and would break the conformal rank
+    guarantee). The report measures the realized coverage on the
+    held-out test split — the empirical check of the theorem.
+
+    All arithmetic on exact cents: ŷ = Σy_e2/n_tr (one double
+    division), scores |y_e2 − ŷ_e2| identical doubles cross-engine;
+    only bounded scalars (per-partition counts, q̂) reach the driver.
+    """
+    import math
+
+    from clusterforge_spark.functions.partitioning import exact_kth_smallest
+
+    h = F.expr(
+        "pmod(cast(conv(substr(md5(cast(o_orderkey as string)), 1, 15), 16, 10)"
+        " as bigint), 4)"
+    )
+    base = orders.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) as y_e2"),
+        h.alias("_split"),
+    )
+    train = base.filter(F.col("_split") <= 1)
+    calib = base.filter(F.col("_split") == 2)
+    test = base.filter(F.col("_split") == 3)
+    model = train.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("cast(y_e2 as decimal(38,0))")).alias("sum_e2"),
+        F.count(F.lit(1)).cast("long").alias("n_tr"),
+    )
+    yhat = (F.col("sum_e2").cast("double") / F.col("n_tr").cast("double")).alias(
+        "yhat_e2"
+    )
+    model_b = F.broadcast(model.select("o_orderpriority", yhat))
+    scores = calib.join(model_b, "o_orderpriority").select(
+        F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score")
+    )
+    n_cal = scores.count()
+    k = min(int(math.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
+    qhat = exact_kth_smallest(scores, "score", k) if n_cal else None
+    if qhat is None:
+        qhat = float("inf")
+    covered = F.when(
+        F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")) <= F.lit(qhat),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        test.join(model_b, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("yhat_e2").alias("_yhat_e2"),
+            F.sum(covered).cast("long").alias("n_covered"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_test",
+            round_det(F.col("_yhat_e2") / F.lit(100.0), 4).alias("yhat"),
+            round_det(
+                (F.col("_yhat_e2") - F.lit(qhat)) / F.lit(100.0), 4
+            ).alias("lo"),
+            round_det(
+                (F.col("_yhat_e2") + F.lit(qhat)) / F.lit(100.0), 4
+            ).alias("hi"),
+            "n_covered",
+            round_det(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+#: quality-score calibration: number of heuristic signals (the score
+#: denominator — keeping it a CONSTANT makes the Brier sum exact-integer)
+CALIB_N_SIGNALS = 4
+
+
+def calibration_bins(documents: DataFrame) -> DataFrame:
+    """Reliability diagram + Brier score for a heuristic
+    "is-this-English" scorer — the calibration audit run on any quality
+    classifier before its scores gate a training corpus (a mis-calibrated
+    score silently skews the data mix).
+
+    The scorer is deterministic and engine-identical: p = (#signals
+    passing)/4 over four text heuristics (' the ' / ' a ' / 'window'
+    membership and n_chars > 400 — firing rates 0.29-0.77 on this
+    corpus, so all five score bins populate); label y = (lang = 'en').
+    On THIS synthetic corpus the text does not encode the language
+    label at all, so the diagram honestly reports an uninformative,
+    mis-calibrated scorer (every bin's frac_positive ≈ the base rate)
+    — exactly the failure a calibration audit exists to catch before
+    such a score gates a corpus.
+    With the CONSTANT denominator, each Brier term (p−y)² =
+    (hits − 4y)²/16 has an exact-integer numerator, so the total is an
+    exact integer ratio — no float summation order anywhere. One map
+    stage + one 5-bin aggregate; per-bin mean-score/frac-positive gaps
+    are exact-integer divisions rounded 4dp.
+    """
+    low = F.lower(F.col("text"))
+    sig = [
+        F.when(low.contains(" the "), 1).otherwise(0),
+        F.when(low.contains(" a "), 1).otherwise(0),
+        F.when(low.contains("window"), 1).otherwise(0),
+        F.when(F.col("n_chars") > 400, 1).otherwise(0),
+    ]
+    hits = sig[0]
+    for s in sig[1:]:
+        hits = hits + s
+    scored = documents.select(
+        hits.cast("long").alias("hits"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    per_bin = scored.groupBy("hits").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum((F.col("hits") - F.lit(CALIB_N_SIGNALS) * F.col("y")) ** 2)
+        .cast("long")
+        .alias("sq_num"),
+    )
+    p_mean = F.col("hits").cast("double") / F.lit(float(CALIB_N_SIGNALS))
+    frac_pos = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per_bin.select(
+        F.col("hits").alias("score_bin"),
+        "n",
+        round_det(p_mean, 4).alias("mean_score"),
+        round_det(frac_pos, 4).alias("frac_positive"),
+        round_det(F.abs(p_mean - frac_pos), 4).alias("calibration_gap"),
+        round_det(
+            F.col("sq_num").cast("double")
+            / (F.lit(float(CALIB_N_SIGNALS**2)) * F.col("n").cast("double")),
+            6,
+        ).alias("brier_bin"),
+    )

@@ -3282,6 +3282,47 @@ def q_kl_by_source() -> str:
 SELECT source, n_tokens_distinct, round(kl, 6) AS kl_bits FROM folded"""
 
 
+def q_js_by_source() -> str:
+    """Mirrors operators/text.js_divergence_by_source: sources × vocab
+    grid, 0.5·p_s·log2(p_s/m) + 0.5·p_c·log2(p_c/m) terms on exact
+    integer ratios, token-ordered fold."""
+    t = _H.tokens_sql("text")
+    return f"""WITH ex AS (
+  SELECT source, unnest({t}) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n_st
+  FROM ex GROUP BY 1, 2
+), s_tot AS (
+  SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+), corpus AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_t FROM ex GROUP BY 1
+), n_all AS (
+  SELECT CAST(sum(n_t) AS BIGINT) AS n FROM corpus
+), grid AS (
+  SELECT s_tot.source, s_tot.n_s, c.token, c.n_t, st.n_st, n_all.n
+  FROM s_tot CROSS JOIN corpus c
+  LEFT JOIN st ON st.source = s_tot.source AND st.token = c.token
+  CROSS JOIN n_all
+), terms AS (
+  SELECT source, token,
+         (CASE WHEN ps > 0 THEN 0.5 * ps * log2(ps / (0.5 * (ps + pc)))
+               ELSE 0.0 END)
+         + 0.5 * pc * log2(pc / (0.5 * (ps + pc))) AS term
+  FROM (
+    SELECT source, token,
+           CAST(coalesce(n_st, 0) AS DOUBLE) / CAST(n_s AS DOUBLE) AS ps,
+           CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE) AS pc
+    FROM grid)
+), folded AS (
+  SELECT source,
+         list_reduce(list_prepend(0.0, list(term ORDER BY token)),
+                     (acc, x) -> acc + x) AS js,
+         CAST(count(*) AS BIGINT) AS n_tokens_grid
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens_grid, round(js, 6) AS js_bits FROM folded"""
+
+
 def q_path_pattern(gap_minutes: int = 30) -> str:
     from clusterforge_spark.operators.relational import PATH_PATTERNS
 
@@ -5635,6 +5676,81 @@ JOIN pest eb ON eb.et = pe.s2
 JOIN exact xa ON xa.et = pe.s1
 JOIN exact xb ON xb.et = pe.s2
 LEFT JOIN inter_exact ie ON ie.s1 = pe.s1 AND ie.s2 = pe.s2"""
+
+
+def q_conformal_interval() -> str:
+    """Mirrors operators/validation.conformal_interval: md5 hash split,
+    train-mean model, exact calibration order statistic via ORDER
+    BY/OFFSET, held-out coverage."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.validation import CONFORMAL_ALPHA
+
+    one_minus = 1.0 - CONFORMAL_ALPHA
+    return f"""WITH base AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y_e2,
+         (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 4 AS s
+  FROM orders
+), model AS (
+  SELECT o_orderpriority,
+         CAST(sum(y_e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS yhat_e2
+  FROM base WHERE s <= 1 GROUP BY 1
+), scores AS (
+  SELECT abs(CAST(b.y_e2 AS DOUBLE) - m.yhat_e2) AS score
+  FROM base b JOIN model m USING (o_orderpriority) WHERE b.s = 2
+), nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scores),
+qh AS (
+  SELECT score AS qhat FROM scores ORDER BY score
+  LIMIT 1 OFFSET (SELECT CAST(least(ceil((n + 1) * {one_minus!r}), n) AS BIGINT) - 1
+                  FROM nc)
+), test AS (
+  SELECT b.o_orderpriority, b.y_e2, m.yhat_e2
+  FROM base b JOIN model m USING (o_orderpriority) WHERE b.s = 3
+), agg AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_test,
+         max(yhat_e2) AS yhat_e2,
+         CAST(sum(CASE WHEN abs(CAST(y_e2 AS DOUBLE) - yhat_e2)
+                            <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM test GROUP BY 1
+)
+SELECT o_orderpriority, n_test,
+       {_rd('yhat_e2 / 100.0', 4)} AS yhat,
+       {_rd('(yhat_e2 - qh.qhat) / 100.0', 4)} AS lo,
+       {_rd('(yhat_e2 + qh.qhat) / 100.0', 4)} AS hi,
+       n_covered,
+       {_rd('CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)', 4)} AS coverage
+FROM agg, qh"""
+
+
+def q_calibration_bins() -> str:
+    """Mirrors operators/validation.calibration_bins: four text
+    heuristics → score p = hits/4, label y = (lang='en'); Brier
+    numerators (hits − 4y)² are exact integers."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.validation import CALIB_N_SIGNALS
+
+    k = CALIB_N_SIGNALS
+    return f"""WITH scored AS (
+  SELECT (CASE WHEN strpos(low, ' the ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(low, ' a ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(low, 'window') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > 400 THEN 1 ELSE 0 END
+         )::BIGINT AS hits,
+         (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM (SELECT lower(text) AS low, lang, n_chars FROM documents)
+), per_bin AS (
+  SELECT hits, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum((hits - {k} * y) * (hits - {k} * y)) AS BIGINT) AS sq_num
+  FROM scored GROUP BY hits
+)
+SELECT hits AS score_bin, n,
+       {_rd(f'CAST(hits AS DOUBLE) / {float(k)!r}', 4)} AS mean_score,
+       {_rd('CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)', 4)} AS frac_positive,
+       {_rd(f'abs(CAST(hits AS DOUBLE) / {float(k)!r} - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))', 4)} AS calibration_gap,
+       {_rd(f'CAST(sq_num AS DOUBLE) / ({float(k * k)!r} * CAST(n AS DOUBLE))', 6)} AS brier_bin
+FROM per_bin"""
 
 
 def q_fk_integrity() -> str:

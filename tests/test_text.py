@@ -694,3 +694,48 @@ def test_feature_hashing_matches_python_md5(spark):
     rows = feature_hashing(df).collect()
     got = {(r.source, r.bucket): (r.weight, r.n_distinct_tokens) for r in rows}
     assert got == {k: (want_w[k], len(want_d[k])) for k in want_w}
+
+
+def test_js_divergence_planted(spark):
+    """Hand-built two-source corpus vs a pure-Python JS computation;
+    identical sources -> 0, and JS stays in [0, 1] bits."""
+    import math
+
+    from clusterforge_spark.operators.text import js_divergence_by_source
+
+    docs = [
+        (1, "apple apple banana", "en", "A", 18),
+        (2, "banana cherry cherry cherry", "en", "B", 27),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r["js_bits"] for r in js_divergence_by_source(df).collect()}
+
+    counts = {"A": {"apple": 2, "banana": 1}, "B": {"banana": 1, "cherry": 3}}
+    corpus = {"apple": 2, "banana": 2, "cherry": 3}
+    n_all = sum(corpus.values())
+
+    def js(src):
+        n_s = sum(counts[src].values())
+        total = 0.0
+        for tok in sorted(corpus):
+            ps = counts[src].get(tok, 0) / n_s
+            pc = corpus[tok] / n_all
+            m = 0.5 * (ps + pc)
+            t = 0.5 * pc * math.log2(pc / m)
+            if ps > 0:
+                t += 0.5 * ps * math.log2(ps / m)
+            total += t
+        return math.floor(total * 1e6 + 0.5) / 1e6
+
+    for src in ("A", "B"):
+        assert abs(got[src] - js(src)) < 1e-9
+        assert 0.0 <= got[src] <= 1.0
+
+    same = spark.createDataFrame(
+        [(1, "x y z", "en", "A", 5), (2, "x y z", "en", "B", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got2 = {r["source"]: r["js_bits"] for r in js_divergence_by_source(same).collect()}
+    assert got2 == {"A": 0.0, "B": 0.0}

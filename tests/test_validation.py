@@ -504,3 +504,84 @@ def test_fk_integrity_planted_orphans(spark):
     oc = rows["orders.o_custkey->customer"]
     assert (oc["n_child"], oc["n_orphan"], oc["n_null_key"]) == (3, 0, 1)
     assert rows["lineitem.l_suppkey->supplier"]["n_orphan"] == 0
+
+
+def test_exact_kth_smallest_matches_sorted(spark):
+    from clusterforge_spark.functions.partitioning import exact_kth_smallest
+
+    vals = [5.0, -1.5, 3.25, 3.25, 0.0, 99.0, -7.0, 2.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    ordered = sorted(vals)
+    for k in (1, 2, 4, len(vals)):
+        assert exact_kth_smallest(df, "v", k) == ordered[k - 1]
+    assert exact_kth_smallest(df, "v", 0) is None
+    assert exact_kth_smallest(df, "v", len(vals) + 1) is None
+
+
+def test_conformal_interval_matches_python_replica(spark):
+    """End-to-end split-conformal on synthetic orders vs a pure-Python
+    replica of the same hash split / train mean / order statistic /
+    coverage arithmetic."""
+    import hashlib
+    import math
+
+    from clusterforge_spark.operators.validation import (
+        CONFORMAL_ALPHA,
+        conformal_interval,
+    )
+
+    rows = [(i, "1-URGENT", float(i % 97) + 10.0) for i in range(1, 401)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+
+    def split(okey):
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16) % 4
+
+    y = {i: math.floor(p * 100 + 0.5) for i, _, p in rows}
+    train = [i for i, _, _ in rows if split(i) <= 1]
+    calib = [i for i, _, _ in rows if split(i) == 2]
+    test = [i for i, _, _ in rows if split(i) == 3]
+    yhat = sum(y[i] for i in train) / float(len(train))
+    scores = sorted(abs(y[i] - yhat) for i in calib)
+    k = min(int(math.ceil((len(calib) + 1) * (1 - CONFORMAL_ALPHA))), len(calib))
+    qhat = scores[k - 1]
+    covered = sum(1 for i in test if abs(y[i] - yhat) <= qhat)
+
+    r = conformal_interval(orders).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_test"] == len(test)
+    assert row["n_covered"] == covered
+    assert abs(row["yhat"] - math.floor(yhat / 100.0 * 1e4 + 0.5) / 1e4) < 1e-9
+    assert abs(row["hi"] - row["lo"] - 2 * qhat / 100.0) < 1e-3
+    # the conformal guarantee: realized coverage near 1 - alpha
+    assert row["coverage"] >= 1 - CONFORMAL_ALPHA - 0.1
+
+
+def test_calibration_bins_planted(spark):
+    """Hand-built docs with known signal hits and labels: bin counts,
+    frac_positive, and the exact-integer Brier per bin."""
+    from clusterforge_spark.operators.validation import calibration_bins
+
+    docs = [
+        # hits = 4 (all signals), en
+        (1, " the  a window " + "x" * 400, "en", 416),
+        # hits = 4, fr  -> bin 4: 1 pos of 2
+        (2, " the  a window " + "y" * 400, "fr", 416),
+        # hits = 1 (only ' the '), en
+        (3, " the cat", "en", 8),
+        # hits = 0, zh
+        (4, "abc", "zh", 3),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n_chars long")
+    got = {r["score_bin"]: r for r in calibration_bins(df).collect()}
+    assert set(got) == {0, 1, 4}
+    assert (got[4]["n"], got[4]["frac_positive"]) == (2, 0.5)
+    # bin 4 Brier: en term (4-4)^2=0, fr term (4-0)^2=16 -> 16/(16*2)=0.5
+    assert abs(got[4]["brier_bin"] - 0.5) < 1e-9
+    assert (got[1]["n"], got[1]["frac_positive"]) == (1, 1.0)
+    # bin 1, en: (1-4)^2/16 = 9/16
+    assert abs(got[1]["brier_bin"] - 9.0 / 16.0) < 1e-9
+    assert (got[0]["n"], got[0]["frac_positive"]) == (1, 0.0)
+    assert abs(got[0]["brier_bin"] - 0.0) < 1e-9
