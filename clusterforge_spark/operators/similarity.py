@@ -438,15 +438,20 @@ def ivf_kcell_candidates(
     query: list[float] | None = None,
     nprobe: int = 4,
     n_cells: int | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate set of the k-cell trained index: assign the corpus to
-    the refined codebook, probe the query's ``nprobe`` nearest cells."""
+    the refined codebook, probe the query's ``nprobe`` nearest cells.
+    Pass a pre-trained ``cells`` codebook to reuse one training across
+    queries (the production shape: train per corpus snapshot, serve
+    many lookups)."""
     query = query or V.QUERY_VEC
-    n_cells = n_cells or _kcell_n_cells(embeddings)
-    # cache the trained codebook (n_cells rows): it feeds BOTH the
-    # query-probe branch and the packed assignment branch of the same
-    # plan, and CacheManager dedups repeated calls in a session
-    cells = ivf_kcell_cells(embeddings, n_cells).cache()
+    if cells is None:
+        n_cells = n_cells or _kcell_n_cells(embeddings)
+        # cache the trained codebook (n_cells rows): it feeds BOTH the
+        # query-probe branch and the packed assignment branch of the
+        # same plan, and CacheManager dedups repeated calls in a session
+        cells = ivf_kcell_cells(embeddings, n_cells).cache()
     qcells = (
         cells.select(
             "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
@@ -465,12 +470,15 @@ def ivf_kcell_topk(
     k: int = 10,
     nprobe: int = 4,
     n_cells: int | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k through the k-cell trained index: candidates from
     :func:`ivf_kcell_candidates`, exact cosine rerank, deterministic
     rank."""
     query = query or V.QUERY_VEC
-    cand = ivf_kcell_candidates(embeddings, query, nprobe=nprobe, n_cells=n_cells)
+    cand = ivf_kcell_candidates(
+        embeddings, query, nprobe=nprobe, n_cells=n_cells, cells=cells
+    )
     scored = cand.select(
         "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
     )
@@ -963,6 +971,7 @@ def ann_recall(
     embeddings: DataFrame,
     k: int = 10,
     kcell_nprobes: tuple[int, ...] = IVF_KCELL_NPROBES,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k AND candidate fan-out of every approximate search ladder
     (literal IVF, sign-LSH, and the k-cell trained index at several
@@ -1009,8 +1018,9 @@ def ann_recall(
     ]
     # train the k-cell quantizer ONCE and share the assignment across
     # probe depths (the per-depth candidate set only varies in which
-    # cells are probed); the cached frame is (vec_id, cell) — tiny
-    kc = ivf_kcell_cells(embeddings, n_cells).cache()
+    # cells are probed); the cached frame is (vec_id, cell) — tiny.
+    # A caller-supplied pre-trained codebook is reused as-is.
+    kc = cells if cells is not None else ivf_kcell_cells(embeddings, n_cells).cache()
     kc_assigned = (
         _assign_packed(embeddings, _pack_cells(kc))
         .select("vec_id", "cell")
