@@ -318,6 +318,10 @@ def quantile_histogram_estimate(
 #: shortfall guard recomputes unfiltered for any group it happens to).
 KMV_K = 256
 KMV_OVERSAMPLE = 8
+#: below this many TOTAL distinct (type, hash) rows the probabilistic
+#: prefilter costs more jobs than it saves shuffle — the per-group
+#: window runs on the full distinct table (still et-parallel)
+KMV_PREFILTER_MIN_DISTINCT = 2_000_000
 
 #: 2^60 — the hash domain of the shared 60-bit md5 convention.
 KMV_DOMAIN = 1 << 60
@@ -369,30 +373,43 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
         )
         nn = {r["et"]: r["n_exact"] for r in stat_rows}
         spark = events.sparkSession
-        thr_df = spark.createDataFrame(
-            [
-                (
-                    r["et"],
-                    min(
-                        KMV_DOMAIN,
-                        (KMV_DOMAIN * KMV_OVERSAMPLE * k) // max(r["n_est"], k),
-                    ),
-                )
-                for r in stat_rows
-            ],
-            "et string, thr long",
-        )
-        cand = dist.join(F.broadcast(thr_df), "et").filter(F.col("h") < F.col("thr"))
-        # shortfall guard: a group whose candidate set can't fill the
-        # sketch AND isn't exhausted gets recomputed unfiltered (rare by
-        # construction; bounded driver data: one count per group)
-        cc = {r["et"]: r["c"] for r in cand.groupBy("et").agg(F.count("*").alias("c")).collect()}
-        starved = [et for et in nn if cc.get(et, 0) < min(k, nn[et])]
-        pool = cand.select("et", "h")
-        if starved:
-            pool = pool.filter(~F.col("et").isin(starved)).unionByName(
-                dist.filter(F.col("et").isin(starved))
+        if sum(nn.values()) <= KMV_PREFILTER_MIN_DISTINCT:
+            # small regime: the per-group window over the FULL distinct
+            # table is already parallel (partitioned by et) and cheaper
+            # than the prefilter's extra candidate-filter + starved-guard
+            # jobs — the prefilter exists to cut shuffle volume when a
+            # group has millions of distinct hashes, not thousands
+            pool = dist.select("et", "h")
+        else:
+            thr_df = spark.createDataFrame(
+                [
+                    (
+                        r["et"],
+                        min(
+                            KMV_DOMAIN,
+                            (KMV_DOMAIN * KMV_OVERSAMPLE * k) // max(r["n_est"], k),
+                        ),
+                    )
+                    for r in stat_rows
+                ],
+                "et string, thr long",
             )
+            cand = dist.join(F.broadcast(thr_df), "et").filter(
+                F.col("h") < F.col("thr")
+            )
+            # shortfall guard: a group whose candidate set can't fill the
+            # sketch AND isn't exhausted gets recomputed unfiltered (rare
+            # by construction; bounded driver data: one count per group)
+            cc = {
+                r["et"]: r["c"]
+                for r in cand.groupBy("et").agg(F.count("*").alias("c")).collect()
+            }
+            starved = [et for et in nn if cc.get(et, 0) < min(k, nn[et])]
+            pool = cand.select("et", "h")
+            if starved:
+                pool = pool.filter(~F.col("et").isin(starved)).unionByName(
+                    dist.filter(F.col("et").isin(starved))
+                )
         w = Window.partitionBy("et").orderBy("h")
         sk = (
             pool.withColumn("r", F.row_number().over(w))
