@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_orc_roundtrip"] = lambda spark, sf: SNK.roundtrip_orc_order_stats(
         _t(spark, sf, "orders")
     )
+    q["q_schema_evolution"] = lambda spark, sf: SNK.roundtrip_schema_evolution(
+        _t(spark, sf, "orders")
+    )
     q["q_embedding_covariance"] = lambda spark, sf: SIM.embedding_covariance_gramian(
         _t(spark, sf, "embeddings")
     )
@@ -1015,6 +1018,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_ccf_revenue_orders": OSQL.q_ccf_revenue_orders(),
         "q_jsonl_roundtrip": OSQL.q_jsonl_roundtrip(),
         "q_orc_roundtrip": OSQL.q_orc_roundtrip(),
+        "q_schema_evolution": OSQL.q_schema_evolution(),
         "q_embedding_covariance": OSQL.q_embedding_covariance(),
         "q_csv_roundtrip": OSQL.q_csv_roundtrip(),
         "q_partition_pruned": OSQL.q_partition_pruned(),

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q_ccf_revenue_orders",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
+    "q_schema_evolution",
     "q_embedding_covariance",
     "q_csv_roundtrip",
     "q_partition_pruned",

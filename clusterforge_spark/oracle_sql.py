@@ -4897,6 +4897,22 @@ def q_orc_roundtrip() -> str:
 FROM orders GROUP BY o_orderstatus"""
 
 
+def q_schema_evolution() -> str:
+    """Mirrors sinks.roundtrip_schema_evolution from the SOURCE table:
+    md5-even rows are the pre-evolution batch (channel NULL), odd rows
+    carry the derived channel — if Spark's write→mergeSchema→read leg
+    loses rows or misassigns the new column, the aggregates diverge."""
+    from clusterforge_spark.sources.sinks import EVOLUTION_CHANNELS
+
+    chans = "[" + ", ".join(f"'{c}'" for c in EVOLUTION_CHANNELS) + "]"
+    return f"""SELECT o_orderstatus,
+       CASE WHEN (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 2 = 1
+            THEN {chans}[CAST(o_orderkey % 3 AS INT) + 1] END AS o_channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_value
+FROM orders GROUP BY 1, 2"""
+
+
 def q_embedding_covariance() -> str:
     return """WITH ex AS (
   SELECT vec_id,

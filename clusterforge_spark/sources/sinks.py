@@ -239,3 +239,60 @@ def partition_pruned_read(orders: DataFrame, base_dir: str | None = None) -> Dat
             " as decimal(38,0))) as double) / 100.0, 2)"
         ).alias("total_value"),
     )
+
+
+#: deterministic derived channel values for the schema-evolution proof
+EVOLUTION_CHANNELS = ("web", "store", "mobile")
+
+
+def roundtrip_schema_evolution(
+    orders: DataFrame, base_dir: str | None = None
+) -> DataFrame:
+    """Schema-evolution connector proof: two parquet batches with
+    DIFFERENT schemas — batch=1 written before an ``o_channel`` column
+    existed, batch=2 with it — land under one root; the read-back uses
+    ``mergeSchema`` so the unified frame carries the new column with
+    NULLs for the pre-evolution rows. This is the additive-column
+    migration every long-lived lake table goes through; the proof pins
+    that Spark's merge neither drops old rows nor invents channel
+    values for them.
+
+    Batch membership and the channel derivation are md5/modulo
+    arithmetic on o_orderkey (engine-identical), so the DuckDB oracle
+    recomputes the expected union from the SOURCE table — any fidelity
+    loss in the write→merge→read leg breaks the aggregate compare.
+    Same eager-write scratch-dir contract as the other roundtrips.
+    """
+    from pyspark.sql import functions as F
+
+    spark = orders.sparkSession
+    h = F.expr(
+        "pmod(cast(conv(substr(md5(cast(o_orderkey as string)), 1, 15), 16, 10)"
+        " as bigint), 2)"
+    )
+    chan_arr = F.array(*[F.lit(c) for c in EVOLUTION_CHANNELS])
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", h.alias("_b")
+    )
+    root = os.path.join(base_dir or _scratch_dir("evolve"), "orders_evolve")
+    v1 = base.filter(F.col("_b") == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = base.filter(F.col("_b") == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.element_at(
+            chan_arr, F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int") + F.lit(1)
+        ).alias("o_channel"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy("o_orderstatus", "o_channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as decimal(38,0))) as double) / 100.0, 2)"
+        ).alias("total_value"),
+    )

@@ -157,3 +157,32 @@ def test_orc_roundtrip_preserves_exact_money(spark, orders, tmp_path):
     assert {r["o_orderstatus"] for r in rows} == {"P", "O", "F"}
     assert sum(r["n_orders"] for r in rows) == orders.count()
     assert all(r["first_date"] <= r["last_date"] for r in rows)
+
+
+def test_schema_evolution_merge_nulls_old_rows(spark, tmp_path):
+    """mergeSchema read: pre-evolution rows surface with NULL in the
+    added column, post-evolution rows keep their derived value, and no
+    row is lost across the two differently-shaped batches."""
+    import hashlib
+
+    from clusterforge_spark.sources.sinks import (
+        EVOLUTION_CHANNELS,
+        roundtrip_schema_evolution,
+    )
+
+    rows = [(i, "O", 10.0 + i) for i in range(1, 41)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    out = roundtrip_schema_evolution(orders, base_dir=str(tmp_path)).collect()
+
+    def batch(okey):
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16) % 2
+
+    v1 = [i for i, _, _ in rows if batch(i) == 0]
+    v2 = [i for i, _, _ in rows if batch(i) == 1]
+    got = {r["o_channel"]: r["n_orders"] for r in out}
+    assert got.get(None) == len(v1)
+    assert sum(n for c, n in got.items() if c is not None) == len(v2)
+    expect_chans = {EVOLUTION_CHANNELS[i % 3] for i in v2}
+    assert {c for c in got if c is not None} == expect_chans
