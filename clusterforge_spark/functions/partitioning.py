@@ -137,16 +137,21 @@ def prefix_sum_before(
     totals = b.groupBy("_b").agg(*[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
     w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_b",
+        F.col("_b").alias("_b2"),
         *[
             F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
             for c in cnt_cols
         ],
     )
-    out = b.join(F.broadcast(offsets), "_b")
+    # null-safe: a NULL order key lands in a NULL bucket (sorted FIRST,
+    # the window NULLS FIRST convention) and must still receive its
+    # offset — a plain equi-join would silently drop those rows
+    out = b.join(F.broadcast(offsets), F.col("_b").eqNullSafe(F.col("_b2")))
     for c in cnt_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_in_{c}"))
-    return out.drop("_b", *[f"_in_{c}" for c in cnt_cols], *[f"_off_{c}" for c in cnt_cols])
+    return out.drop(
+        "_b", "_b2", *[f"_in_{c}" for c in cnt_cols], *[f"_off_{c}" for c in cnt_cols]
+    )
 
 
 def total_order_rank(
@@ -170,12 +175,16 @@ def total_order_rank(
                 + row_number within the row's tie group (window
                   PARTITIONED by value — parallel across values)
 
-    Bit-identical to the single-partition form for non-null keys.
-    Caveats: ``descending`` is implemented by negating the key, so
-    nulls would sort FIRST (a desc window puts them last) — callers
-    must have non-null value/tiebreak columns; tiebreak must be unique
-    within a tie group for a deterministic total order. Skew note: one
-    hot value serializes its own tie group only, never the whole table.
+    Bit-identical to the single-partition form, NULL keys included:
+    a NULL value forms its own tie group ranked FIRST (prefix_sum_before
+    sorts the NULL bucket first and the offset join below is null-safe)
+    — the same NULLS FIRST placement ``ORDER BY v ASC`` gives a window.
+    Caveats: ``descending`` is implemented by negating the key, so with
+    NULLs present it ranks them FIRST where a desc window puts them
+    last — callers wanting desc must have non-null keys; tiebreak must
+    be unique within a tie group for a deterministic total order. Skew
+    note: one hot value serializes its own tie group only, never the
+    whole table.
     """
     from pyspark.sql.window import Window
 
@@ -186,13 +195,16 @@ def total_order_rank(
     hist = base.groupBy("_ov").agg(F.count(F.lit(1)).cast("long").alias("_c"))
     pre = prefix_sum_before(
         hist, "_ov", ("_c",), bucket_shift=bucket_shift, prescale=prescale
-    ).select("_ov", "cum__c")
+    ).select(F.col("_ov").alias("_ov2"), "cum__c")
     w_tie = Window.partitionBy("_ov").orderBy(F.col(tiebreak_col).asc())
     return (
         base.withColumn("_tr", F.row_number().over(w_tie).cast("long"))
-        .join(pre, "_ov")
+        # null-safe equality: a NULL key group must still pick up its
+        # prefix offset (a plain equi-join would silently DROP the rows
+        # the window form buckets NULLS FIRST)
+        .join(pre, F.col("_ov").eqNullSafe(F.col("_ov2")))
         .withColumn(rank_name, F.col("cum__c") + F.col("_tr"))
-        .drop("_ov", "_tr", "cum__c")
+        .drop("_ov", "_ov2", "_tr", "cum__c")
     )
 
 

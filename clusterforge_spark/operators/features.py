@@ -339,7 +339,8 @@ def rfm_segments(rfm: DataFrame, small_n: int = RFM_SEGMENTS_SMALL_N) -> DataFra
         total_order_rank,
     )
 
-    if rfm.count() <= small_n:
+    n_customers = rfm.count()
+    if n_customers <= small_n:
         from pyspark.sql.window import Window
 
         scored = rfm.select(
@@ -371,13 +372,14 @@ def rfm_segments(rfm: DataFrame, small_n: int = RFM_SEGMENTS_SMALL_N) -> DataFra
                 rank_name=out,
             ).select("user_id", out)
 
-        n_df = F.broadcast(rfm.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+        # the branch decision already materialized the exact count —
+        # reuse it as a literal instead of re-aggregating the frame
+        n_lit = F.lit(int(n_customers)).cast("long").alias("_n")
         scored = (
-            rfm.select("user_id", "recency", "frequency", "monetary")
+            rfm.select("user_id", "recency", "frequency", "monetary", n_lit)
             .join(_rank_of("recency", "_rr", True), "user_id")
             .join(_rank_of("frequency", "_fr", False), "user_id")
             .join(_rank_of("monetary", "_mr", False), "user_id")
-            .crossJoin(n_df)
             .select(
                 "user_id",
                 "recency",

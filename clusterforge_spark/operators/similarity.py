@@ -983,6 +983,13 @@ def ann_recall(
     fixed tie-breaks), so the whole report is oracle-exact — a rare
     property this engine gets from its seeded-literal ANN design.
 
+    Cache lifetime: the trained codebook and the (vec_id, cell)
+    assignment are ``.cache()``d for the session — deliberately, the
+    per-corpus-snapshot serve shape (train once, answer many lookups).
+    Long-lived sessions that are done with a corpus should
+    ``spark.catalog.clearCache()`` at the snapshot boundary, exactly as
+    bench.py does at its family boundaries.
+
     Honest-measurement note: this synthetic corpus is ISOTROPIC (the
     best cosine to the query is ~0.39; the true top-10 spread across 7
     of 10 latent labels), so recall ≈ fan-out for ANY partition-based
@@ -996,7 +1003,9 @@ def ann_recall(
     n_total = F.broadcast(
         embeddings.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
-    n_cells = _kcell_n_cells(embeddings)
+    # the sizing count only matters when we train here — a caller-
+    # supplied codebook already fixed n_cells at its own training time
+    n_cells = None if cells is not None else _kcell_n_cells(embeddings)
 
     ivf_cells_probe = py_ivf_cells(query, V.IVF_CENTROIDS, 2)
     lsh_planes = V.HYPERPLANES[:8]

@@ -1395,14 +1395,29 @@ def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> Dat
         "yhat_e2"
     )
     model_b = F.broadcast(model.select("o_orderpriority", yhat))
-    scores = calib.join(model_b, "o_orderpriority").select(
-        F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score")
+    # cache: the count and the order-statistic probe both read this
+    # (column-only, calibration-split-sized) frame — one computation
+    scores = (
+        calib.join(model_b, "o_orderpriority")
+        .select(F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score"))
+        .cache()
     )
-    n_cal = scores.count()
-    k = min(int(math.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
-    qhat = exact_kth_smallest(scores, "score", k) if n_cal else None
+    try:
+        n_cal = scores.count()
+        k = min(int(math.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
+        qhat = exact_kth_smallest(scores, "score", k) if n_cal else None
+    finally:
+        scores.unpersist()
     if qhat is None:
-        qhat = float("inf")
+        # degenerate: EMPTY calibration split — no finite interval
+        # exists; return the empty report (the oracle's qh CTE is also
+        # empty, so both engines agree on zero rows)
+        spark = orders.sparkSession
+        return spark.createDataFrame(
+            [],
+            "o_orderpriority string, n_test long, yhat double, lo double,"
+            " hi double, n_covered long, coverage double",
+        )
     covered = F.when(
         F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")) <= F.lit(qhat),
         F.lit(1),

@@ -5716,8 +5716,12 @@ def q_conformal_interval() -> str:
   FROM base b JOIN model m USING (o_orderpriority) WHERE b.s = 2
 ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scores),
 qh AS (
+  -- greatest(...,1): on an EMPTY calibration split the offset clamps
+  -- to 0 over zero rows -> qh is empty -> the final comma-join yields
+  -- the same zero-row report the Spark side returns
   SELECT score AS qhat FROM scores ORDER BY score
-  LIMIT 1 OFFSET (SELECT CAST(least(ceil((n + 1) * {one_minus!r}), n) AS BIGINT) - 1
+  LIMIT 1 OFFSET (SELECT CAST(greatest(least(ceil((n + 1) * {one_minus!r}), n), 1)
+                              AS BIGINT) - 1
                   FROM nc)
 ), test AS (
   SELECT b.o_orderpriority, b.y_e2, m.yhat_e2

@@ -518,3 +518,23 @@ def test_interarrival_mean_is_span_over_count(spark, gaps):
     assert r.n_gaps == len(gaps)
     span_us = (ts[-1] - ts[0]).total_seconds() * 1e6
     assert r.mean_gap_us == math.floor(span_us / len(gaps) * 1e4 + 0.5) / 1e4
+
+
+def test_total_order_rank_null_keys_rank_first(spark):
+    """NULL order values form one tie group ranked FIRST — the same
+    NULLS FIRST placement the replaced ASC window gave (review finding:
+    a plain equi-join dropped them)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.functions.partitioning import total_order_rank
+
+    rows = [(1, None), (2, 5.0), (3, None), (4, 1.0)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    got = {
+        r["id"]: r["_rank"]
+        for r in total_order_rank(df, "value", "id").collect()
+    }
+    assert len(got) == 4  # no row dropped
+    assert {got[1], got[3]} == {1, 2}  # nulls first, id tie-break
+    assert got[1] == 1 and got[3] == 2
+    assert got[4] == 3 and got[2] == 4
