@@ -70,6 +70,14 @@ BENCH_QUERIES = [
     "q_ewma_per_user",
     "q_upsert_orders",
     "q_scd2_build",
+    "q_dpp_join_pruned",
+    # streaming replays (r7): foreachBatch parquet capture, oracle-gated
+    "q_stream_hourly_replay",
+    "q_stream_session_window_replay",
+    "q_stream_ewma_replay",
+    "q_stream_click_attribution_replay",
+    "q_stream_topk_replay",
+    "q_stream_upsert_replay",
     "q_order_backlog",
     "q_profile_columns",
     "q_expectation_checks",
@@ -455,8 +463,10 @@ def main() -> int:
             qtimes[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
         if name in FAMILY_END:
+            # release() is the lifecycle hook a long-lived session uses;
+            # clearCache sweeps the non-memoized .cache() frames too
+            E.release(spark)
             spark.catalog.clearCache()
-            E._MEMO.clear()
             # GC nudge at the family boundary: freed cache blocks stay
             # in the old generation otherwise and surface as phantom
             # multi-second pauses on whichever later query triggers the

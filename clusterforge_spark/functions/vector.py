@@ -79,6 +79,47 @@ QUERY_NORM: float = math.sqrt(py_dot(QUERY_VEC, QUERY_VEC))
 
 
 # ---------------------------------------------------------------------------
+# Planted-cluster corpus (the ANN demonstration fixture)
+#
+# The driver's synthetic embeddings are ISOTROPIC — recall tracks
+# fan-out for ANY partition index there (measured and documented in
+# ann_recall). To demonstrate the trained index actually bending the
+# recall-vs-fan-out frontier, both engines derive a CLUSTERED corpus
+# from vec_id alone: PLANT_G well-separated sin-literal centers
+# (pairwise distance ≈ √(2·DIM·0.245) ≈ 5.6) plus md5-hash uniform
+# noise of ±PLANT_EPS per coordinate (‖noise‖ ≈ 0.23 ≪ separation).
+# Everything is integer/md5 arithmetic until one IEEE divide+multiply,
+# so Spark and DuckDB build bit-identical vectors — the whole clustered
+# frontier report stays oracle-exact, training included.
+# ---------------------------------------------------------------------------
+
+#: number of planted centers (fixed — cluster population scales with n)
+PLANT_G = 50
+#: per-coordinate noise half-width
+PLANT_EPS = 0.05
+#: the planted centers themselves (deterministic 6dp literals)
+PLANT_CENTERS: list[list[float]] = [
+    _det_vec(DIM, 5.21 + 0.917 * g, 9.0 + 2.0 * g) for g in range(PLANT_G)
+]
+#: clustered-corpus query: planted center 0 — its true neighbors are
+#: exactly the cluster-0 members, the geometry an IVF index exploits
+PLANT_QUERY: list[float] = PLANT_CENTERS[0]
+
+
+def py_planted_embedding(vec_id: int) -> list[float]:
+    """Python replica of the planted-corpus vector for ``vec_id`` —
+    same md5/op order as the Spark and DuckDB builders (test oracle)."""
+    import hashlib
+
+    cent = PLANT_CENTERS[vec_id % PLANT_G]
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"{vec_id}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(cent[d] + float(h % 2001 - 1000) / 1000.0 * PLANT_EPS)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Spark Column builders
 #
 # All dots/norms/distances are zip_with + aggregate left-folds: tiny

@@ -372,12 +372,30 @@ def rfm_segments(rfm: DataFrame, small_n: int = RFM_SEGMENTS_SMALL_N) -> DataFra
                 rank_name=out,
             ).select("user_id", out)
 
+        # recency descends, and the small regime's window puts NULLs
+        # LAST under DESC — but total_order_rank implements desc by
+        # negating the key, which ranks NULL keys FIRST (its documented
+        # caveat). Map NULL → -inf before ranking: -inf sorts below
+        # every finite recency under DESC, and the NULL rows form one
+        # tie group ordered by user_id — exactly the window's
+        # DESC-NULLS-LAST placement, keeping both regimes bit-identical
+        # even on NULL-recency input (precondition: finite recency,
+        # which compute_rfm guarantees by construction).
+        rec_keyed = rfm.select(
+            "user_id",
+            F.coalesce(
+                F.col("recency").cast("double"), F.lit(float("-inf"))
+            ).alias("_rkey"),
+        )
+        rr = total_order_rank(
+            rec_keyed, "_rkey", "user_id", descending=True, rank_name="_rr"
+        ).select("user_id", "_rr")
         # the branch decision already materialized the exact count —
         # reuse it as a literal instead of re-aggregating the frame
         n_lit = F.lit(int(n_customers)).cast("long").alias("_n")
         scored = (
             rfm.select("user_id", "recency", "frequency", "monetary", n_lit)
-            .join(_rank_of("recency", "_rr", True), "user_id")
+            .join(rr, "user_id")
             .join(_rank_of("frequency", "_fr", False), "user_id")
             .join(_rank_of("monetary", "_mr", False), "user_id")
             .select(

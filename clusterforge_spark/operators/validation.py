@@ -1400,6 +1400,14 @@ def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> Dat
     scores = (
         calib.join(model_b, "o_orderpriority")
         .select(F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score"))
+        # NULL scores (a NULL o_totalprice, or a priority whose train
+        # split is all-NULL) carry no nonconformity information and
+        # must not inflate n_cal: exact_kth_smallest drops them before
+        # the order statistic, so counting them here would let k exceed
+        # the non-null population and silently collapse the report to
+        # zero rows. Filter BEFORE both the count and the probe (the
+        # oracle's scores CTE applies the same score IS NOT NULL).
+        .filter(F.col("score").isNotNull())
         .cache()
     )
     try:

@@ -4951,6 +4951,17 @@ FROM orders WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority"""
 
 
+def q_dpp_join_pruned() -> str:
+    """Mirrors sinks.dpp_join_pruned: the dim filter (category='closed')
+    selects exactly status F, so the value-level answer equals the
+    static-pruning twin's."""
+    return """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_value
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority"""
+
+
 def q_audio_decode() -> str:
     from clusterforge_spark.operators.multimodal import AUDIO_SYNTH_RATE
 
@@ -5101,14 +5112,23 @@ FROM it{iters}, sgn, nrm"""
     return "".join(parts)
 
 
-def _kcell_ctes() -> str:
+def _kcell_ctes(
+    src: str = "embeddings",
+    prefix: str = "kc",
+    query: list[float] | None = None,
+) -> str:
     """The k-cell trained-quantizer CTE chain shared by
     q_sim_search_kcell and q_ann_recall: KMV-hash seeds (bottom-⌈√n⌉
-    md5), one exact Lloyd step (argmin assignment → exact micro-int
-    centroid means, round_det 4dp in the Spark op order), final
-    assignment. Mirrors operators/similarity.ivf_kcell_cells /
-    _assign_packed bit-for-bit."""
+    md5, deduped on the seed vector), one exact Lloyd step (argmin
+    assignment → exact micro-int centroid means, round_det 4dp in the
+    Spark op order), final assignment. Mirrors
+    operators/similarity.ivf_kcell_cells / _assign_packed bit-for-bit.
+    Parametrized on the source relation / CTE-name prefix / query
+    vector so the planted-cluster corpus (q_ann_recall's second half)
+    trains its own codebook through the identical chain."""
     from clusterforge_spark.functions.rounding import round_det_sql as _rd
+
+    query = query or _V.QUERY_VEC
 
     d_seed = _V.dist2_cols_sql_pre("e.emb", "s.cent")
     d_cell = _V.dist2_cols_sql_pre("e.emb", "c.cent")
@@ -5116,43 +5136,52 @@ def _kcell_ctes() -> str:
         f"CAST(sum(xm) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
         f" / {_V._flit_sql(1e6)}"
     )
-    return f"""kc_n AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM embeddings),
-kc_e AS MATERIALIZED (
-  SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings
+    p = prefix
+    return f"""{p}_n AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM {src}),
+{p}_e AS MATERIALIZED (
+  SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM {src}
 ),
-kc_seeds AS MATERIALIZED (
-  SELECT cell, cent FROM (
-    SELECT emb AS cent,
-           row_number() OVER (
-             ORDER BY (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT),
-                      vec_id) - 1 AS cell
-    FROM kc_e) s
-  WHERE s.cell < (SELECT nc FROM kc_n)
+{p}_seeds AS MATERIALIZED (
+  -- bottom-nc KMV sample, deduped on the seed VECTOR (lowest hash
+  -- wins) then renumbered — mirrors similarity.ivf_kcell_seeds: a
+  -- duplicated seed would leave its higher-indexed cell empty
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cent
+  FROM (
+    SELECT cent, h, vec_id,
+           row_number() OVER (PARTITION BY cent ORDER BY h, vec_id) AS dd
+    FROM (
+      SELECT emb AS cent, vec_id, h,
+             row_number() OVER (ORDER BY h, vec_id) - 1 AS k0
+      FROM (SELECT emb, vec_id,
+                   (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+            FROM {p}_e))
+    WHERE k0 < (SELECT nc FROM {p}_n)) s
+  WHERE s.dd = 1
 ),
-kc_a0 AS MATERIALIZED (
+{p}_a0 AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, s.cell,
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {d_seed}, s.cell) AS rn
-  FROM kc_e e CROSS JOIN kc_seeds s
+  FROM {p}_e e CROSS JOIN {p}_seeds s
 ),
-kc_ex AS (
+{p}_ex AS (
   SELECT a.cell,
          CAST(generate_subscripts(a.embedding, 1) - 1 AS BIGINT) AS pos,
          CAST(floor(CAST(unnest(a.embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
-  FROM kc_a0 a WHERE a.rn = 1
+  FROM {p}_a0 a WHERE a.rn = 1
 ),
-kc_cents AS MATERIALIZED (
+{p}_cents AS MATERIALIZED (
   SELECT cell, pos, {_rd(mean, 4)} AS cval
-  FROM kc_ex GROUP BY cell, pos
+  FROM {p}_ex GROUP BY cell, pos
 ),
-kc_cells AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cent FROM kc_cents GROUP BY cell),
-kc_assigned AS MATERIALIZED (
+{p}_cells AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cent FROM {p}_cents GROUP BY cell),
+{p}_assigned AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cell,
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {d_cell}, c.cell) AS rn
-  FROM kc_e e CROSS JOIN kc_cells c
+  FROM {p}_e e CROSS JOIN {p}_cells c
 ),
-kc_q AS (SELECT [{", ".join(_V._flit_sql(v) for v in _V.QUERY_VEC)}]::DOUBLE[] AS qv)"""
+{p}_q AS (SELECT [{", ".join(_V._flit_sql(v) for v in query)}]::DOUBLE[] AS qv)"""
 
 
 def q_sim_search_kcell(k: int = 10, nprobe: int = 4) -> str:
@@ -5174,63 +5203,121 @@ SELECT vec_id, cos_sim,
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
 
 
-def q_ann_recall(k: int = 10, kcell_nprobes: tuple[int, ...] = (1, 4, 8)) -> str:
-    from clusterforge_spark.functions.rounding import round_det_sql as _rd
-    from clusterforge_spark.operators.similarity import py_ivf_cells
-
-    brute = q_sim_search_topk(k)
-    cents = _V.IVF_CENTROIDS
-    ivf_cells = py_ivf_cells(_V.QUERY_VEC, cents, 2)
-    dists = ",\n         ".join(
-        f"{_V.dist2_lit_sql_pre('emb', c)} AS d{i}" for i, c in enumerate(cents)
+def _planted_ctes() -> str:
+    """The planted-cluster ANN corpus, derived from vec_id alone:
+    center ``vec_id % PLANT_G`` (literal table) + per-coordinate md5
+    noise — integer/md5 arithmetic down to one IEEE divide+multiply,
+    bit-identical to operators/similarity.planted_clustered (Python
+    replica: functions.vector.py_planted_embedding)."""
+    cent_rows = ",\n    ".join(
+        f"({g}, [{', '.join(_V._flit_sql(v) for v in c)}]::DOUBLE[])"
+        for g, c in enumerate(_V.PLANT_CENTERS)
     )
+    noise = (
+        "CAST((('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||"
+        " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE)"
+        f" / {_V._flit_sql(1000.0)} * {_V._flit_sql(float(_V.PLANT_EPS))}"
+    )
+    return f"""pcent AS (SELECT * FROM (VALUES
+    {cent_rows}) AS t(g, cent)),
+planted AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(range({_V.DIM}), d -> p.cent[d + 1] + {noise}) AS embedding
+  FROM embeddings e JOIN pcent p ON CAST(e.vec_id % {_V.PLANT_G} AS INTEGER) = p.g
+)"""
+
+
+def q_ann_recall(
+    k: int = 10, kcell_nprobes: tuple[int, ...] | None = None
+) -> str:
+    """Dual-corpus ANN frontier (mirrors similarity.ann_recall_dual):
+    every strategy's recall@k + fan-out on the driver's ISOTROPIC
+    embeddings (the degenerate control — recall tracks fan-out for any
+    partition index) AND on the PLANTED-CLUSTER corpus, where the
+    trained k-cell index concentrates the true neighbors into few cells
+    and the frontier visibly bends. Both codebooks train through the
+    identical parametrized CTE chain — the whole report, training
+    included, is oracle-exact."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import (
+        ANN_DUAL_NPROBES,
+        py_ivf_cells,
+    )
+
+    if kcell_nprobes is None:
+        kcell_nprobes = ANN_DUAL_NPROBES
+    cents = _V.IVF_CENTROIDS
     planes = _V.HYPERPLANES[:8]
-    qb = _V.py_lsh_bucket(_V.QUERY_VEC, planes)
-    probe = sorted({qb} | {qb ^ (1 << j) for j in range(8)})
-    bucket = _V.lsh_bucket_sql("embedding", planes)
     qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
 
-    cand_ctes = [
-        f"""ivf_cand AS MATERIALIZED (
+    corpora = (
+        ("isotropic", "embeddings", "kc", _V.QUERY_VEC, "brute_iso"),
+        ("clustered", "planted", "kcc", _V.PLANT_QUERY, "brute_clu"),
+    )
+    cand_ctes: list[str] = []
+    rows: list[str] = []
+    for corpus, src, pfx, query, brute in corpora:
+        ivf_cells = py_ivf_cells(query, cents, 2)
+        dists = ",\n         ".join(
+            f"{_V.dist2_lit_sql_pre('emb', c)} AS d{i}" for i, c in enumerate(cents)
+        )
+        qb = _V.py_lsh_bucket(query, planes)
+        probe = sorted({qb} | {qb ^ (1 << j) for j in range(8)})
+        bucket = _V.lsh_bucket_sql("embedding", planes)
+        names = [f"{pfx}_ivf", f"{pfx}_lsh"]
+        cand_ctes.append(
+            f"""{pfx}_ivf_cand AS MATERIALIZED (
   SELECT vec_id FROM (
     SELECT vec_id,
            CAST({_argmin_case(len(cents))} AS BIGINT) AS cell
-    FROM (SELECT vec_id, {dists} FROM kc_e))
+    FROM (SELECT vec_id, {dists} FROM {pfx}_e))
   WHERE cell IN ({", ".join(str(c) for c in ivf_cells)})
-)""",
-        f"""lsh_cand AS MATERIALIZED (
-  SELECT vec_id
-  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings)
-  WHERE bucket IN ({", ".join(str(b) for b in probe)})
-)""",
-    ]
-    names = ["ivf", "lsh"]
-    for p in kcell_nprobes:
-        cand_ctes.append(
-            f"""qc_{p} AS (
-  SELECT c.cell FROM kc_cells c, kc_q q ORDER BY {qd}, c.cell LIMIT {p}
-),
-kcell_p{p}_cand AS MATERIALIZED (
-  SELECT a.vec_id FROM kc_assigned a JOIN qc_{p} USING (cell) WHERE a.rn = 1
 )"""
         )
-        names.append(f"kcell_p{p}")
-    rows = []
-    for name in names:
-        cte = f"{name}_cand"
-        rows.append(
-            f"""SELECT '{name}' AS strategy, c.ncand AS n_candidates,
+        cand_ctes.append(
+            f"""{pfx}_lsh_cand AS MATERIALIZED (
+  SELECT vec_id
+  FROM (SELECT vec_id, {bucket} AS bucket FROM {src})
+  WHERE bucket IN ({", ".join(str(b) for b in probe)})
+)"""
+        )
+        for p in kcell_nprobes:
+            cand_ctes.append(
+                f"""{pfx}_qc_{p} AS (
+  SELECT c.cell FROM {pfx}_cells c, {pfx}_q q ORDER BY {qd}, c.cell LIMIT {p}
+),
+{pfx}_kcell_p{p}_cand AS MATERIALIZED (
+  SELECT a.vec_id FROM {pfx}_assigned a JOIN {pfx}_qc_{p} USING (cell) WHERE a.rn = 1
+)"""
+            )
+            names.append(f"{pfx}_kcell_p{p}")
+        for name in names:
+            cte = f"{name}_cand"
+            label = name[len(pfx) + 1 :]
+            rows.append(
+                f"""SELECT '{corpus}' AS corpus, '{label}' AS strategy,
+       c.ncand AS n_candidates,
        {_rd('CAST(c.ncand AS DOUBLE) / CAST(nt.n AS DOUBLE)', 4)} AS fanout,
        o.nov AS n_overlap,
        {_rd(f'CAST(o.nov AS DOUBLE) / {float(k)!r}', 4)} AS recall
 FROM (SELECT CAST(count(*) AS BIGINT) AS ncand FROM {cte}) c,
-     (SELECT CAST(count(*) AS BIGINT) AS nov FROM {cte} JOIN brute USING (vec_id)) o,
+     (SELECT CAST(count(*) AS BIGINT) AS nov
+      FROM {cte} JOIN {brute} USING (vec_id)) o,
      nt"""
-        )
+            )
+    cos_clu = _V.cosine_lit_sql("embedding", _V.PLANT_QUERY)
+    brute_clu = _topk_sql(
+        f"SELECT vec_id, round({cos_clu}, 6) AS cos_sim FROM planted", k
+    )
     return (
-        f"WITH brute AS MATERIALIZED ({brute}),\n"
+        f"WITH brute_iso AS MATERIALIZED ({q_sim_search_topk(k)}),\n"
         f"nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),\n"
+        + _planted_ctes()
+        + ",\n"
+        + f"brute_clu AS MATERIALIZED ({brute_clu}),\n"
         + _kcell_ctes()
+        + ",\n"
+        + _kcell_ctes(src="planted", prefix="kcc", query=_V.PLANT_QUERY)
         + ",\n"
         + ",\n".join(cand_ctes)
         + "\n"
@@ -5712,8 +5799,13 @@ def q_conformal_interval() -> str:
          CAST(sum(y_e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS yhat_e2
   FROM base WHERE s <= 1 GROUP BY 1
 ), scores AS (
-  SELECT abs(CAST(b.y_e2 AS DOUBLE) - m.yhat_e2) AS score
-  FROM base b JOIN model m USING (o_orderpriority) WHERE b.s = 2
+  -- score IS NOT NULL: NULL-priced calibration rows carry no
+  -- nonconformity signal; both engines exclude them from n_cal AND the
+  -- order statistic (validation.conformal_interval filters the same)
+  SELECT score FROM (
+    SELECT abs(CAST(b.y_e2 AS DOUBLE) - m.yhat_e2) AS score
+    FROM base b JOIN model m USING (o_orderpriority) WHERE b.s = 2)
+  WHERE score IS NOT NULL
 ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scores),
 qh AS (
   -- greatest(...,1): on an EMPTY calibration split the offset clamps
@@ -6255,3 +6347,89 @@ SELECT strftime(d, '%Y-%m-%d') AS outlier_date,
        n AS n_days,
        {_rd(g, 4)} AS g_stat
 FROM top"""
+
+
+# ---------------------------------------------------------------------------
+# streaming replay oracles (r7): each q_stream_*_replay contract entry
+# captures its stream through a foreachBatch parquet sink
+# (streaming/sessionize.run_stream_*_replay) and its FINAL state is
+# recomputed here directly over the same events parquet — the batch
+# recomputation a replayed finite stream must converge to.
+# ---------------------------------------------------------------------------
+
+def q_stream_hourly_replay() -> str:
+    """Mirrors streaming.hourly_user_counts replayed to completion:
+    tumbling 1-hour per-user counts (epoch-aligned windows = date_trunc)."""
+    return """SELECT user_id,
+       epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_start_us,
+       CAST(count(*) AS BIGINT) AS events_in_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_in_hour
+FROM events
+GROUP BY 1, 2"""
+
+
+def q_stream_ewma_replay() -> str:
+    """Mirrors streaming.ewma_stream's final per-user snapshot: the same
+    recursive fold as q_ewma_per_user (seed = first value by (ts,
+    event_id); ewma' = ewma·(1−α) + v·α), deterministically rounded."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.relational import EWMA_ALPHA
+
+    a = repr(EWMA_ALPHA)
+    return f"""WITH ord AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       {_rd(f'CASE WHEN len(vs) = 1 THEN vs[1] ELSE list_reduce(vs, (acc, x) -> acc * (1.0 - {a}) + x * {a}) END', 6)} AS ewma
+FROM ord"""
+
+
+def q_stream_click_attribution_replay(max_gap_minutes: int = 60) -> str:
+    """Mirrors streaming.click_purchase_join_stream replayed to
+    completion: every click within the gap BEFORE a same-user purchase
+    (inner interval join — the stream emits each match as found, so the
+    finite replay equals the batch join)."""
+    return f"""SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts::TIMESTAMP) AS purchase_ts_us,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       epoch_us(c.ts::TIMESTAMP) AS click_ts_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL {max_gap_minutes} MINUTE
+                         AND p.ts::TIMESTAMP
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+
+def q_stream_topk_replay(k: int = 3) -> str:
+    """Mirrors streaming.run_stream_topk_batchlike's converged sink:
+    per-hour top-k event types (count desc, type asc tie-break)."""
+    return f"""WITH h AS (
+  SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_start_us,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT hour_start_us, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY hour_start_us
+              ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+  FROM h
+)
+SELECT * FROM r WHERE rank <= {k}"""
+
+
+def q_stream_upsert_replay() -> str:
+    """Mirrors streaming.run_stream_upsert_batchlike's converged
+    snapshot: per-user last-write-wins view ((user_id, ts) is unique in
+    the feed, so arg_max is well-defined)."""
+    return """SELECT user_id,
+       max(epoch_us(ts::TIMESTAMP)) AS last_ts_us,
+       arg_max(value, epoch_us(ts::TIMESTAMP)) AS last_value,
+       CAST(count(*) AS BIGINT) AS n_updates
+FROM events
+GROUP BY user_id"""

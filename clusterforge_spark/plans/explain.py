@@ -70,20 +70,13 @@ def _spec_args(text: str, start: int) -> list[str]:
     return args
 
 
-def partitionless_window_specs(df: DataFrame) -> list[str]:
-    """Every ``windowspecdefinition`` in the OPTIMIZED plan whose
-    partition-column list is EMPTY — i.e. a window that plans as a
-    single-partition exchange + one-task sort over its whole input
-    (Spark's WindowExec emits a runtime warning for exactly this).
-
-    A spec's args are [partition cols..., sort specs..., frame]; sort
-    specs end with 'ASC/DESC NULLS ...' and the frame is a
-    'specifiedwindowframe(...)' — so a spec whose FIRST top-level arg
-    is already a sort spec or the frame has no partition columns.
-    Used by the contract-wide sweep test: data-proportional operators
-    must never plan one of these (calendar-bounded / k-row inputs are
-    allowlisted per query).
-    """
+def _partitionless_window_specs_text(df: DataFrame) -> list[str]:
+    """String-parse fallback of :func:`partitionless_window_specs`
+    (pre-r7 implementation): scans ``optimizedPlan().toString()`` for
+    ``windowspecdefinition`` whose first top-level arg is already a sort
+    spec or the frame. Kept as the fallback because plan-string
+    truncation of long field lists could silently mis-classify — the
+    JVM node walk is authoritative."""
     text = df._jdf.queryExecution().optimizedPlan().toString()
     out: list[str] = []
     needle = "windowspecdefinition"
@@ -101,3 +94,73 @@ def partitionless_window_specs(df: DataFrame) -> list[str]:
                 out.append(first)
         i += len(needle)
     return out
+
+
+def partitionless_window_specs(df: DataFrame) -> list[str]:
+    """Every Window node in the OPTIMIZED logical plan whose
+    partitionSpec is EMPTY — i.e. a window that plans as a
+    single-partition exchange + one-task sort over its whole input
+    (Spark's WindowExec emits a runtime warning for exactly this).
+
+    Walks the JVM plan tree (children + subquery plans) and reads each
+    Window node's ``partitionSpec().isEmpty()`` directly — immune to the
+    plan-string truncation that could make the older text parser
+    silently classify a data-proportional window as partitioned. Each
+    hit is reported as its first ORDER BY sort-order string (e.g.
+    ``_b#123L ASC NULLS FIRST`` — same shape the text parser returned,
+    so allowlists keyed on prefixes like ``_b#`` keep working), or
+    ``specifiedwindowframe`` when the window has no ordering. Falls back
+    to the text parser if the JVM walk throws (py4j API drift); the
+    contract-wide sweep test's exact-equality allowlist catches a
+    silently-empty result either way.
+
+    Used by the contract-wide sweep test: data-proportional operators
+    must never plan one of these (calendar-bounded / k-row inputs are
+    allowlisted per query).
+    """
+    try:
+        out: list[str] = []
+        seen: set[int] = set()
+
+        def _walk(node) -> None:
+            oid = node.hashCode(), node.getClass().getName()
+            # plans are trees (no cycles), but subqueries() can surface
+            # the same plan twice — dedupe on identity-ish key
+            key = hash(oid)
+            if key in seen:
+                return
+            seen.add(key)
+            cls = node.getClass().getSimpleName()
+            # logical Window, or physical WindowExec/WindowInPandasExec
+            # (physical nodes appear inside cached plans below)
+            if cls in ("Window", "WindowExec", "WindowInPandasExec"):
+                if node.partitionSpec().isEmpty():
+                    order = node.orderSpec()
+                    out.append(
+                        str(order.apply(0))
+                        if not order.isEmpty()
+                        else "specifiedwindowframe"
+                    )
+            # a .cache()d subplan is substituted as InMemoryRelation —
+            # its windows still execute once at materialization, and the
+            # old text parser saw them (innerChildren are rendered), so
+            # the walk must descend into the cached PHYSICAL plan too
+            elif cls == "InMemoryRelation":
+                _walk(node.cachedPlan())
+            elif cls == "InMemoryTableScanExec":
+                _walk(node.relation())
+            # AQE wraps the cached physical plan in a LEAF node — its
+            # real tree hangs off inputPlan(), not children()
+            elif cls == "AdaptiveSparkPlanExec":
+                _walk(node.inputPlan())
+            kids = node.children()
+            for i in range(kids.size()):
+                _walk(kids.apply(i))
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                _walk(subs.apply(i))
+
+        _walk(df._jdf.queryExecution().optimizedPlan())
+        return out
+    except Exception:
+        return _partitionless_window_specs_text(df)

@@ -241,6 +241,49 @@ def partition_pruned_read(orders: DataFrame, base_dir: str | None = None) -> Dat
     )
 
 
+def dpp_join_pruned(orders: DataFrame, base_dir: str | None = None) -> DataFrame:
+    """DYNAMIC-partition-pruning proof (the join-driven sibling of
+    :func:`partition_pruned_read`, whose predicate is static): write
+    orders partitioned by status, then join the partitioned FACT scan
+    to a small filtered dimension on the PARTITION column. Catalyst
+    plants a ``dynamicpruning#`` subquery into the fact scan's
+    PartitionFilters (asserted by tests/test_plans.py::
+    test_dpp_join_pruned_plan), so at run time only the partition
+    directories matching the dim filter are read — the mechanism that
+    turns a 100 TB date-partitioned fact join into a scan of just the
+    dim-selected dates. The dim filter ('closed' → status F) is opaque
+    to static pruning: only DPP can prune here.
+
+    Result: the same per-priority aggregate as the static twin, so a
+    pruning bug that drops or double-reads a partition is a value-level
+    oracle failure, not just a slow plan."""
+    from pyspark.sql import functions as F
+
+    spark = orders.sparkSession
+    sel = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(base_dir or _scratch_dir("dpp"), "orders_by_status")
+    write_parquet(sel, path, partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, category string",
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderstatus")
+        .filter(F.col("category") == "closed")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                " as decimal(38,0))) as double) / 100.0, 2)"
+            ).alias("total_value"),
+        )
+    )
+
+
 #: deterministic derived channel values for the schema-evolution proof
 EVOLUTION_CHANNELS = ("web", "store", "mobile")
 

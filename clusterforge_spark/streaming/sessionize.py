@@ -1112,3 +1112,153 @@ def run_stream_psi_batchlike(
     )
     _await_or_raise(query, timeout_s)
     return spark.read.parquet(log_path)
+
+
+# ---------------------------------------------------------------------------
+# replay capture: foreachBatch → parquet, the oracle surface of the
+# streaming family (r7)
+#
+# Each run_stream_*_replay routes its stream through a foreachBatch
+# parquet capture (the production sink shape — NOT the memory sink the
+# parity pytests use) and returns the read-back final table. On the
+# driver's single-file replay (availableNow, one micro-batch) every
+# capture below is deterministic and its final state is recomputable in
+# ANSI SQL over the same events parquet — so each one carries a DuckDB
+# oracle in oracle_sql.py and a q_stream_*_replay contract entry,
+# upgrading the streaming family from pytest-parity-only to
+# CORRECTNESS-gated. Ordering caveats (multi-trigger folds need
+# event-time-ordered arrival) are unchanged from the underlying
+# operators' docstrings.
+# ---------------------------------------------------------------------------
+
+def _replay_out_dir(out_path: str | None, tag: str) -> str:
+    if out_path:
+        return out_path
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"cf_replay_{tag}_") + "/out"
+
+
+def run_stream_replay_to_parquet(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_path: str,
+    output_mode: str = "complete",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Run ``stream`` to completion (availableNow) through a
+    foreachBatch parquet capture and return the read-back result.
+
+    complete mode: each batch OVERWRITES the capture (idempotent — the
+    final batch holds the full result, so replays converge). append
+    mode: each batch's new rows append (exactly-once per batch id on a
+    transactional table; on plain parquet a re-run of the same batch
+    would duplicate, the same caveat run_stream_countmin_batchlike
+    documents)."""
+    mode = "overwrite" if output_mode == "complete" else "append"
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(out_path)
+
+    query = (
+        stream.writeStream.foreachBatch(capture)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(query, timeout_s)
+    return spark.read.parquet(out_path)
+
+
+def run_stream_hourly_replay(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Tumbling hourly per-user counts (hourly_user_counts), replayed to
+    a parquet capture. Oracle: the same GROUP BY over date_trunc'd
+    event time (oracle_sql.q_stream_hourly_replay)."""
+    stream = hourly_user_counts(read_events_stream(spark, sf_dir))
+    return run_stream_replay_to_parquet(
+        spark, stream, _replay_out_dir(out_path, "hourly"), "complete"
+    )
+
+
+def run_stream_session_window_replay(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, out_path: str | None = None
+) -> DataFrame:
+    """Native session-window gap sessions, replayed to parquet. The
+    final state equals the batch gap-sessionization, so the oracle IS
+    the batch oracle (oracle_sql.q_session_window)."""
+    stream = session_window_counts_stream(
+        read_events_stream(spark, sf_dir), gap_minutes
+    )
+    return run_stream_replay_to_parquet(
+        spark, stream, _replay_out_dir(out_path, "sesswin"), "complete"
+    )
+
+
+def run_stream_ewma_replay(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Stateful per-user EWMA, replayed to parquet; returns the FINAL
+    per-user snapshot (last emitted n_events/ewma), 6dp-rounded to the
+    shared determinism convention. Final state equals the batch
+    recursive fold (oracle_sql.q_stream_ewma_replay)."""
+    from clusterforge_spark.functions.rounding import round_det
+
+    snaps = run_stream_replay_to_parquet(
+        spark,
+        ewma_stream(read_events_stream(spark, sf_dir)),
+        _replay_out_dir(out_path, "ewma"),
+        "append",
+    )
+    return (
+        snaps.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max_by("ewma", "n_events").alias("_ewma"),
+        )
+        .select("user_id", "n_events", round_det("_ewma", 6).alias("ewma"))
+    )
+
+
+def run_stream_click_attribution_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap_minutes: int = 60,
+    out_path: str | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream interval join, replayed to parquet.
+    Inner-join matches emit as found, so the finite replay captures
+    exactly the batch interval join (oracle_sql
+    .q_stream_click_attribution_replay)."""
+    stream = click_purchase_join_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        max_gap_minutes=max_gap_minutes,
+    )
+    return run_stream_replay_to_parquet(
+        spark, stream, _replay_out_dir(out_path, "clickattr"), "append"
+    )
+
+
+def run_stream_topk_replay(
+    spark: SparkSession, sf_dir: str, k: int = 3, out_path: str | None = None
+) -> DataFrame:
+    """Streaming hourly top-k event types (the foreachBatch-ranked
+    pattern of run_stream_topk_batchlike), replayed to its parquet
+    sink. Oracle: windowed count + row_number in SQL."""
+    return run_stream_topk_batchlike(
+        spark, sf_dir, _replay_out_dir(out_path, "topk"), k=k
+    )
+
+
+def run_stream_upsert_replay(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Streaming MERGE (last-write-wins per user) applied onto a parquet
+    snapshot, replayed to completion. Converges to the batch per-user
+    last-event view (oracle_sql.q_stream_upsert_replay); (user_id, ts)
+    is unique in the feed at every SF, so last_value is well-defined."""
+    return run_stream_upsert_batchlike(
+        spark, sf_dir, _replay_out_dir(out_path, "upsert")
+    )

@@ -106,3 +106,28 @@ def test_library_import_surface():
     assert callable(cf.run_full_pipeline)
     assert callable(cf.dedup.dedup_exact)
     assert callable(cf.cli_main)
+
+
+def test_release_frees_memoized_state(spark):
+    """The r7 cache-lifecycle hook: after release(spark, sf_dir) the
+    per-snapshot memo is empty for that corpus and its cached frames'
+    storage is freed — a long-lived serving session can retire corpus
+    snapshots without accumulating executor memory."""
+    from tests.conftest import SF_DIR
+
+    app = spark.sparkContext.applicationId
+    # populate: the kcell top-k builds + caches the codebook memo
+    E.queries()["q_sim_search_kcell"](spark, SF_DIR).collect()
+    cached = [
+        (k, df)
+        for k, df in E._MEMO.items()
+        if k[0] == app and k[1] == SF_DIR
+    ]
+    assert cached, "expected memo entries after running a kcell query"
+    assert any(df.storageLevel.useMemory for _, df in cached)
+    n = E.release(spark, SF_DIR)
+    assert n == len(cached)
+    assert not [k for k in E._MEMO if k[0] == app and k[1] == SF_DIR]
+    assert all(not df.storageLevel.useMemory for _, df in cached)
+    # releasing again is a no-op
+    assert E.release(spark, SF_DIR) == 0

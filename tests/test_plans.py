@@ -799,3 +799,145 @@ def test_rfm_segments_regimes_agree(spark):
         assert (a["r_score"], a["f_score"], a["m_score"], a["segment"]) == (
             b["r_score"], b["f_score"], b["m_score"], b["segment"]
         )
+
+
+def test_rfm_segments_regimes_agree_with_null_recency(spark):
+    """NULL recency: the small regime's ntile window (recency DESC)
+    places NULLs LAST; the large regime maps NULL -> -inf before
+    total_order_rank so the distributed rank gives the identical
+    placement (the r7 ADVICE fix — total_order_rank's key negation
+    would otherwise rank NULLs FIRST and break bit-identity)."""
+    from clusterforge_spark.operators.features import rfm_segments
+
+    rows = [
+        (
+            i,
+            float(i % 7) if i % 11 else None,
+            float(1 + i % 5),
+            float(10 + i % 13),
+        )
+        for i in range(60)
+    ]
+    rfm = spark.createDataFrame(
+        rows, "user_id long, recency double, frequency double, monetary double"
+    )
+    small = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"], r["segment"])
+        for r in rfm_segments(rfm).collect()
+    }
+    large = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"], r["segment"])
+        for r in rfm_segments(rfm, small_n=0).collect()
+    }
+    assert small == large
+
+
+def test_partitionless_window_detector_jvm_walk(spark, events):
+    """The r7 JVM-walk detector: finds partition-less windows in the
+    main plan AND inside subquery plans (where plan-string truncation
+    could hide them from the old text parser), reports them in the
+    text parser's spec format, and agrees with the text parser on a
+    plain plan. A partitioned window is NOT flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    flat = events.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    specs = X.partitionless_window_specs(flat)
+    assert len(specs) == 1 and specs[0].endswith("ASC NULLS FIRST")
+    assert X._partitionless_window_specs_text(flat) == specs
+
+    part = events.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    assert X.partitionless_window_specs(part) == []
+
+    events.createOrReplaceTempView("_pl_events")
+    sub = events.sparkSession.sql(
+        """select user_id from _pl_events where value >
+           (select max(v) from (select value as v,
+                row_number() over (order by ts) as rn from _pl_events)
+            where rn < 5)"""
+    )
+    assert any(
+        s.endswith("ASC NULLS FIRST") for s in X.partitionless_window_specs(sub)
+    )
+
+
+def test_dpp_join_pruned_plan(spark, orders):
+    """Dynamic partition pruning (r7): joining the status-partitioned
+    fact to a FILTERED broadcast dim on the partition column must plant
+    a ``dynamicpruning#`` subquery into the fact scan's
+    PartitionFilters — the mechanism that prunes a 100 TB
+    date-partitioned fact down to the dim-selected dates at run time.
+    The dim filter is opaque to static pruning, so only DPP can prune
+    here; the value-level answer is oracle-gated by q_dpp_join_pruned."""
+    from clusterforge_spark.sources.sinks import dpp_join_pruned
+
+    df = dpp_join_pruned(orders)
+    plan = X.plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    pf = [
+        line.strip()
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line
+    ]
+    assert pf, "fact scan has no dynamic PartitionFilters"
+
+
+def test_aqe_skew_join_split(spark, events):
+    """AQE skew handling (r7): the UNSALTED twin of relational
+    .salted_join under an adversarial hot key — one key holding ~93% of
+    rows — must be split by AQE's OptimizeSkewedJoin at run time
+    (SortMergeJoin(skew=true) in the executed plan), and the explicit
+    salted_join must produce the identical row multiset. Preconditions
+    the test arranges, as a real cluster would have naturally: several
+    map tasks on the skewed side (a skewed reduce partition splits at
+    MAPPER boundaries — one single-row-group local file is one mapper,
+    so the input is spread first) and thresholds scaled to the local
+    fixture's bytes."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.relational import salted_join
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        hot = (
+            F.when(F.col("user_id") % 1500 < 1400, F.lit(0))
+            .otherwise(F.col("user_id"))
+        )
+        left = events.repartition(8).select(
+            hot.alias("k"), "value", "event_id", "props"
+        )
+        right = spark.range(1500).select(
+            F.col("id").alias("rk"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, F.col("k") == F.col("rk")).select(
+            "event_id", (F.col("value") * F.col("w")).alias("x")
+        )
+        rows = j.collect()
+        ep = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in ep, ep[:2000]
+
+        # the explicit salting path gives the identical row multiset
+        s = salted_join(left, right, "k", "rk").select(
+            "event_id", (F.col("value") * F.col("w")).alias("x")
+        )
+        srows = s.collect()
+        assert len(rows) == len(srows)
+        assert sorted((r["event_id"], r["x"]) for r in rows) == sorted(
+            (r["event_id"], r["x"]) for r in srows
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -415,3 +415,72 @@ def test_kcell_codebook_and_topk(spark, embeddings):
     for k2 in rec:
         r = rec[k2]
         assert 0.0 <= r["recall"] <= 1.0 and 0.0 < r["fanout"] <= 1.0
+
+
+def test_kcell_seeds_dedupe_duplicate_vectors(spark):
+    """Duplicate embedding vectors among the KMV bottom-k seeds collapse
+    to one cell each (lowest hash wins), so the refined codebook has
+    exactly one NON-EMPTY cell per distinct seed vector — the invariant
+    ivf_kcell_cells claims. Before the dedupe, a duplicated seed left
+    its higher-indexed cell empty (assignment ties break to the lowest
+    cell), silently shrinking the codebook below its sizing claim."""
+    from clusterforge_spark.operators.similarity import (
+        _assign_packed,
+        _pack_cells,
+        ivf_kcell_cells,
+    )
+
+    # 30 vectors but only 3 distinct values -> any bottom-6 KMV sample
+    # must contain duplicates
+    dup = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cells = ivf_kcell_cells(dup, 6).collect()
+    assert len(cells) == 3  # one cell per DISTINCT seed vector
+    assert sorted(r["cell"] for r in cells) == [0, 1, 2]  # renumbered dense
+    n_nonempty = (
+        _assign_packed(dup, _pack_cells(ivf_kcell_cells(dup, 6)))
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert n_nonempty == 3  # every cell is non-empty
+
+
+def test_planted_clustered_corpus_and_frontier_bend(spark, embeddings):
+    """The r7 ANN demonstration: on the planted-cluster corpus
+    (deterministic md5-noise clusters around PLANT_G literal centers)
+    the trained k-cell index concentrates the query's true neighbors
+    into few cells — recall@10 = 1.0 at ONE probe (~6% fan-out at
+    n=500; 2% at sf0.1 with three probes) — while the same index on the
+    driver's isotropic corpus stays in the flat recall ≈ fan-out regime.
+    Also pins the corpus itself bit-exact against the Python replica."""
+    from clusterforge_spark.functions import vector as V
+    from clusterforge_spark.operators.similarity import (
+        ann_recall_dual,
+        planted_clustered,
+    )
+
+    pc = planted_clustered(embeddings)
+    got = list(pc.filter("vec_id = 7").collect()[0]["embedding"])
+    assert got == V.py_planted_embedding(7)  # bit-exact, both op orders
+
+    rows = ann_recall_dual(embeddings).collect()
+    rec = {(r["corpus"], r["strategy"]): r for r in rows}
+    clu_p1 = rec[("clustered", "kcell_p1")]
+    iso_p1 = rec[("isotropic", "kcell_p1")]
+    # the bend: one probe finds every true neighbor on clustered data...
+    assert clu_p1["recall"] >= 0.9
+    assert clu_p1["fanout"] <= 0.10
+    # ...while the isotropic control stays recall ≈ fanout (the
+    # documented degenerate regime — ~0.1 at the same fan-out)
+    assert iso_p1["recall"] <= 0.3
+    # recall is monotone in probe depth on both corpora
+    for corpus in ("clustered", "isotropic"):
+        ps = sorted(
+            (k2 for c, k2 in rec if c == corpus and k2.startswith("kcell_p")),
+            key=lambda s: int(s.split("p")[-1]),
+        )
+        recalls = [rec[(corpus, k2)]["recall"] for k2 in ps]
+        assert recalls == sorted(recalls)

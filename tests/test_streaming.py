@@ -683,3 +683,47 @@ def test_kafka_source_spec_options_and_decode(spark):
     rows = {r["offset"]: r for r in decode_json_value(raw, schema).collect()}
     assert (rows[7]["user_id"], rows[7]["value"]) == (5, 1.5)
     assert rows[8]["user_id"] is None  # corrupt record quarantined as NULLs
+
+
+def test_stream_replay_capture_matches_batch(spark, tmp_path):
+    """The r7 foreachBatch parquet capture (the streaming family's
+    oracle surface): the replayed hourly aggregate equals the batch
+    GROUP BY over the same events, and the session-window replay equals
+    the batch gap sessionization — the convergence the q_stream_*_replay
+    oracles assert cross-engine, checked here Spark-side."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.relational import session_window_agg
+    from clusterforge_spark.sources.readers import load_table
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_hourly_replay,
+        run_stream_session_window_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    got = run_stream_hourly_replay(
+        spark, SF_DIR, out_path=str(tmp_path / "hourly")
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+        )
+        .agg(
+            F.count("*").alias("events_in_hour"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_in_hour"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    sess = run_stream_session_window_replay(
+        spark, SF_DIR, out_path=str(tmp_path / "sess")
+    )
+    batch = session_window_agg(ev)
+    assert sess.count() == batch.count()
+    assert sess.exceptAll(batch).count() == 0

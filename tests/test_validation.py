@@ -585,3 +585,41 @@ def test_calibration_bins_planted(spark):
     assert abs(got[1]["brier_bin"] - 9.0 / 16.0) < 1e-9
     assert (got[0]["n"], got[0]["frac_positive"]) == (1, 0.0)
     assert abs(got[0]["brier_bin"] - 0.0) < 1e-9
+
+
+def test_conformal_interval_null_prices_oracle_parity(spark):
+    """NULL o_totalprice rows land in every split; both engines must
+    exclude the resulting NULL nonconformity scores from n_cal AND the
+    order statistic. Before the r7 fix, Spark counted NULL scores into
+    n_cal (k could exceed the non-null population -> empty report) while
+    the DuckDB oracle returned rows — a parity divergence on NULL-price
+    data. Runs the real oracle SQL side-by-side on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from clusterforge_spark import oracle_sql as OSQL
+
+    rows = [
+        (i, "P%d" % (i % 3), float(100 + (i * 37) % 500) if i % 13 else None)
+        for i in range(400)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = (
+        VA.conformal_interval(orders)
+        .orderBy("o_orderpriority")
+        .toPandas()
+    )
+    assert len(got) == 3  # non-empty despite NULL-bearing calibration
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+    )
+    ora = con.execute(
+        OSQL.q_conformal_interval() + " ORDER BY o_orderpriority"
+    ).df()
+    assert list(got.columns) == list(ora.columns)
+    for c in got.columns:
+        assert got[c].tolist() == ora[c].tolist(), c
