@@ -83,6 +83,15 @@ def release(spark: SparkSession, sf_dir: str | None = None) -> int:
     ]
     for k in keys:
         df = _MEMO.pop(k)
+        # frames the memoized plan cached INTERNALLY (e.g. ann_recall's
+        # per-corpus assignment tables) carry no _MEMO entry of their
+        # own — the operator exposes them via _cf_internal_caches so
+        # this hook can free them too, not just the top-level frame
+        for inner in getattr(df, "_cf_internal_caches", []):
+            try:
+                inner.unpersist(blocking=True)
+            except Exception:
+                pass
         try:
             df.unpersist(blocking=True)
         except Exception:  # non-cached memo values have nothing to free
@@ -935,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_upsert_replay"] = lambda spark, sf: _stream(
         spark, sf, "run_stream_upsert_replay"
     )
+    q["q_stream_gap_sessions_replay"] = lambda spark, sf: _stream(
+        spark, sf, "run_stream_gap_sessions_replay"
+    )
     return q
 
 
@@ -974,6 +986,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_stream_click_attribution_replay": OSQL.q_stream_click_attribution_replay(),
         "q_stream_topk_replay": OSQL.q_stream_topk_replay(),
         "q_stream_upsert_replay": OSQL.q_stream_upsert_replay(),
+        "q_stream_gap_sessions_replay": OSQL.q_stream_gap_sessions_replay(),
         "q_order_backlog": OSQL.q_order_backlog(),
         "q_profile_columns": OSQL.q_profile_columns(),
         "q_expectation_checks": OSQL.q_expectation_checks(),

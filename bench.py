@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_stream_click_attribution_replay",
     "q_stream_topk_replay",
     "q_stream_upsert_replay",
+    "q_stream_gap_sessions_replay",
     "q_order_backlog",
     "q_profile_columns",
     "q_expectation_checks",
@@ -450,7 +451,11 @@ def main() -> int:
             # multi-second straggler (r6 saw an 8 s reading for a query
             # that times 1.3 s in isolation — accumulated old-gen debt)
             # gets a GC nudge before its second re-time
-            tries = 0
+            # streaming replays are inherently multi-second (query
+            # startup + foreachBatch capture) — re-timing them measures
+            # startup jitter, not a GC outlier, at 2 extra full stream
+            # executions each; take their first timed reading as-is
+            tries = 0 if not name.startswith("q_stream_") else 2
             while elapsed > RETIME_SEC and tries < 2:
                 if tries == 1:
                     spark.sparkContext._jvm.System.gc()

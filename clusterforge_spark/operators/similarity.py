@@ -1143,7 +1143,7 @@ def ann_recall(
         [(i, name) for i, (name, _) in enumerate(cands)],
         "_ord long, strategy string",
     )
-    return (
+    out = (
         names_df.join(F.broadcast(agg), "strategy", "left")
         .crossJoin(n_total)
         .select(
@@ -1163,6 +1163,12 @@ def ann_recall(
         .orderBy("_ord")
         .drop("_ord")
     )
+    # lifecycle: the report caches frames INTERNALLY (the assignment,
+    # and the codebook when trained here) that no caller holds a handle
+    # to — expose them so __spark_entry__.release() can unpersist them
+    # at the corpus-snapshot boundary instead of leaking per snapshot
+    out._cf_internal_caches = [kc_assigned] + ([] if cells is not None else [kc])
+    return out
 
 
 #: probe ladder of the dual report — denser low end than the plain
@@ -1191,9 +1197,10 @@ def ann_recall_dual(
     Each corpus trains its own √n-cell codebook (pass pre-trained
     ``cells_*`` to reuse across queries). Fully oracle-exact, training
     included, on both corpora."""
-    iso = ann_recall(
+    iso_raw = ann_recall(
         embeddings, k=k, kcell_nprobes=kcell_nprobes, cells=cells_iso
-    ).select(F.lit("isotropic").alias("corpus"), "*")
+    )
+    iso = iso_raw.select(F.lit("isotropic").alias("corpus"), "*")
     # cache the synthesized corpus: the report's ~20 aggregate branches
     # (truth, per-strategy counts + overlaps, codebook training) each
     # re-analyze the 50×64-literal center array + 64-md5 transform
@@ -1203,14 +1210,21 @@ def ann_recall_dual(
     clu_corpus = (
         clustered if clustered is not None else planted_clustered(embeddings).cache()
     )
-    clu = ann_recall(
+    clu_raw = ann_recall(
         clu_corpus,
         k=k,
         kcell_nprobes=kcell_nprobes,
         cells=cells_clustered,
         query=V.PLANT_QUERY,
-    ).select(F.lit("clustered").alias("corpus"), "*")
-    return iso.unionByName(clu)
+    )
+    clu = clu_raw.select(F.lit("clustered").alias("corpus"), "*")
+    out = iso.unionByName(clu)
+    out._cf_internal_caches = (
+        iso_raw._cf_internal_caches
+        + clu_raw._cf_internal_caches
+        + ([] if clustered is not None else [clu_corpus])
+    )
+    return out
 
 
 def _split_stat_rows(rows, with_label: bool = False):

@@ -6423,6 +6423,40 @@ def q_stream_topk_replay(k: int = 3) -> str:
 SELECT * FROM r WHERE rank <= {k}"""
 
 
+def q_stream_gap_sessions_replay(gap_minutes: int = 30) -> str:
+    """Mirrors streaming.sessionize_gap_stream replayed to completion:
+    gap-island sessions (session end = LAST EVENT time, unlike the
+    native session window's +gap), minus each user's final still-open
+    session. Integer-exact columns only (see the replay wrapper)."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH g AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, tsu,
+         CAST(sum(coalesce(is_new, 0)) OVER
+              (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+),
+agg AS (
+  SELECT user_id, session_idx,
+         epoch_us(min(tsu)) AS session_start_us,
+         epoch_us(max(tsu)) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg
+WHERE session_idx < (SELECT max(a2.session_idx) FROM agg a2
+                     WHERE a2.user_id = agg.user_id)"""
+
+
 def q_stream_upsert_replay() -> str:
     """Mirrors streaming.run_stream_upsert_batchlike's converged
     snapshot: per-user last-write-wins view ((user_id, ts) is unique in

@@ -120,13 +120,18 @@ def partitionless_window_specs(df: DataFrame) -> list[str]:
     """
     try:
         out: list[str] = []
-        seen: set[int] = set()
+        seen: set[tuple[int, str]] = set()
+        jvm_system = df._sc._jvm.java.lang.System  # type: ignore[attr-defined]
 
         def _walk(node) -> None:
-            oid = node.hashCode(), node.getClass().getName()
             # plans are trees (no cycles), but subqueries() can surface
-            # the same plan twice — dedupe on identity-ish key
-            key = hash(oid)
+            # the same plan twice — dedupe on JVM IDENTITY, never the
+            # structural case-class hashCode: equal-content but distinct
+            # nodes must each be visited (a structural-hash collision
+            # would silently skip an unvisited subtree and let a
+            # data-proportional window ship), and identityHashCode is
+            # O(1) where the recursive structural hash is O(subtree)
+            key = (jvm_system.identityHashCode(node), node.getClass().getName())
             if key in seen:
                 return
             seen.add(key)

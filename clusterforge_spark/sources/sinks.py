@@ -120,6 +120,19 @@ def compact_small_files(
     return n_out
 
 
+def _money_total_expr():
+    """Exact-cents money aggregate shared by every orders proof in this
+    module: floor-to-cents → decimal(38,0) sum → double, 2dp — ONE
+    definition so the cents convention can't drift between the proofs
+    (each has a DuckDB oracle mirroring this exact op order)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        " as decimal(38,0))) as double) / 100.0, 2)"
+    ).alias("total_value")
+
+
 def _scratch_dir(tag: str) -> str:
     """Deterministic scratch location for the connector roundtrip proofs:
     one fixed directory per proof, overwritten on every invocation, so
@@ -178,10 +191,7 @@ def roundtrip_orc_order_stats(orders: DataFrame, base_dir: str | None = None) ->
     back = spark.read.schema(sel.schema).orc(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.expr(
-            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
-            " as decimal(38,0))) as double) / 100.0, 2)"
-        ).alias("total_value"),
+        _money_total_expr(),
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
         F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
     )
@@ -234,10 +244,7 @@ def partition_pruned_read(orders: DataFrame, base_dir: str | None = None) -> Dat
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.expr(
-            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
-            " as decimal(38,0))) as double) / 100.0, 2)"
-        ).alias("total_value"),
+        _money_total_expr(),
     )
 
 
@@ -276,10 +283,7 @@ def dpp_join_pruned(orders: DataFrame, base_dir: str | None = None) -> DataFrame
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.expr(
-                "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
-                " as decimal(38,0))) as double) / 100.0, 2)"
-            ).alias("total_value"),
+            _money_total_expr(),
         )
     )
 
@@ -334,8 +338,5 @@ def roundtrip_schema_evolution(
     back = spark.read.option("mergeSchema", "true").parquet(root)
     return back.groupBy("o_orderstatus", "o_channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.expr(
-            "round(cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
-            " as decimal(38,0))) as double) / 100.0, 2)"
-        ).alias("total_value"),
+        _money_total_expr(),
     )

@@ -15,6 +15,8 @@ operator (tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -772,7 +774,7 @@ def run_stream_scd2_batchlike(
 # streaming EWMA (stateful recursive statistic)
 # ---------------------------------------------------------------------------
 
-def ewma_stream(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+def ewma_stream(events_stream: DataFrame, alpha: float | None = None) -> DataFrame:
     """Incremental per-user EWMA — the streaming form of
     operators/relational.ewma_per_user's recursive fold: state is ONE
     (ewma, n_events, tiebreak) triple per user, updated by folding each
@@ -786,6 +788,15 @@ def ewma_stream(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
     triggers arrival must be event-time ordered.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if alpha is None:
+        # ONE constant governs the EWMA everywhere: the batch operator,
+        # this stream, and the replay oracle all read relational
+        # .EWMA_ALPHA — a hard-coded default here would silently
+        # diverge from the oracle if the constant is ever tuned
+        from clusterforge_spark.operators.relational import EWMA_ALPHA
+
+        alpha = EWMA_ALPHA
 
     def step(key, pdf_iter, state: "GroupState"):
         import pandas as pd
@@ -1132,11 +1143,21 @@ def run_stream_psi_batchlike(
 # ---------------------------------------------------------------------------
 
 def _replay_out_dir(out_path: str | None, tag: str) -> str:
+    """Fixed per-proof capture location (the sinks._scratch_dir
+    discipline — a fresh mkdtemp per call leaks unbounded /tmp on a
+    long-lived box), PRE-CLEANED on every invocation: append-mode
+    captures must start empty or re-runs accumulate rows, and the
+    upsert capture's first-batch detection requires the path to not
+    exist yet."""
     if out_path:
         return out_path
+    import shutil
     import tempfile
 
-    return tempfile.mkdtemp(prefix=f"cf_replay_{tag}_") + "/out"
+    d = os.path.join(tempfile.gettempdir(), "clusterforge_rt", "replay", tag)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
 
 
 def run_stream_replay_to_parquet(
@@ -1261,4 +1282,33 @@ def run_stream_upsert_replay(
     is unique in the feed at every SF, so last_value is well-defined."""
     return run_stream_upsert_batchlike(
         spark, sf_dir, _replay_out_dir(out_path, "upsert")
+    )
+
+
+def run_stream_gap_sessions_replay(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, out_path: str | None = None
+) -> DataFrame:
+    """The CUSTOM STATEFUL operator's oracle surface: per-user gap
+    sessions via applyInPandasWithState, replayed through a foreachBatch
+    parquet capture. A finite replay emits every CLOSED session —
+    everything but each user's final (still-open) session — which the
+    DuckDB oracle recomputes via the lag/island form minus each user's
+    last island (oracle_sql.q_stream_gap_sessions_replay).
+
+    The float ``session_value`` is deliberately dropped: the Python fold
+    rounds with round-half-even over a sequential float sum, which has
+    no bit-mirrorable SQL twin (the value surface is already
+    oracle-gated by q_stream_session_window_replay's decimal-exact
+    sums); the remaining columns are exact integers."""
+    snaps = run_stream_replay_to_parquet(
+        spark,
+        sessionize_gap_stream(read_events_stream(spark, sf_dir), gap_minutes),
+        _replay_out_dir(out_path, "gapsess"),
+        "append",
+    )
+    return snaps.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("long").alias("n_events"),
     )

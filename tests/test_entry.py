@@ -125,9 +125,23 @@ def test_release_frees_memoized_state(spark):
     ]
     assert cached, "expected memo entries after running a kcell query"
     assert any(df.storageLevel.useMemory for _, df in cached)
+    # the dual ANN report also caches frames INTERNALLY (assignment
+    # tables) — release() must free those too, or a multi-snapshot
+    # serving session leaks one n-row cache per retired corpus
+    E.queries()["q_ann_recall"](spark, SF_DIR).collect()
+    report = E._MEMO[(app, SF_DIR, "ann_recall_dual_df")]
+    inner = list(getattr(report, "_cf_internal_caches", []))
+    assert inner, "dual report should expose its internal caches"
+    assert any(df.storageLevel.useMemory for df in inner)
+    cached = [
+        (k, df)
+        for k, df in E._MEMO.items()
+        if k[0] == app and k[1] == SF_DIR
+    ]
     n = E.release(spark, SF_DIR)
     assert n == len(cached)
     assert not [k for k in E._MEMO if k[0] == app and k[1] == SF_DIR]
     assert all(not df.storageLevel.useMemory for _, df in cached)
+    assert all(not df.storageLevel.useMemory for df in inner)
     # releasing again is a no-op
     assert E.release(spark, SF_DIR) == 0

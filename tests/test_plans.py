@@ -753,6 +753,14 @@ def test_no_partitionless_window_over_data_proportional_input(spark):
 
     offenders = set()
     for name, fn in E.queries().items():
+        if name.startswith("q_stream_"):
+            # replay queries EXECUTE a streaming job at build time just
+            # to produce their parquet-capture read — running 7 streams
+            # to inspect trivial post-capture scan plans adds minutes
+            # for nothing; their streaming plans are windowed aggs under
+            # watermarks (bounded state by construction), and their
+            # VALUES are oracle-gated per query
+            continue
         df = fn(spark, SF_DIR)
         specs = [
             s
