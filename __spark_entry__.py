@@ -836,6 +836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_kcell"] = lambda spark, sf: SIM.ivf_kcell_topk(
         _t(spark, sf, "embeddings"), cells=_kcells(spark, sf)
     )
+    # r7: incremental serve — new vectors indexed against the EXISTING
+    # codebook (no retrain), query answered over base ∪ batch
+    q["q_sim_search_kcell_incremental"] = lambda spark, sf: SIM.ivf_kcell_incremental_topk(
+        _t(spark, sf, "embeddings"), cells=_kcells(spark, sf)
+    )
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
@@ -1172,6 +1177,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_ivf": OSQL.q_sim_search_ivf(),
         "q_sim_search_ivf_trained": OSQL.q_sim_search_ivf_trained(),
         "q_sim_search_kcell": OSQL.q_sim_search_kcell(),
+        "q_sim_search_kcell_incremental": OSQL.q_sim_search_kcell_incremental(),
         "q_sim_search_pq": OSQL.q_sim_search_pq(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
         "q_sim_search_filtered": OSQL.q_sim_search_filtered(),

@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q_sim_search_ivf",
     "q_sim_search_ivf_trained",
     "q_sim_search_kcell",
+    "q_sim_search_kcell_incremental",
     "q_sim_search_batch",
     "q_sim_search_filtered",
     "q_winsorize",

@@ -325,8 +325,18 @@ def _pack_cells(cells: DataFrame) -> DataFrame:
 def _assign_packed(embeddings: DataFrame, packed: DataFrame) -> DataFrame:
     """Map-only nearest-cell assignment against a broadcast packed
     codebook: per vector, fold the squared distance to every centroid
-    inside codegen and take the lexicographic (dist, cell) min — no
-    shuffle, no UDF, linear in corpus size at any cell count."""
+    and take the lexicographic (dist, cell) min — no UDF, linear in
+    corpus size at any cell count. The distance fold is a higher-order
+    function (interpreted, not whole-stage codegen), i.e. a CPU-heavy
+    per-row stage — so spread the input across the session's cores
+    first (functions/partitioning.spread_partitions: the local testdata
+    is single-row-group parquet with scan parallelism 1; measured
+    2.17 s → 0.90 s for the sf0.1 kcell top-k. At real scale sources
+    arrive already split and the round-robin exchange is the usual
+    cheap pre-shuffle of a CPU-bound stage)."""
+    from clusterforge_spark.functions.partitioning import spread_partitions
+
+    embeddings = spread_partitions(embeddings)
 
     def _cs(c):
         d = F.aggregate(
@@ -499,6 +509,84 @@ def ivf_kcell_topk(
         "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
     )
     return _ranked_topk(scored, k)
+
+
+#: incremental-batch derivation: which base vectors spawn a new vector
+#: (1 in INCR_MOD by md5), their id offset, and the perturbation scale
+INCR_MOD = 10
+INCR_ID_OFFSET = 1_000_000_000
+INCR_EPS = 0.01
+
+
+def kcell_incremental_batch(embeddings: DataFrame) -> DataFrame:
+    """Deterministic 'newly arrived vectors' batch for the incremental
+    ANN serve path: every base vector whose md5(vec_id) ≡ 0 (mod
+    INCR_MOD) spawns one new vector — same direction, md5-noise
+    perturbation of ±INCR_EPS per coordinate, id shifted by
+    INCR_ID_OFFSET. Pure integer/md5 arithmetic down to one IEEE
+    divide+multiply+add per coordinate, so Spark and DuckDB derive
+    bit-identical batches (the planted-corpus discipline)."""
+    h = (
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    noise = (
+        "(cast(conv(substr(md5(concat('b', cast(vec_id as string), ':',"
+        " cast(d as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000)"
+    )
+    return embeddings.filter(F.expr(f"pmod({h}, {INCR_MOD}) = 0")).select(
+        (F.col("vec_id") + F.lit(INCR_ID_OFFSET)).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {V.DIM - 1}), d ->"
+            f" cast(element_at(embedding, d + 1) as double)"
+            f" + cast({noise} as double) / 1000.0D * {INCR_EPS!r}D)"
+        ).alias("embedding"),
+    )
+
+
+def ivf_kcell_incremental_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ANN serving: a NEW vector batch
+    (:func:`kcell_incremental_batch`) is indexed against the EXISTING
+    trained codebook — map-only assignment, NO retrain — and the query
+    is answered over base ∪ batch. The production nightly-train /
+    continuous-ingest shape: the codebook is per-snapshot state
+    (retrained when drift warrants), arrivals between trains are
+    assigned on ingest at scan cost. Output adds ``is_new`` so the
+    report shows fresh vectors entering the top-k through the old
+    index. Oracle-exact including the shared codebook training."""
+    if cells is None:
+        cells = ivf_kcell_cells(embeddings, _kcell_n_cells(embeddings)).cache()
+    packed = _pack_cells(cells)
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    corpus = base.unionByName(kcell_incremental_batch(embeddings))
+    assigned = _assign_packed(corpus, packed)
+    qcells = (
+        cells.select(
+            "cell", V.dist2_cols(F.col("cent"), V._lit_arr(V.QUERY_VEC)).alias("qd")
+        )
+        .orderBy("qd", "cell")
+        .limit(int(nprobe))
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell")
+    scored = cand.select(
+        "vec_id",
+        round_det(V.cosine_lit("embedding", V.QUERY_VEC), 6).alias("cos_sim"),
+    )
+    return _ranked_topk(scored, k).select(
+        "vec_id",
+        "cos_sim",
+        "rank",
+        (F.col("vec_id") >= F.lit(INCR_ID_OFFSET)).alias("is_new"),
+    )
 
 
 def pq_codes(embeddings: DataFrame) -> DataFrame:

@@ -5203,6 +5203,55 @@ SELECT vec_id, cos_sim,
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
 
 
+def q_sim_search_kcell_incremental(k: int = 10, nprobe: int = 4) -> str:
+    """Mirrors operators/similarity.ivf_kcell_incremental_topk: codebook
+    trained on the BASE corpus (shared kc chain), a deterministic
+    md5-derived new-vector batch assigned to it without retraining,
+    top-k over base ∪ batch with an is_new flag."""
+    from clusterforge_spark.operators.similarity import (
+        INCR_EPS,
+        INCR_ID_OFFSET,
+        INCR_MOD,
+    )
+
+    d_cell = _V.dist2_cols_sql_pre("u.emb", "c.cent")
+    qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
+    cos = _V.cosine_lit_sql("e.emb", _V.QUERY_VEC)
+    noise = (
+        "CAST((('0x' || substr(md5('b' || CAST(b.vec_id AS VARCHAR) || ':' ||"
+        " CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE)"
+        f" / {_V._flit_sql(1000.0)} * {_V._flit_sql(float(INCR_EPS))}"
+    )
+    return f"""WITH {_kcell_ctes()},
+batch AS MATERIALIZED (
+  SELECT b.vec_id + {INCR_ID_OFFSET} AS vec_id,
+         list_transform(range({_V.DIM}), d -> b.emb[d + 1] + {noise}) AS emb
+  FROM kc_e b
+  WHERE (('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT) % {INCR_MOD} = 0
+),
+uni AS MATERIALIZED (
+  SELECT vec_id, emb FROM kc_e UNION ALL SELECT vec_id, emb FROM batch
+),
+uni_assigned AS MATERIALIZED (
+  SELECT u.vec_id, u.emb, c.cell,
+         row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {d_cell}, c.cell) AS rn
+  FROM uni u CROSS JOIN kc_cells c
+),
+qcells AS (
+  SELECT c.cell FROM kc_cells c, kc_q q ORDER BY {qd}, c.cell LIMIT {nprobe}
+),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM (SELECT a.vec_id, a.emb FROM uni_assigned a JOIN qcells USING (cell)
+        WHERE a.rn = 1) e
+)
+SELECT vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank,
+       vec_id >= {INCR_ID_OFFSET} AS is_new
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
 def _planted_ctes() -> str:
     """The planted-cluster ANN corpus, derived from vec_id alone:
     center ``vec_id % PLANT_G`` (literal table) + per-coordinate md5

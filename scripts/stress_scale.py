@@ -67,6 +67,14 @@ BIG_EVENTS_PATH = "/tmp/stress_events_10x.parquet"
 #: replica: user/event ids shifted per copy, value/ts distributions
 #: preserved, so per-user structure and value histograms scale 10×.
 EVENTS_QUERIES = {
+    # r7 streaming replays: the 10x events file replays as one
+    # availableNow batch — stresses the windowed/stateful aggregation
+    # and the foreachBatch capture, the shapes that scale with volume
+    "q_stream_hourly_replay",
+    "q_stream_session_window_replay",
+    "q_stream_ewma_replay",
+    "q_stream_gap_sessions_replay",
+    "q_stream_upsert_replay",
     "q_quantile_sketch",
     "q_session_cooccurrence",
     "q_mannwhitney",
@@ -129,6 +137,7 @@ BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
 #: queries that read orders as their FACT side — order keys shifted,
 #: custkeys preserved (the customer dim stays 1×, as dims do).
 ORDERS_QUERIES = {
+    "q_dpp_join_pruned",
     "q_anova_f",
     "q_tpch_customer_distribution",
     "q_tpch_sales_opportunity",
@@ -276,6 +285,28 @@ def main() -> int:
 
     queries = E.queries()
     orig_load = R.load_table
+
+    # the streaming replay wrappers build their own readStream over
+    # sf_dir/events.parquet (they never call load_table) — point them
+    # at the 10x replica, which is a multi-part spark-written directory
+    # (no pathGlobFilter; maxFilesPerTrigger high enough for ONE batch,
+    # matching the single-batch semantics of the 1x replay)
+    import clusterforge_spark.streaming.sessionize as SS
+
+    orig_res = SS.read_events_stream
+
+    def patched_res(spark_, sf_dir_):
+        if sf_dir_ == "__stress10x__":
+            from clusterforge_spark.sources.readers import TABLE_SCHEMAS
+
+            return (
+                spark_.readStream.schema(TABLE_SCHEMAS["events"])
+                .option("maxFilesPerTrigger", 10_000)
+                .parquet(BIG_EVENTS_PATH)
+            )
+        return orig_res(spark_, sf_dir_)
+
+    SS.read_events_stream = patched_res
 
     def patched(spark_, sf_dir_, name_):
         if sf_dir_ == "__stress10x__":

@@ -733,6 +733,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_sim_search_ivf",
     "q_sim_search_ivf_trained",
     "q_sim_search_kcell",  # seeds row_number over the post-limit ⌈√n⌉-row codebook
+    "q_sim_search_kcell_incremental",  # same codebook-seed window, reused untrained
     "q_ann_recall",  # same codebook-seed window (√n rows, post-limit)
     "q_sim_search_pq",
     "q_sim_search_filtered",

@@ -484,3 +484,47 @@ def test_planted_clustered_corpus_and_frontier_bend(spark, embeddings):
         )
         recalls = [rec[(corpus, k2)]["recall"] for k2 in ps]
         assert recalls == sorted(recalls)
+
+
+def test_kcell_incremental_serve(spark, embeddings):
+    """Incremental ANN serving (r7): the new-vector batch derives
+    bit-deterministically from the base corpus, is assigned to the
+    EXISTING codebook without retraining, and the top-k over base ∪
+    batch contains new vectors ranked by the same exact cosine as their
+    perturbed parents (INCR_EPS noise ⇒ near-identical similarity)."""
+    from clusterforge_spark.operators.similarity import (
+        INCR_ID_OFFSET,
+        INCR_MOD,
+        ivf_kcell_cells,
+        ivf_kcell_incremental_topk,
+        ivf_kcell_topk,
+        kcell_incremental_batch,
+        _kcell_n_cells,
+    )
+
+    batch = kcell_incremental_batch(embeddings)
+    n_batch = batch.count()
+    n = embeddings.count()
+    # md5 selection: ~1/INCR_MOD of the base, all ids offset
+    assert 0 < n_batch < n
+    assert abs(n_batch - n / INCR_MOD) < n * 0.05
+    assert batch.filter(f"vec_id < {INCR_ID_OFFSET}").count() == 0
+
+    cells = ivf_kcell_cells(embeddings, _kcell_n_cells(embeddings)).cache()
+    inc = ivf_kcell_incremental_topk(embeddings, k=10, cells=cells).collect()
+    assert len(inc) == 10
+    sims = [r["cos_sim"] for r in inc]
+    assert sims == sorted(sims, reverse=True)
+    # the base-only top-k through the same codebook is a sub-multiset:
+    # adding vectors can only displace, never change base scores
+    base_top = {
+        r["vec_id"]: r["cos_sim"]
+        for r in ivf_kcell_topk(embeddings, k=10, cells=cells).collect()
+    }
+    for r in inc:
+        if not r["is_new"]:
+            assert base_top.get(r["vec_id"]) == r["cos_sim"]
+    # a perturbed copy of a probed top vector enters the report whenever
+    # its parent was selected by md5 — check flag consistency
+    for r in inc:
+        assert r["is_new"] == (r["vec_id"] >= INCR_ID_OFFSET)
