@@ -528,3 +528,25 @@ def test_kcell_incremental_serve(spark, embeddings):
     # its parent was selected by md5 — check flag consistency
     for r in inc:
         assert r["is_new"] == (r["vec_id"] >= INCR_ID_OFFSET)
+
+
+def test_planted_corpus_bit_parity_sample(spark, embeddings):
+    """Spark vs the Python replica across a spread of vec_ids (not just
+    one): every coordinate of the synthesized clustered corpus is
+    bit-identical — the property the DuckDB oracle's exactness rests
+    on (same md5 → same integer → one IEEE divide/multiply/add)."""
+    from clusterforge_spark.functions import vector as V
+    from clusterforge_spark.operators.similarity import planted_clustered
+
+    from pyspark.sql import functions as F
+
+    ids = [0, 1, 7, 49, 50, 51, 123, 250, 333, 449]
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in planted_clustered(embeddings)
+        .filter(F.col("vec_id").isin(ids))
+        .collect()
+    }
+    assert set(rows) == set(ids)
+    for i in ids:
+        assert rows[i] == V.py_planted_embedding(i), f"vec_id {i}"

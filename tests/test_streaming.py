@@ -727,3 +727,42 @@ def test_stream_replay_capture_matches_batch(spark, tmp_path):
     batch = session_window_agg(ev)
     assert sess.count() == batch.count()
     assert sess.exceptAll(batch).count() == 0
+
+
+def test_rate_source_live_unbounded_agg(spark):
+    """A genuinely UNBOUNDED source executing locally (the rate source —
+    no jars needed): windowed counts keep growing while the query runs.
+    Complements the file-replay suite: everything else replays finite
+    parquet; this proves the same windowed-agg plan runs against a live
+    source, the exact swap a Kafka deployment makes (sources.py keeps
+    the Kafka config surface; the broker isn't available offline)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_live_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        seen = 0
+        while time.time() < deadline:
+            seen = spark.table("rate_live_out").count()
+            if seen >= 2:
+                break
+            time.sleep(0.5)
+        assert seen >= 2, f"only {seen} windows after 60s of a live rate stream"
+        rows = spark.table("rate_live_out").collect()
+        assert all(r["n"] > 0 for r in rows)
+    finally:
+        q.stop()
