@@ -774,6 +774,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
+    # r7: k-core peel — the dense-clique triage signal next to triangles.
+    # memoized like pagerank/components: the peel MATERIALIZES its
+    # per-round edge sets (see kcore_peel docstring), so the memo shares
+    # one peel per corpus snapshot across invocations
+    q["q_kcore"] = lambda spark, sf: _memo(
+        spark, sf, "kcore",
+        lambda: DD.kcore_peel(_banded_pairs(spark, sf)).cache(),
+    )
     q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
         _banded_pairs(spark, sf)
     )
@@ -894,6 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_source_mixing_weights"] = lambda spark, sf: TX.source_mixing_weights(
         _t(spark, sf, "documents")
     )
+    # r7: the mixing weights turned into an actual budgeted draw
+    q["q_token_budget_mix"] = lambda spark, sf: TX.token_budget_mix(
+        _t(spark, sf, "documents")
+    )
     q["q_cross_source_contamination"] = lambda spark, sf: TX.cross_source_contamination(
         _t(spark, sf, "documents")
     )
@@ -985,6 +997,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_upsert_orders": OSQL.q_upsert_orders(),
         "q_scd2_build": OSQL.q_scd2_build(),
         # streaming replays (r7): final replayed state vs batch recompute
+        "q_token_budget_mix": OSQL.q_token_budget_mix(),
         "q_stream_hourly_replay": OSQL.q_stream_hourly_replay(),
         "q_stream_session_window_replay": OSQL.q_session_window(),
         "q_stream_ewma_replay": OSQL.q_stream_ewma_replay(),
@@ -1106,6 +1119,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
+        "q_kcore": OSQL.q_kcore(),
         "q_pair_degree_stats": OSQL.q_pair_degree_stats(),
         "q_pagerank": OSQL.q_pagerank(),
         "q_dedup_incremental": OSQL.q_dedup_incremental(),

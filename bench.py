@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "q_component_size_stats",
     "q_dup_rate_by_source",
     "q_dedup_triangles",
+    "q_kcore",
     "q_dedup_canonical",
     "q_dedup_embedding",
     "q_sim_search_topk",
@@ -269,6 +270,7 @@ BENCH_QUERIES = [
     "q_chunk_sliding",
     "q_cross_source_contamination",
     "q_source_mixing_weights",
+    "q_token_budget_mix",
     "q_quality_funnel",
     "q_boilerplate_prefix",
     "q_multimodal_meta",

@@ -1374,3 +1374,57 @@ def cdc_chunk_dedup(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+#: k-core peel parameters: minimum degree and the FIXED number of peel
+#: rounds (like pagerank's fixed iterations, a fixed unrolled plan both
+#: engines share — convergence within the rounds is typical for the
+#: banded near-dup graph, whose components are small by construction)
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core of the near-dup pair graph by fixed-round peeling: drop
+    every vertex with degree < k, remove its edges, repeat ``rounds``
+    times; report the surviving vertices with their residual degree.
+
+    The k-core separates DENSE duplicate cliques (template spam — every
+    member stays: within-clique degree = size−1 ≥ k) from chains and
+    stars of borderline matches that peel away — the structural triage
+    signal next to triangles/pagerank for choosing a canonicalization
+    policy per cluster.
+
+    Scale shape: each round is one degree aggregate (keyed on vertex)
+    plus two semi-joins — all hash-partitioned on vertex ids — and the
+    round's surviving edge set is MATERIALIZED (localCheckpoint) before
+    the next round starts. Unlike pagerank's rank vector (referenced
+    once per round — a linear lazy chain), the edge set feeds the next
+    round in FIVE places (two degree legs, the keep filter, both
+    semi-join probes): left lazy, the plan re-evaluates round r's edges
+    5^r times (measured 225 s for 4 rounds at sf0.01 — the exponential
+    the oracle dodges with MATERIALIZED CTEs). The checkpoint is the
+    same per-round materialization the components convergence loop
+    uses; edge count is candidate-bounded by the banded LSH, never n².
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("doc_id"))
+            .unionAll(edges.select(F.col("b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("doc_id")
+        edges = (
+            edges.join(keep.withColumnRenamed("doc_id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("doc_id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= F.lit(int(k)))
+    )

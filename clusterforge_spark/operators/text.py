@@ -1910,3 +1910,68 @@ def feature_hashing(documents: DataFrame, width: int = FEATURE_HASH_W) -> DataFr
         F.sum("cnt").cast("long").alias("weight"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
     )
+
+
+#: token_budget_mix: percent of the corpus token count to fill (integer
+#: so the per-source budget stays exact-integer arithmetic)
+MIX_BUDGET_PCT = 25
+
+
+def token_budget_mix(documents: DataFrame) -> DataFrame:
+    """Greedy best-quality-first token-budget allocation — the step that
+    turns mixing WEIGHTS (source_mixing_weights) into an actual
+    training-mix draw: give every source an equal slice of a global
+    token budget (MIX_BUDGET_PCT% of the corpus) and fill each slice
+    with that source's highest-quality documents until the slice is
+    spent (the boundary-crossing document is included — the standard
+    greedy fill).
+
+    Per-source report: slice size, documents/tokens selected, and the
+    fill ratio. budget = (total_tokens · PCT) div (100 · n_sources) is
+    pure integer arithmetic; selection is an EXCLUSIVE running token
+    sum over a window PARTITIONED by source (parallel across sources;
+    within one source the greedy fill is inherently sequential — a
+    pathologically dominant source would serialize only its own
+    partition, and the two-level prefix machinery in
+    functions/partitioning could distribute even that if ever needed).
+    """
+    from pyspark.sql.window import Window
+
+    scored = quality_score(documents, passthrough=("source",))
+    tot = scored.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.countDistinct("source").cast("long").alias("_ns"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = scored.withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    sel = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "_budget",
+        F.expr(f"(_tot * {MIX_BUDGET_PCT}) div (100 * _ns)").cast("long"),
+    )
+    return (
+        sel.filter(F.col("_before") < F.col("_budget"))
+        .groupBy("source", F.col("_budget").alias("budget_tokens"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_sel"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_sel"),
+        )
+        .select(
+            "source",
+            "budget_tokens",
+            "n_docs_sel",
+            "n_tokens_sel",
+            round_det(
+                F.try_divide(
+                    F.col("n_tokens_sel").cast("double"),
+                    F.col("budget_tokens").cast("double"),
+                ),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

@@ -6516,3 +6516,80 @@ def q_stream_upsert_replay() -> str:
        CAST(count(*) AS BIGINT) AS n_updates
 FROM events
 GROUP BY user_id"""
+
+
+def q_kcore() -> str:
+    """Mirrors operators/dedup.kcore_peel: KCORE_ROUNDS unrolled peel
+    rounds (degree < k vertices removed with their edges) over the
+    banded-minhash pair set, then the surviving vertices' residual
+    degrees (final mask degree >= k)."""
+    from clusterforge_spark.operators.dedup import KCORE_K, KCORE_ROUNDS
+
+    k = KCORE_K
+    pairs = q_dedup_minhash_banded()
+    # every CTE is MATERIALIZED: each round references the previous
+    # round's edges three times — plain CTEs inline, so the unrolled
+    # peel would expand exponentially (observed as "too many open
+    # files" on the repeated parquet leaves)
+    ctes = [f"e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS deg FROM (
+    SELECT a AS doc_id FROM e{r} UNION ALL SELECT b AS doc_id FROM e{r})
+  GROUP BY doc_id
+),
+k{r} AS MATERIALIZED (SELECT doc_id FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a IN (SELECT doc_id FROM k{r}) AND b IN (SELECT doc_id FROM k{r})
+)"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return (
+        f"WITH pairs AS MATERIALIZED (\n{pairs}\n),\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS doc_id FROM {last} UNION ALL SELECT b AS doc_id FROM {last})
+GROUP BY doc_id
+HAVING count(*) >= {k}"""
+    )
+
+
+def q_token_budget_mix() -> str:
+    """Mirrors operators/text.token_budget_mix: equal per-source integer
+    token slices (PCT% of the corpus), greedily filled best-quality
+    first (exclusive running token sum under (quality DESC, doc_id));
+    the slice-crossing document is included."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.text import MIX_BUDGET_PCT
+
+    quality = q_quality_score()
+    return f"""WITH q AS (
+{quality}
+), scored AS (
+  SELECT d.source, q.doc_id, q.n_tokens, q.quality
+  FROM q JOIN documents d USING (doc_id)
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM scored
+), cum AS (
+  SELECT source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before_toks
+  FROM scored
+), sel AS (
+  SELECT c.source, c.n_tokens,
+         CAST((t.tot * {MIX_BUDGET_PCT}) // (100 * t.ns) AS BIGINT) AS budget_tokens
+  FROM cum c CROSS JOIN tot t
+  WHERE c.before_toks < (t.tot * {MIX_BUDGET_PCT}) // (100 * t.ns)
+)
+SELECT source, budget_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs_sel,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sel,
+       {_rd('CAST(sum(n_tokens) AS DOUBLE) / CAST(budget_tokens AS DOUBLE)', 6)} AS fill_ratio
+FROM sel GROUP BY source, budget_tokens"""

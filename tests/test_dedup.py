@@ -492,3 +492,19 @@ class TestBlockSkewSalting:
         )
         # a group holds at most two sub-blocks of ~cap vectors each
         assert per_group <= 3 * cap
+
+
+def test_kcore_peel_semantics(spark):
+    """k-core peel on a hand-built graph: a 4-clique (every vertex
+    degree 3) survives a 2-core peel intact; a chain and a pendant
+    vertex hanging off the clique peel away; residual degrees are the
+    within-core degrees."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.dedup import kcore_peel
+
+    # clique {1,2,3,4} + pendant 5-1 + chain 6-7-8
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7), (7, 8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["degree"] for r in kcore_peel(pairs, k=2, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

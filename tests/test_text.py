@@ -739,3 +739,40 @@ def test_js_divergence_planted(spark):
     )
     got2 = {r["source"]: r["js_bits"] for r in js_divergence_by_source(same).collect()}
     assert got2 == {"A": 0.0, "B": 0.0}
+
+
+def test_token_budget_mix_greedy_fill(spark, documents):
+    """Budget allocation invariants: every source's slice is the same
+    integer budget; selected tokens stop within one document of the
+    slice (the boundary-crossing doc is included, so
+    n_tokens_sel < budget + max_doc_tokens); the selected docs are each
+    source's best-quality prefix."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.text import (
+        MIX_BUDGET_PCT,
+        quality_score,
+        token_budget_mix,
+    )
+
+    rep = {r["source"]: r for r in token_budget_mix(documents).collect()}
+    scored = quality_score(documents, passthrough=("source",)).cache()
+    tot = scored.agg(
+        F.sum("n_tokens").alias("t"), F.countDistinct("source").alias("s")
+    ).collect()[0]
+    budget = (tot["t"] * MIX_BUDGET_PCT) // (100 * tot["s"])
+    assert all(r["budget_tokens"] == budget for r in rep.values())
+    max_doc = scored.agg(F.max("n_tokens")).collect()[0][0]
+    for src, r in rep.items():
+        assert 0 < r["n_tokens_sel"] < budget + max_doc
+        # greedy prefix: selecting the same n_docs best-quality docs of
+        # this source reproduces the token total exactly
+        top = (
+            scored.filter(F.col("source") == src)
+            .orderBy(F.col("quality").desc(), F.col("doc_id"))
+            .limit(r["n_docs_sel"])
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        assert top == r["n_tokens_sel"]
+    scored.unpersist()
