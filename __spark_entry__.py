@@ -906,6 +906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_token_budget_mix"] = lambda spark, sf: TX.token_budget_mix(
         _t(spark, sf, "documents")
     )
+    # r7 capstone: the end-to-end curation chain as one lazy report
+    q["q_curation_pipeline"] = lambda spark, sf: TX.curation_pipeline_report(
+        _t(spark, sf, "documents")
+    )
     q["q_cross_source_contamination"] = lambda spark, sf: TX.cross_source_contamination(
         _t(spark, sf, "documents")
     )
@@ -998,6 +1002,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_scd2_build": OSQL.q_scd2_build(),
         # streaming replays (r7): final replayed state vs batch recompute
         "q_token_budget_mix": OSQL.q_token_budget_mix(),
+        "q_curation_pipeline": OSQL.q_curation_pipeline(),
         "q_stream_hourly_replay": OSQL.q_stream_hourly_replay(),
         "q_stream_session_window_replay": OSQL.q_session_window(),
         "q_stream_ewma_replay": OSQL.q_stream_ewma_replay(),

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "q_cross_source_contamination",
     "q_source_mixing_weights",
     "q_token_budget_mix",
+    "q_curation_pipeline",
     "q_quality_funnel",
     "q_boilerplate_prefix",
     "q_multimodal_meta",

@@ -1975,3 +1975,81 @@ def token_budget_mix(documents: DataFrame) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def curation_pipeline_report(documents: DataFrame) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE report: raw corpus →
+    quality gate (quality ≥ FUNNEL_QUALITY_MIN) → exact dedup (md5 of
+    the text, keep lowest doc_id) → per-source token-budget fill
+    (token_budget_mix's greedy best-quality-first draw over the
+    SURVIVORS). Per source: how many documents entered, passed the
+    gate, survived dedup, made the budget, and the tokens drawn — the
+    one-table answer to "what would training on this corpus actually
+    use", composed entirely from the engine's own stages so the whole
+    chain stays a lazy DataFrame DAG (and oracle-exact end to end).
+
+    Shapes: the gate is map-only; dedup is one hash aggregate keyed on
+    md5(text) (the exact-dedup scale path); the budget fill is the
+    source-partitioned exclusive running sum. The four per-source
+    counts come from four keyed aggregates joined on the (tiny) source
+    dimension.
+    """
+    from pyspark.sql.window import Window
+
+    scored = quality_score(documents, passthrough=("source", "text")).select(
+        "doc_id", "source", "n_tokens", "quality", F.md5("text").alias("_h")
+    )
+    per_raw = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    passed = scored.filter(F.col("quality") >= F.lit(FUNNEL_QUALITY_MIN))
+    per_quality = passed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality")
+    )
+    w_dd = Window.partitionBy("_h").orderBy("doc_id")
+    unique = (
+        passed.withColumn("_rn", F.row_number().over(w_dd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+    per_unique = unique.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
+    tot = unique.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.countDistinct("source").cast("long").alias("_ns"),
+    )
+    w_fill = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    drawn = (
+        unique.withColumn(
+            "_before", F.coalesce(F.sum("n_tokens").over(w_fill), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_budget",
+            F.expr(f"(_tot * {MIX_BUDGET_PCT}) div (100 * _ns)").cast("long"),
+        )
+        .filter(F.col("_before") < F.col("_budget"))
+    )
+    per_budget = drawn.groupBy("source", F.col("_budget").alias("budget_tokens")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_selected"),
+    )
+    return (
+        per_raw.join(per_quality, "source", "left")
+        .join(per_unique, "source", "left")
+        .join(per_budget, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
+            F.coalesce("budget_tokens", F.lit(0)).cast("long").alias("budget_tokens"),
+        )
+    )

@@ -6593,3 +6593,64 @@ SELECT source, budget_tokens,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sel,
        {_rd('CAST(sum(n_tokens) AS DOUBLE) / CAST(budget_tokens AS DOUBLE)', 6)} AS fill_ratio
 FROM sel GROUP BY source, budget_tokens"""
+
+
+def q_curation_pipeline() -> str:
+    """Mirrors operators/text.curation_pipeline_report: quality gate →
+    md5 exact dedup (lowest doc_id survives) → per-source greedy
+    token-budget draw over the survivors; per-source funnel counts."""
+    from clusterforge_spark.operators.text import (
+        FUNNEL_QUALITY_MIN,
+        MIX_BUDGET_PCT,
+    )
+
+    quality = q_quality_score()
+    return f"""WITH q AS (
+{quality}
+), scored AS (
+  SELECT d.source, q.doc_id, q.n_tokens, q.quality, md5(d.text) AS h
+  FROM q JOIN documents d USING (doc_id)
+), per_raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM scored GROUP BY source
+), passed AS (
+  SELECT * FROM scored WHERE quality >= {FUNNEL_QUALITY_MIN!r}
+), per_quality AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_quality FROM passed GROUP BY source
+), uniq AS (
+  SELECT source, doc_id, n_tokens, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM passed) WHERE rn = 1
+), per_unique AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_unique FROM uniq GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM uniq
+), cum AS (
+  SELECT source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before_toks
+  FROM uniq
+), drawn AS (
+  SELECT c.source, c.n_tokens,
+         CAST((t.tot * {MIX_BUDGET_PCT}) // (100 * t.ns) AS BIGINT) AS budget_tokens
+  FROM cum c CROSS JOIN tot t
+  WHERE c.before_toks < (t.tot * {MIX_BUDGET_PCT}) // (100 * t.ns)
+), per_budget AS (
+  SELECT source, budget_tokens,
+         CAST(count(*) AS BIGINT) AS n_selected,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+  FROM drawn GROUP BY source, budget_tokens
+)
+SELECT r.source, r.n_raw,
+       CAST(coalesce(pq.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(pu.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(pb.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(coalesce(pb.tokens_selected, 0) AS BIGINT) AS tokens_selected,
+       CAST(coalesce(pb.budget_tokens, 0) AS BIGINT) AS budget_tokens
+FROM per_raw r
+LEFT JOIN per_quality pq USING (source)
+LEFT JOIN per_unique pu USING (source)
+LEFT JOIN per_budget pb USING (source)"""

@@ -776,3 +776,23 @@ def test_token_budget_mix_greedy_fill(spark, documents):
         )
         assert top == r["n_tokens_sel"]
     scored.unpersist()
+
+
+def test_curation_pipeline_funnel_monotone(spark, documents):
+    """End-to-end curation report invariants: per-source counts are a
+    monotone funnel (raw ≥ quality ≥ unique ≥ selected), the raw counts
+    cover the corpus exactly, and the drawn tokens respect the slice
+    (within one boundary-crossing document)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.text import curation_pipeline_report
+
+    rep = curation_pipeline_report(documents).collect()
+    assert sum(r["n_raw"] for r in rep) == documents.count()
+    max_doc = documents.agg(
+        F.max(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    for r in rep:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_selected"]
+        if r["budget_tokens"] > 0:
+            assert r["tokens_selected"] < r["budget_tokens"] + max_doc
