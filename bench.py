@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q_mutual_information",
     "q_pca_top_component",
     "q_ann_recall",
+    "q_ann_recall_batch",
     "q_pca_by_label",
     "q_zorder_events",
     "q_cube_revenue",

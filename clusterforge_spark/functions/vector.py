@@ -32,6 +32,11 @@ def _det_vec(dim: int, a: float, b: float) -> list[float]:
 #: Literal query vector for similarity search queries.
 QUERY_VEC: list[float] = _det_vec(DIM, 12.9898, 78.233)
 
+#: Second frontier query (r8): the batch ANN frontier report probes
+#: TWO queries per corpus so the clustered recall win is demonstrably
+#: not an artifact of one lucky query vector.
+QUERY_VEC2: list[float] = _det_vec(DIM, 4.8137, 42.719)
+
 #: 16 random hyperplanes for sign-LSH bucketing.
 HYPERPLANES: list[list[float]] = [_det_vec(DIM, 3.77 + 0.613 * j, 1.0 + j) for j in range(16)]
 
@@ -104,6 +109,9 @@ PLANT_CENTERS: list[list[float]] = [
 #: clustered-corpus query: planted center 0 — its true neighbors are
 #: exactly the cluster-0 members, the geometry an IVF index exploits
 PLANT_QUERY: list[float] = PLANT_CENTERS[0]
+#: second clustered query (r8 batch frontier): a DIFFERENT planted
+#: center, so the frontier bend replicates across cluster geometries
+PLANT_QUERY2: list[float] = PLANT_CENTERS[17]
 
 
 def py_planted_embedding(vec_id: int) -> list[float]:

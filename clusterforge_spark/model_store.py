@@ -26,6 +26,7 @@ URI (local, HDFS, s3a), same as any table.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -113,3 +114,124 @@ def load_mllib_model(spark: SparkSession, path: str):
     from pyspark.ml.clustering import KMeansModel
 
     return KMeansModel.load(f"{path.rstrip('/')}/mllib")
+
+
+# ---------------------------------------------------------------------------
+# Generic derived-artifact store (r8): parquet-persisted engine state that
+# is expensive to rebuild but cheap to validate — the trained ANN codebook,
+# the dedup components table, the synthesized clustered ANN corpus. The
+# round-7 verdict's top item: every one of these was per-session state, so
+# a fresh session RETRAINED before it could serve (measured ~25 s cold for
+# the ANN frontier at sf0.1). An artifact is
+#
+#   <path>/data/   the DataFrame, plain parquet (portable, exact doubles)
+#   <path>/meta/   (key string, value string): format_version, kind, and
+#                  caller-chosen fingerprint keys (corpus row count, cell
+#                  count, ...) validated on load
+#
+# Loads are VALIDATED: a missing/corrupt artifact or a fingerprint mismatch
+# (the corpus changed under the artifact) returns None and the caller
+# rebuilds — stale state can never serve. Saves are best-effort: a failed
+# write (concurrent overwrite, read-only FS) falls back to the in-session
+# build, never fails the query. All IO goes through Spark writers/readers,
+# so paths may be any Hadoop-FS URI — on a cluster this is the shared
+# model registry location; locally it defaults to
+# ``<repo>/spark-warehouse/models`` (env SPARK_GRAFT_MODEL_DIR overrides).
+# ---------------------------------------------------------------------------
+
+ARTIFACT_VERSION = "1"
+
+
+def default_model_dir() -> str:
+    """Root of the local artifact registry (env-overridable)."""
+    env = os.environ.get("SPARK_GRAFT_MODEL_DIR")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, "spark-warehouse", "models")
+
+
+def artifact_path(sf_dir: str, name: str, root: str | None = None) -> str:
+    """Registry path for artifact ``name`` of corpus snapshot ``sf_dir``
+    (keyed by the snapshot directory's basename — sf0.01 / sf0.1 — the
+    same per-snapshot granularity as the in-session memos)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(root or default_model_dir(), tag, name)
+
+
+def save_artifact(
+    spark: SparkSession, path: str, df, meta: dict[str, object]
+) -> None:
+    """Persist ``df`` + fingerprint ``meta`` under ``path`` (overwrite).
+
+    The data is written BEFORE the meta, so a reader that validates meta
+    first never sees meta-without-data; a crash between the two writes
+    leaves a fingerprint-less artifact that load_artifact rejects."""
+    base = path.rstrip("/")
+    df.write.mode("overwrite").parquet(f"{base}/data")
+    all_meta = {"format_version": ARTIFACT_VERSION}
+    all_meta.update({k: str(v) for k, v in meta.items()})
+    spark.createDataFrame(
+        sorted(all_meta.items()), schema="key string, value string"
+    ).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def artifact_meta(spark: SparkSession, path: str) -> dict[str, str] | None:
+    """The artifact's meta dict, or None if absent/unreadable."""
+    try:
+        rows = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()
+    except Exception:
+        return None
+    meta = {r.key: r.value for r in rows}
+    if meta.get("format_version") != ARTIFACT_VERSION:
+        return None
+    return meta
+
+
+def load_artifact(
+    spark: SparkSession, path: str, expect: dict[str, object] | None = None
+):
+    """Read a validated artifact: None unless the meta exists, carries the
+    current format_version, and every ``expect`` key matches (string
+    compare — fingerprints are written as str)."""
+    meta = artifact_meta(spark, path)
+    if meta is None:
+        return None
+    for k, v in (expect or {}).items():
+        if meta.get(k) != str(v):
+            return None
+    try:
+        return spark.read.parquet(f"{path.rstrip('/')}/data")
+    except Exception:
+        return None
+
+
+def ensure_artifact(
+    spark: SparkSession,
+    path: str,
+    expect: dict[str, object],
+    builder,
+):
+    """Load-or-build: return the validated stored artifact if present,
+    else build it, persist it (best-effort) and return the STORED copy —
+    so a session that just trained serves exactly the bytes every later
+    session will load (parquet round-trips doubles exactly, so the two
+    are bit-identical anyway; reading back keeps the lineage short).
+    Falls back to the in-session build if persistence fails."""
+    df = load_artifact(spark, path, expect)
+    if df is not None:
+        return df
+    built = builder()
+    try:
+        save_artifact(spark, path, built, expect)
+        reloaded = load_artifact(spark, path, expect)
+        if reloaded is not None:
+            # keep the build's internal-cache lifecycle hooks visible on
+            # the frame the caller actually holds (release() contract)
+            reloaded._cf_internal_caches = getattr(
+                built, "_cf_internal_caches", []
+            )
+            return reloaded
+    except Exception:
+        pass
+    return built

@@ -465,19 +465,29 @@ def ivf_kcell_candidates(
     nprobe: int = 4,
     n_cells: int | None = None,
     cells: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate set of the k-cell trained index: assign the corpus to
     the refined codebook, probe the query's ``nprobe`` nearest cells.
     Pass a pre-trained ``cells`` codebook to reuse one training across
     queries (the production shape: train per corpus snapshot, serve
-    many lookups)."""
+    many lookups). Pass a persisted ``assigned`` (vec_id, cell) table —
+    the index's INVERTED LISTS (model_store artifact) — and the serve
+    plan becomes posting-list probe + vector fetch: broadcast the
+    probed cell ids into the lists, then an id-equi-join back to the
+    corpus for the rerank vectors. No per-query distance fold over the
+    corpus at all — the true IVF serving architecture (at scale the
+    lists and vectors are co-partitioned by cell, making the fetch
+    join co-located)."""
     query = query or V.QUERY_VEC
+    trained: list[DataFrame] = []
     if cells is None:
         n_cells = n_cells or _kcell_n_cells(embeddings)
         # cache the trained codebook (n_cells rows): it feeds BOTH the
         # query-probe branch and the packed assignment branch of the
         # same plan, and CacheManager dedups repeated calls in a session
         cells = ivf_kcell_cells(embeddings, n_cells).cache()
+        trained = [cells]
     qcells = (
         cells.select(
             "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
@@ -486,8 +496,19 @@ def ivf_kcell_candidates(
         .limit(int(nprobe))
         .select("cell")
     )
-    assigned = _assign_packed(embeddings, _pack_cells(cells))
-    return assigned.join(F.broadcast(qcells), "cell").select("vec_id", "embedding")
+    if assigned is not None:
+        cand_ids = assigned.join(F.broadcast(qcells), "cell").select("vec_id")
+        out = cand_ids.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    else:
+        corpus_assigned = _assign_packed(embeddings, _pack_cells(cells))
+        out = corpus_assigned.join(F.broadcast(qcells), "cell").select(
+            "vec_id", "embedding"
+        )
+    # lifecycle: a codebook trained+cached HERE has no caller handle —
+    # expose it so __spark_entry__.release() can unpersist it at the
+    # corpus-snapshot boundary (the ann_recall discipline)
+    out._cf_internal_caches = trained
+    return out
 
 
 def ivf_kcell_topk(
@@ -497,18 +518,26 @@ def ivf_kcell_topk(
     nprobe: int = 4,
     n_cells: int | None = None,
     cells: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k through the k-cell trained index: candidates from
     :func:`ivf_kcell_candidates`, exact cosine rerank, deterministic
     rank."""
     query = query or V.QUERY_VEC
     cand = ivf_kcell_candidates(
-        embeddings, query, nprobe=nprobe, n_cells=n_cells, cells=cells
+        embeddings,
+        query,
+        nprobe=nprobe,
+        n_cells=n_cells,
+        cells=cells,
+        assigned=assigned,
     )
     scored = cand.select(
         "vec_id", round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim")
     )
-    return _ranked_topk(scored, k)
+    out = _ranked_topk(scored, k)
+    out._cf_internal_caches = getattr(cand, "_cf_internal_caches", [])
+    return out
 
 
 #: incremental-batch derivation: which base vectors spawn a new vector
@@ -549,6 +578,7 @@ def ivf_kcell_incremental_topk(
     k: int = 10,
     nprobe: int = 4,
     cells: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ANN serving: a NEW vector batch
     (:func:`kcell_incremental_batch`) is indexed against the EXISTING
@@ -559,15 +589,27 @@ def ivf_kcell_incremental_topk(
     assigned on ingest at scan cost. Output adds ``is_new`` so the
     report shows fresh vectors entering the top-k through the old
     index. Oracle-exact including the shared codebook training."""
+    trained: list[DataFrame] = []
     if cells is None:
         cells = ivf_kcell_cells(embeddings, _kcell_n_cells(embeddings)).cache()
+        trained = [cells]
     packed = _pack_cells(cells)
     base = embeddings.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
     )
-    corpus = base.unionByName(kcell_incremental_batch(embeddings))
-    assigned = _assign_packed(corpus, packed)
+    batch = kcell_incremental_batch(embeddings)
+    if assigned is not None:
+        # persisted inverted lists cover the BASE corpus; only the new
+        # batch pays a map-only assignment — the continuous-ingest cost
+        base_assigned = assigned.join(base, "vec_id").select(
+            "vec_id", "embedding", "cell"
+        )
+        union_assigned = base_assigned.unionByName(
+            _assign_packed(batch, packed).select("vec_id", "embedding", "cell")
+        )
+    else:
+        union_assigned = _assign_packed(base.unionByName(batch), packed)
     qcells = (
         cells.select(
             "cell", V.dist2_cols(F.col("cent"), V._lit_arr(V.QUERY_VEC)).alias("qd")
@@ -576,17 +618,22 @@ def ivf_kcell_incremental_topk(
         .limit(int(nprobe))
         .select("cell")
     )
-    cand = assigned.join(F.broadcast(qcells), "cell")
+    cand = union_assigned.join(F.broadcast(qcells), "cell")
     scored = cand.select(
         "vec_id",
         round_det(V.cosine_lit("embedding", V.QUERY_VEC), 6).alias("cos_sim"),
     )
-    return _ranked_topk(scored, k).select(
+    out = _ranked_topk(scored, k).select(
         "vec_id",
         "cos_sim",
         "rank",
         (F.col("vec_id") >= F.lit(INCR_ID_OFFSET)).alias("is_new"),
     )
+    # lifecycle: a self-trained codebook is exposed for release() like
+    # ann_recall's (r7 ADVICE — a long-lived session calling this
+    # directly would otherwise leak one cached codebook per corpus)
+    out._cf_internal_caches = trained
+    return out
 
 
 def pq_codes(embeddings: DataFrame) -> DataFrame:
@@ -1126,6 +1173,7 @@ def ann_recall(
     kcell_nprobes: tuple[int, ...] = IVF_KCELL_NPROBES,
     cells: DataFrame | None = None,
     query: list[float] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k AND candidate fan-out of every approximate search ladder
     (literal IVF, sign-LSH, and the k-cell trained index at several
@@ -1182,13 +1230,23 @@ def ann_recall(
     # train the k-cell quantizer ONCE and share the assignment across
     # probe depths (the per-depth candidate set only varies in which
     # cells are probed); the cached frame is (vec_id, cell) — tiny.
-    # A caller-supplied pre-trained codebook is reused as-is.
+    # A caller-supplied pre-trained codebook is reused as-is; a
+    # caller-supplied ``assigned`` (vec_id, cell) table — the IVF
+    # index's INVERTED LISTS, persistable via model_store like the
+    # codebook — skips the per-session assignment fold entirely (the
+    # report's dominant CPU stage: an interpreted distance fold per
+    # vector × cell).
     kc = cells if cells is not None else ivf_kcell_cells(embeddings, n_cells).cache()
-    kc_assigned = (
-        _assign_packed(embeddings, _pack_cells(kc))
-        .select("vec_id", "cell")
-        .cache()
-    )
+    internal: list[DataFrame] = [] if cells is not None else [kc]
+    if assigned is not None:
+        kc_assigned = assigned
+    else:
+        kc_assigned = (
+            _assign_packed(embeddings, _pack_cells(kc))
+            .select("vec_id", "cell")
+            .cache()
+        )
+        internal = [kc_assigned] + internal
     kc_qorder = kc.select(
         "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
     ).orderBy("qd", "cell")
@@ -1255,7 +1313,7 @@ def ann_recall(
     # and the codebook when trained here) that no caller holds a handle
     # to — expose them so __spark_entry__.release() can unpersist them
     # at the corpus-snapshot boundary instead of leaking per snapshot
-    out._cf_internal_caches = [kc_assigned] + ([] if cells is not None else [kc])
+    out._cf_internal_caches = internal
     return out
 
 
@@ -1273,6 +1331,8 @@ def ann_recall_dual(
     cells_iso: DataFrame | None = None,
     cells_clustered: DataFrame | None = None,
     clustered: DataFrame | None = None,
+    assigned_iso: DataFrame | None = None,
+    assigned_clustered: DataFrame | None = None,
 ) -> DataFrame:
     """The full ANN frontier report over BOTH corpora: the driver's
     isotropic embeddings (the degenerate regime where recall ≈ fan-out
@@ -1286,7 +1346,11 @@ def ann_recall_dual(
     ``cells_*`` to reuse across queries). Fully oracle-exact, training
     included, on both corpora."""
     iso_raw = ann_recall(
-        embeddings, k=k, kcell_nprobes=kcell_nprobes, cells=cells_iso
+        embeddings,
+        k=k,
+        kcell_nprobes=kcell_nprobes,
+        cells=cells_iso,
+        assigned=assigned_iso,
     )
     iso = iso_raw.select(F.lit("isotropic").alias("corpus"), "*")
     # cache the synthesized corpus: the report's ~20 aggregate branches
@@ -1304,12 +1368,207 @@ def ann_recall_dual(
         kcell_nprobes=kcell_nprobes,
         cells=cells_clustered,
         query=V.PLANT_QUERY,
+        assigned=assigned_clustered,
     )
     clu = clu_raw.select(F.lit("clustered").alias("corpus"), "*")
     out = iso.unionByName(clu)
     out._cf_internal_caches = (
         iso_raw._cf_internal_caches
         + clu_raw._cf_internal_caches
+        + ([] if clustered is not None else [clu_corpus])
+    )
+    return out
+
+
+#: probe ladder of the BATCH frontier (r8) — the bend shows between 1
+#: and 3 probes on the clustered corpus; 8 is the saturation control
+ANN_BATCH_NPROBES = (1, 3, 8)
+
+
+def ann_recall_multi(
+    embeddings: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    kcell_nprobes: tuple[int, ...] = ANN_BATCH_NPROBES,
+    cells: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier rows per (query, strategy) for a BATCH of query vectors
+    over one corpus — r8, verdict item 6: the single-query report's
+    recall win could in principle be one lucky vector; this replicates
+    the frontier across queries at near-constant corpus cost.
+
+    Cost shape: the per-corpus index features (IVF coarse cell + LSH
+    bucket) are computed in ONE pass and cached as (vec_id, cell,
+    bucket); the k-cell inverted lists come from the trained index
+    (persistable via model_store). Every query's candidate set is then
+    a FILTER/probe over those cached tables, the ground truth for ALL
+    queries is one batch-scored scan (the batch_topk shape), and every
+    (query, strategy) pair is answered by a single labeled-union hash
+    aggregate. Adding a query adds literal probes, never a corpus pass.
+    Fully deterministic → oracle-exact, training included."""
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    n_total = F.broadcast(
+        embeddings.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    internal: list[DataFrame] = []
+    kc = cells
+    if kc is None:
+        kc = ivf_kcell_cells(embeddings, _kcell_n_cells(embeddings)).cache()
+        internal.append(kc)
+    kc_assigned = assigned
+    if kc_assigned is None:
+        kc_assigned = (
+            _assign_packed(embeddings, _pack_cells(kc))
+            .select("vec_id", "cell")
+            .cache()
+        )
+        internal.append(kc_assigned)
+    planes = V.HYPERPLANES[:8]
+    # one corpus pass builds every query-independent index feature
+    feat = (
+        ivf_assign(embeddings)
+        .select(
+            "vec_id",
+            F.col("cell").alias("ivf_cell"),
+            V.lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        .cache()
+    )
+    internal.append(feat)
+
+    labeled: list[DataFrame] = []
+    order: list[tuple[str, str]] = []
+    for qid, qv in queries:
+        iv_cells = [int(c) for c in py_ivf_cells(qv, V.IVF_CENTROIDS, 2)]
+        qb = V.py_lsh_bucket(qv, planes)
+        probes = sorted({qb} | {qb ^ (1 << j) for j in range(len(planes))})
+        qlit = F.lit(qid).alias("query")
+        labeled.append(
+            feat.filter(F.col("ivf_cell").isin(iv_cells)).select(
+                qlit, F.lit("ivf").alias("strategy"), "vec_id"
+            )
+        )
+        order.append((qid, "ivf"))
+        labeled.append(
+            feat.filter(F.col("bucket").isin([int(b) for b in probes])).select(
+                qlit, F.lit("lsh").alias("strategy"), "vec_id"
+            )
+        )
+        order.append((qid, "lsh"))
+        kc_qorder = kc.select(
+            "cell", V.dist2_cols(F.col("cent"), V._lit_arr(qv)).alias("qd")
+        ).orderBy("qd", "cell")
+        for p in kcell_nprobes:
+            qcells = kc_qorder.limit(int(p)).select("cell")
+            labeled.append(
+                kc_assigned.join(F.broadcast(qcells), "cell").select(
+                    qlit, F.lit(f"kcell_p{p}").alias("strategy"), "vec_id"
+                )
+            )
+            order.append((qid, f"kcell_p{p}"))
+
+    # ground truth for every query in ONE scored scan (batch_topk shape)
+    sims = F.array(
+        *[round_det(V.cosine_lit("embedding", qv), 6) for _, qv in queries]
+    )
+    qid_arr = F.array(*[F.lit(qid) for qid, _ in queries])
+    scored = embeddings.select(
+        "vec_id", F.posexplode(sims).alias("_qi", "_cos")
+    )
+    w = Window.partitionBy("_qi").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    truth = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .select(
+            F.element_at(qid_arr, F.col("_qi") + 1).alias("query"),
+            "vec_id",
+            F.lit(1).cast("long").alias("_hit"),
+        )
+    )
+    cand_all = labeled[0]
+    for part in labeled[1:]:
+        cand_all = cand_all.unionByName(part)
+    agg = (
+        cand_all.join(F.broadcast(truth), ["query", "vec_id"], "left")
+        .groupBy("query", "strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nc"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("_no"),
+        )
+    )
+    names_df = spark.createDataFrame(
+        [(i, qid, strat) for i, (qid, strat) in enumerate(order)],
+        "_ord long, query string, strategy string",
+    )
+    out = (
+        names_df.join(F.broadcast(agg), ["query", "strategy"], "left")
+        .crossJoin(n_total)
+        .select(
+            "query",
+            "strategy",
+            F.coalesce("_nc", F.lit(0)).cast("long").alias("n_candidates"),
+            round_det(
+                F.coalesce("_nc", F.lit(0)).cast("double")
+                / F.col("_n").cast("double"),
+                4,
+            ).alias("fanout"),
+            F.coalesce("_no", F.lit(0)).cast("long").alias("n_overlap"),
+            round_det(
+                F.coalesce("_no", F.lit(0)).cast("double") / F.lit(float(k)), 4
+            ).alias("recall"),
+            F.col("_ord"),
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )
+    out._cf_internal_caches = internal
+    return out
+
+
+def ann_recall_batch_dual(
+    embeddings: DataFrame,
+    k: int = 10,
+    kcell_nprobes: tuple[int, ...] = ANN_BATCH_NPROBES,
+    cells_iso: DataFrame | None = None,
+    cells_clustered: DataFrame | None = None,
+    clustered: DataFrame | None = None,
+    assigned_iso: DataFrame | None = None,
+    assigned_clustered: DataFrame | None = None,
+) -> DataFrame:
+    """The batch frontier over BOTH corpora × TWO queries each: the
+    isotropic control (q1 = the classic literal query, q2 = a second
+    independent one) and the planted-cluster corpus (q1 = center 0,
+    q2 = center 17). One row per (corpus, query, strategy): the
+    clustered kcell rows must bend for BOTH queries — the recall win is
+    a property of the index on that geometry, not of one vector."""
+    iso = ann_recall_multi(
+        embeddings,
+        [("q1", V.QUERY_VEC), ("q2", V.QUERY_VEC2)],
+        k=k,
+        kcell_nprobes=kcell_nprobes,
+        cells=cells_iso,
+        assigned=assigned_iso,
+    )
+    clu_corpus = (
+        clustered if clustered is not None else planted_clustered(embeddings).cache()
+    )
+    clu = ann_recall_multi(
+        clu_corpus,
+        [("q1", V.PLANT_QUERY), ("q2", V.PLANT_QUERY2)],
+        k=k,
+        kcell_nprobes=kcell_nprobes,
+        cells=cells_clustered,
+        assigned=assigned_clustered,
+    )
+    out = iso.select(F.lit("isotropic").alias("corpus"), "*").unionByName(
+        clu.select(F.lit("clustered").alias("corpus"), "*")
+    )
+    out._cf_internal_caches = (
+        iso._cf_internal_caches
+        + clu._cf_internal_caches
         + ([] if clustered is not None else [clu_corpus])
     )
     return out

@@ -5374,6 +5374,123 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS ncand FROM {cte}) c,
     )
 
 
+def q_ann_recall_batch(
+    k: int = 10, kcell_nprobes: tuple[int, ...] | None = None
+) -> str:
+    """Batch ANN frontier (mirrors similarity.ann_recall_batch_dual):
+    one row per (corpus, query, strategy) for TWO query vectors per
+    corpus. Index features (IVF argmin cell, LSH bucket) are per-corpus
+    CTEs shared by every query's candidate filter — the same
+    one-corpus-pass shape the Spark operator caches; the k-cell chains
+    are the identical parametrized training CTEs q_ann_recall uses."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import (
+        ANN_BATCH_NPROBES,
+        py_ivf_cells,
+    )
+
+    if kcell_nprobes is None:
+        kcell_nprobes = ANN_BATCH_NPROBES
+    cents = _V.IVF_CENTROIDS
+    planes = _V.HYPERPLANES[:8]
+    qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
+
+    corpora = (
+        (
+            "isotropic",
+            "embeddings",
+            "kb",
+            (("q1", _V.QUERY_VEC), ("q2", _V.QUERY_VEC2)),
+        ),
+        (
+            "clustered",
+            "planted",
+            "kbc",
+            (("q1", _V.PLANT_QUERY), ("q2", _V.PLANT_QUERY2)),
+        ),
+    )
+    ctes: list[str] = []
+    rows: list[str] = []
+    for corpus, src, pfx, queries in corpora:
+        dists = ",\n         ".join(
+            f"{_V.dist2_lit_sql_pre('emb', c)} AS d{i}" for i, c in enumerate(cents)
+        )
+        bucket = _V.lsh_bucket_sql("embedding", planes)
+        ctes.append(
+            f"""{pfx}_feat AS MATERIALIZED (
+  SELECT f.vec_id, f.cell AS ivf_cell, b.bucket
+  FROM (SELECT vec_id,
+               CAST({_argmin_case(len(cents))} AS BIGINT) AS cell
+        FROM (SELECT vec_id, {dists} FROM {pfx}_e)) f
+  JOIN (SELECT vec_id, {bucket} AS bucket FROM {src}) b USING (vec_id)
+)"""
+        )
+        for qid, qv in queries:
+            iv_cells = py_ivf_cells(qv, cents, 2)
+            qb = _V.py_lsh_bucket(qv, planes)
+            probes = sorted({qb} | {qb ^ (1 << j) for j in range(len(planes))})
+            cos = _V.cosine_lit_sql("embedding", qv)
+            truth = _topk_sql(
+                f"SELECT vec_id, round({cos}, 6) AS cos_sim FROM {src}", k
+            )
+            ctes.append(
+                f"{pfx}_{qid}_truth AS MATERIALIZED (SELECT vec_id FROM ({truth}))"
+            )
+            ctes.append(
+                f"""{pfx}_{qid}_ivf_cand AS (
+  SELECT vec_id FROM {pfx}_feat
+  WHERE ivf_cell IN ({", ".join(str(c) for c in iv_cells)})
+)"""
+            )
+            ctes.append(
+                f"""{pfx}_{qid}_lsh_cand AS (
+  SELECT vec_id FROM {pfx}_feat
+  WHERE bucket IN ({", ".join(str(b) for b in probes)})
+)"""
+            )
+            qlits = ", ".join(_V._flit_sql(v) for v in qv)
+            ctes.append(f"{pfx}_{qid}_qv AS (SELECT [{qlits}]::DOUBLE[] AS qv)")
+            names = [f"{pfx}_{qid}_ivf", f"{pfx}_{qid}_lsh"]
+            for p in kcell_nprobes:
+                ctes.append(
+                    f"""{pfx}_{qid}_qc_{p} AS (
+  SELECT c.cell FROM {pfx}_cells c, {pfx}_{qid}_qv q ORDER BY {qd}, c.cell LIMIT {p}
+),
+{pfx}_{qid}_kcell_p{p}_cand AS (
+  SELECT a.vec_id FROM {pfx}_assigned a JOIN {pfx}_{qid}_qc_{p} USING (cell)
+  WHERE a.rn = 1
+)"""
+                )
+                names.append(f"{pfx}_{qid}_kcell_p{p}")
+            for name in names:
+                cte = f"{name}_cand"
+                label = name[len(pfx) + len(qid) + 2 :]
+                rows.append(
+                    f"""SELECT '{corpus}' AS corpus, '{qid}' AS query,
+       '{label}' AS strategy,
+       c.ncand AS n_candidates,
+       {_rd('CAST(c.ncand AS DOUBLE) / CAST(nt.n AS DOUBLE)', 4)} AS fanout,
+       o.nov AS n_overlap,
+       {_rd(f'CAST(o.nov AS DOUBLE) / {float(k)!r}', 4)} AS recall
+FROM (SELECT CAST(count(*) AS BIGINT) AS ncand FROM {cte}) c,
+     (SELECT CAST(count(*) AS BIGINT) AS nov
+      FROM {cte} JOIN {pfx}_{qid}_truth USING (vec_id)) o,
+     nt"""
+                )
+    return (
+        "WITH nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),\n"
+        + _planted_ctes()
+        + ",\n"
+        + _kcell_ctes(prefix="kb")
+        + ",\n"
+        + _kcell_ctes(src="planted", prefix="kbc")
+        + ",\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
 def q_pca_by_label() -> str:
     from clusterforge_spark.operators.similarity import PCA_POWER_ITERS
 

@@ -115,33 +115,38 @@ def test_release_frees_memoized_state(spark):
     snapshots without accumulating executor memory."""
     from tests.conftest import SF_DIR
 
+    from pyspark.sql import DataFrame
+    from clusterforge_spark.operators import similarity as SIM
+
     app = spark.sparkContext.applicationId
     # populate: the kcell top-k builds + caches the codebook memo
     E.queries()["q_sim_search_kcell"](spark, SF_DIR).collect()
+    E.queries()["q_ann_recall"](spark, SF_DIR).collect()
     cached = [
         (k, df)
         for k, df in E._MEMO.items()
-        if k[0] == app and k[1] == SF_DIR
+        if k[0] == app and k[1] == SF_DIR and isinstance(df, DataFrame)
     ]
     assert cached, "expected memo entries after running a kcell query"
     assert any(df.storageLevel.useMemory for _, df in cached)
-    # the dual ANN report also caches frames INTERNALLY (assignment
-    # tables) — release() must free those too, or a multi-snapshot
-    # serving session leaks one n-row cache per retired corpus
-    E.queries()["q_ann_recall"](spark, SF_DIR).collect()
-    report = E._MEMO[(app, SF_DIR, "ann_recall_dual_df")]
-    inner = list(getattr(report, "_cf_internal_caches", []))
-    assert inner, "dual report should expose its internal caches"
+    # a DIRECT ann_recall call (no registry inputs) caches frames
+    # INTERNALLY (codebook + assignment) — it must expose them so
+    # release() can free them, or a multi-snapshot serving session
+    # leaks one n-row cache per retired corpus
+    emb = E._t(spark, SF_DIR, "embeddings")
+    direct = SIM.ann_recall(emb, kcell_nprobes=(1,))
+    direct.collect()
+    inner = list(getattr(direct, "_cf_internal_caches", []))
+    assert inner, "self-training ann_recall should expose internal caches"
     assert any(df.storageLevel.useMemory for df in inner)
-    cached = [
-        (k, df)
-        for k, df in E._MEMO.items()
-        if k[0] == app and k[1] == SF_DIR
+    for df in inner:
+        df.unpersist(blocking=True)
+    all_keys = [
+        k for k in E._MEMO if k[0] == app and k[1] == SF_DIR
     ]
     n = E.release(spark, SF_DIR)
-    assert n == len(cached)
+    assert n == len(all_keys)
     assert not [k for k in E._MEMO if k[0] == app and k[1] == SF_DIR]
     assert all(not df.storageLevel.useMemory for _, df in cached)
-    assert all(not df.storageLevel.useMemory for df in inner)
     # releasing again is a no-op
     assert E.release(spark, SF_DIR) == 0

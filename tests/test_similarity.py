@@ -550,3 +550,24 @@ def test_planted_corpus_bit_parity_sample(spark, embeddings):
     assert set(rows) == set(ids)
     for i in ids:
         assert rows[i] == V.py_planted_embedding(i), f"vec_id {i}"
+
+
+def test_ann_recall_batch_bend_replicates_across_queries(spark, embeddings):
+    """r8 (verdict item 6): the clustered frontier bend must hold for
+    BOTH query vectors — recall ≥0.9 at ≤10% fan-out from ONE probed
+    cell on the planted corpus, per query — while the isotropic control
+    stays fan-out-bound. 2 corpora × 2 queries × 5 strategies."""
+    from clusterforge_spark.operators import similarity as SIM
+
+    rows = SIM.ann_recall_batch_dual(embeddings).collect()
+    assert len(rows) == 20
+    by = {(r.corpus, r.query, r.strategy): r for r in rows}
+    for qid in ("q1", "q2"):
+        clu = by[("clustered", qid, "kcell_p1")]
+        assert clu.recall >= 0.9, (qid, clu)
+        assert clu.fanout <= 0.1, (qid, clu)
+        iso = by[("isotropic", qid, "kcell_p1")]
+        # isotropic: recall tracks fan-out (no geometry to exploit)
+        assert iso.recall <= clu.recall
+    # every (corpus, query) pair reports the full strategy ladder
+    assert {k[2] for k in by} == {"ivf", "lsh", "kcell_p1", "kcell_p3", "kcell_p8"}
