@@ -1142,19 +1142,46 @@ def run_stream_psi_batchlike(
 # operators' docstrings.
 # ---------------------------------------------------------------------------
 
-def _replay_out_dir(out_path: str | None, tag: str) -> str:
-    """Fixed per-proof capture location (the sinks._scratch_dir
-    discipline — a fresh mkdtemp per call leaks unbounded /tmp on a
-    long-lived box), PRE-CLEANED on every invocation: append-mode
-    captures must start empty or re-runs accumulate rows, and the
-    upsert capture's first-batch detection requires the path to not
-    exist yet."""
+def _replay_out_dir(
+    out_path: str | None,
+    tag: str,
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+) -> str:
+    """Per-proof capture location, PRE-CLEANED on every invocation:
+    append-mode captures must start empty or re-runs accumulate rows,
+    and the upsert capture's first-batch detection requires the path to
+    not exist yet.
+
+    Keyed by (applicationId, sf_dir-hash, tag) — r7 ADVICE: a dir keyed
+    only by tag lets two concurrent runs (bench + correctness, or two
+    scales) rmtree each other's captures mid-stream, and a previously
+    returned DataFrame stays lazily bound to a dir the other run
+    pre-cleans. Per-app keying makes concurrent runs disjoint; stale
+    apps' dirs are pruned by age (>1 day) so the fixed-root discipline
+    (no unbounded mkdtemp leak on a long-lived box) is kept."""
     if out_path:
         return out_path
+    import hashlib
     import shutil
     import tempfile
+    import time as _time
 
-    d = os.path.join(tempfile.gettempdir(), "clusterforge_rt", "replay", tag)
+    root = os.path.join(tempfile.gettempdir(), "clusterforge_rt", "replay")
+    app = spark.sparkContext.applicationId if spark is not None else "noapp"
+    key = app
+    if sf_dir:
+        key += "-" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # prune dirs of DEAD runs: other app keys untouched for >1 day
+    try:
+        cutoff = _time.time() - 86400
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if not name.startswith(app) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(root, key, tag)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
@@ -1172,14 +1199,39 @@ def run_stream_replay_to_parquet(
 
     complete mode: each batch OVERWRITES the capture (idempotent — the
     final batch holds the full result, so replays converge). append
-    mode: each batch's new rows append (exactly-once per batch id on a
-    transactional table; on plain parquet a re-run of the same batch
-    would duplicate, the same caveat run_stream_countmin_batchlike
-    documents)."""
+    mode: a ``_batches/<id>`` manifest marker is written after each
+    batch commits and already-marked ids are SKIPPED, so replaying the
+    same stream into the same capture dir is idempotent on plain
+    parquet too (r7 verdict item 4; the underscore prefix hides the
+    manifest from parquet readers). The marker is written AFTER the
+    data commit, so the one remaining window is a crash BETWEEN the
+    two — the standard at-least-once boundary of any non-transactional
+    sink; a transactional table format closes it for free (SCALE.md).
+    The manifest lives on the same filesystem as the capture (Hadoop FS
+    API), so the guard works on any URI, not just local paths."""
     mode = "overwrite" if output_mode == "complete" else "append"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf), hp
 
     def capture(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(mode).parquet(out_path)
+        if mode == "append":
+            fs, marker = _hpath(f"{out_path}/_batches/{batch_id}")
+            if fs.exists(marker):
+                # this batch already committed in a prior replay: skip
+                # the parquet write but still CONSUME the batch through
+                # the noop sink — stateful operators (stream-stream
+                # joins, sessionization) must run their tasks so the
+                # state store commits validate
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
+            batch_df.write.mode(mode).parquet(out_path)
+            fs.createNewFile(marker)
+        else:
+            batch_df.write.mode(mode).parquet(out_path)
 
     query = (
         stream.writeStream.foreachBatch(capture)
@@ -1199,7 +1251,7 @@ def run_stream_hourly_replay(
     event time (oracle_sql.q_stream_hourly_replay)."""
     stream = hourly_user_counts(read_events_stream(spark, sf_dir))
     return run_stream_replay_to_parquet(
-        spark, stream, _replay_out_dir(out_path, "hourly"), "complete"
+        spark, stream, _replay_out_dir(out_path, "hourly", spark, sf_dir), "complete"
     )
 
 
@@ -1213,7 +1265,7 @@ def run_stream_session_window_replay(
         read_events_stream(spark, sf_dir), gap_minutes
     )
     return run_stream_replay_to_parquet(
-        spark, stream, _replay_out_dir(out_path, "sesswin"), "complete"
+        spark, stream, _replay_out_dir(out_path, "sesswin", spark, sf_dir), "complete"
     )
 
 
@@ -1229,7 +1281,7 @@ def run_stream_ewma_replay(
     snaps = run_stream_replay_to_parquet(
         spark,
         ewma_stream(read_events_stream(spark, sf_dir)),
-        _replay_out_dir(out_path, "ewma"),
+        _replay_out_dir(out_path, "ewma", spark, sf_dir),
         "append",
     )
     return (
@@ -1258,7 +1310,7 @@ def run_stream_click_attribution_replay(
         max_gap_minutes=max_gap_minutes,
     )
     return run_stream_replay_to_parquet(
-        spark, stream, _replay_out_dir(out_path, "clickattr"), "append"
+        spark, stream, _replay_out_dir(out_path, "clickattr", spark, sf_dir), "append"
     )
 
 
@@ -1269,7 +1321,7 @@ def run_stream_topk_replay(
     pattern of run_stream_topk_batchlike), replayed to its parquet
     sink. Oracle: windowed count + row_number in SQL."""
     return run_stream_topk_batchlike(
-        spark, sf_dir, _replay_out_dir(out_path, "topk"), k=k
+        spark, sf_dir, _replay_out_dir(out_path, "topk", spark, sf_dir), k=k
     )
 
 
@@ -1281,7 +1333,7 @@ def run_stream_upsert_replay(
     last-event view (oracle_sql.q_stream_upsert_replay); (user_id, ts)
     is unique in the feed at every SF, so last_value is well-defined."""
     return run_stream_upsert_batchlike(
-        spark, sf_dir, _replay_out_dir(out_path, "upsert")
+        spark, sf_dir, _replay_out_dir(out_path, "upsert", spark, sf_dir)
     )
 
 
@@ -1303,7 +1355,7 @@ def run_stream_gap_sessions_replay(
     snaps = run_stream_replay_to_parquet(
         spark,
         sessionize_gap_stream(read_events_stream(spark, sf_dir), gap_minutes),
-        _replay_out_dir(out_path, "gapsess"),
+        _replay_out_dir(out_path, "gapsess", spark, sf_dir),
         "append",
     )
     return snaps.select(

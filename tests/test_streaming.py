@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from clusterforge_spark.operators.relational import window_sessionize
 from clusterforge_spark.streaming.sessionize import run_sessionize_batchlike
 
@@ -729,22 +731,29 @@ def test_stream_replay_capture_matches_batch(spark, tmp_path):
     assert sess.exceptAll(batch).count() == 0
 
 
+@pytest.mark.slow
 def test_rate_source_live_unbounded_agg(spark):
     """A genuinely UNBOUNDED source executing locally (the rate source —
     no jars needed): windowed counts keep growing while the query runs.
     Complements the file-replay suite: everything else replays finite
     parquet; this proves the same windowed-agg plan runs against a live
     source, the exact swap a Kafka deployment makes (sources.py keeps
-    the Kafka config surface; the broker isn't available offline)."""
+    the Kafka config surface; the broker isn't available offline).
+
+    Marked ``slow`` (r7 ADVICE): the assertion depends on wall-clock
+    behavior of a live source; a loaded runner can deselect with
+    ``-m "not slow"`` instead of turning a timing assumption into a
+    suite failure. The load itself is tiny (50 rows/s, 500 ms windows
+    — two windows normally appear within ~2 s of the 60 s deadline)."""
     import time
 
     from pyspark.sql import functions as F
 
     stream = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 200)
+        .option("rowsPerSecond", 50)
         .load()
-        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .groupBy(F.window("timestamp", "500 milliseconds").alias("w"))
         .agg(F.count("*").alias("n"))
     )
     q = (
@@ -766,3 +775,48 @@ def test_rate_source_live_unbounded_agg(spark):
         assert all(r["n"] > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_append_replay_idempotent_on_reused_capture_dir(spark, tmp_path):
+    """r7 verdict item 4: append-mode replay into the SAME capture dir
+    twice yields row-identical results — the ``_batches`` manifest skips
+    batch ids that already committed, so plain-parquet captures no
+    longer duplicate on re-run (previously the documented caveat)."""
+    import os
+
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_click_attribution_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "cap")
+    first = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert first, "replay should capture at least one joined row"
+    assert os.path.isdir(os.path.join(out, "_batches")), "manifest written"
+    second = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert second == first
+
+
+def test_default_replay_dirs_keyed_per_app_and_sf(spark):
+    """r7 ADVICE: two concurrent runs (different apps, or two scales in
+    one app) must never share a default capture dir — the dir is keyed
+    by (applicationId, sf_dir hash, tag)."""
+    from clusterforge_spark.streaming.sessionize import _replay_out_dir
+    from tests.conftest import SF_DIR
+
+    a = _replay_out_dir(None, "hourly", spark, SF_DIR)
+    b = _replay_out_dir(None, "hourly", spark, "/root/testdata/sf0.01")
+    assert a != b, "two scales must not share a capture dir"
+    assert spark.sparkContext.applicationId in a
+    # explicit out_path passes through untouched
+    assert _replay_out_dir("/x/y", "hourly", spark, SF_DIR) == "/x/y"
