@@ -73,6 +73,7 @@ def prefix_sum_before(
     cnt_cols: tuple[str, ...] | list[str],
     bucket_shift: int = 16,
     prescale: float | None = None,
+    part_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exclusive prefix sum(s) over an ordered histogram, distributed.
 
@@ -81,6 +82,11 @@ def prefix_sum_before(
     ``cum_{c}`` column = Σ of ``c`` over all rows with a strictly
     smaller ``order_col`` — the building block of the whole rank/ECDF
     family (average tie ranks, Mann-Whitney, Gini, Kolmogorov-Smirnov).
+    With ``part_cols`` (r8) the prefix restarts per partition-key group
+    — one row per DISTINCT (part_cols…, order_col) — and every level
+    below is keyed by the group too, so even ONE pathologically
+    dominant group never serializes beyond a single bucket's bounded
+    sort (the token_budget_mix per-source fill).
 
     The naive form — ``sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING
     TO -1)`` with no PARTITION BY — plans as an exchange into ONE
@@ -126,17 +132,28 @@ def prefix_sum_before(
     clamped = F.when(v >= hi, F.lit(2**63 - 1)).when(v <= lo, F.lit(-(2**63))).otherwise(
         v.cast("long")
     )
+    part = list(part_cols)
     b = hist.withColumn("_b", F.shiftright(clamped, bucket_shift))
     w_in = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*part, "_b")
         .orderBy(F.col(order_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     for c in cnt_cols:
         b = b.withColumn(f"_in_{c}", F.coalesce(F.sum(c).over(w_in), F.lit(0)))
-    totals = b.groupBy("_b").agg(*[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
-    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    totals = b.groupBy(*part, "_b").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in cnt_cols]
+    )
+    # the bucket-offset window is global only in the partition-less
+    # case; with part_cols it is keyed by the group (rows = #buckets per
+    # group — tiny and parallel across groups either way)
+    w_b = (
+        (Window.partitionBy(*part) if part else Window)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
+        *[F.col(p).alias(f"_p2_{p}") for p in part],
         F.col("_b").alias("_b2"),
         *[
             F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
@@ -145,12 +162,20 @@ def prefix_sum_before(
     )
     # null-safe: a NULL order key lands in a NULL bucket (sorted FIRST,
     # the window NULLS FIRST convention) and must still receive its
-    # offset — a plain equi-join would silently drop those rows
-    out = b.join(F.broadcast(offsets), F.col("_b").eqNullSafe(F.col("_b2")))
+    # offset — a plain equi-join would silently drop those rows (same
+    # for NULL partition keys)
+    cond = F.col("_b").eqNullSafe(F.col("_b2"))
+    for p in part:
+        cond = cond & F.col(p).eqNullSafe(F.col(f"_p2_{p}"))
+    out = b.join(F.broadcast(offsets), cond)
     for c in cnt_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_in_{c}"))
     return out.drop(
-        "_b", "_b2", *[f"_in_{c}" for c in cnt_cols], *[f"_off_{c}" for c in cnt_cols]
+        "_b",
+        "_b2",
+        *[f"_p2_{p}" for p in part],
+        *[f"_in_{c}" for c in cnt_cols],
+        *[f"_off_{c}" for c in cnt_cols],
     )
 
 

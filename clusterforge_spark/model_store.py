@@ -160,20 +160,30 @@ def artifact_path(sf_dir: str, name: str, root: str | None = None) -> str:
 
 
 def save_artifact(
-    spark: SparkSession, path: str, df, meta: dict[str, object]
+    spark: SparkSession,
+    path: str,
+    df,
+    meta: dict[str, object],
+    n_files: int | None = 1,
 ) -> None:
     """Persist ``df`` + fingerprint ``meta`` under ``path`` (overwrite).
 
     The data is written BEFORE the meta, so a reader that validates meta
     first never sees meta-without-data; a crash between the two writes
-    leaves a fingerprint-less artifact that load_artifact rejects."""
+    leaves a fingerprint-less artifact that load_artifact rejects.
+
+    ``n_files`` coalesces the write (default 1 — the registry's
+    artifacts are MB-scale models/reports where one file loads fastest);
+    pass ``None`` for data-proportional artifacts (a billion-row
+    inverted-list table keeps its natural partitioning)."""
     base = path.rstrip("/")
-    df.write.mode("overwrite").parquet(f"{base}/data")
+    out = df if n_files is None else df.coalesce(int(n_files))
+    out.write.mode("overwrite").parquet(f"{base}/data")
     all_meta = {"format_version": ARTIFACT_VERSION}
     all_meta.update({k: str(v) for k, v in meta.items()})
     spark.createDataFrame(
         sorted(all_meta.items()), schema="key string, value string"
-    ).write.mode("overwrite").parquet(f"{base}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
 def artifact_meta(spark: SparkSession, path: str) -> dict[str, str] | None:

@@ -1916,6 +1916,89 @@ def feature_hashing(documents: DataFrame, width: int = FEATURE_HASH_W) -> DataFr
 #: so the per-source budget stays exact-integer arithmetic)
 MIX_BUDGET_PCT = 25
 
+#: greedy-fill regime switch: below this many documents (bounded
+#: limit-probe, not a count) the per-source running-sum window — whose
+#: worst case is ONE source's rows through one task — beats the
+#: distributed prefix machinery's extra stages (the rfm_segments
+#: pattern; measured 0.35 s vs 1.4 s at 6 500 docs)
+TOKEN_FILL_SMALL_N = 1_000_000
+
+
+def _greedy_fill_before(scored: DataFrame, small_n: int | None = None) -> DataFrame:
+    """Adds ``_before`` — the exclusive running token sum per source in
+    (quality DESC NULLS LAST, doc_id ASC) order — the greedy
+    best-quality-first fill position shared by token_budget_mix and
+    curation_pipeline_report.
+
+    Size-adaptive, both regimes bit-identical (r7 verdict item 5).
+    Small regime: the classic source-partitioned window (a dominant
+    source serializes its own partition — bounded by the branch probe).
+    Large regime: the two-level prefix machinery, PARTITIONED BY SOURCE
+    (functions/partitioning.prefix_sum_before part_cols) —
+    ``_before = strictly-better-quality token sum (per-(source,quality)
+    histogram prefix) + within-tie-group prefix (window keyed by
+    (source, quality))`` — so even one pathologically dominant source
+    never plans a serial full-source sort; the only per-source-global
+    window runs over the ≤1 024-row bucket-totals table. Quality is
+    4dp-rounded in [0,1]: negated as the ascending order key
+    (NULL → -inf before negation reproduces the window's DESC NULLS
+    LAST placement), prescaled 2²⁶ so the shift-16 buckets split [0,1]
+    into ~1 024 ranges."""
+    from pyspark.sql.window import Window
+
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    if small_n is None:
+        small_n = TOKEN_FILL_SMALL_N
+    # bounded probe (the pipeline driver-fit discipline): LIMIT small_n+1
+    # stops scanning once the branch is decided, never a full count
+    # (small_n=0 forces the distributed regime, the rfm_segments idiom)
+    small = small_n > 0 and scored.limit(small_n + 1).count() <= small_n
+    if small:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("quality").desc(), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return scored.withColumn(
+            "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+    keyed = scored.withColumn(
+        "_qkey",
+        -F.coalesce(F.col("quality").cast("double"), F.lit(float("-inf"))),
+    )
+    hist = keyed.groupBy("source", "_qkey").agg(
+        F.sum("n_tokens").cast("long").alias("_tc")
+    )
+    pre = prefix_sum_before(
+        hist,
+        "_qkey",
+        ("_tc",),
+        prescale=float(1 << 26),
+        part_cols=("source",),
+    ).select(
+        F.col("source").alias("_ps"),
+        F.col("_qkey").alias("_qk2"),
+        F.col("cum__tc"),
+    )
+    w_tie = (
+        Window.partitionBy("source", "_qkey")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.withColumn(
+            "_tie", F.coalesce(F.sum("n_tokens").over(w_tie), F.lit(0))
+        )
+        .join(
+            pre,
+            F.col("source").eqNullSafe(F.col("_ps"))
+            & F.col("_qkey").eqNullSafe(F.col("_qk2")),
+        )
+        .withColumn("_before", (F.col("cum__tc") + F.col("_tie")).cast("long"))
+        .drop("_qkey", "_qk2", "_ps", "_tie", "cum__tc")
+    )
+
 
 def token_budget_mix(documents: DataFrame) -> DataFrame:
     """Greedy best-quality-first token-budget allocation — the step that
@@ -1928,28 +2011,21 @@ def token_budget_mix(documents: DataFrame) -> DataFrame:
 
     Per-source report: slice size, documents/tokens selected, and the
     fill ratio. budget = (total_tokens · PCT) div (100 · n_sources) is
-    pure integer arithmetic; selection is an EXCLUSIVE running token
-    sum over a window PARTITIONED by source (parallel across sources;
-    within one source the greedy fill is inherently sequential — a
-    pathologically dominant source would serialize only its own
-    partition, and the two-level prefix machinery in
-    functions/partitioning could distribute even that if ever needed).
+    pure integer arithmetic; selection position comes from
+    :func:`_greedy_fill_before` — size-adaptive: the source-partitioned
+    running-sum window below TOKEN_FILL_SMALL_N docs, the two-level
+    source-keyed prefix machinery above it, so a pathologically
+    dominant source no longer serializes even its own partition
+    (r7 verdict item 5; both regimes bit-identical, pinned by
+    tests/test_text.py::test_token_budget_mix_regimes_agree and the
+    large-regime plan test in tests/test_plans.py).
     """
-    from pyspark.sql.window import Window
-
     scored = quality_score(documents, passthrough=("source",))
     tot = scored.agg(
         F.sum("n_tokens").cast("long").alias("_tot"),
         F.countDistinct("source").cast("long").alias("_ns"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = scored.withColumn(
-        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    )
+    cum = _greedy_fill_before(scored)
     sel = cum.crossJoin(F.broadcast(tot)).withColumn(
         "_budget",
         F.expr(f"(_tot * {MIX_BUDGET_PCT}) div (100 * _ns)").cast("long"),
@@ -2019,15 +2095,8 @@ def curation_pipeline_report(documents: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("_tot"),
         F.countDistinct("source").cast("long").alias("_ns"),
     )
-    w_fill = (
-        Window.partitionBy("source")
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     drawn = (
-        unique.withColumn(
-            "_before", F.coalesce(F.sum("n_tokens").over(w_fill), F.lit(0)).cast("long")
-        )
+        _greedy_fill_before(unique)
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "_budget",

@@ -96,6 +96,50 @@ def _partitionless_window_specs_text(df: DataFrame) -> list[str]:
     return out
 
 
+#: times the JVM plan walk threw and the text-parser fallback ran —
+#: the contract-wide sweep test asserts this stays 0 so drift is loud
+JVM_WALK_FALLBACKS = 0
+
+
+def window_spec_arities(df: DataFrame) -> list[tuple[int, str, str]]:
+    """(partition-spec size, first partition expr, first order expr) for
+    every Window node in the optimized logical plan — lets plan tests
+    assert HOW a window is keyed, not just that a partition exists
+    (e.g. the token_budget_mix large regime: a per-source fill window
+    must be keyed by (source, bucket/tie-group), never source alone
+    over the full data). No fallback: a JVM drift should fail the plan
+    test loudly."""
+    out: list[tuple[int, str, str]] = []
+
+    def _walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in ("Window", "WindowExec", "WindowInPandasExec"):
+            part = node.partitionSpec()
+            order = node.orderSpec()
+            out.append(
+                (
+                    part.size(),
+                    str(part.apply(0)) if part.size() else "",
+                    str(order.apply(0)) if not order.isEmpty() else "",
+                )
+            )
+        elif cls == "InMemoryRelation":
+            _walk(node.cachedPlan())
+        elif cls == "InMemoryTableScanExec":
+            _walk(node.relation())
+        elif cls == "AdaptiveSparkPlanExec":
+            _walk(node.inputPlan())
+        kids = node.children()
+        for i in range(kids.size()):
+            _walk(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            _walk(subs.apply(i))
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def partitionless_window_specs(df: DataFrame) -> list[str]:
     """Every Window node in the OPTIMIZED logical plan whose
     partitionSpec is EMPTY — i.e. a window that plans as a
@@ -168,4 +212,17 @@ def partitionless_window_specs(df: DataFrame) -> list[str]:
         _walk(df._jdf.queryExecution().optimizedPlan())
         return out
     except Exception:
+        # r7 ADVICE: a silent fallback would let py4j API drift quietly
+        # reinstate the truncation-prone text parser — count and warn so
+        # drift is visible (the sweep test asserts the counter stays 0)
+        global JVM_WALK_FALLBACKS
+        JVM_WALK_FALLBACKS += 1
+        import logging
+        import traceback
+
+        logging.getLogger(__name__).warning(
+            "partitionless_window_specs: JVM plan walk failed, falling "
+            "back to the text parser (py4j API drift?):\n%s",
+            traceback.format_exc(),
+        )
         return _partitionless_window_specs_text(df)

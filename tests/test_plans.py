@@ -776,6 +776,13 @@ def test_no_partitionless_window_over_data_proportional_input(spark):
         f"stale allowlist entries: "
         f"{sorted(PARTITIONLESS_WINDOW_ALLOWLIST - offenders)}"
     )
+    # r7 ADVICE: the sweep must run on the JVM walk, never the silent
+    # text-parser fallback — a nonzero counter means py4j API drift
+    # quietly reinstated the truncation-prone parser
+    assert X.JVM_WALK_FALLBACKS == 0, (
+        f"JVM plan walk fell back {X.JVM_WALK_FALLBACKS}× during the "
+        "sweep — inspect the partitionless_window_specs warning logs"
+    )
 
 
 def test_rfm_segments_large_regime_plan(spark):
@@ -950,3 +957,29 @@ def test_aqe_skew_join_split(spark, events):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_token_budget_mix_large_regime_no_serial_source_window(spark, documents):
+    """r7 verdict item 5: forcing the distributed regime, every window
+    in the fill plan is either keyed by ≥2 expressions (source + bucket
+    / source + tie group) or is the per-source offset window over the
+    TINY bucket-totals aggregate (its order key is the bucket id) — no
+    window moves one full source's rows through one task."""
+    from clusterforge_spark.operators import text as TX
+
+    df = TX._greedy_fill_before(
+        TX.quality_score(documents, passthrough=("source",)), small_n=0
+    )
+    bad = [
+        (n, p, o)
+        for n, p, o in X.window_spec_arities(df)
+        if n < 2 and "_b#" not in o
+    ]
+    assert bad == [], f"serial per-source fill window in large regime: {bad}"
+    # control: the small regime IS the single source-keyed fill window
+    small = TX._greedy_fill_before(
+        TX.quality_score(documents, passthrough=("source",)), small_n=10**9
+    )
+    assert any(
+        n == 1 and "source" in p for n, p, o in X.window_spec_arities(small)
+    )

@@ -304,6 +304,41 @@ def test_prefix_sum_before_matches_serial(spark, vals, shift):
 
 @given(
     vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    shift=st.integers(min_value=0, max_value=48),
+)
+@settings(max_examples=25, deadline=None)
+def test_prefix_sum_before_partitioned_matches_serial(spark, vals, shift):
+    """With part_cols the prefix restarts per group and still equals the
+    serial per-group exclusive prefix for any histogram/shift (r8 — the
+    token_budget_mix per-source fill machinery)."""
+    from clusterforge_spark.functions.partitioning import prefix_sum_before
+
+    df = spark.createDataFrame(vals, "g string, v long, cnt long")
+    got = {
+        (r["g"], r["v"]): r["cum_cnt"]
+        for r in prefix_sum_before(
+            df, "v", ["cnt"], bucket_shift=shift, part_cols=("g",)
+        ).collect()
+    }
+    assert len(got) == len(vals)
+    for g in {t[0] for t in vals}:
+        run = 0
+        for gv, v, cnt in sorted(t for t in vals if t[0] == g):
+            assert got[(g, v)] == run, (g, v)
+            run += cnt
+
+
+@given(
+    vals=st.lists(
         st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
     ),
     k=st.integers(min_value=1, max_value=10),

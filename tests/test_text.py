@@ -796,3 +796,33 @@ def test_curation_pipeline_funnel_monotone(spark, documents):
         assert r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_selected"]
         if r["budget_tokens"] > 0:
             assert r["tokens_selected"] < r["budget_tokens"] + max_doc
+
+
+def test_token_budget_mix_regimes_agree(spark, documents, monkeypatch):
+    """Both greedy-fill regimes (source-window vs distributed two-level
+    prefix) draw the identical mix — bit-identical report rows."""
+    from clusterforge_spark.operators import text as TX
+
+    small = sorted(tuple(r) for r in TX.token_budget_mix(documents).collect())
+    monkeypatch.setattr(TX, "TOKEN_FILL_SMALL_N", 0)
+    large = sorted(tuple(r) for r in TX.token_budget_mix(documents).collect())
+    assert small == large
+    assert small, "budget draw should select rows"
+
+
+def test_greedy_fill_before_regimes_rowwise_identical(spark, documents, monkeypatch):
+    """Per-document `_before` positions agree across regimes, including
+    quality ties (same doc_id tie-break) — the curation capstone uses
+    the same helper over its dedup survivors."""
+    from clusterforge_spark.operators import text as TX
+
+    scored = TX.quality_score(documents, passthrough=("source",))
+    a = {
+        r["doc_id"]: r["_before"]
+        for r in TX._greedy_fill_before(scored, small_n=10**9).collect()
+    }
+    b = {
+        r["doc_id"]: r["_before"]
+        for r in TX._greedy_fill_before(scored, small_n=0).collect()
+    }
+    assert a == b
