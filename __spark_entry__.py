@@ -1033,6 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cells=_kcells(spark, sf),
         assigned=_kc_assigned(spark, sf),
     )
+    # r8: the two serving-compression measurements — how much recall a
+    # dimension-truncated (matryoshka-style) or int8-quantized index
+    # keeps vs exact search
+    q["q_dim_truncation_recall"] = lambda spark, sf: SIM.dim_truncation_recall(
+        _t(spark, sf, "embeddings")
+    )
+    q["q_quantization_recall"] = lambda spark, sf: SIM.quantization_recall(
+        _t(spark, sf, "embeddings")
+    )
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
@@ -1369,6 +1378,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_pca_top_component": OSQL.q_pca_top_component(),
         "q_ann_recall": OSQL.q_ann_recall(),
         "q_ann_recall_batch": OSQL.q_ann_recall_batch(),
+        "q_dim_truncation_recall": OSQL.q_dim_truncation_recall(),
+        "q_quantization_recall": OSQL.q_quantization_recall(),
         "q_pca_by_label": OSQL.q_pca_by_label(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "q_pca_top_component",
     "q_ann_recall",
     "q_ann_recall_batch",
+    "q_dim_truncation_recall",
+    "q_quantization_recall",
     "q_pca_by_label",
     "q_zorder_events",
     "q_cube_revenue",

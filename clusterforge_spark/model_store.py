@@ -216,6 +216,33 @@ def load_artifact(
         return None
 
 
+def registry_report(spark: SparkSession, root: str | None = None):
+    """One row per artifact in the local registry: snapshot tag, name,
+    and its fingerprint meta as a JSON string — the operability view of
+    what a serving session would load (local-FS only; on a cluster,
+    list the registry URI with the catalog of your choice)."""
+    root = root or default_model_dir()
+    rows = []
+    if os.path.isdir(root):
+        for tag in sorted(os.listdir(root)):
+            tdir = os.path.join(root, tag)
+            if not os.path.isdir(tdir):
+                continue
+            for name in sorted(os.listdir(tdir)):
+                meta = artifact_meta(spark, os.path.join(tdir, name))
+                rows.append(
+                    (
+                        tag,
+                        name,
+                        meta is not None,
+                        json.dumps(meta, sort_keys=True) if meta else None,
+                    )
+                )
+    return spark.createDataFrame(
+        rows, schema="snapshot string, artifact string, valid boolean, meta string"
+    )
+
+
 def ensure_artifact(
     spark: SparkSession,
     path: str,

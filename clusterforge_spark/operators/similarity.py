@@ -636,6 +636,131 @@ def ivf_kcell_incremental_topk(
     return out
 
 
+#: dimension-ablation ladder for the truncation-recall report
+DIM_TRUNC_LADDER = (8, 16, 32, 64)
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = DIM_TRUNC_LADDER,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of cosine search over the FIRST d dimensions vs the
+    full-dimension ground truth, per d — the matryoshka-style ablation
+    that decides how far an embedding column can be truncated before
+    retrieval quality collapses (truncation is the cheapest ANN speedup
+    there is: memory, bandwidth and distance cost all scale with d).
+
+    One TakeOrderedAndProject per rung over a map-only sliced-cosine
+    projection (no shuffle before the top-k), overlap against the
+    broadcast exact top-k. Deterministic literal query → oracle-exact.
+
+    Reading the ladder: on an ISOTROPIC corpus (this synthetic table)
+    every coordinate carries equal signal, so recall collapses roughly
+    linearly with d — the honest control. Real embedding models
+    concentrate variance in the leading dimensions (especially
+    matryoshka-trained ones), flattening the ladder; this report is how
+    you measure which regime a corpus is in before truncating an index.
+    """
+    truth = brute_force_topk(embeddings, k=k).select(
+        "vec_id", F.lit(1).cast("long").alias("_hit")
+    )
+    rows = []
+    for d in dims:
+        sliced = embeddings.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {int(d)})").alias("emb_d")
+        )
+        scored = sliced.select(
+            "vec_id",
+            round_det(V.cosine_lit("emb_d", V.QUERY_VEC[: int(d)]), 6).alias(
+                "cos_sim"
+            ),
+        )
+        top = _ranked_topk(scored, k).select("vec_id")
+        rows.append(
+            top.join(F.broadcast(truth), "vec_id", "left").agg(
+                F.lit(int(d)).cast("long").alias("dim"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+                round_det(
+                    F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                    / F.lit(float(k)),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+#: overlap depths of the quantization-recall report
+QUANT_RECALL_KS = (1, 5, 10)
+
+
+def quantization_recall(
+    embeddings: DataFrame, ks: tuple[int, ...] = QUANT_RECALL_KS
+) -> DataFrame:
+    """Top-k agreement between EXACT cosine search and search over the
+    int8-style quantize→dequantize reconstruction (embed_quantize's
+    affine codes) — the measurement that licenses serving a 4×-smaller
+    index: per overlap depth k, how many of the exact top-k survive
+    quantized scoring.
+
+    Both rankings come from one map-only projection each (the
+    reconstruction is mn + code·scale inline — no join back to the
+    exploded code table) and a TakeOrderedAndProject; the overlap
+    counts are computed on the two k-row lists. All arithmetic is IEEE
+    double + floor, bit-identical in DuckDB → oracle-exact."""
+    kmax = max(ks)
+    exact = brute_force_topk(embeddings, k=kmax).select(
+        "vec_id", F.col("rank").alias("_re")
+    )
+    recon = (
+        embeddings.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
+        )
+        .select(
+            "vec_id",
+            "_v",
+            F.expr("array_min(_v)").alias("_mn"),
+            F.expr(
+                "greatest((array_max(_v) - array_min(_v)) / 255.0D, 1e-12D)"
+            ).alias("_scale"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(_v, x -> _mn + floor((x - _mn) / _scale + 0.5D)"
+                " * _scale)"
+            ).alias("emb_q"),
+        )
+    )
+    qscored = recon.select(
+        "vec_id", round_det(V.cosine_lit("emb_q", V.QUERY_VEC), 6).alias("cos_sim")
+    )
+    quant = _ranked_topk(qscored, kmax).select(
+        "vec_id", F.col("rank").alias("_rq")
+    )
+    both = quant.join(F.broadcast(exact), "vec_id")  # two k-row lists
+    rows = []
+    for k in ks:
+        rows.append(
+            both.filter((F.col("_rq") <= int(k)) & (F.col("_re") <= int(k))).agg(
+                F.lit(int(k)).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_overlap"),
+                round_det(
+                    F.count(F.lit(1)).cast("double") / F.lit(float(k)), 4
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def pq_codes(embeddings: DataFrame) -> DataFrame:
     """Product-quantization encoder: each vector → PQ_M 3-bit codes
     (nearest codebook centroid per subspace, strict-< tie → lowest

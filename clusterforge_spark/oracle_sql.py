@@ -5491,6 +5491,64 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS ncand FROM {cte}) c,
     )
 
 
+def q_dim_truncation_recall(k: int = 10) -> str:
+    """Mirrors similarity.dim_truncation_recall: per truncation depth d,
+    the top-k under cosine over the FIRST d coordinates vs the
+    full-dimension exact top-k. cosine_lit_sql over the d-element query
+    prefix references exactly elements 1..d — the same truncated cosine
+    the Spark slice computes."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import DIM_TRUNC_LADDER
+
+    ctes = [f"truth AS MATERIALIZED (SELECT vec_id FROM ({q_sim_search_topk(k)}))"]
+    rows = []
+    for d in DIM_TRUNC_LADDER:
+        cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC[: int(d)])
+        top = _topk_sql(
+            f"SELECT vec_id, round({cos}, 6) AS cos_sim FROM embeddings", k
+        )
+        ctes.append(f"top_{d} AS (SELECT vec_id FROM ({top}))")
+        rows.append(
+            f"""SELECT CAST({d} AS BIGINT) AS dim,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       {_rd(f'CAST(count(t.vec_id) AS DOUBLE) / {float(k)!r}', 4)} AS recall
+FROM top_{d} LEFT JOIN truth t USING (vec_id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def q_quantization_recall() -> str:
+    """Mirrors similarity.quantization_recall: exact top-k vs top-k over
+    the int8-style quantize→dequantize reconstruction (mn + code·scale,
+    identical IEEE op order), overlap at each depth."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import QUANT_RECALL_KS
+
+    kmax = max(QUANT_RECALL_KS)
+    cos_q = _V.cosine_lit_sql("emb_q", _V.QUERY_VEC)
+    qtop = _topk_sql(
+        f"SELECT vec_id, round({cos_q}, 6) AS cos_sim FROM recon", kmax
+    )
+    rows = []
+    for k in QUANT_RECALL_KS:
+        rows.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       {_rd(f'CAST(count(*) AS DOUBLE) / {float(k)!r}', 4)} AS recall
+FROM qk JOIN ek USING (vec_id) WHERE rq <= {k} AND re <= {k}"""
+        )
+    return f"""WITH recon AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(v, x -> mn + floor((x - mn) / scale + 0.5) * scale) AS emb_q
+  FROM (SELECT vec_id, v, list_min(v) AS mn,
+               greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+),
+qk AS (SELECT vec_id, rank AS rq FROM ({qtop})),
+ek AS (SELECT vec_id, rank AS re FROM ({_topk_sql(f"SELECT vec_id, round({_V.cosine_lit_sql('embedding', _V.QUERY_VEC)}, 6) AS cos_sim FROM embeddings", kmax)}))
+""" + "\nUNION ALL\n".join(rows)
+
+
 def q_pca_by_label() -> str:
     from clusterforge_spark.operators.similarity import PCA_POWER_ITERS
 

@@ -159,6 +159,9 @@ EMB_QUERIES = {
     "q_pca_by_label",
     "q_sim_search_kcell",
     "q_ann_recall",
+    "q_ann_recall_batch",
+    "q_dim_truncation_recall",
+    "q_quantization_recall",
 }
 
 
@@ -171,6 +174,13 @@ def main() -> int:
     from clusterforge_spark.sources.readers import load_table
 
     names = sys.argv[1:] or DEFAULT_QUERIES
+    # r8: point the artifact registry at a scratch dir so (a) the repo
+    # registry never accumulates __stress10x__ artifacts and (b) both
+    # sides of every ratio pay the same cold build — the stress table
+    # measures the BUILD shape, not a warm parquet read
+    import tempfile
+
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = tempfile.mkdtemp(prefix="cf_stress_models_")
     spark = get_spark("clusterforge-stress")
 
     # drop stale optional replicas so the exists() checks in patched()

@@ -198,3 +198,13 @@ def test_graph_tables_serve_from_second_session_without_rebuild(
     assert core2 == core1
     E.release(spark, SF_DIR)
     E.release(fresh, SF_DIR)
+
+
+def test_registry_report_lists_committed_artifacts(spark):
+    rows = {
+        (r.snapshot, r.artifact): r.valid
+        for r in MS.registry_report(spark).collect()
+    }
+    assert rows, "the committed registry should not be empty"
+    assert rows.get(("sf0.001", "kcell_codebook")) is True
+    assert all(v for v in rows.values()), "committed artifacts must be valid"

@@ -732,9 +732,14 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_sim_search_lsh",
     "q_sim_search_ivf",
     "q_sim_search_ivf_trained",
-    "q_sim_search_kcell",  # seeds row_number over the post-limit ⌈√n⌉-row codebook
-    "q_sim_search_kcell_incremental",  # same codebook-seed window, reused untrained
-    "q_ann_recall",  # same codebook-seed window (√n rows, post-limit)
+    "q_sim_search_kcell",  # post-limit k-row rank window (codebook serves from the registry)
+    "q_sim_search_kcell_incremental",  # same k-row rank window
+    # q_ann_recall / q_ann_recall_batch serve the persisted report — a
+    # plain scan with NO windows (r8); they re-enter this list only if
+    # the registry is cold, which the sweep never is
+    # (q_dim_truncation_recall drops the rank column, so Catalyst prunes
+    # its post-limit windows entirely — not an offender)
+    "q_quantization_recall",  # 2 post-limit k-row rank windows (exact + quantized)
     "q_sim_search_pq",
     "q_sim_search_filtered",
 }

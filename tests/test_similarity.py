@@ -571,3 +571,31 @@ def test_ann_recall_batch_bend_replicates_across_queries(spark, embeddings):
         assert iso.recall <= clu.recall
     # every (corpus, query) pair reports the full strategy ladder
     assert {k[2] for k in by} == {"ivf", "lsh", "kcell_p1", "kcell_p3", "kcell_p8"}
+
+
+def test_dim_truncation_recall_ladder(spark, embeddings):
+    """Truncation recall is monotone non-decreasing in d and exact at
+    full dimension; on the isotropic corpus the low-d rungs must lose
+    recall (the control regime the docstring documents)."""
+    from clusterforge_spark.operators import similarity as SIM
+
+    rows = {r.dim: r.recall for r in SIM.dim_truncation_recall(embeddings).collect()}
+    assert set(rows) == set(SIM.DIM_TRUNC_LADDER)
+    ladder = [rows[d] for d in sorted(rows)]
+    assert ladder == sorted(ladder), f"recall not monotone: {rows}"
+    assert rows[64] == 1.0
+    assert rows[8] < 1.0, "isotropic corpus cannot keep full recall at d=8"
+
+
+def test_quantization_recall_exact_roundtrip_semantics(spark, embeddings):
+    """int8 reconstruction keeps the top-k on this corpus (codes are
+    exact and the affine error ≪ neighbor gaps); every depth reports
+    overlap ≤ k and recall = overlap/k."""
+    from clusterforge_spark.operators import similarity as SIM
+
+    rows = SIM.quantization_recall(embeddings).collect()
+    assert {r.k for r in rows} == set(SIM.QUANT_RECALL_KS)
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.k
+        assert r.recall == pytest.approx(r.n_overlap / r.k, abs=1e-4)
+    assert all(r.recall == 1.0 for r in rows), rows
