@@ -1096,6 +1096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     # r7: the mixing weights turned into an actual budgeted draw
+    # r8: the temperature-flattened (alpha = 0.5) mixture draw beside
+    # the equal-slice one
+    q["q_token_budget_mix_weighted"] = lambda spark, sf: TX.token_budget_mix_weighted(
+        _t(spark, sf, "documents")
+    )
     q["q_token_budget_mix"] = lambda spark, sf: TX.token_budget_mix(
         _t(spark, sf, "documents")
     )
@@ -1195,6 +1200,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_scd2_build": OSQL.q_scd2_build(),
         # streaming replays (r7): final replayed state vs batch recompute
         "q_token_budget_mix": OSQL.q_token_budget_mix(),
+        "q_token_budget_mix_weighted": OSQL.q_token_budget_mix_weighted(),
         "q_curation_pipeline": OSQL.q_curation_pipeline(),
         "q_stream_hourly_replay": OSQL.q_stream_hourly_replay(),
         "q_stream_session_window_replay": OSQL.q_session_window(),

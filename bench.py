@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "q_cross_source_contamination",
     "q_source_mixing_weights",
     "q_token_budget_mix",
+    "q_token_budget_mix_weighted",
     "q_curation_pipeline",
     "q_quality_funnel",
     "q_boilerplate_prefix",

@@ -2053,6 +2053,77 @@ def token_budget_mix(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_mix_weighted(documents: DataFrame) -> DataFrame:
+    """Temperature-flattened mixture draw (α = 0.5): each source's slice
+    of the global token budget is proportional to √(its token count)
+    instead of equal or raw-proportional — the standard multilingual /
+    multi-domain flattening that up-weights small sources without
+    letting one giant source own the mix. The per-slice fill is the
+    same greedy best-quality-first scan as token_budget_mix.
+
+    Cross-engine exactness: weights are floor(√t_s) INTEGERS, so the
+    weight total is an exact order-free integer sum (a float weight sum
+    would make the report depend on partial-aggregation order);
+    budget_s = (B · w_s) div W in decimal(38,0) — overflow-free at any
+    corpus size. α other than ½ needs pow() bit-parity across engines,
+    which IEEE does not promise — √ is correctly rounded everywhere,
+    which is why the flattening exponent is fixed at the value the
+    recipes actually use.
+
+    Per-source report adds the weight next to budget/selection/fill."""
+    scored = quality_score(documents, passthrough=("source",))
+    per_src = scored.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("_ts")
+    )
+    weights = per_src.select(
+        "source",
+        F.floor(F.sqrt(F.col("_ts").cast("double"))).cast("long").alias("_w"),
+    )
+    tot = scored.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    wtot = weights.agg(F.sum("_w").cast("long").alias("_wt"))
+    budgets = (
+        weights.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "_w",
+            F.expr(
+                f"cast(cast(cast(_tot as decimal(38,0)) * {MIX_BUDGET_PCT}"
+                " div 100 as decimal(38,0)) * _w div _wt as bigint)"
+            ).alias("_budget"),
+        )
+    )
+    cum = _greedy_fill_before(scored)
+    sel = cum.join(F.broadcast(budgets), "source").filter(
+        F.col("_before") < F.col("_budget")
+    )
+    return (
+        sel.groupBy(
+            "source",
+            F.col("_w").alias("weight"),
+            F.col("_budget").alias("budget_tokens"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_sel"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_sel"),
+        )
+        .select(
+            "source",
+            "weight",
+            "budget_tokens",
+            "n_docs_sel",
+            "n_tokens_sel",
+            round_det(
+                F.try_divide(
+                    F.col("n_tokens_sel").cast("double"),
+                    F.col("budget_tokens").cast("double"),
+                ),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
 def curation_pipeline_report(documents: DataFrame) -> DataFrame:
     """The END-TO-END curation pipeline as ONE report: raw corpus →
     quality gate (quality ≥ FUNNEL_QUALITY_MIN) → exact dedup (md5 of

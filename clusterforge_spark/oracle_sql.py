@@ -6770,6 +6770,50 @@ SELECT source, budget_tokens,
 FROM sel GROUP BY source, budget_tokens"""
 
 
+def q_token_budget_mix_weighted() -> str:
+    """Mirrors operators/text.token_budget_mix_weighted: α=0.5
+    temperature-flattened slices — budget_s = (B · floor(√t_s)) div Σw
+    in exact integer arithmetic (HUGEINT here, decimal(38,0) in Spark),
+    greedy best-quality fill per slice."""
+    from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.text import MIX_BUDGET_PCT
+
+    quality = q_quality_score()
+    return f"""WITH q AS (
+{quality}
+), scored AS (
+  SELECT d.source, q.doc_id, q.n_tokens, q.quality
+  FROM q JOIN documents d USING (doc_id)
+), w AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS wgt
+  FROM scored GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM scored),
+wtot AS (SELECT CAST(sum(wgt) AS BIGINT) AS wt FROM w),
+budgets AS (
+  SELECT w.source, w.wgt,
+         CAST((CAST(t.tot AS HUGEINT) * {MIX_BUDGET_PCT} // 100)
+              * w.wgt // x.wt AS BIGINT) AS budget_tokens
+  FROM w CROSS JOIN tot t CROSS JOIN wtot x
+), cum AS (
+  SELECT source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before_toks
+  FROM scored
+), sel AS (
+  SELECT c.source, c.n_tokens, b.wgt, b.budget_tokens
+  FROM cum c JOIN budgets b USING (source)
+  WHERE c.before_toks < b.budget_tokens
+)
+SELECT source, wgt AS weight, budget_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs_sel,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sel,
+       {_rd('CAST(sum(n_tokens) AS DOUBLE) / CAST(budget_tokens AS DOUBLE)', 6)} AS fill_ratio
+FROM sel GROUP BY source, wgt, budget_tokens"""
+
+
 def q_curation_pipeline() -> str:
     """Mirrors operators/text.curation_pipeline_report: quality gate →
     md5 exact dedup (lowest doc_id survives) → per-source greedy

@@ -826,3 +826,26 @@ def test_greedy_fill_before_regimes_rowwise_identical(spark, documents, monkeypa
         for r in TX._greedy_fill_before(scored, small_n=0).collect()
     }
     assert a == b
+
+
+def test_token_budget_mix_weighted_flattens_dominant_source(spark, documents):
+    """alpha=0.5 slices are sqrt-proportional: a source's budget share
+    exceeds its raw token share iff the source is below-average size —
+    the flattening the recipe exists for. Budgets sum to <= the global
+    budget and every slice fills >= its budget (greedy crossing doc)."""
+    from clusterforge_spark.operators import text as TX
+
+    rows = TX.token_budget_mix_weighted(documents).collect()
+    assert rows
+    eq = {r.source: r for r in TX.token_budget_mix(documents).collect()}
+    tot_budget = sum(r.budget_tokens for r in eq.values())
+    assert sum(r.budget_tokens for r in rows) <= tot_budget + len(rows)
+    for r in rows:
+        assert r.weight > 0 and r.budget_tokens > 0
+        assert r.n_tokens_sel >= r.budget_tokens or r.fill_ratio < 1.0
+    # sqrt flattening: the LARGEST source gets a smaller share than raw
+    # token-proportional would give it
+    big = max(rows, key=lambda r: r.weight)
+    raw_share = big.weight**2 / sum(r.weight**2 for r in rows)
+    w_share = big.weight / sum(r.weight for r in rows)
+    assert w_share < raw_share
