@@ -599,13 +599,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pca_top_component"] = lambda spark, sf: SIM.pca_top_component(
         _t(spark, sf, "embeddings")
     )
+    def _emb_fp(spark: SparkSession, sf: str) -> dict:
+        # corpus fingerprint (one single-column aggregate per snapshot,
+        # memoized): row count + Σ vec_id. The count alone would accept
+        # a REGENERATED same-size corpus; the id sum reads one pruned
+        # int64 column once per session — cheap insurance that stale
+        # artifacts can't serve a different corpus of the same shape.
+        # (Same-ids content changes still require bumping
+        # model_store.ARTIFACT_VERSION — documented boundary.)
+        def build() -> dict:
+            row = (
+                _t(spark, sf, "embeddings")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("vec_id").cast("long").alias("ids"),
+                )
+                .collect()[0]
+            )
+            return {"n_rows": int(row.n), "id_sum": int(row.ids or 0)}
+
+        return _memo(spark, sf, "emb_fp", build)
+
     def _emb_n(spark: SparkSession, sf: str) -> int:
-        # corpus fingerprint scalar (one bounded count per snapshot,
-        # memoized) — validates persisted codebooks/corpora on load and
-        # sizes the ⌈√n⌉ codebook
-        return _memo(
-            spark, sf, "emb_n", lambda: _t(spark, sf, "embeddings").count()
-        )
+        return _emb_fp(spark, sf)["n_rows"]
 
     def _kcells(spark: SparkSession, sf: str) -> DataFrame:
         # the trained k-cell codebook is per-corpus-snapshot state:
@@ -622,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 sf,
                 "kcell_codebook",
-                {"n_rows": n, "n_cells": n_cells},
+                {**_emb_fp(spark, sf), "n_cells": n_cells},
                 lambda: SIM.ivf_kcell_cells(emb, n_cells),
             ).cache()
 
@@ -642,7 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sf,
                 "planted_corpus",
                 {
-                    "n_rows": _emb_n(spark, sf),
+                    **_emb_fp(spark, sf),
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),
                 },
@@ -663,7 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 sf,
                 "kcell_codebook_clustered",
-                {"n_rows": n, "n_cells": n_cells},
+                {**_emb_fp(spark, sf), "n_cells": n_cells},
                 lambda: SIM.ivf_kcell_cells(_planted(spark, sf), n_cells),
             ).cache()
 
@@ -682,7 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 sf,
                 "kcell_assigned",
-                {"n_rows": n, "n_cells": int(math.ceil(math.sqrt(max(n, 1))))},
+                {
+                    **_emb_fp(spark, sf),
+                    "n_cells": int(math.ceil(math.sqrt(max(n, 1)))),
+                },
                 lambda: SIM._assign_packed(
                     _t(spark, sf, "embeddings"),
                     SIM._pack_cells(_kcells(spark, sf)),
@@ -700,7 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 sf,
                 "kcell_assigned_clustered",
-                {"n_rows": n, "n_cells": int(math.ceil(math.sqrt(max(n, 1))))},
+                {
+                    **_emb_fp(spark, sf),
+                    "n_cells": int(math.ceil(math.sqrt(max(n, 1)))),
+                },
                 lambda: SIM._assign_packed(
                     _planted(spark, sf),
                     SIM._pack_cells(_kcells_clustered(spark, sf)),
@@ -733,7 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sf,
                 "ann_frontier",
                 {
-                    "n_rows": _emb_n(spark, sf),
+                    **_emb_fp(spark, sf),
                     "k": 10,
                     "nprobes": ",".join(str(p) for p in SIM.ANN_DUAL_NPROBES),
                     "plant_g": V.PLANT_G,
@@ -772,7 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sf,
                 "ann_frontier_batch",
                 {
-                    "n_rows": _emb_n(spark, sf),
+                    **_emb_fp(spark, sf),
                     "k": 10,
                     "nprobes": ",".join(
                         str(p) for p in SIM.ANN_BATCH_NPROBES
@@ -915,12 +937,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: DD.dedup_minhash_banded(_dup_docs(spark, sf)).cache(),
         )
 
-    def _doc_n(spark, sf) -> int:
-        # documents-corpus fingerprint scalar for the persisted graph
-        # tables (one bounded count per snapshot, memoized)
-        return _memo(
-            spark, sf, "doc_n", lambda: _t(spark, sf, "documents").count()
-        )
+    def _doc_fp(spark, sf) -> dict:
+        # documents-corpus fingerprint for the persisted graph tables
+        # (one pruned single-column aggregate per snapshot, memoized) —
+        # count + Σ doc_id, same insurance as _emb_fp
+        def build() -> dict:
+            row = (
+                _t(spark, sf, "documents")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("doc_id").cast("long").alias("ids"),
+                )
+                .collect()[0]
+            )
+            return {"n_docs": int(row.n), "doc_id_sum": int(row.ids or 0)}
+
+        return _memo(spark, sf, "doc_fp", build)
 
     def _graph_persisted(spark, sf, name, builder):
         # the graph-family tables (components / star / k-core / pagerank)
@@ -931,7 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _memo(
             spark, sf, name,
             lambda: _persisted(
-                spark, sf, name, {"n_docs": _doc_n(spark, sf)}, builder
+                spark, sf, name, _doc_fp(spark, sf), builder
             ).cache(),
         )
 

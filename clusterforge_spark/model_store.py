@@ -131,7 +131,13 @@ def load_mllib_model(spark: SparkSession, path: str):
 #
 # Loads are VALIDATED: a missing/corrupt artifact or a fingerprint mismatch
 # (the corpus changed under the artifact) returns None and the caller
-# rebuilds — stale state can never serve. Saves are best-effort: a failed
+# rebuilds — stale state can never serve. Fingerprints validate SHAPE
+# (row count + id sum + every derivation parameter), which catches
+# resizes, regenerations and parameter drift with one pruned
+# single-column aggregate; a content change that preserves ids and
+# counts exactly is outside that boundary — bump ARTIFACT_VERSION (or
+# delete the registry) when derivation SEMANTICS change without a
+# parameter changing. Saves are best-effort: a failed
 # write (concurrent overwrite, read-only FS) falls back to the in-session
 # build, never fails the query. All IO goes through Spark writers/readers,
 # so paths may be any Hadoop-FS URI — on a cluster this is the shared

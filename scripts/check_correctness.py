@@ -33,18 +33,31 @@ def main() -> int:
     from clusterforge_spark.session import get_spark
 
     spark = get_spark("check-correctness", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        # reconnect every 40 queries: DuckDB's buffer pool has been seen
+        # to hit spurious OOM after hundreds of MATERIALIZED-CTE-heavy
+        # oracles on one long-lived connection (observed once this round
+        # with >120 GB actually free); a periodic fresh connection keeps
+        # the replica's verdicts about the QUERIES, not the connection
+        n_run += 1
+        if n_run % 40 == 0:
+            con.close()
+            con = fresh_con()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()

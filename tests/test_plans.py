@@ -988,3 +988,21 @@ def test_token_budget_mix_large_regime_no_serial_source_window(spark, documents)
     assert any(
         n == 1 and "source" in p for n, p, o in X.window_spec_arities(small)
     )
+
+
+def test_kcell_serve_plan_uses_posting_lists_not_assignment_fold(spark):
+    """r8 serve shape: with the registry warm, q_sim_search_kcell's plan
+    probes the persisted inverted lists and fetches vectors by id — the
+    per-vector × per-cell assignment fold (array_min over the packed
+    codebook) must NOT appear; the only distance arithmetic left is the
+    exact cosine rerank of the candidate set."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q_sim_search_kcell"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_min(transform(cells" not in plan, (
+        "serve plan still assigns the corpus against the packed codebook"
+    )
+    # the inverted lists are read from the registry parquet
+    assert "kcell_assigned" in plan
+    assert df.count() == 10
