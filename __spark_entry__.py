@@ -1198,6 +1198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_gap_sessions_replay"] = lambda spark, sf: _stream(
         spark, sf, "run_stream_gap_sessions_replay"
     )
+    # r8: continuous ANN ingest on the streaming engine — every arriving
+    # embedding micro-batch assigned to the PERSISTED codebook (loaded
+    # from the registry) inside foreachBatch; final capture equals the
+    # batch posting lists, oracle-exact through the shared kc chain
+    q["q_stream_ann_ingest_replay"] = lambda spark, sf: _stream(
+        spark, sf, "run_stream_ann_ingest_replay", cells=_kcells(spark, sf)
+    )
     return q
 
 
@@ -1241,6 +1248,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_stream_topk_replay": OSQL.q_stream_topk_replay(),
         "q_stream_upsert_replay": OSQL.q_stream_upsert_replay(),
         "q_stream_gap_sessions_replay": OSQL.q_stream_gap_sessions_replay(),
+        "q_stream_ann_ingest_replay": OSQL.q_stream_ann_ingest_replay(),
         "q_order_backlog": OSQL.q_order_backlog(),
         "q_profile_columns": OSQL.q_profile_columns(),
         "q_expectation_checks": OSQL.q_expectation_checks(),

@@ -5252,6 +5252,16 @@ SELECT vec_id, cos_sim,
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
 
 
+def q_stream_ann_ingest_replay() -> str:
+    """Mirrors streaming/sessionize.run_stream_ann_ingest_replay: the
+    finite replay's posting-list capture equals the batch assignment of
+    the whole corpus to the trained codebook — the identical kc chain
+    every kcell query shares (training included)."""
+    return f"""WITH {_kcell_ctes()}
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+FROM kc_assigned a WHERE a.rn = 1"""
+
+
 def _planted_ctes() -> str:
     """The planted-cluster ANN corpus, derived from vec_id alone:
     center ``vec_id % PLANT_G`` (literal table) + per-coordinate md5

@@ -1193,6 +1193,7 @@ def run_stream_replay_to_parquet(
     out_path: str,
     output_mode: str = "complete",
     timeout_s: int = 180,
+    batch_transform=None,
 ) -> DataFrame:
     """Run ``stream`` to completion (availableNow) through a
     foreachBatch parquet capture and return the read-back result.
@@ -1208,7 +1209,12 @@ def run_stream_replay_to_parquet(
     two — the standard at-least-once boundary of any non-transactional
     sink; a transactional table format closes it for free (SCALE.md).
     The manifest lives on the same filesystem as the capture (Hadoop FS
-    API), so the guard works on any URI, not just local paths."""
+    API), so the guard works on any URI, not just local paths.
+
+    ``batch_transform(batch_df) -> DataFrame`` (optional) runs inside
+    foreachBatch on the BATCH frame before capture — the production
+    pattern for applying a static model (a broadcast codebook, a
+    loaded scaler) to every micro-batch of a stream."""
     mode = "overwrite" if output_mode == "complete" else "append"
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -1218,6 +1224,8 @@ def run_stream_replay_to_parquet(
         return hp.getFileSystem(hconf), hp
 
     def capture(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         if mode == "append":
             fs, marker = _hpath(f"{out_path}/_batches/{batch_id}")
             if fs.exists(marker):
@@ -1241,6 +1249,53 @@ def run_stream_replay_to_parquet(
     )
     _await_or_raise(query, timeout_s)
     return spark.read.parquet(out_path)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (schema pinned) —
+    the ingest feed of the streaming-ANN demonstration."""
+    from clusterforge_spark.sources.readers import TABLE_SCHEMAS
+
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
+def run_stream_ann_ingest_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: DataFrame,
+    out_path: str | None = None,
+) -> DataFrame:
+    """Continuous ANN INGEST through Structured Streaming against a
+    persisted index (r8): every arriving embedding micro-batch is
+    assigned to its nearest cell of the EXISTING trained codebook —
+    map-only, inside foreachBatch, exactly how a production pipeline
+    maintains inverted lists between nightly trains (the batch twin is
+    similarity.ivf_kcell_incremental_topk; here the INGEST itself runs
+    on the streaming engine). The capture is the (vec_id, cell) posting
+    list; the finite replay's final state equals the batch assignment,
+    so the oracle is the same kc-chain SQL every kcell query shares —
+    the streaming ingest is value-checked END TO END, codebook training
+    included. Append mode rides the ``_batches`` manifest, so re-runs
+    are idempotent on plain parquet."""
+    from clusterforge_spark.operators import similarity as SIM
+
+    packed = SIM._pack_cells(cells)
+
+    def assign(batch_df: DataFrame) -> DataFrame:
+        return SIM._assign_packed(batch_df, packed).select("vec_id", "cell")
+
+    return run_stream_replay_to_parquet(
+        spark,
+        read_embeddings_stream(spark, sf_dir),
+        _replay_out_dir(out_path, "annin", spark, sf_dir),
+        "append",
+        batch_transform=assign,
+    )
 
 
 def run_stream_hourly_replay(

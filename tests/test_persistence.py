@@ -208,3 +208,24 @@ def test_registry_report_lists_committed_artifacts(spark):
     assert rows, "the committed registry should not be empty"
     assert rows.get(("sf0.001", "kcell_codebook")) is True
     assert all(v for v in rows.values()), "committed artifacts must be valid"
+
+
+def test_unwritable_registry_falls_back_to_in_session_build(
+    spark, monkeypatch
+):
+    """Persistence is best-effort: with the registry pointed somewhere
+    unwritable, every artifact-backed query still answers (in-session
+    build), identical to the registry-served answer."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    qs = E.queries()
+    E.release(spark, SF_DIR)
+    want = sorted(tuple(r) for r in qs["q_sim_search_kcell"](spark, SF_DIR).collect())
+    E.release(spark, SF_DIR)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_MODEL_DIR", "/proc/definitely/not/writable"
+    )
+    got = sorted(tuple(r) for r in qs["q_sim_search_kcell"](spark, SF_DIR).collect())
+    assert got == want
+    E.release(spark, SF_DIR)

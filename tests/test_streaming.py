@@ -820,3 +820,31 @@ def test_default_replay_dirs_keyed_per_app_and_sf(spark):
     assert spark.sparkContext.applicationId in a
     # explicit out_path passes through untouched
     assert _replay_out_dir("/x/y", "hourly", spark, SF_DIR) == "/x/y"
+
+
+def test_stream_ann_ingest_matches_batch_assignment(spark, embeddings, tmp_path):
+    """r8: the streaming ANN ingest (foreachBatch assignment against a
+    static codebook) captures exactly the batch posting lists."""
+    from clusterforge_spark.operators import similarity as SIM
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_ann_ingest_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    cells = SIM.ivf_kcell_cells(
+        embeddings, SIM._kcell_n_cells(embeddings)
+    ).cache()
+    got = {
+        (r.vec_id, r.cell)
+        for r in run_stream_ann_ingest_replay(
+            spark, SF_DIR, cells, out_path=str(tmp_path / "annin")
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.cell)
+        for r in SIM._assign_packed(embeddings, SIM._pack_cells(cells))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    cells.unpersist(blocking=True)
