@@ -102,7 +102,12 @@ def release(spark: SparkSession, sf_dir: str | None = None) -> int:
 
 
 def _persisted(
-    spark: SparkSession, sf_dir: str, name: str, fingerprint: dict, builder
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fingerprint: dict,
+    builder,
+    n_files: int | None = 1,
 ) -> DataFrame:
     """Load-or-build through the parquet artifact registry (r8 — the
     round-7 verdict's top item): derived state that EXECUTES at build
@@ -119,6 +124,7 @@ def _persisted(
         MS.artifact_path(sf_dir, name),
         {"kind": name, **fingerprint},
         builder,
+        n_files=n_files,
     )
 
 
@@ -629,11 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot, serve from parquet in every later session), then
         # memo+cache within the session (the production serve shape)
         def build() -> DataFrame:
-            import math
-
             emb = _t(spark, sf, "embeddings")
-            n = _emb_n(spark, sf)
-            n_cells = int(math.ceil(math.sqrt(max(n, 1))))
+            n_cells = SIM.kcell_n_cells_for(_emb_n(spark, sf))
             return _persisted(
                 spark,
                 sf,
@@ -671,15 +674,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the planted-cluster corpus gets its own persisted per-snapshot
         # codebook (same registry discipline as the isotropic one)
         def build() -> DataFrame:
-            import math
-
-            n = _emb_n(spark, sf)
-            n_cells = int(math.ceil(math.sqrt(max(n, 1))))
+            n_cells = SIM.kcell_n_cells_for(_emb_n(spark, sf))
+            # fingerprint carries the PLANTED-GEOMETRY parameters too
+            # (r8 review): a PLANT_G / PLANT_EPS change must invalidate
+            # the codebook trained on the old geometry, not just the
+            # planted corpus itself
             return _persisted(
                 spark,
                 sf,
                 "kcell_codebook_clustered",
-                {**_emb_fp(spark, sf), "n_cells": n_cells},
+                {
+                    **_emb_fp(spark, sf),
+                    "n_cells": n_cells,
+                    "plant_g": V.PLANT_G,
+                    "plant_eps": repr(float(V.PLANT_EPS)),
+                },
                 lambda: SIM.ivf_kcell_cells(_planted(spark, sf), n_cells),
             ).cache()
 
@@ -691,8 +700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # disk, so a fresh session serves without re-running the
         # assignment fold (the report's dominant CPU stage)
         def build() -> DataFrame:
-            import math
-
             n = _emb_n(spark, sf)
             return _persisted(
                 spark,
@@ -700,20 +707,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "kcell_assigned",
                 {
                     **_emb_fp(spark, sf),
-                    "n_cells": int(math.ceil(math.sqrt(max(n, 1)))),
+                    "n_cells": SIM.kcell_n_cells_for(n),
                 },
                 lambda: SIM._assign_packed(
                     _t(spark, sf, "embeddings"),
                     SIM._pack_cells(_kcells(spark, sf)),
                 ).select("vec_id", "cell"),
+                # inverted lists are data-proportional: keep the natural
+                # partitioning above the single-file demo scale
+                n_files=1 if n <= 1_000_000 else None,
             ).cache()
 
         return _memo(spark, sf, "kcell_assigned", build)
 
     def _kc_assigned_clustered(spark: SparkSession, sf: str) -> DataFrame:
         def build() -> DataFrame:
-            import math
-
             n = _emb_n(spark, sf)
             return _persisted(
                 spark,
@@ -721,12 +729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "kcell_assigned_clustered",
                 {
                     **_emb_fp(spark, sf),
-                    "n_cells": int(math.ceil(math.sqrt(max(n, 1)))),
+                    "n_cells": SIM.kcell_n_cells_for(n),
+                    "plant_g": V.PLANT_G,
+                    "plant_eps": repr(float(V.PLANT_EPS)),
                 },
                 lambda: SIM._assign_packed(
                     _planted(spark, sf),
                     SIM._pack_cells(_kcells_clustered(spark, sf)),
                 ).select("vec_id", "cell"),
+                n_files=1 if n <= 1_000_000 else None,
             ).cache()
 
         return _memo(spark, sf, "kcell_assigned_clustered", build)
@@ -954,17 +965,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _memo(spark, sf, "doc_fp", build)
 
-    def _graph_persisted(spark, sf, name, builder):
+    def _graph_persisted(spark, sf, name, builder, params: dict | None = None):
         # the graph-family tables (components / star / k-core / pagerank)
         # EXECUTE their propagation rounds at build time — persisted via
         # the artifact registry so one session ever pays the propagation
         # per snapshot; a fresh session reads the parquet table (7.4 s
-        # cold k-core at sf0.1 → one scan)
+        # cold k-core at sf0.1 → one scan). Fingerprint includes the
+        # EDGE-DERIVATION parameters (minhash banding, shingle width,
+        # verify threshold, dup-injection shape), so changing any of
+        # them invalidates every table built from the old edge set.
+        from clusterforge_spark.functions import hashing as H
+
+        fp = {
+            **_doc_fp(spark, sf),
+            "minhash": f"{H.MINHASH_BANDS}x{H.MINHASH_ROWS}",
+            "shingle_n": DD.BANDED_SHINGLE_N,
+            "jaccard_thr": repr(float(DD.BANDED_JACCARD_THRESHOLD)),
+            **(params or {}),
+        }
         return _memo(
             spark, sf, name,
-            lambda: _persisted(
-                spark, sf, name, _doc_fp(spark, sf), builder
-            ).cache(),
+            lambda: _persisted(spark, sf, name, fp, builder).cache(),
         )
 
     def _components(spark, sf):
@@ -993,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_kcore"] = lambda spark, sf: _graph_persisted(
         spark, sf, "kcore",
         lambda: DD.kcore_peel(_banded_pairs(spark, sf)),
+        params={"k": DD.KCORE_K, "rounds": DD.KCORE_ROUNDS},
     )
     q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
         _banded_pairs(spark, sf)
@@ -1002,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pagerank"] = lambda spark, sf: _graph_persisted(
         spark, sf, "pagerank",
         lambda: DD.pagerank(_banded_pairs(spark, sf)),
+        params={"damping": repr(float(DD.PR_DAMPING)), "iters": DD.PR_ITERS},
     )
     # memoized: the batch-vs-index classification is deterministic per
     # corpus snapshot and read repeatedly downstream (same policy as the

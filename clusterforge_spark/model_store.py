@@ -254,6 +254,7 @@ def ensure_artifact(
     path: str,
     expect: dict[str, object],
     builder,
+    n_files: int | None = 1,
 ):
     """Load-or-build: return the validated stored artifact if present,
     else build it, persist it (best-effort) and return the STORED copy —
@@ -266,7 +267,7 @@ def ensure_artifact(
         return df
     built = builder()
     try:
-        save_artifact(spark, path, built, expect)
+        save_artifact(spark, path, built, expect, n_files=n_files)
         reloaded = load_artifact(spark, path, expect)
         if reloaded is not None:
             # keep the build's internal-cache lifecycle hooks visible on

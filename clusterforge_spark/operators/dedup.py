@@ -762,8 +762,18 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return comp.join(sizes, "component").select("doc_id", "component", "component_size")
 
 
+#: banded-minhash derivation defaults, exposed as constants so the
+#: artifact registry can fingerprint the graph tables on the ACTUAL
+#: parameters they were built with (r8 review finding: a parameter
+#: change must invalidate persisted components/pagerank/k-core)
+BANDED_SHINGLE_N = 3
+BANDED_JACCARD_THRESHOLD = 0.2
+
+
 def dedup_minhash_banded(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Native banded MinHash-LSH near-dup detection (oracle-checkable).
 
@@ -1122,7 +1132,13 @@ def pair_degree_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(pairs: DataFrame, damping: float = 0.85, iters: int = 3) -> DataFrame:
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank(
+    pairs: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITERS
+) -> DataFrame:
     """Fixed-iteration PageRank over the undirected near-dup graph —
     the centrality step of duplicate-cluster triage (the highest-rank
     doc in a big boilerplate cluster is the template everything else

@@ -451,12 +451,19 @@ def ivf_kcell_cells(embeddings: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-def _kcell_n_cells(embeddings: DataFrame) -> int:
-    """ceil(√n) — the standard IVF cell-count sizing (bounded driver
-    scalar: one count)."""
+def kcell_n_cells_for(n: int) -> int:
+    """ceil(√n) — the standard IVF cell-count sizing rule, shared by the
+    operators, the entry-point artifact builders and (by construction)
+    the oracle's ceil(sqrt(count)) so the rule can never drift between
+    them."""
     import math
 
-    return int(math.ceil(math.sqrt(max(embeddings.count(), 1))))
+    return int(math.ceil(math.sqrt(max(int(n), 1))))
+
+
+def _kcell_n_cells(embeddings: DataFrame) -> int:
+    """ceil(√n) over a live frame (bounded driver scalar: one count)."""
+    return kcell_n_cells_for(embeddings.count())
 
 
 def ivf_kcell_candidates(

@@ -1924,7 +1924,11 @@ MIX_BUDGET_PCT = 25
 TOKEN_FILL_SMALL_N = 1_000_000
 
 
-def _greedy_fill_before(scored: DataFrame, small_n: int | None = None) -> DataFrame:
+def _greedy_fill_before(
+    scored: DataFrame,
+    small_n: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Adds ``_before`` — the exclusive running token sum per source in
     (quality DESC NULLS LAST, doc_id ASC) order — the greedy
     best-quality-first fill position shared by token_budget_mix and
@@ -1952,8 +1956,16 @@ def _greedy_fill_before(scored: DataFrame, small_n: int | None = None) -> DataFr
         small_n = TOKEN_FILL_SMALL_N
     # bounded probe (the pipeline driver-fit discipline): LIMIT small_n+1
     # stops scanning once the branch is decided, never a full count
-    # (small_n=0 forces the distributed regime, the rfm_segments idiom)
-    small = small_n > 0 and scored.limit(small_n + 1).count() <= small_n
+    # (small_n=0 forces the distributed regime, the rfm_segments idiom).
+    # Callers whose `scored` sits above a shuffle (the curation draw is
+    # gate→dedup-aggregated) pass the RAW documents frame as ``probe`` —
+    # a map-only LIMIT that genuinely short-circuits, and an upper bound
+    # on the fill's row count (gate/dedup only remove rows), so the
+    # regime choice errs only toward the distributed plan, never toward
+    # an unbounded single-task sort (r8 review finding: a LIMIT above a
+    # groupBy still runs the whole shuffle map side).
+    probe_df = probe if probe is not None else scored
+    small = small_n > 0 and probe_df.limit(small_n + 1).count() <= small_n
     if small:
         w = (
             Window.partitionBy("source")
@@ -2025,7 +2037,7 @@ def token_budget_mix(documents: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("_tot"),
         F.countDistinct("source").cast("long").alias("_ns"),
     )
-    cum = _greedy_fill_before(scored)
+    cum = _greedy_fill_before(scored, probe=documents)
     sel = cum.crossJoin(F.broadcast(tot)).withColumn(
         "_budget",
         F.expr(f"(_tot * {MIX_BUDGET_PCT}) div (100 * _ns)").cast("long"),
@@ -2093,7 +2105,7 @@ def token_budget_mix_weighted(documents: DataFrame) -> DataFrame:
             ).alias("_budget"),
         )
     )
-    cum = _greedy_fill_before(scored)
+    cum = _greedy_fill_before(scored, probe=documents)
     sel = cum.join(F.broadcast(budgets), "source").filter(
         F.col("_before") < F.col("_budget")
     )
@@ -2167,7 +2179,7 @@ def curation_pipeline_report(documents: DataFrame) -> DataFrame:
         F.countDistinct("source").cast("long").alias("_ns"),
     )
     drawn = (
-        _greedy_fill_before(unique)
+        _greedy_fill_before(unique, probe=documents)
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "_budget",

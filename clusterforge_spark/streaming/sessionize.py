@@ -1172,9 +1172,14 @@ def _replay_out_dir(
     key = app
     if sf_dir:
         key += "-" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # prune dirs of DEAD runs: other app keys untouched for >1 day
+    # prune dirs of DEAD runs: other app keys untouched for >7 days.
+    # The window is deliberately wide and every call below utime-touches
+    # its own key dir, so a long-lived concurrent app is only at risk if
+    # it runs a week without ONE replay call — the residual accepted in
+    # exchange for a bounded fixed /tmp root (r8 review finding: the
+    # original 1-day cutoff could rmtree a live >24h run's captures).
     try:
-        cutoff = _time.time() - 86400
+        cutoff = _time.time() - 7 * 86400
         for name in os.listdir(root):
             p = os.path.join(root, name)
             if not name.startswith(app) and os.path.getmtime(p) < cutoff:
@@ -1184,6 +1189,7 @@ def _replay_out_dir(
     d = os.path.join(root, key, tag)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(os.path.dirname(d), exist_ok=True)
+    os.utime(os.path.dirname(d))  # keep this app's key dir young
     return d
 
 
