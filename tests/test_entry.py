@@ -45,20 +45,26 @@ def test_oracle_sql_is_valid_duckdb():
         return c
 
     con = fresh()
-    # reconnect every 40 oracles — the same hygiene as
-    # scripts/check_correctness.py: DuckDB's buffer pool has thrown
-    # spurious tiny-allocation OOMs after hundreds of
-    # MATERIALIZED-CTE-heavy statements on one long-lived connection
-    # (observed twice this round with >100 GB free); the test's verdict
-    # should be about the SQL, not the connection
+    # Hygiene: reconnect every 40 oracles, and retry ONE failure on a
+    # brand-new connection before failing. DuckDB in a process that also
+    # hosts the Spark JVM has thrown spurious tiny-allocation
+    # std::bad_alloc OOMs on MATERIALIZED-CTE-heavy statements with
+    # >100 GB free and no rlimits (allocator state, not SQL); a fresh
+    # connection separates "the SQL is invalid" (fails there too — real
+    # failure) from "the connection/process allocator hiccuped".
     for i, (name, sql) in enumerate(E.oracle_sql().items()):
         if i and i % 40 == 0:
             con.close()
             con = fresh()
         try:
             con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
-        except Exception as exc:  # noqa: BLE001
-            pytest.fail(f"{name}: oracle SQL failed: {exc}")
+        except Exception:  # noqa: BLE001
+            con.close()
+            con = fresh()
+            try:
+                con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+            except Exception as exc:  # noqa: BLE001
+                pytest.fail(f"{name}: oracle SQL failed: {exc}")
 
 
 @pytest.mark.parametrize("name", ["q_rfm_features", "q_centroid_assign", "q_dedup_exact"])
