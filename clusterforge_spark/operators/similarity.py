@@ -254,6 +254,7 @@ def ivf_trained_topk(
     query: list[float] | None = None,
     k: int = 10,
     nprobe: int = 2,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with DATA-TRAINED coarse centroids.
 
@@ -264,11 +265,18 @@ def ivf_trained_topk(
     inside codegen, take the lexicographic (dist, label) min. The only
     shuffles are the centroid training average and the final top-k.
 
+    ``cells`` (optional) injects a pre-trained quantizer — the entry
+    contract passes the artifact-registry copy (r9: train once per
+    corpus snapshot, serve from parquet in every later session, same
+    discipline as the kcell family); omitted, the quantizer trains
+    in-plan from the corpus.
+
     At 100 TB: train the quantizer on a sample, broadcast the packed
     model exactly as here, and the assignment pass remains shuffle-free.
     """
     query = query or V.QUERY_VEC
-    cells = ivf_trained_cells(embeddings)
+    if cells is None:
+        cells = ivf_trained_cells(embeddings)
     # the query's nprobe nearest cells (L rows — trivially small)
     qcells = (
         cells.select(

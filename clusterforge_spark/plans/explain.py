@@ -112,6 +112,15 @@ def window_spec_arities(df: DataFrame) -> list[tuple[int, str, str]]:
     out: list[tuple[int, str, str]] = []
 
     def _walk(node) -> None:
+        # The walk STARTS in the optimized logical plan, where only the
+        # logical "Window" node exists — but an InMemoryRelation's
+        # cachedPlan() is the cached query's PHYSICAL plan, so beneath a
+        # .cache() boundary the walk crosses into physical territory and
+        # the physical spellings (WindowExec / WindowInPandasExec,
+        # InMemoryTableScanExec, AdaptiveSparkPlanExec) become reachable
+        # (r9: documented after a review read them as dead branches —
+        # they fire exactly when a window sits inside a cached sub-plan,
+        # e.g. a memoized fill table).
         cls = node.getClass().getSimpleName()
         if cls in ("Window", "WindowExec", "WindowInPandasExec"):
             part = node.partitionSpec()

@@ -1158,8 +1158,9 @@ def _replay_out_dir(
     scales) rmtree each other's captures mid-stream, and a previously
     returned DataFrame stays lazily bound to a dir the other run
     pre-cleans. Per-app keying makes concurrent runs disjoint; stale
-    apps' dirs are pruned by age (>1 day) so the fixed-root discipline
-    (no unbounded mkdtemp leak on a long-lived box) is kept."""
+    apps' dirs are pruned by age (>7 days, every call self-touches its
+    own key dir to stay young) so the fixed-root discipline (no
+    unbounded mkdtemp leak on a long-lived box) is kept."""
     if out_path:
         return out_path
     import hashlib
@@ -1206,16 +1207,27 @@ def run_stream_replay_to_parquet(
 
     complete mode: each batch OVERWRITES the capture (idempotent — the
     final batch holds the full result, so replays converge). append
-    mode: a ``_batches/<id>`` manifest marker is written after each
-    batch commits and already-marked ids are SKIPPED, so replaying the
-    same stream into the same capture dir is idempotent on plain
-    parquet too (r7 verdict item 4; the underscore prefix hides the
-    manifest from parquet readers). The marker is written AFTER the
-    data commit, so the one remaining window is a crash BETWEEN the
-    two — the standard at-least-once boundary of any non-transactional
-    sink; a transactional table format closes it for free (SCALE.md).
-    The manifest lives on the same filesystem as the capture (Hadoop FS
-    API), so the guard works on any URI, not just local paths.
+    mode: each batch lands in its OWN hive-style partition dir
+    (``cf_batch=<id>``, written with per-directory OVERWRITE) and a
+    ``_batches/<id>`` manifest marker is written after the data
+    commits; already-marked ids are SKIPPED, so replaying the same
+    stream into the same capture dir is idempotent on plain parquet
+    (r7 verdict item 4; the underscore prefix hides the manifest from
+    parquet readers, and the reader below drops the cf_batch partition
+    column so the returned schema is unchanged).
+
+    Crash-window semantics (r9 — previously the documented at-least-once
+    gap): a crash BETWEEN the batch-dir write and its marker leaves an
+    unmarked ``cf_batch=<id>`` dir whose contents — partial or complete
+    — are REPLACED by the replay's overwrite of that same dir before the
+    marker is finally written. No interleaving can surface duplicated or
+    partial rows to a reader of the capture: a batch's files become
+    durable-and-counted exactly once, when its marker exists. This is
+    exactly-once for deterministic replays (availableNow over a static
+    file source re-forms the same batches); a nondeterministic source
+    re-forms batch contents on replay but still never duplicates. The
+    manifest and data live on the same filesystem (Hadoop FS API), so
+    the guard works on any URI, not just local paths.
 
     ``batch_transform(batch_df) -> DataFrame`` (optional) runs inside
     foreachBatch on the BATCH frame before capture — the production
@@ -1242,7 +1254,12 @@ def run_stream_replay_to_parquet(
                 # state store commits validate
                 batch_df.write.format("noop").mode("overwrite").save()
                 return
-            batch_df.write.mode(mode).parquet(out_path)
+            # per-batch dir + overwrite: re-running an unmarked batch
+            # REPLACES any partial files from a crashed attempt instead
+            # of appending next to them
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_path}/cf_batch={batch_id}"
+            )
             fs.createNewFile(marker)
         else:
             batch_df.write.mode(mode).parquet(out_path)
@@ -1254,7 +1271,11 @@ def run_stream_replay_to_parquet(
         .start()
     )
     _await_or_raise(query, timeout_s)
-    return spark.read.parquet(out_path)
+    out = spark.read.parquet(out_path)
+    # partition discovery surfaces the per-batch dirs as a cf_batch
+    # column in append mode — drop it so the capture's schema matches
+    # the stream's (and the complete-mode shape)
+    return out.drop("cf_batch") if mode == "append" else out
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,20 +1,32 @@
 #!/usr/bin/env python3
-"""10× scale-stress harness for the heavy document-family operators.
+"""Scale-stress harness for the heavy document-family operators.
 
-Builds a 10× replica of the sf0.1 documents table in which each copy
-gets (a) alphabet-rotated text (token/char structure identical, vocab
-disjoint — so no cross-copy near-dup candidates) and (b) a per-copy
-source tag (so blocked strategies see 10× more blocks of the SAME size,
-the shape real corpus growth takes — more crawl slices, not 10×-fatter
-slices). The planted-dup structure (doc_id < 100 offsets inside
-docs_with_dups) exists once per copy-0 only, holding the true-dup count
-constant while candidate generation scales with the corpus.
+Builds an N× replica (STRESS_COPIES, default 10) of the sf0.1 documents
+table in which each copy gets (a) alphabet-rotated text (token/char
+structure identical, vocab disjoint — so no cross-copy near-dup
+candidates) and (b) a per-copy source tag (so blocked strategies see N×
+more blocks of the SAME size, the shape real corpus growth takes — more
+crawl slices, not N×-fatter slices). The planted-dup structure
+(doc_id < 100 offsets inside docs_with_dups) exists once per copy-0
+only, holding the true-dup count constant while candidate generation
+scales with the corpus.
 
-Reports 1× and 10× wall times and the ratio; a ratio ≫ 10 would expose
+STRESS_SKEW=1 switches to the ADVERSARIAL shape (r9, verdict item 6 —
+the greedy-fill asymptote method applied to dedup): 90% of replica
+copies keep the ORIGINAL source tags, so every source block grows
+~0.9·N× fatter instead of N× more blocks (the dominant-crawl-slice
+case), AND 1% of the dominant copies' docs are REPLACED by one shared
+short boilerplate template (± a tiny per-doc suffix) — near-identical
+short docs across copies share their whole shingle set, land in the
+SAME LSH bucket in every band, and force the banded join through one
+giant bucket: the classic template-page hazard that makes naive LSH
+quadratic in the hot bucket.
+
+Reports 1× and N× wall times and the ratio; a ratio ≫ N would expose
 a quadratic surface. Writes no repo files — results are pasted into
 SCALE.md by hand.
 
-Usage:  python3 scripts/stress_scale.py [q_name ...]
+Usage:  [STRESS_COPIES=50] [STRESS_SKEW=1] python3 scripts/stress_scale.py [q_name ...]
 """
 
 from __future__ import annotations
@@ -180,8 +192,25 @@ def main() -> int:
     # measures the BUILD shape, not a warm parquet read
     import tempfile
 
-    os.environ["SPARK_GRAFT_MODEL_DIR"] = tempfile.mkdtemp(prefix="cf_stress_models_")
+    scratch_registry = tempfile.mkdtemp(prefix="cf_stress_models_")
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = scratch_registry
     spark = get_spark("clusterforge-stress")
+    try:
+        return _run(spark, names)
+    finally:
+        # r8 ADVICE: don't leak a populated scratch registry per run
+        import shutil as _shutil
+
+        _shutil.rmtree(scratch_registry, ignore_errors=True)
+        spark.stop()
+
+
+def _run(spark, names: list[str]) -> int:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    import clusterforge_spark.sources.readers as R
+    from clusterforge_spark.sources.readers import load_table
 
     # drop stale optional replicas so the exists() checks in patched()
     # can't pick up a previous run's files for queries that don't want them
@@ -194,16 +223,37 @@ def main() -> int:
         if not wanted and os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
 
+    skew = os.environ.get("STRESS_SKEW", "0") == "1"
+    #: the shared boilerplate template for skew mode — short (few
+    #: shingles, so the template IS the whole shingle set) and constant
+    #: across copies; the per-doc numeric suffix keeps docs distinct
+    #: without moving their minhash minima
+    template = (
+        "server error the page you requested could not be found "
+        "please contact the site administrator reference code"
+    )
     base = load_table(spark, SF_DIR, "documents")
     parts = [base]
     for i in range(1, COPIES):
         rot = ALPHABET[i:] + ALPHABET[:i]
+        dominant = skew and (i % 10 != 0)
+        src = (
+            F.col("source")  # dominant copies pile onto the ORIGINAL tags
+            if dominant
+            else F.concat(F.col("source"), F.lit(f"_c{i}")).alias("source")
+        )
+        text = F.translate(F.col("text"), ALPHABET, rot)
+        if dominant:
+            text = F.when(
+                F.col("doc_id") % 100 == 7,
+                F.concat(F.lit(template + " "), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(text)
         parts.append(
             base.select(
                 (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
-                F.translate(F.col("text"), ALPHABET, rot).alias("text"),
+                text.alias("text"),
                 "lang",
-                F.concat(F.col("source"), F.lit(f"_c{i}")).alias("source"),
+                src.alias("source"),
                 "n_chars",
                 *[c for c in base.columns if c not in
                   ("doc_id", "text", "lang", "source", "n_chars")],

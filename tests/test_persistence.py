@@ -139,6 +139,9 @@ def test_ann_index_serves_from_second_session_without_retrain(
 
     qs = E.queries()
     topk1 = [tuple(r) for r in qs["q_sim_search_kcell"](spark, SF_DIR).collect()]
+    ivf1 = [
+        tuple(r) for r in qs["q_sim_search_ivf_trained"](spark, SF_DIR).collect()
+    ]
     front1 = sorted(
         tuple(r) for r in qs["q_ann_recall"](spark, SF_DIR).collect()
     )
@@ -156,12 +159,19 @@ def test_ann_index_serves_from_second_session_without_retrain(
     monkeypatch.setattr(SIM, "ivf_kcell_seeds", boom)
     monkeypatch.setattr(SIM, "planted_clustered", boom)
     monkeypatch.setattr(SIM, "_assign_packed", boom)
+    # r9 (verdict item 3): the per-label trained IVF quantizer joins the
+    # no-retrain contract — its query must serve from the registry too
+    monkeypatch.setattr(SIM, "ivf_trained_cells", boom)
 
     topk2 = [tuple(r) for r in qs["q_sim_search_kcell"](fresh, SF_DIR).collect()]
+    ivf2 = [
+        tuple(r) for r in qs["q_sim_search_ivf_trained"](fresh, SF_DIR).collect()
+    ]
     front2 = sorted(
         tuple(r) for r in qs["q_ann_recall"](fresh, SF_DIR).collect()
     )
     assert topk2 == topk1
+    assert ivf2 == ivf1
     assert front2 == front1
     E.release(spark, SF_DIR)
     E.release(fresh, SF_DIR)
@@ -202,20 +212,41 @@ def test_graph_tables_serve_from_second_session_without_rebuild(
 
 def test_registry_report_lists_committed_artifacts(spark):
     rows = {
-        (r.snapshot, r.artifact): r.valid
+        (r.snapshot, r.artifact): (r.valid, r.status)
         for r in MS.registry_report(spark).collect()
     }
     assert rows, "the committed registry should not be empty"
-    assert rows.get(("sf0.001", "kcell_codebook")) is True
-    assert all(v for v in rows.values()), "committed artifacts must be valid"
+    assert rows.get(("sf0.001", "kcell_codebook")) == (True, "valid")
+    assert all(v for v, _ in rows.values()), "committed artifacts must be valid"
+
+
+def test_registry_report_distinguishes_absent_from_invalid(spark, tmp_path):
+    """r8 verdict item 4: an operator reading the report must be able to
+    tell an empty slot from a present-but-invalid artifact."""
+    root = str(tmp_path / "reg")
+    good = f"{root}/sfX/good"
+    MS.save_artifact(spark, good, spark.range(4).selectExpr("id"), {"kind": "g"})
+    # present-but-invalid: data dir holds junk, no readable meta
+    import os
+
+    bad = f"{root}/sfX/bad"
+    os.makedirs(f"{bad}/data")
+    open(f"{bad}/data/part-junk.parquet", "w").write("not parquet")
+    rows = {r.artifact: r.status for r in MS.registry_report(spark, root).collect()}
+    assert rows["good"] == "valid"
+    assert rows["bad"] == "invalid_meta"
 
 
 def test_unwritable_registry_falls_back_to_in_session_build(
-    spark, monkeypatch
+    spark, monkeypatch, caplog
 ):
     """Persistence is best-effort: with the registry pointed somewhere
     unwritable, every artifact-backed query still answers (in-session
-    build), identical to the registry-served answer."""
+    build), identical to the registry-served answer — and the fallback
+    is LOUD (r8 verdict item 4: a deployment whose registry went
+    unwritable must see a warning, not silently retrain forever)."""
+    import logging
+
     import __spark_entry__ as E
     from tests.conftest import SF_DIR
 
@@ -226,6 +257,122 @@ def test_unwritable_registry_falls_back_to_in_session_build(
     monkeypatch.setenv(
         "SPARK_GRAFT_MODEL_DIR", "/proc/definitely/not/writable"
     )
-    got = sorted(tuple(r) for r in qs["q_sim_search_kcell"](spark, SF_DIR).collect())
+    with caplog.at_level(logging.WARNING, logger="clusterforge_spark.model_store"):
+        got = sorted(
+            tuple(r) for r in qs["q_sim_search_kcell"](spark, SF_DIR).collect()
+        )
     assert got == want
+    msgs = [rec.getMessage() for rec in caplog.records]
+    assert any(
+        "save failed" in m and "/proc/definitely/not/writable" in m for m in msgs
+    ), f"the fallback must log a warning naming the path; got {msgs}"
+    E.release(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# r9: artifact self-consistency (torn-write guard) + the rebuild-vs-stored
+# identity gate — the round-8 verdict's top item.
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_meta_records_self_consistency_keys(spark, tmp_path):
+    path = str(tmp_path / "art")
+    MS.save_artifact(spark, path, spark.range(7).selectExpr("id"), {"kind": "t"})
+    meta = MS.artifact_meta(spark, path)
+    assert meta["self_n_rows"] == "7"
+    assert meta["self_content_crc"] not in (None, "", "None")
+    assert MS.verify_artifact(spark, path) == "valid"
+
+
+def test_torn_write_duplicate_rows_rejected_on_load(spark, tmp_path):
+    """The ADVICE scenario: an interleaved pair of concurrent overwrites
+    leaves part files of BOTH writes — every fingerprint key still
+    matches, but the artifact's own recorded cardinality does not. The
+    load must treat the artifact as absent (rebuild), never serve it."""
+    import glob
+    import shutil
+
+    path = str(tmp_path / "art")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    MS.save_artifact(spark, path, df, {"kind": "t", "n": 5})
+    assert MS.load_artifact(spark, path, {"kind": "t", "n": 5}) is not None
+
+    # simulate the torn write: duplicate a committed part file in place
+    part = glob.glob(f"{path}/data/part-*.parquet")[0]
+    shutil.copy(part, part.replace("part-", "part-dup-"))
+
+    assert MS.load_artifact(spark, path, {"kind": "t", "n": 5}) is None
+    assert MS.verify_artifact(spark, path) == "count_mismatch"
+
+
+def test_poisoned_artifact_same_shape_caught_by_crc_and_identity_gate(
+    spark, tmp_path
+):
+    """The verdict's negative case: a mutated artifact with the SAME row
+    count and untouched meta passes the serve-path count check by
+    construction — the deep crc verdict and the rebuild-vs-stored
+    comparator must both flag it."""
+    clean = str(tmp_path / "clean")
+    poisoned = str(tmp_path / "poisoned")
+    df = spark.range(6).selectExpr("id", "id * 3 AS v")
+    MS.save_artifact(spark, clean, df, {"kind": "t"})
+    MS.save_artifact(spark, poisoned, df, {"kind": "t"})
+
+    # poison: rewrite the data with one value changed, same cardinality,
+    # preserving meta (fingerprint + n_rows + crc all claim the original)
+    import shutil
+
+    mutated = df.selectExpr("id", "CASE WHEN id = 3 THEN 999 ELSE v END AS v")
+    mutated.coalesce(1).write.mode("overwrite").parquet(f"{poisoned}/data.new")
+    shutil.rmtree(f"{poisoned}/data")
+    shutil.move(f"{poisoned}/data.new", f"{poisoned}/data")
+
+    # serve-path count check passes by construction (same cardinality) …
+    assert MS.load_artifact(spark, poisoned, {"kind": "t"}) is not None
+    # … but the deep verdict and the identity comparator both catch it
+    assert MS.verify_artifact(spark, poisoned) == "crc_mismatch"
+    assert not MS.artifacts_identical(spark, clean, poisoned)
+    assert MS.artifacts_identical(spark, clean, clean)
+
+
+def test_committed_artifacts_match_fresh_rebuild(spark, tmp_path, monkeypatch):
+    """The r8 verdict's top item: the fingerprint boundary (counts + ids +
+    params) cannot catch a builder-semantics change that forgot an
+    ARTIFACT_VERSION bump — so re-run EVERY builder from the raw tables
+    into a scratch registry and assert row-identity with the committed
+    copy. Any drift between code and committed bytes fails here, the
+    round it happens."""
+    import os
+
+    import __spark_entry__ as E
+    from __spark_entry__ import ARTIFACT_BUILDERS
+    from tests.conftest import SF_DIR
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    committed_root = MS.default_model_dir()
+    committed = {
+        name: os.path.join(committed_root, tag, name)
+        for name in ARTIFACT_BUILDERS
+    }
+    missing = [n for n, p in committed.items() if not os.path.isdir(p)]
+    assert not missing, f"committed registry lacks {missing} at {tag}"
+
+    scratch = str(tmp_path / "scratch_registry")
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", scratch)
+    E.release(spark, SF_DIR)
+    qs = E.queries()
+    for qname in sorted(set(ARTIFACT_BUILDERS.values())):
+        qs[qname](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    diverged = []
+    for name in ARTIFACT_BUILDERS:
+        rebuilt = os.path.join(scratch, tag, name)
+        assert os.path.isdir(rebuilt), f"rebuild did not produce {name}"
+        if not MS.artifacts_identical(spark, committed[name], rebuilt):
+            diverged.append(name)
+    assert not diverged, (
+        f"committed artifacts diverge from a fresh rebuild: {diverged} — "
+        "a builder changed without regenerating the registry (or without "
+        "an ARTIFACT_VERSION bump)"
+    )
     E.release(spark, SF_DIR)

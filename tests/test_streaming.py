@@ -807,6 +807,54 @@ def test_append_replay_idempotent_on_reused_capture_dir(spark, tmp_path):
     assert second == first
 
 
+def test_append_replay_heals_crash_between_data_and_marker(spark, tmp_path):
+    """r9 (verdict item 5, structural close of the at-least-once gap):
+    fabricate the exact crash artifact — a batch's data dir present (and
+    torn: a duplicated part file) but its manifest marker missing — then
+    replay. The per-batch-dir OVERWRITE must REPLACE the unmarked dir,
+    so the healed capture is row-identical to a clean run: no duplicated
+    rows, no partial files, under any crash between data and marker."""
+    import glob
+    import os
+    import shutil
+
+    from clusterforge_spark.streaming.sessionize import (
+        run_stream_click_attribution_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "cap")
+    clean = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert clean, "replay should capture at least one joined row"
+
+    # crash simulation: pick one committed batch, delete its marker and
+    # tear its data (duplicate a part file — the torn-write shape that
+    # would double rows on a naive flat append)
+    bid, parts = None, []
+    for m in sorted(os.listdir(os.path.join(out, "_batches"))):
+        cand = glob.glob(os.path.join(out, f"cf_batch={m}", "part-*.parquet"))
+        if cand:
+            bid, parts = m, cand
+            break
+    assert bid is not None, "at least one batch should hold committed part files"
+    os.remove(os.path.join(out, "_batches", bid))
+    shutil.copy(parts[0], parts[0].replace("part-", "part-dup-"))
+
+    healed = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert healed == clean
+    assert os.path.exists(os.path.join(out, "_batches", bid)), "marker restored"
+
+
 def test_default_replay_dirs_keyed_per_app_and_sf(spark):
     """r7 ADVICE: two concurrent runs (different apps, or two scales in
     one app) must never share a default capture dir — the dir is keyed
