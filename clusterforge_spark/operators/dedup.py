@@ -786,6 +786,18 @@ def dedup_minhash_banded(
     negatives only for pairs missed by every band (P(miss) = (1−j³)⁴).
     Per-band bucket joins shuffle on the bucket key only — never n².
 
+    Hot-bucket bound (r9, measured): a cluster of m near-identical docs
+    (template pages) shares whole band signatures, so its candidate set
+    is inherently Ω(m²) — at a 2,250-doc planted template cluster inside
+    a 250k-doc corpus (50× skew stress, SCALE.md r9 table) the verify
+    join absorbs the ~2.5M hot-bucket pairs at 11.9 s total, cold ratio
+    2.7× vs 1×. One band-key is one shuffle partition, so clusters above
+    ~10⁴ members would make the verify join's hot task the straggler;
+    the 2-D salting in :func:`_salted_for_join` applies unchanged to the
+    (band, key) bucket join when a corpus profile (pair_degree_stats)
+    shows buckets that large — not default because its per-bucket size
+    aggregate taxes every corpus to help only pathological ones.
+
     Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
     strategy — the md5 shingle hashing runs once per corpus per session).
     """

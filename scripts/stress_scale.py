@@ -392,7 +392,13 @@ def _run(spark, names: list[str]) -> int:
             spark.catalog.clearCache()
             E._MEMO.clear()
             try:
+                # first run = COLD: for registry-backed queries (the graph
+                # tables, the ANN family) this is the BUILD shape — the
+                # warm repeat below then measures the serve shape, since
+                # the scratch registry is already populated
+                tc = time.perf_counter()
                 fn(spark, sfdir).write.mode("overwrite").format("noop").save()
+                row[f"cold_{label}"] = round(time.perf_counter() - tc, 2)
                 t0 = time.perf_counter()
                 fn(spark, sfdir).write.mode("overwrite").format("noop").save()
                 row[label] = round(time.perf_counter() - t0, 2)
@@ -402,8 +408,14 @@ def _run(spark, names: list[str]) -> int:
         R.load_table = orig_load
         E.load_table = orig_load
         t1, t10 = row.get("t1x"), row.get(f"t{COPIES}x")
+        c1, c10 = row.get("cold_t1x"), row.get(f"cold_t{COPIES}x")
         ratio = round(t10 / max(t1, 1e-9), 1) if (t1 and t10) else None
-        print(f"{name}: 1x {t1}s  {COPIES}x {t10}s  ratio {ratio}", flush=True)
+        cratio = round(c10 / max(c1, 1e-9), 1) if (c1 and c10) else None
+        print(
+            f"{name}: 1x {t1}s  {COPIES}x {t10}s  ratio {ratio}  "
+            f"| cold 1x {c1}s  {COPIES}x {c10}s  cold-ratio {cratio}",
+            flush=True,
+        )
 
     spark.stop()
     return 0
