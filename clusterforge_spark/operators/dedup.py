@@ -774,6 +774,7 @@ def dedup_minhash_banded(
     docs: DataFrame,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Native banded MinHash-LSH near-dup detection (oracle-checkable).
 
@@ -793,10 +794,12 @@ def dedup_minhash_banded(
     join absorbs the ~2.5M hot-bucket pairs at 11.9 s total, cold ratio
     2.7× vs 1×. One band-key is one shuffle partition, so clusters above
     ~10⁴ members would make the verify join's hot task the straggler;
-    the 2-D salting in :func:`_salted_for_join` applies unchanged to the
-    (band, key) bucket join when a corpus profile (pair_degree_stats)
-    shows buckets that large — not default because its per-bucket size
-    aggregate taxes every corpus to help only pathological ones.
+    pass ``bucket_cap`` to 2-D-salt the (band, key) bucket join
+    (:func:`_salted_for_join` — pair set bit-identical, a hot bucket of
+    m docs splits into ceil(m/cap)² balanced shuffle keys) when a corpus
+    profile (pair_degree_stats) shows buckets that large — off by
+    default because its per-bucket size aggregate taxes every corpus to
+    help only pathological ones.
 
     Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
     strategy — the md5 shingle hashing runs once per corpus per session).
@@ -806,14 +809,25 @@ def dedup_minhash_banded(
     banded = sig.select(
         "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    join_on = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if bucket_cap is not None:
+        # hot-bucket escape hatch: an oversized (band, key) bucket of m
+        # docs splits into ceil(m/cap)² balanced shuffle keys; every
+        # unordered pair still meets on exactly one replica combination,
+        # so the candidate set — and the verified output — is identical
+        banded = _salted_for_join(banded, ["band", "key"], "doc_id", bucket_cap)
+        join_on = (
+            join_on
+            & (F.col("a._salt") == F.col("b._probe"))
+            & (F.col("a._probe") == F.col("b._salt"))
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, join_on)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

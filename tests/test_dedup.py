@@ -83,6 +83,45 @@ def test_embedding_cosine_dedup(embeddings):
         assert c == pytest.approx(1.0, abs=1e-6)
 
 
+def test_minhash_banded_bucket_cap_salting_is_value_identical(spark, dup_docs):
+    """r9 hot-bucket escape hatch: with bucket_cap forcing the template
+    cluster's (band, key) bucket into multiple salted sub-keys, the
+    verified pair set must be row-identical to the unsalted join — the
+    salting only changes the shuffle layout (SCALE.md r9 bound)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.dedup import dedup_minhash_banded
+
+    # plant a 60-doc template cluster (shared text ± 3 suffix variants)
+    # on top of the standard dup corpus: every member agrees on whole
+    # band signatures, so one bucket holds ~60 docs ≫ the cap below
+    template = (
+        "server error the page you requested could not be found "
+        "please contact the site administrator reference code"
+    )
+    cluster = spark.range(60).select(
+        (F.col("id") + 900_000).alias("doc_id"),
+        F.concat(F.lit(template + " "), (F.col("id") % 3).cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("tmpl").alias("source"),
+        F.length(F.lit(template)).cast("long").alias("n_chars"),
+    )
+    docs = dup_docs.unionByName(cluster)
+
+    plain = sorted(
+        tuple(r) for r in dedup_minhash_banded(docs, threshold=0.2).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in dedup_minhash_banded(docs, threshold=0.2, bucket_cap=16).collect()
+    )
+    assert salted == plain
+    # the cluster must actually exercise the hot-bucket path: its pairs
+    # dominate the result (60 near-identical docs)
+    n_cluster_pairs = sum(1 for a, b, _ in plain if a >= 900_000 and b >= 900_000)
+    assert n_cluster_pairs >= 60 * 59 / 2 * 0.9
+
+
 def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
     from clusterforge_spark.operators.dedup import dedup_minhash_banded, dedup_ngram_jaccard
 
