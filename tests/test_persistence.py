@@ -356,6 +356,17 @@ def test_committed_artifacts_match_fresh_rebuild(spark, tmp_path, monkeypatch):
     }
     missing = [n for n, p in committed.items() if not os.path.isdir(p)]
     assert not missing, f"committed registry lacks {missing} at {tag}"
+    # the gate must be EXHAUSTIVE: an artifact on disk that is not in
+    # ARTIFACT_BUILDERS would silently escape the rebuild comparison
+    on_disk = {
+        d for d in os.listdir(os.path.join(committed_root, tag))
+        if os.path.isdir(os.path.join(committed_root, tag, d))
+    }
+    unmapped = on_disk - set(ARTIFACT_BUILDERS)
+    assert not unmapped, (
+        f"registry artifacts with no ARTIFACT_BUILDERS entry: {unmapped} — "
+        "add them to the map so the identity gate covers them"
+    )
 
     scratch = str(tmp_path / "scratch_registry")
     monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", scratch)
