@@ -988,6 +988,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_minhash_banded"] = lambda spark, sf: DD.dedup_minhash_banded(
         _dup_docs(spark, sf)
     )
+    # r9: the hot-bucket-salted physical strategy, oracle-gated against
+    # the SAME SQL as the unsalted form — the 2-D salting must be a pure
+    # shuffle-layout change (same contract-sharing pattern as
+    # q_dedup_components_star vs q_dedup_components). bucket_cap=64 is
+    # deliberately tiny so the salted path actually engages at sf0.01
+    # (the planted dup blocks exceed it), not just at stress scale.
+    q["q_dedup_minhash_banded_salted"] = lambda spark, sf: DD.dedup_minhash_banded(
+        _dup_docs(spark, sf), bucket_cap=64
+    )
     q["q_minhash_estimate_error"] = lambda spark, sf: DD.minhash_estimate_error(
         _dup_docs(spark, sf)
     )
@@ -1435,6 +1444,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         # q_dedup_minhash: MLlib MinHashLSH hash family — rows-only by design
         "q_dedup_ngram": OSQL.q_dedup_ngram(),
         "q_dedup_minhash_banded": OSQL.q_dedup_minhash_banded(),
+        # the salted strategy must produce the IDENTICAL verified pair set
+        "q_dedup_minhash_banded_salted": OSQL.q_dedup_minhash_banded(),
         "q_minhash_estimate_error": OSQL.q_minhash_estimate_error(),
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_components_star": OSQL.q_dedup_components(),

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "q_dedup_levenshtein",
     "q_dedup_ngram",
     "q_dedup_minhash_banded",
+    "q_dedup_minhash_banded_salted",
     "q_minhash_estimate_error",
     "q_dedup_components",
     "q_dedup_components_star",
