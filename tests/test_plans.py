@@ -1006,3 +1006,18 @@ def test_kcell_serve_plan_uses_posting_lists_not_assignment_fold(spark):
     # the inverted lists are read from the registry parquet
     assert "kcell_assigned" in plan
     assert df.count() == 10
+
+
+def test_banded_salted_plan_carries_salt_only_when_capped(spark, documents):
+    """r9: bucket_cap routes the banded bucket join through the 2-D
+    salting (salt/probe columns + the per-bucket size aggregate) and the
+    default path must stay salt-free — the size agg is a real tax
+    (measured ~0.56 s at sf0.1), so it must never leak into the default
+    plan."""
+    from clusterforge_spark.operators.dedup import dedup_minhash_banded, docs_with_dups
+
+    docs = docs_with_dups(documents)
+    plain = dedup_minhash_banded(docs)._jdf.queryExecution().optimizedPlan().toString()
+    salted = dedup_minhash_banded(docs, bucket_cap=64)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in plain and "_probe" not in plain
+    assert "_salt" in salted and "_probe" in salted
