@@ -241,9 +241,14 @@ def save_artifact(
     fingerprint-less artifact that load_artifact rejects); the torn-write
     case there is still caught at load time by the n_rows check.
 
-    Self-consistency meta is computed from the WRITTEN files: ``n_rows``
-    (verified on every load — a footer-only count) and ``content_crc``
-    (verified by verify_artifact / the selfcheck gate).
+    Self-consistency meta is computed from the WRITTEN files:
+    ``self_n_rows`` (verified on every load — a footer-only count) and
+    ``self_content_crc`` (verified by verify_artifact / the selfcheck
+    gate). The crc is one extra columnar scan of the just-written
+    artifact at save time — trivial for model-sized artifacts, and for
+    data-proportional ones (inverted lists) still a small constant
+    factor on top of the build that produced them (an assignment fold
+    costs orders of magnitude more per row than crc32(to_json)).
 
     ``n_files`` coalesces the write (default 1 — the registry's
     artifacts are MB-scale models/reports where one file loads fastest);

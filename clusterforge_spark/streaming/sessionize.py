@@ -1227,7 +1227,12 @@ def run_stream_replay_to_parquet(
     file source re-forms the same batches); a nondeterministic source
     re-forms batch contents on replay but still never duplicates. The
     manifest and data live on the same filesystem (Hadoop FS API), so
-    the guard works on any URI, not just local paths.
+    the guard works on any URI, not just local paths. Layout note: a
+    capture dir written by the pre-r9 flat-append layout cannot be
+    REUSED with this per-batch-dir layout (partition discovery rejects
+    the mix) — default capture dirs are pre-cleaned per run so only an
+    explicitly reused out_path can hit this, and it fails loudly, never
+    silently double-counts.
 
     ``batch_transform(batch_df) -> DataFrame`` (optional) runs inside
     foreachBatch on the BATCH frame before capture — the production
