@@ -29,6 +29,7 @@ import json
 import logging
 import os
 import shutil
+import time as _time
 import uuid
 from dataclasses import dataclass
 
@@ -194,16 +195,61 @@ def artifact_path(sf_dir: str, name: str, root: str | None = None) -> str:
     return os.path.join(root or default_model_dir(), tag, name)
 
 
-def _is_local_path(path: str) -> bool:
-    """True when ``path`` is plain-local (no scheme, or file:) — the case
-    where the staged-rename save applies."""
-    if "://" not in path:
-        return True
-    return path.startswith("file:")
-
-
 def _strip_file_scheme(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _local_base_for_staging(spark: SparkSession, path: str) -> str | None:
+    """The os-level path to stage the save through, or None when the
+    path does NOT resolve to the local filesystem (direct write applies).
+
+    Syntax alone is not enough (r9 review): a schemeless path resolves
+    against ``fs.defaultFS``, which on a cluster is typically HDFS/S3 —
+    staging there would write the data remotely and then fail the
+    os.rename locally, breaking every save. So consult the path's actual
+    Hadoop FileSystem and stage only when its scheme is ``file``."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        if fs.getScheme() != "file":
+            return None
+    except Exception:
+        # JVM unavailable mid-shutdown etc. — keep the syntactic verdict
+        pass
+    return _strip_file_scheme(path)
+
+
+#: marker substrings of the staged-save scratch dirs — never valid
+#: registry slots; listings skip them and saves prune stale ones
+_SCRATCH_MARKERS = (".__stage__.", ".__trash__.")
+
+
+def _is_registry_slot(name: str) -> bool:
+    return not any(m in name for m in _SCRATCH_MARKERS)
+
+
+def _prune_stale_scratch(local_base: str, max_age_s: int = 3600) -> None:
+    """Remove leftover stage/trash dirs for THIS artifact older than
+    ``max_age_s`` (a crashed or failed save can orphan one — r9 review).
+    Age-gated so a concurrent live save's scratch is never yanked from
+    under it; a same-name scratch older than an hour is a corpse."""
+    parent = os.path.dirname(local_base) or "."
+    prefix = os.path.basename(local_base)
+    try:
+        cutoff = _time.time() - max_age_s
+        for entry in os.listdir(parent):
+            if entry.startswith(prefix) and not _is_registry_slot(entry):
+                p = os.path.join(parent, entry)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 def _content_crc(spark: SparkSession, data_path: str) -> int | None:
@@ -255,15 +301,6 @@ def save_artifact(
     pass ``None`` for data-proportional artifacts (a billion-row
     inverted-list table keeps its natural partitioning)."""
     base = path.rstrip("/")
-    staged = _is_local_path(base)
-    if staged:
-        local_base = _strip_file_scheme(base)
-        os.makedirs(os.path.dirname(local_base) or ".", exist_ok=True)
-        stage = f"{local_base}.__stage__.{uuid.uuid4().hex[:12]}"
-        write_base = stage
-    else:
-        write_base = base
-
     # reserved self-consistency keys live in their own namespace: caller
     # fingerprints legitimately carry corpus-shape keys like "n_rows"
     # (e.g. the embeddings fingerprint), which must not clobber the
@@ -273,20 +310,39 @@ def save_artifact(
     if clash:
         raise ValueError(f"artifact meta uses reserved keys: {sorted(clash)}")
 
-    out = df if n_files is None else df.coalesce(int(n_files))
-    out.write.mode("overwrite").parquet(f"{write_base}/data")
-    written = spark.read.parquet(f"{write_base}/data")
-    all_meta = {
-        "format_version": ARTIFACT_VERSION,
-        "self_n_rows": str(written.count()),
-        "self_content_crc": str(_content_crc(spark, f"{write_base}/data")),
-    }
-    all_meta.update({k: str(v) for k, v in meta.items()})
-    spark.createDataFrame(
-        sorted(all_meta.items()), schema="key string, value string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{write_base}/meta")
+    local_base = _local_base_for_staging(spark, base)
+    if local_base is not None:
+        os.makedirs(os.path.dirname(local_base) or ".", exist_ok=True)
+        _prune_stale_scratch(local_base)
+        stage = f"{local_base}.__stage__.{uuid.uuid4().hex[:12]}"
+        write_base = stage
+    else:
+        stage = None
+        write_base = base
 
-    if staged:
+    try:
+        out = df if n_files is None else df.coalesce(int(n_files))
+        out.write.mode("overwrite").parquet(f"{write_base}/data")
+        written = spark.read.parquet(f"{write_base}/data")
+        all_meta = {
+            "format_version": ARTIFACT_VERSION,
+            "self_n_rows": str(written.count()),
+            "self_content_crc": str(_content_crc(spark, f"{write_base}/data")),
+        }
+        all_meta.update({k: str(v) for k, v in meta.items()})
+        spark.createDataFrame(
+            sorted(all_meta.items()), schema="key string, value string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{write_base}/meta")
+    except BaseException:
+        # a failed staged write must not orphan its scratch dir
+        # (disk-full saves would otherwise leak one populated dir per
+        # attempt — r9 review); a kill between write and cleanup is
+        # handled by the age-gated prune on the next save
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    if stage is not None:
         # swap: rename the old artifact away, the staged one in. Between
         # the two renames the artifact is ABSENT (readers rebuild), never
         # partial; rename is atomic per-dir on one filesystem.
@@ -356,6 +412,8 @@ def verify_artifact(spark: SparkSession, path: str) -> str:
     ``no_data``        meta present but the data dir is unreadable
     ``count_mismatch`` data cardinality != meta n_rows (torn write)
     ``crc_mismatch``   content differs from the bytes recorded at save
+    ``crc_unverifiable`` the verify scan itself failed (transient) —
+                       retry, don't discard
 
     Unlike load_artifact's serve-path check (count only), this re-scans
     the data for the order-independent checksum — the registry audit /
@@ -370,10 +428,16 @@ def verify_artifact(spark: SparkSession, path: str) -> str:
         return "no_data"
     if int(meta.get("self_n_rows", -1)) != cnt:
         return "count_mismatch"
+    stored_crc = meta.get("self_content_crc")
+    if stored_crc in (None, "None"):
+        return "valid"  # saved without a crc (schema outside to_json)
     crc = _content_crc(spark, f"{base}/data")
-    if meta.get("self_content_crc") not in (None, "None") and str(crc) != meta.get(
-        "self_content_crc"
-    ):
+    if crc is None:
+        # the verify SCAN failed (transient FS/executor error) — that is
+        # not evidence of corruption; report it as its own verdict so an
+        # operator retries instead of discarding the artifact (r9 review)
+        return "crc_unverifiable"
+    if str(crc) != stored_crc:
         return "crc_mismatch"
     return "valid"
 
@@ -411,15 +475,19 @@ def registry_report(spark: SparkSession, root: str | None = None, deep: bool = F
             if not os.path.isdir(tdir):
                 continue
             for name in sorted(os.listdir(tdir)):
+                if not _is_registry_slot(name):
+                    # staged-save scratch (a live save, or a corpse the
+                    # next save will age-prune) — never an artifact
+                    continue
                 apath = os.path.join(tdir, name)
                 meta = artifact_meta(spark, apath)
                 if deep:
                     status = verify_artifact(spark, apath)
                 elif meta is None:
                     # distinguish "empty slot" from "present but invalid"
-                    has_files = any(
-                        os.scandir(apath)
-                    ) if os.path.isdir(apath) else False
+                    has_files = (
+                        bool(os.listdir(apath)) if os.path.isdir(apath) else False
+                    )
                     status = "invalid_meta" if has_files else "absent"
                 else:
                     try:

@@ -60,10 +60,14 @@ def _salted_for_join(
     versus the m² hot-task blow-up it prevents. For blocks under the cap
     s = 1 and the plan degenerates to the plain blocked join.
 
-    The per-block size table is broadcast: its cardinality is the number
-    of distinct block keys (≪ corpus rows; bounded by the block design),
-    so the broadcast is safe at any corpus scale — this is metadata, not
-    data.
+    Only OVERSIZED blocks (size > cap) enter the broadcast size table —
+    rows whose block is absent default to ``_s = 1`` via a left join, so
+    the broadcast carries exactly the hot blocks, which are few by
+    definition (r9 review: the banded call site blocks on (band, key),
+    where distinct keys ≈ BANDS × corpus rows — broadcasting ALL block
+    sizes there would grow with the corpus and defeat the feature at
+    the very scale it targets; the oversized subset stays metadata-sized
+    at any corpus scale).
 
     ``count_tbl`` lets a caller whose probe key differs from its row key
     (the levenshtein adjacent-bucket probe) supply the block-size table
@@ -72,11 +76,13 @@ def _salted_for_join(
     counts = (count_tbl if count_tbl is not None else tbl).groupBy(*block_cols).agg(
         F.count("*").alias("_m")
     )
-    sizes = counts.select(
+    sizes = counts.filter(F.col("_m") > int(cap)).select(
         *block_cols,
-        F.greatest(F.lit(1), F.ceil(F.col("_m") / F.lit(int(cap)))).cast("int").alias("_s"),
+        F.ceil(F.col("_m") / F.lit(int(cap))).cast("int").alias("_s"),
     )
-    t = tbl.join(F.broadcast(sizes), list(block_cols))
+    t = tbl.join(F.broadcast(sizes), list(block_cols), "left").withColumn(
+        "_s", F.coalesce(F.col("_s"), F.lit(1))
+    )
     return t.select(
         "*",
         F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int").alias("_salt"),

@@ -178,12 +178,7 @@ EMB_QUERIES = {
 
 
 def main() -> int:
-    from pyspark.sql import functions as F
-
-    import __spark_entry__ as E
-    import clusterforge_spark.sources.readers as R
     from clusterforge_spark.session import get_spark
-    from clusterforge_spark.sources.readers import load_table
 
     names = sys.argv[1:] or DEFAULT_QUERIES
     # r8: point the artifact registry at a scratch dir so (a) the repo
@@ -244,9 +239,17 @@ def _run(spark, names: list[str]) -> int:
         )
         text = F.translate(F.col("text"), ALPHABET, rot)
         if dominant:
+            # suffix is distinct per (copy, doc) — 7919 and 9973 are
+            # coprime, base doc_ids < 9973 — so the cluster is
+            # NEAR-identical (template + one varying token), the
+            # template-page shape, not an exact-dup cluster (r9 review:
+            # a base-id-only suffix made dominant copies byte-identical)
             text = F.when(
                 F.col("doc_id") % 100 == 7,
-                F.concat(F.lit(template + " "), (F.col("doc_id") % 7).cast("string")),
+                F.concat(
+                    F.lit(template + " "),
+                    ((F.col("doc_id") + F.lit(i * 7919)) % 9973).cast("string"),
+                ),
             ).otherwise(text)
         parts.append(
             base.select(
@@ -417,7 +420,6 @@ def _run(spark, names: list[str]) -> int:
             flush=True,
         )
 
-    spark.stop()
     return 0
 
 

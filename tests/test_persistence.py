@@ -335,6 +335,41 @@ def test_poisoned_artifact_same_shape_caught_by_crc_and_identity_gate(
     assert MS.artifacts_identical(spark, clean, clean)
 
 
+def test_failed_save_leaves_no_scratch_and_stale_scratch_is_pruned(
+    spark, tmp_path
+):
+    """r9 review: a failed staged write must clean its own scratch dir,
+    a crash-orphaned one must be age-pruned by the next save, and
+    registry listings must never mistake scratch for an artifact."""
+    import os
+    import time
+
+    root = str(tmp_path / "reg")
+    path = f"{root}/sfX/art"
+
+    # failure mid-write (df.coalesce explodes on collect-time) — use a
+    # frame whose write fails: a column that divides by zero under ANSI
+    bad = spark.range(3).selectExpr("id", "id / 0 AS boom")
+    with pytest.raises(Exception):
+        MS.save_artifact(spark, path, bad, {"kind": "t"})
+    parent = os.path.dirname(path)
+    leftovers = [d for d in os.listdir(parent) if not MS._is_registry_slot(d)]
+    assert leftovers == [], f"failed save leaked scratch: {leftovers}"
+
+    # a crash-orphaned stage dir (fabricated, mtime aged >1h) is pruned
+    # by the next successful save of the same artifact
+    corpse = f"{path}.__stage__.deadbeef0000"
+    os.makedirs(corpse)
+    old = time.time() - 7200
+    os.utime(corpse, (old, old))
+    MS.save_artifact(spark, path, spark.range(2).selectExpr("id"), {"kind": "t"})
+    assert not os.path.exists(corpse), "stale scratch corpse not pruned"
+    assert MS.verify_artifact(spark, path) == "valid"
+    # and the report sees exactly one slot, no scratch rows
+    names = [r.artifact for r in MS.registry_report(spark, root).collect()]
+    assert names == ["art"]
+
+
 def test_committed_artifacts_match_fresh_rebuild(spark, tmp_path, monkeypatch):
     """The r8 verdict's top item: the fingerprint boundary (counts + ids +
     params) cannot catch a builder-semantics change that forgot an
@@ -361,6 +396,7 @@ def test_committed_artifacts_match_fresh_rebuild(spark, tmp_path, monkeypatch):
     on_disk = {
         d for d in os.listdir(os.path.join(committed_root, tag))
         if os.path.isdir(os.path.join(committed_root, tag, d))
+        and MS._is_registry_slot(d)  # staged-save scratch is never a slot
     }
     unmapped = on_disk - set(ARTIFACT_BUILDERS)
     assert not unmapped, (
