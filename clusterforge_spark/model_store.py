@@ -217,8 +217,14 @@ def _local_base_for_staging(spark: SparkSession, path: str) -> str | None:
         if fs.getScheme() != "file":
             return None
     except Exception:
-        # JVM unavailable mid-shutdown etc. — keep the syntactic verdict
-        pass
+        # probe failed (JVM unavailable mid-shutdown etc.) — we cannot
+        # prove the path is local, so fall back to the direct write (the
+        # pre-r9 safe path: correct on every FS via the count-validated
+        # load). Assuming local here would stage onto a remote
+        # fs.defaultFS, fail every os.rename, and leak remote
+        # .__stage__ dirs the os.listdir-local prune can't see
+        # (r10 ADVICE fix).
+        return None
     return _strip_file_scheme(path)
 
 
@@ -235,9 +241,15 @@ def _prune_stale_scratch(local_base: str, max_age_s: int = 3600) -> None:
     """Remove leftover stage/trash dirs for THIS artifact older than
     ``max_age_s`` (a crashed or failed save can orphan one — r9 review).
     Age-gated so a concurrent live save's scratch is never yanked from
-    under it; a same-name scratch older than an hour is a corpse."""
+    under it; a same-name scratch older than an hour is a corpse.
+
+    The match requires the scratch-marker separator right after the
+    artifact name (``<name>.__``), not a bare name prefix — artifact
+    'kcore' must never prune a prefix-sibling's scratch ('kcore_v2.
+    __stage__.x'), whose live staged save could outlast max_age_s
+    (r10 ADVICE fix)."""
     parent = os.path.dirname(local_base) or "."
-    prefix = os.path.basename(local_base)
+    prefix = os.path.basename(local_base) + ".__"
     try:
         cutoff = _time.time() - max_age_s
         for entry in os.listdir(parent):

@@ -44,7 +44,12 @@ EMB_BLOCK_CAP = 4096
 
 
 def _salted_for_join(
-    tbl: DataFrame, block_cols: list, id_col: str, cap: int, count_tbl: DataFrame | None = None
+    tbl: DataFrame,
+    block_cols: list,
+    id_col: str,
+    cap: int,
+    count_tbl: DataFrame | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Attach 2-D skew salting to one side of a blocked pair self-join.
 
@@ -71,11 +76,15 @@ def _salted_for_join(
 
     ``count_tbl`` lets a caller whose probe key differs from its row key
     (the levenshtein adjacent-bucket probe) supply the block-size table
-    computed over the *probed* table.
+    computed over the *probed* table. ``counts`` lets a caller that
+    already aggregated the block sizes (the r10 auto-engage profile in
+    :func:`dedup_minhash_banded`) hand them over so the size table is
+    not recomputed.
     """
-    counts = (count_tbl if count_tbl is not None else tbl).groupBy(*block_cols).agg(
-        F.count("*").alias("_m")
-    )
+    if counts is None:
+        counts = (count_tbl if count_tbl is not None else tbl).groupBy(*block_cols).agg(
+            F.count("*").alias("_m")
+        )
     sizes = counts.filter(F.col("_m") > int(cap)).select(
         *block_cols,
         F.ceil(F.col("_m") / F.lit(int(cap))).cast("int").alias("_s"),
@@ -776,11 +785,30 @@ BANDED_SHINGLE_N = 3
 BANDED_JACCARD_THRESHOLD = 0.2
 
 
+#: r10 auto-engage profile for the banded bucket join: a (band, key)
+#: bucket of m docs puts m²/2 candidate pairs on ONE shuffle task per
+#: band. Engage the 2-D salting once any bucket exceeds this — 2048²/2
+#: ≈ 2M pairs is the largest single-task verify load the r9 stress saw
+#: absorbed comfortably (the 2,250-doc / ~2.5M-pair 50× cluster ran
+#: 11.9 s total), while the 4,500-doc / ~10M-pair 100× cluster turned
+#: the unsalted join into a 53 s straggler that salting cut to 23.8 s.
+#: Normal corpora never approach it: max bucket is 4-5 docs at
+#: sf0.01/sf0.1 (measured r10), so auto stays on the plain plan there.
+#: SCALE.md's "~10⁴ members" rule is the must-engage bound; engaging
+#: from 2048 is safe because the salted pair set is bit-identical and
+#: split tasks only help.
+AUTO_BUCKET_ENGAGE = 2048
+#: salt width used when auto engages — the measured-good value from the
+#: r9 100× sweep (cap 512 → ceil(4500/512)² = 81 balanced shuffle keys,
+#: 53.0 s → 23.8 s)
+AUTO_BUCKET_CAP = 512
+
+
 def dedup_minhash_banded(
     docs: DataFrame,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """Native banded MinHash-LSH near-dup detection (oracle-checkable).
 
@@ -799,13 +827,26 @@ def dedup_minhash_banded(
     a 250k-doc corpus (50× skew stress, SCALE.md r9 table) the verify
     join absorbs the ~2.5M hot-bucket pairs at 11.9 s total, cold ratio
     2.7× vs 1×. One band-key is one shuffle partition, so clusters above
-    ~10⁴ members would make the verify join's hot task the straggler;
-    pass ``bucket_cap`` to 2-D-salt the (band, key) bucket join
-    (:func:`_salted_for_join` — pair set bit-identical, a hot bucket of
-    m docs splits into ceil(m/cap)² balanced shuffle keys) when a corpus
-    profile (pair_degree_stats) shows buckets that large — off by
-    default because its per-bucket size aggregate taxes every corpus to
-    help only pathological ones.
+    ~10⁴ members make the verify join's hot task the straggler (100×
+    stress: 4,500-doc cluster → 53.0 s unsalted, 23.8 s salted).
+
+    Salting decision (r10: automatic). ``bucket_cap="auto"`` (the
+    default) profiles the banded table itself — the table is cached and
+    one ``groupBy(band, key).count()`` max is taken (the same
+    adaptive-regime probe pattern as token_budget_mix's fill switch) —
+    and 2-D-salts the bucket join (:func:`_salted_for_join` — pair set
+    bit-identical, a hot bucket of m docs splits into ceil(m/cap)²
+    balanced shuffle keys, cap ``AUTO_BUCKET_CAP``) only when some
+    bucket exceeds ``AUTO_BUCKET_ENGAGE``. On uniform corpora (max
+    bucket 4-5 docs at sf0.01/sf0.1) the profile says no and the
+    returned plan is the plain bucket join — salt-free, no size-agg
+    stage beyond the one eager profile pass, which itself populates the
+    banded cache the join then reuses. When the profile engages, its
+    counts are handed to :func:`_salted_for_join` so bucket sizes are
+    aggregated exactly once. ``bucket_cap=None`` forces the plain join;
+    an int forces salting at that cap (the oracle-gated
+    q_dedup_minhash_banded_salted contract form) — both bypass the
+    profile entirely.
 
     Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
     strategy — the md5 shingle hashing runs once per corpus per session).
@@ -820,12 +861,20 @@ def dedup_minhash_banded(
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    if bucket_cap is not None:
+    cap, counts = bucket_cap, None
+    if isinstance(bucket_cap, str):  # "auto": profile, then decide
+        banded = banded.cache()
+        counts = banded.groupBy("band", "key").agg(F.count("*").alias("_m"))
+        max_m = counts.agg(F.max("_m")).first()[0] or 0
+        cap = AUTO_BUCKET_CAP if max_m > AUTO_BUCKET_ENGAGE else None
+        if cap is None:
+            counts = None
+    if cap is not None:
         # hot-bucket escape hatch: an oversized (band, key) bucket of m
         # docs splits into ceil(m/cap)² balanced shuffle keys; every
         # unordered pair still meets on exactly one replica combination,
         # so the candidate set — and the verified output — is identical
-        banded = _salted_for_join(banded, ["band", "key"], "doc_id", bucket_cap)
+        banded = _salted_for_join(banded, ["band", "key"], "doc_id", cap, counts=counts)
         join_on = (
             join_on
             & (F.col("a._salt") == F.col("b._probe"))

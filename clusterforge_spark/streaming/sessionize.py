@@ -1220,9 +1220,17 @@ def run_stream_replay_to_parquet(
     gap): a crash BETWEEN the batch-dir write and its marker leaves an
     unmarked ``cf_batch=<id>`` dir whose contents — partial or complete
     — are REPLACED by the replay's overwrite of that same dir before the
-    marker is finally written. No interleaving can surface duplicated or
-    partial rows to a reader of the capture: a batch's files become
-    durable-and-counted exactly once, when its marker exists. This is
+    marker is finally written. For a reader that runs AFTER a completed
+    replay (this function's own return path, which replays to
+    completion before reading), no interleaving can surface duplicated
+    or partial rows: a batch's files become durable-and-counted exactly
+    once, when its marker exists. An EXTERNAL
+    ``spark.read.parquet(out_path)`` issued inside the crash window —
+    before the healing replay — still scans the unmarked dir, because
+    parquet partition discovery knows nothing of the ``_batches``
+    manifest; such a reader must filter its ``cf_batch`` values against
+    the manifest to get the same guarantee (r10 ADVICE fix: the claim
+    is scoped to post-replay reads). This is
     exactly-once for deterministic replays (availableNow over a static
     file source re-forms the same batches); a nondeterministic source
     re-forms batch contents on replay but still never duplicates. The

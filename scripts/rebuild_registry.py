@@ -63,8 +63,18 @@ def main() -> int:
             if r.snapshot == tag
         }
         bad = {n: s for n, s in built.items() if s != "valid"}
-        print(f"{tag}: {len(built)} artifacts, invalid: {bad or 'none'}", flush=True)
-        if bad:
+        # a best-effort save that silently failed (ensure_artifact falls
+        # back to the in-session build and only logs) leaves the slot
+        # ABSENT — registry_report can't see it, so require every
+        # registered builder to have produced a slot (the MISSING check
+        # from scripts/selfcheck_artifacts.py, r10 ADVICE fix)
+        missing = sorted(set(E.ARTIFACT_BUILDERS) - set(built))
+        print(
+            f"{tag}: {len(built)} artifacts, invalid: {bad or 'none'}, "
+            f"missing: {missing or 'none'}",
+            flush=True,
+        )
+        if bad or missing:
             return 1
     spark.stop()
     return 0

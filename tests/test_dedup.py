@@ -122,6 +122,50 @@ def test_minhash_banded_bucket_cap_salting_is_value_identical(spark, dup_docs):
     assert n_cluster_pairs >= 60 * 59 / 2 * 0.9
 
 
+def test_minhash_banded_auto_engages_and_stays_value_identical(
+    spark, dup_docs, monkeypatch
+):
+    """r10: bucket_cap="auto" (the default) profiles the banded table and
+    engages the 2-D salting only when a bucket exceeds
+    AUTO_BUCKET_ENGAGE — no operator knob. With the threshold lowered to
+    the 60-doc planted cluster, auto must pick the salted plan AND stay
+    row-identical to the forced-plain join; at the real threshold the
+    same corpus must come back salt-free."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators import dedup as DD
+
+    template = (
+        "server error the page you requested could not be found "
+        "please contact the site administrator reference code"
+    )
+    cluster = spark.range(60).select(
+        (F.col("id") + 900_000).alias("doc_id"),
+        F.concat(F.lit(template + " "), (F.col("id") % 3).cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("tmpl").alias("source"),
+        F.length(F.lit(template)).cast("long").alias("n_chars"),
+    )
+    docs = dup_docs.unionByName(cluster)
+
+    plain = sorted(
+        tuple(r)
+        for r in DD.dedup_minhash_banded(docs, threshold=0.2, bucket_cap=None).collect()
+    )
+    # real threshold (2048): the 60-doc cluster is under it → plain plan
+    auto_off = DD.dedup_minhash_banded(docs, threshold=0.2)
+    off_plan = auto_off._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in off_plan and "_probe" not in off_plan
+    assert sorted(tuple(r) for r in auto_off.collect()) == plain
+    # lowered threshold: auto must engage (salt in plan) and stay identical
+    monkeypatch.setattr(DD, "AUTO_BUCKET_ENGAGE", 16)
+    monkeypatch.setattr(DD, "AUTO_BUCKET_CAP", 16)
+    auto_on = DD.dedup_minhash_banded(docs, threshold=0.2)
+    on_plan = auto_on._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in on_plan and "_probe" in on_plan
+    assert sorted(tuple(r) for r in auto_on.collect()) == plain
+
+
 def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
     from clusterforge_spark.operators.dedup import dedup_minhash_banded, dedup_ngram_jaccard
 

@@ -362,8 +362,17 @@ def test_failed_save_leaves_no_scratch_and_stale_scratch_is_pruned(
     os.makedirs(corpse)
     old = time.time() - 7200
     os.utime(corpse, (old, old))
+    # r10 ADVICE: a PREFIX-SIBLING artifact's scratch (art_v2) must never
+    # be a prune candidate of art's save, however old — only <name>.__*
+    sibling_corpse = f"{path}_v2.__stage__.cafecafe0000"
+    os.makedirs(sibling_corpse)
+    os.utime(sibling_corpse, (old, old))
     MS.save_artifact(spark, path, spark.range(2).selectExpr("id"), {"kind": "t"})
     assert not os.path.exists(corpse), "stale scratch corpse not pruned"
+    assert os.path.exists(sibling_corpse), "pruned a prefix-sibling's scratch"
+    import shutil
+
+    shutil.rmtree(sibling_corpse, ignore_errors=True)
     assert MS.verify_artifact(spark, path) == "valid"
     # and the report sees exactly one slot, no scratch rows
     names = [r.artifact for r in MS.registry_report(spark, root).collect()]

@@ -1009,15 +1009,19 @@ def test_kcell_serve_plan_uses_posting_lists_not_assignment_fold(spark):
 
 
 def test_banded_salted_plan_carries_salt_only_when_capped(spark, documents):
-    """r9: bucket_cap routes the banded bucket join through the 2-D
-    salting (salt/probe columns + the per-bucket size aggregate) and the
-    default path must stay salt-free — the size agg is a real tax
-    (measured ~0.56 s at sf0.1), so it must never leak into the default
-    plan."""
+    """r9/r10: an explicit bucket_cap routes the banded bucket join
+    through the 2-D salting (salt/probe columns + the per-bucket size
+    table); the DEFAULT path is now the r10 auto profile, which on a
+    uniform corpus (max (band,key) bucket 4-5 docs at contract scales)
+    must come back salt-free AND free of any per-bucket size aggregate
+    in the returned plan — the one eager profile pass is the whole tax,
+    and it must not leak a second size-agg stage into the join plan."""
     from clusterforge_spark.operators.dedup import dedup_minhash_banded, docs_with_dups
 
     docs = docs_with_dups(documents)
     plain = dedup_minhash_banded(docs)._jdf.queryExecution().optimizedPlan().toString()
     salted = dedup_minhash_banded(docs, bucket_cap=64)._jdf.queryExecution().optimizedPlan().toString()
-    assert "_salt" not in plain and "_probe" not in plain
+    forced_plain = dedup_minhash_banded(docs, bucket_cap=None)._jdf.queryExecution().optimizedPlan().toString()
+    for p in (plain, forced_plain):
+        assert "_salt" not in p and "_probe" not in p and "_m#" not in p
     assert "_salt" in salted and "_probe" in salted
