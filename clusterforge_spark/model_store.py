@@ -36,6 +36,8 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from clusterforge_spark.sources import readers as _R
+
 _LOG = logging.getLogger("clusterforge_spark.model_store")
 
 
@@ -375,9 +377,32 @@ def save_artifact(
 
 
 def artifact_meta(spark: SparkSession, path: str) -> dict[str, str] | None:
-    """The artifact's meta dict, or None if absent/unreadable."""
+    """The artifact's meta dict, or None if absent/unreadable.
+
+    Local registries read the (coalesced, KB-sized) meta parquet
+    driver-side via pyarrow — no Spark job, so a cold session's serve
+    path stays job-free until the first real query (r10 verdict item 4:
+    the first Spark job of a fresh process costs ~3 s in fixed overhead,
+    and the meta read was paying it). Non-local URIs keep the Spark
+    read."""
+    base = f"{path.rstrip('/')}/meta"
+    files = _R._local_parquet_files(base)
+    if files is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            meta: dict[str, str] = {}
+            for f in files:
+                t = pq.read_table(f, columns=["key", "value"])
+                meta.update(zip(t.column("key").to_pylist(),
+                                t.column("value").to_pylist()))
+        except Exception:
+            return None
+        if meta.get("format_version") != ARTIFACT_VERSION:
+            return None
+        return meta
     try:
-        rows = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()
+        rows = spark.read.parquet(base).collect()
     except Exception:
         return None
     meta = {r.key: r.value for r in rows}
@@ -392,8 +417,9 @@ def load_artifact(
     """Read a validated artifact: None unless the meta exists, carries the
     current format_version, every ``expect`` key matches (string compare —
     fingerprints are written as str), and the data's row count equals the
-    ``n_rows`` recorded at save time. The count is a parquet footer-only
-    job (milliseconds at registry sizes) and is the torn-write guard: an
+    ``n_rows`` recorded at save time. The count is parquet footer-only —
+    driver-side pyarrow on local registries (no Spark job at all, r10),
+    a footer-only Spark job elsewhere — and is the torn-write guard: an
     interleaved pair of concurrent overwrites that leaves part files of
     both writes (duplicated rows) or a partial file set can pass every
     fingerprint key, but not its own recorded cardinality."""
@@ -404,8 +430,17 @@ def load_artifact(
         if meta.get(k) != str(v):
             return None
     try:
-        df = spark.read.parquet(f"{path.rstrip('/')}/data")
-        if int(meta["self_n_rows"]) != df.count():
+        data_path = f"{path.rstrip('/')}/data"
+        # footer-only cardinality (pyarrow, driver-side — no Spark job on
+        # local registries; r10); the Spark count stays as the
+        # any-filesystem fallback. Same guard either way: a torn write's
+        # part files can pass every fingerprint key but not the
+        # cardinality recorded from the written files.
+        cnt = _R.footer_row_count(data_path)
+        df = spark.read.parquet(data_path)
+        if cnt is None:
+            cnt = df.count()
+        if int(meta["self_n_rows"]) != cnt:
             _LOG.warning(
                 "artifact %s failed its self-consistency count "
                 "(meta self_n_rows=%s); treating as absent", path, meta["self_n_rows"]
@@ -503,7 +538,9 @@ def registry_report(spark: SparkSession, root: str | None = None, deep: bool = F
                     status = "invalid_meta" if has_files else "absent"
                 else:
                     try:
-                        cnt = spark.read.parquet(f"{apath}/data").count()
+                        cnt = _R.footer_row_count(f"{apath}/data")
+                        if cnt is None:
+                            cnt = spark.read.parquet(f"{apath}/data").count()
                         status = (
                             "valid"
                             if int(meta.get("self_n_rows", -1)) == cnt
