@@ -432,3 +432,49 @@ def test_committed_artifacts_match_fresh_rebuild(spark, tmp_path, monkeypatch):
         "an ARTIFACT_VERSION bump)"
     )
     E.release(spark, SF_DIR)
+
+
+def test_footer_helpers_agree_with_spark_and_meta_paths_agree(spark, tmp_path):
+    """r10: the serve path validates through driver-side pyarrow footer
+    reads (no Spark jobs). The helpers must agree EXACTLY with the Spark
+    computation they replace — counts, id bounds, and the meta dict —
+    and the corpus fingerprint must be path-independent (footer vs the
+    Spark fallback produce identical values), else a non-local session
+    would spuriously invalidate every artifact a local session saved."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.sources import readers as RD
+
+    for table, col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        path = f"{SF_DIR}/{table}.parquet"
+        n = RD.footer_row_count(path)
+        mm = RD.footer_column_min_max(path, col)
+        row = (
+            load_table(spark, SF_DIR, table)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert n == row.n
+        assert mm == (row.lo, row.hi)
+
+    # non-local / missing paths refuse (callers then use the Spark path)
+    assert RD.footer_row_count("s3://bucket/x.parquet") is None
+    assert RD.footer_row_count(str(tmp_path / "nope.parquet")) is None
+    assert RD.footer_column_min_max("s3://bucket/x.parquet", "a") is None
+
+    # artifact_meta's pyarrow fast path returns the same dict the Spark
+    # reader sees
+    path = str(tmp_path / "reg" / "sfX" / "art")
+    MS.save_artifact(spark, path, spark.range(3).selectExpr("id"), {"kind": "t"})
+    fast = MS.artifact_meta(spark, path)
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    slow = {r.key: r.value for r in rows}
+    assert fast == slow
+    # and the footer count validates the artifact exactly as the Spark
+    # count did: 3 rows recorded, 3 in the footers
+    assert RD.footer_row_count(f"{path}/data") == 3
+    assert MS.load_artifact(spark, path, {"kind": "t"}) is not None
