@@ -46,6 +46,12 @@ def test_dedup_family_survives_adversarial_docs(adversarial_docs):
     assert DD.dedup_ngram_jaccard(adversarial_docs).count() == 0
     assert DD.dedup_levenshtein(adversarial_docs).count() == 0
     assert DD.minhash_estimate_error(adversarial_docs).count() == 0
+    # r10 auto-salting: the eager bucket profile must survive degenerate
+    # inputs — an EMPTY corpus (max over zero buckets is NULL → plain
+    # join, no salt) and the adversarial shapes above
+    assert DD.dedup_minhash_banded(adversarial_docs).count() == 0
+    empty = adversarial_docs.filter("doc_id < 0")
+    assert DD.dedup_minhash_banded(empty).count() == 0
     # null text and empty text both fingerprint to the no-content simhash
     # and pair as an (intentional) content-identical match
     pairs = DD.dedup_simhash(adversarial_docs).collect()
