@@ -65,14 +65,14 @@ def _warm_first_job(spark: SparkSession) -> None:
     dispatch paths) are paid HERE, at startup, instead of inside the
     session's first real query (r10 verdict item 4: the cold-serve
     probes measure first-query latency, and ~1.5-2 s of it was this
-    constant, not the query). spark.range keeps it IO-free and
-    cluster-safe — a single 1-row task, once per session. The job reads
-    a 1-row parquet file (written driver-side by pyarrow in
-    milliseconds, so no Spark write-path init is paid for it), which
-    loads the parquet READ datasource classes — the serve path's first
-    artifact read was paying ~1.5 s for that init. Local-master only
-    for the parquet half: on a cluster an executor can't see the
-    driver's temp file, so only the plain first-job warm-up runs."""
+    constant, not the query). The job is one 1-row task, once per
+    session. On local masters it reads a 1-row parquet file (written
+    driver-side by pyarrow in milliseconds, so no Spark write-path init
+    is paid for it), which also loads the parquet READ datasource
+    classes — the serve path's first artifact read was paying ~1.5 s
+    for that init. On a cluster an executor can't see the driver's temp
+    file, so a plain IO-free range job warms the scheduler/codegen path
+    only."""
     try:
         app = spark.sparkContext.applicationId
         if app in _WARMED:
