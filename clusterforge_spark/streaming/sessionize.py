@@ -1228,9 +1228,10 @@ def run_stream_replay_to_parquet(
     ``spark.read.parquet(out_path)`` issued inside the crash window —
     before the healing replay — still scans the unmarked dir, because
     parquet partition discovery knows nothing of the ``_batches``
-    manifest; such a reader must filter its ``cf_batch`` values against
-    the manifest to get the same guarantee (r10 ADVICE fix: the claim
-    is scoped to post-replay reads). This is
+    manifest; such a reader gets the same guarantee through
+    :func:`read_stream_capture`, which filters ``cf_batch`` against the
+    manifest (r10: claim scoped to post-replay reads + a guarded reader
+    for every other time). This is
     exactly-once for deterministic replays (availableNow over a static
     file source re-forms the same batches); a nondeterministic source
     re-forms batch contents on replay but still never duplicates. The
@@ -1287,8 +1288,50 @@ def run_stream_replay_to_parquet(
     out = spark.read.parquet(out_path)
     # partition discovery surfaces the per-batch dirs as a cf_batch
     # column in append mode — drop it so the capture's schema matches
-    # the stream's (and the complete-mode shape)
+    # the stream's (and the complete-mode shape). A raw read is safe
+    # HERE because the replay just completed (every dir is marked);
+    # readers at arbitrary times use read_stream_capture below.
     return out.drop("cf_batch") if mode == "append" else out
+
+
+def read_stream_capture(
+    spark: SparkSession, out_path: str, drop_batch_col: bool = True
+) -> DataFrame:
+    """Manifest-guarded reader of a stream capture directory — the safe
+    way to read an append-mode capture at ARBITRARY times (r10; the r9
+    advice's reader-side completion of the crash-window story).
+
+    A raw ``spark.read.parquet(out_path)`` issued inside the crash
+    window — after a batch dir was (partially) written but before its
+    ``_batches/<id>`` marker — scans the unmarked ``cf_batch=<id>`` dir,
+    because parquet partition discovery knows nothing of the manifest.
+    This reader keeps only rows whose ``cf_batch`` value has a marker,
+    so a batch's rows become visible exactly when they became durable:
+    torn or in-flight batch dirs are invisible until the healing replay
+    overwrites them and commits their marker. The manifest listing is
+    one driver-side FS call over #batches entries (Hadoop FS API — any
+    URI); the filter is a partition-column IN-list, which partition
+    pruning turns into a scan of exactly the committed dirs.
+
+    Complete-mode captures (no ``cf_batch`` partitioning; each batch
+    atomically overwrites the whole capture) are returned as-is."""
+    df = spark.read.parquet(out_path)
+    if "cf_batch" not in df.columns:
+        return df
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(f"{out_path.rstrip('/')}/_batches")
+    fs = hp.getFileSystem(hconf)
+    ids: list[int] = []
+    if fs.exists(hp):
+        for st in fs.listStatus(hp):
+            name = st.getPath().getName()
+            try:
+                ids.append(int(name))
+            except ValueError:
+                pass  # foreign file in the manifest dir — never a marker
+    guarded = df.filter(F.col("cf_batch").isin(ids) if ids else F.lit(False))
+    return guarded.drop("cf_batch") if drop_batch_col else guarded
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

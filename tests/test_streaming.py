@@ -855,6 +855,68 @@ def test_append_replay_heals_crash_between_data_and_marker(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "_batches", bid)), "marker restored"
 
 
+def test_read_stream_capture_hides_unmarked_batches_mid_crash_window(
+    spark, tmp_path
+):
+    """r10 (the r9 advice's reader-side completion): an EXTERNAL reader
+    inside the crash window — a batch dir written (torn: duplicated part
+    file) but its marker missing — must not see that batch's rows.
+    read_stream_capture filters cf_batch against the _batches manifest;
+    a raw spark.read.parquet of the same dir DOES see the torn rows,
+    which is exactly the gap the guarded reader closes. After the
+    healing replay the guarded reader equals the replay's own return."""
+    import glob
+    import os
+    import shutil
+
+    from clusterforge_spark.streaming.sessionize import (
+        read_stream_capture,
+        run_stream_click_attribution_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "cap")
+    clean = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in read_stream_capture(spark, out).collect()) == clean
+
+    # crash window: un-mark one committed batch and tear its data
+    bid, parts = None, []
+    for m in sorted(os.listdir(os.path.join(out, "_batches"))):
+        cand = glob.glob(os.path.join(out, f"cf_batch={m}", "part-*.parquet"))
+        if cand:
+            bid, parts = m, cand
+            break
+    assert bid is not None
+    os.remove(os.path.join(out, "_batches", bid))
+    shutil.copy(parts[0], parts[0].replace("part-", "part-dup-"))
+
+    raw = spark.read.parquet(out).drop("cf_batch").collect()
+    guarded = read_stream_capture(spark, out).collect()
+    # raw read sees the torn batch (duplicated rows) — the documented gap
+    assert len(raw) > len(clean)
+    # the guarded reader sees only still-marked batches: a strict subset
+    # of the clean capture (the unmarked batch is hidden), no torn rows
+    assert len(guarded) < len(clean)
+    assert all(tuple(r) in set(clean) for r in guarded)
+
+    # healing replay restores the marker; guarded == clean again
+    healed = sorted(
+        tuple(r)
+        for r in run_stream_click_attribution_replay(
+            spark, SF_DIR, out_path=out
+        ).collect()
+    )
+    assert healed == clean
+    assert (
+        sorted(tuple(r) for r in read_stream_capture(spark, out).collect()) == clean
+    )
+
+
 def test_default_replay_dirs_keyed_per_app_and_sf(spark):
     """r7 ADVICE: two concurrent runs (different apps, or two scales in
     one app) must never share a default capture dir — the dir is keyed
