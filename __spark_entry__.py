@@ -1314,6 +1314,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_ann_ingest_replay"] = lambda spark, sf: _stream(
         spark, sf, "run_stream_ann_ingest_replay", cells=_kcells(spark, sf)
     )
+
+    # r10: the manifest-guarded capture reader as a contract query — run
+    # the ann-ingest replay (which heals any crash window and marks every
+    # batch), then read the SAME capture through read_stream_capture.
+    # Shares the replay's oracle SQL, so the driver re-proves every round
+    # that the guard is layout-only on a fully-committed capture (the
+    # q_dedup_minhash_banded_salted contract-sharing pattern); the
+    # guard's mid-crash-window behavior — where it and a raw read MUST
+    # differ — is pinned by tests/test_streaming.py.
+    def _guarded_read(spark: SparkSession, sf: str) -> DataFrame:
+        from clusterforge_spark.streaming import sessionize as SS
+
+        configure_runtime(spark)
+        # resolve the capture dir ONCE (it pre-cleans on every call —
+        # resolving it again after the replay would delete the capture),
+        # under its own tag so a sweep running the plain replay query
+        # concurrently never shares this dir
+        out = SS._replay_out_dir(None, "anng", spark, sf)
+        # runs the availableNow stream to completion (idempotent replay)
+        SS.run_stream_ann_ingest_replay(
+            spark, sf, cells=_kcells(spark, sf), out_path=out
+        )
+        return SS.read_stream_capture(spark, out)
+
+    q["q_stream_ann_ingest_guarded_read"] = _guarded_read
     return q
 
 
@@ -1358,6 +1383,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_stream_upsert_replay": OSQL.q_stream_upsert_replay(),
         "q_stream_gap_sessions_replay": OSQL.q_stream_gap_sessions_replay(),
         "q_stream_ann_ingest_replay": OSQL.q_stream_ann_ingest_replay(),
+        # r10: the guarded read of the SAME committed capture must equal
+        # the replay itself — one SQL, two physical read paths
+        "q_stream_ann_ingest_guarded_read": OSQL.q_stream_ann_ingest_replay(),
         "q_order_backlog": OSQL.q_order_backlog(),
         "q_profile_columns": OSQL.q_profile_columns(),
         "q_expectation_checks": OSQL.q_expectation_checks(),

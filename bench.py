@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_stream_upsert_replay",
     "q_stream_gap_sessions_replay",
     "q_stream_ann_ingest_replay",
+    "q_stream_ann_ingest_guarded_read",
     "q_order_backlog",
     "q_profile_columns",
     "q_expectation_checks",
