@@ -680,7 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 sf,
                 "kcell_codebook",
-                {**_emb_fp(spark, sf), "n_cells": n_cells},
+                {
+                    **_emb_fp(spark, sf),
+                    "n_cells": n_cells,
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
+                },
                 lambda: SIM.ivf_kcell_cells(emb, n_cells),
             ).cache()
 
@@ -745,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {
                     **_emb_fp(spark, sf),
                     "n_cells": n_cells,
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),
                 },
@@ -767,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {
                     **_emb_fp(spark, sf),
                     "n_cells": SIM.kcell_n_cells_for(n),
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                 },
                 lambda: SIM._assign_packed(
                     _t(spark, sf, "embeddings"),
@@ -789,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {
                     **_emb_fp(spark, sf),
                     "n_cells": SIM.kcell_n_cells_for(n),
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),
                 },
@@ -838,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     **_emb_fp(spark, sf),
                     "k": 10,
                     "nprobes": ",".join(str(p) for p in SIM.ANN_DUAL_NPROBES),
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                     "queries_md5": qhash,
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),

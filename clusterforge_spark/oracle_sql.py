@@ -1425,11 +1425,22 @@ def q_dedup_minhash_banded(n: int = 3, threshold: float = 0.2) -> str:
     return (
         _chain(dup_corpus_cte())
         + f""",
+-- r11 mega-cluster routing: collapse byte-identical texts to one
+-- representative (min doc_id per md5(text)) BEFORE shingling, expand
+-- group membership at the end — mirrors dedup.dedup_minhash_banded
+grp AS (SELECT md5(text) AS g, min(doc_id) AS rep FROM dup_corpus GROUP BY md5(text)),
+mem AS (
+  SELECT d.doc_id, m.g, m.rep
+  FROM dup_corpus d JOIN grp m ON md5(d.text) = m.g
+),
+reps AS (
+  SELECT d.* FROM dup_corpus d WHERE d.doc_id IN (SELECT rep FROM grp)
+),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform({shingles},
            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
-  FROM (SELECT doc_id, {toks} AS t FROM dup_corpus)
+  FROM (SELECT doc_id, {toks} AS t FROM reps)
   WHERE len({shingles}) > 0
 ),
 sig AS (
@@ -1443,13 +1454,28 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
-pairs AS (
+rep_pairs AS (
   SELECT doc_a, doc_b,
          round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.doc_a
   JOIN sh sb ON sb.doc_id = cand.doc_b
+),
+pairs AS (
+  -- cross-group expansion: every member pair inherits its
+  -- representatives' jaccard (it depends only on the texts)
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.jaccard
+  FROM rep_pairs p
+  JOIN mem ma ON ma.rep = p.doc_a
+  JOIN mem mb ON mb.rep = p.doc_b
+  UNION ALL
+  -- within-group pairs: byte-identical texts, jaccard exactly 1.0;
+  -- only groups whose rep survived the shingle emptiness filter
+  SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM mem wa JOIN mem wb ON wa.g = wb.g AND wa.doc_id < wb.doc_id
+  WHERE wa.rep IN (SELECT doc_id FROM sh)
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {flit(threshold)}"""
     )
@@ -5119,9 +5145,13 @@ def _kcell_ctes(
 ) -> str:
     """The k-cell trained-quantizer CTE chain shared by
     q_sim_search_kcell and q_ann_recall: KMV-hash seeds (bottom-⌈√n⌉
-    md5, deduped on the seed vector), one exact Lloyd step (argmin
-    assignment → exact micro-int centroid means, round_det 4dp in the
-    Spark op order), final assignment. Mirrors
+    md5, deduped on the seed vector), one SAMPLED Lloyd step (argmin
+    assignment of the md5-threshold training sample — expected
+    LLOYD_SAMPLE_PER_CELL rows per cell, the overflow-free form
+    ``h // c < 2^60 // nc`` of similarity.lloyd_train_threshold —
+    → exact micro-int centroid means, round_det 4dp in the Spark op
+    order, empty-sample cells keeping their seed vector), final
+    full-corpus assignment. Mirrors
     operators/similarity.ivf_kcell_cells / _assign_packed bit-for-bit.
     Parametrized on the source relation / CTE-name prefix / query
     vector so the planted-cluster corpus (q_ann_recall's second half)
@@ -5158,11 +5188,21 @@ def _kcell_ctes(
     WHERE k0 < (SELECT nc FROM {p}_n)) s
   WHERE s.dd = 1
 ),
+{p}_train AS (
+  -- deterministic Lloyd training sample: same 60-bit md5 hash as the
+  -- seeds, kept when h // 32 < 2^60 // nc (⟺ h < min(2^60, 32·⌊2^60/nc⌋),
+  -- overflow-free) — similarity.lloyd_train_threshold bit-for-bit
+  SELECT vec_id, embedding, emb FROM (
+    SELECT vec_id, embedding, emb,
+           (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+    FROM {p}_e)
+  WHERE (h // 32) < (1152921504606846976 // (SELECT nc FROM {p}_n))
+),
 {p}_a0 AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, s.cell,
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {d_seed}, s.cell) AS rn
-  FROM {p}_e e CROSS JOIN {p}_seeds s
+  FROM {p}_train e CROSS JOIN {p}_seeds s
 ),
 {p}_ex AS (
   SELECT a.cell,
@@ -5174,7 +5214,13 @@ def _kcell_ctes(
   SELECT cell, pos, {_rd(mean, 4)} AS cval
   FROM {p}_ex GROUP BY cell, pos
 ),
-{p}_cells AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cent FROM {p}_cents GROUP BY cell),
+{p}_cells AS MATERIALIZED (
+  -- empty-sample cells keep their seed vector (similarity.ivf_kcell_cells)
+  SELECT s.cell, COALESCE(r.cent, s.cent) AS cent
+  FROM {p}_seeds s LEFT JOIN
+       (SELECT cell, list(cval ORDER BY pos) AS cent
+        FROM {p}_cents GROUP BY cell) r USING (cell)
+),
 {p}_assigned AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cell,
          row_number() OVER (PARTITION BY e.vec_id
