@@ -848,10 +848,37 @@ def dedup_minhash_banded(
     q_dedup_minhash_banded_salted contract form) — both bypass the
     profile entirely.
 
+    Mega-cluster routing (r11: automatic). Byte-identical texts are
+    collapsed to one REPRESENTATIVE (min doc_id per md5(text) — one
+    hash aggregate, dedup_exact's shuffle shape) *before* shingling;
+    the whole shingle→minhash→band→verify pipeline runs on
+    representatives only, and group membership is expanded back at the
+    end: within-group pairs are emitted directly at jaccard 1.0 (their
+    exact value — identical texts have identical shingle sets), and a
+    cross-group representative pair (r1, r2, j) fans out to every
+    (x, y) member pair with the SAME j (jaccard depends only on the
+    texts). Byte-identical pairs always agree on every band, so the
+    expansion is row-identical to the uncollapsed pipeline — but a
+    mega-cluster of m IDENTICAL docs (the >10⁵-member routing case
+    SCALE.md used to leave to the operator) now contributes m rows to
+    the banded/verify joins instead of Ω(m²) hot-bucket pairs; only the
+    final pair OUTPUT is m²/2 rows, generated by one group-keyed
+    self-join with no shingle arrays attached. Near-identical (not
+    byte-identical) template clusters keep the auto-salted path.
+
     Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
     strategy — the md5 shingle hashing runs once per corpus per session).
     """
-    sh = shingle_hash_table(docs, n=n).select("doc_id", "sh")
+    grp = docs.groupBy(F.md5(F.col("text")).alias("_g")).agg(
+        F.min("doc_id").alias("_rep")
+    )
+    mem = docs.select("doc_id", F.md5(F.col("text")).alias("_g")).join(
+        grp, "_g"
+    )  # (doc_id, _g, _rep)
+    reps = docs.join(
+        grp.select(F.col("_rep").alias("doc_id")), "doc_id", "semi"
+    )
+    sh = shingle_hash_table(reps, n=n).select("doc_id", "sh")
     sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
     banded = sig.select(
         "doc_id", F.explode(H.band_keys_col("sig")).alias("bk")
@@ -861,8 +888,16 @@ def dedup_minhash_banded(
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    if isinstance(bucket_cap, str) and bucket_cap != "auto":
+        raise ValueError(
+            f"bucket_cap must be 'auto', None, or an int — got {bucket_cap!r}"
+        )
     cap, counts = bucket_cap, None
-    if isinstance(bucket_cap, str):  # "auto": profile, then decide
+    if bucket_cap == "auto":  # profile, then decide
+        # the banded cache is deliberately RETAINED for the session: the
+        # profile's one-pass materialization is reused by the bucket
+        # join, and repeated calls on the same corpus (contract pairs +
+        # graph consumers) resolve to the same InMemoryRelation
         banded = banded.cache()
         counts = banded.groupBy("band", "key").agg(F.count("*").alias("_m"))
         max_m = counts.agg(F.max("_m")).first()[0] or 0
@@ -894,7 +929,7 @@ def dedup_minhash_banded(
     # broadcasts the (tiny) candidate side at runtime when it fits, and
     # at 100 TB they degrade to shuffle joins instead of OOMing on a
     # full-shingle-table broadcast.
-    return (
+    rep_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -904,8 +939,36 @@ def dedup_minhash_banded(
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.max("jaccard").alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
+    # expand representative pairs to every member pair (same jaccard —
+    # it depends only on the texts), plus within-group pairs at their
+    # exact value 1.0; restrict within-groups to reps that survived the
+    # shingle emptiness filter, exactly like the uncollapsed pipeline
+    ma = mem.select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_xa"))
+    mb = mem.select(F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_xb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    mm = mem.join(
+        sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi"
+    ).select("doc_id", "_g")
+    wa, wb = mm.alias("wa"), mm.alias("wb")
+    within = wa.join(
+        wb,
+        (F.col("wa._g") == F.col("wb._g"))
+        & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+    ).select(
+        F.col("wa.doc_id").alias("doc_a"),
+        F.col("wb.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within).filter(F.col("jaccard") >= threshold)
 
 
 #: Edit-distance comparisons run on this prefix — O(P²) per pair bounds

@@ -219,6 +219,12 @@ def _run(spark, names: list[str]) -> int:
             shutil.rmtree(path, ignore_errors=True)
 
     skew = os.environ.get("STRESS_SKEW", "0") == "1"
+    # STRESS_IDENTICAL=1 (r11): the skew template cluster becomes
+    # BYTE-IDENTICAL (no per-doc suffix) — the mega-cluster shape the
+    # r11 exact-dup collapse routes around the banded join entirely
+    # (pre-r11 this shape was unrunnable: Ω(m²) hot-bucket pairs with
+    # full shingle arrays attached)
+    identical = os.environ.get("STRESS_IDENTICAL", "0") == "1"
     #: the shared boilerplate template for skew mode — short (few
     #: shingles, so the template IS the whole shingle set) and constant
     #: across copies; the per-doc numeric suffix keeps docs distinct
@@ -244,13 +250,15 @@ def _run(spark, names: list[str]) -> int:
             # NEAR-identical (template + one varying token), the
             # template-page shape, not an exact-dup cluster (r9 review:
             # a base-id-only suffix made dominant copies byte-identical)
-            text = F.when(
-                F.col("doc_id") % 100 == 7,
-                F.concat(
+            cluster_text = (
+                F.lit(template)  # byte-identical mega-cluster (r11)
+                if identical
+                else F.concat(
                     F.lit(template + " "),
                     ((F.col("doc_id") + F.lit(i * 7919)) % 9973).cast("string"),
-                ),
-            ).otherwise(text)
+                )
+            )
+            text = F.when(F.col("doc_id") % 100 == 7, cluster_text).otherwise(text)
         parts.append(
             base.select(
                 (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),

@@ -92,16 +92,18 @@ def test_minhash_banded_bucket_cap_salting_is_value_identical(spark, dup_docs):
 
     from clusterforge_spark.operators.dedup import dedup_minhash_banded
 
-    # plant a 60-doc template cluster (shared text ± 3 suffix variants)
-    # on top of the standard dup corpus: every member agrees on whole
-    # band signatures, so one bucket holds ~60 docs ≫ the cap below
+    # plant a 60-doc template cluster (shared text + a DISTINCT suffix
+    # per doc — near-identical, not byte-identical, so the r11 exact-dup
+    # collapse keeps all 60 as their own representatives) on top of the
+    # standard dup corpus: members agree on whole band signatures, so
+    # hot buckets hold tens of docs ≫ the cap below
     template = (
         "server error the page you requested could not be found "
         "please contact the site administrator reference code"
     )
     cluster = spark.range(60).select(
         (F.col("id") + 900_000).alias("doc_id"),
-        F.concat(F.lit(template + " "), (F.col("id") % 3).cast("string")).alias("text"),
+        F.concat(F.lit(template + " "), F.col("id").cast("string")).alias("text"),
         F.lit("en").alias("lang"),
         F.lit("tmpl").alias("source"),
         F.length(F.lit(template)).cast("long").alias("n_chars"),
@@ -141,7 +143,7 @@ def test_minhash_banded_auto_engages_and_stays_value_identical(
     )
     cluster = spark.range(60).select(
         (F.col("id") + 900_000).alias("doc_id"),
-        F.concat(F.lit(template + " "), (F.col("id") % 3).cast("string")).alias("text"),
+        F.concat(F.lit(template + " "), F.col("id").cast("string")).alias("text"),
         F.lit("en").alias("lang"),
         F.lit("tmpl").alias("source"),
         F.length(F.lit(template)).cast("long").alias("n_chars"),
@@ -166,7 +168,46 @@ def test_minhash_banded_auto_engages_and_stays_value_identical(
     assert sorted(tuple(r) for r in auto_on.collect()) == plain
 
 
-def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
+def test_minhash_banded_collapses_identical_mega_bucket(spark, dup_docs, monkeypatch):
+    """r11 mega-cluster routing: a planted cluster of BYTE-IDENTICAL
+    texts is collapsed to one representative before shingling, so even
+    with the auto-salting engage threshold dropped to 16 the banded
+    table never sees a hot bucket (plan stays salt-free) — yet the pair
+    output still contains every within-cluster pair at jaccard exactly
+    1.0, plus the cluster's cross pairs against its near-dup source doc
+    expanded to all members."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators import dedup as DD
+
+    text = (
+        "server error the page you requested could not be found "
+        "please contact the site administrator reference code"
+    )
+    m = 80
+    cluster = spark.range(m).select(
+        (F.col("id") + 900_000).alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("tmpl").alias("source"),
+        F.lit(len(text)).cast("long").alias("n_chars"),
+    )
+    docs = dup_docs.unionByName(cluster)
+
+    monkeypatch.setattr(DD, "AUTO_BUCKET_ENGAGE", 16)
+    out = DD.dedup_minhash_banded(docs, threshold=0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # 80 identical docs collapse to 1 rep: no hot bucket, no salting
+    assert "_salt" not in plan and "_probe" not in plan
+    rows = out.collect()
+    within = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in rows
+        if 900_000 <= r["doc_a"] < 900_000 + m
+        and 900_000 <= r["doc_b"] < 900_000 + m
+    }
+    assert len(within) == m * (m - 1) // 2
+    assert set(within.values()) == {1.0}
     from clusterforge_spark.operators.dedup import dedup_minhash_banded, dedup_ngram_jaccard
 
     pairs = dedup_minhash_banded(dup_docs, threshold=0.2).collect()
