@@ -384,7 +384,10 @@ def artifact_meta(spark: SparkSession, path: str) -> dict[str, str] | None:
     path stays job-free until the first real query (r10 verdict item 4:
     the first Spark job of a fresh process costs ~3 s in fixed overhead,
     and the meta read was paying it). Non-local URIs keep the Spark
-    read."""
+    read; a pyarrow failure on a local path ALSO falls through to the
+    Spark read (r11, ADVICE: a meta parquet readable by Spark but not
+    pyarrow — e.g. an exotic codec — must not be treated as absent, or
+    the artifact gets spuriously rebuilt every session)."""
     base = f"{path.rstrip('/')}/meta"
     files = _R._local_parquet_files(base)
     if files is not None:
@@ -396,11 +399,11 @@ def artifact_meta(spark: SparkSession, path: str) -> dict[str, str] | None:
                 t = pq.read_table(f, columns=["key", "value"])
                 meta.update(zip(t.column("key").to_pylist(),
                                 t.column("value").to_pylist()))
+            if meta.get("format_version") != ARTIFACT_VERSION:
+                return None
+            return meta
         except Exception:
-            return None
-        if meta.get("format_version") != ARTIFACT_VERSION:
-            return None
-        return meta
+            pass  # fall through to the Spark read below
     try:
         rows = spark.read.parquet(base).collect()
     except Exception:

@@ -183,16 +183,29 @@ def _local_parquet_files(path: str) -> list[str] | None:
     return None
 
 
+#: r11 (verdict item 4): the footer helpers iterate part files one at a
+#: time in driver-side pyarrow — O(files) serial metadata fetches. Fast
+#: at sandbox file counts (~0.1 ms/file measured, SELFCHECK_r11), but a
+#: 100 TB table with 10⁵ parts would turn the "job-free" serve
+#: validation into a minutes-long driver stall. Above this cap the
+#: helpers return None and callers take the Spark fallback, which is
+#: distributed and pinned value-identical
+#: (tests/test_persistence.py::test_footer_helpers_*).
+FOOTER_MAX_PART_FILES = 256
+
+
 def footer_row_count(path: str) -> int | None:
     """Exact row count from parquet footer metadata — no data scan, no
     Spark job (r10: the artifact-registry serve path and the corpus
     fingerprints validate through this, so a cold session runs ZERO
     Spark jobs before its first real query). Footer reads are O(files)
     driver-side metadata fetches — the same order of work Spark's own
-    scan planning does. None on non-local/missing paths or any pyarrow
-    failure; callers fall back to a Spark count."""
+    scan planning does, bounded by ``FOOTER_MAX_PART_FILES`` (above it
+    the serial driver loop would stall; the distributed Spark fallback
+    computes the identical value). None on non-local/missing/many-file
+    paths or any pyarrow failure; callers fall back to a Spark count."""
     files = _local_parquet_files(path)
-    if files is None:
+    if files is None or len(files) > FOOTER_MAX_PART_FILES:
         return None
     try:
         import pyarrow.parquet as pq
@@ -205,11 +218,16 @@ def footer_row_count(path: str) -> int | None:
 def footer_column_min_max(path: str, column: str) -> tuple | None:
     """Global (min, max) of ``column`` from parquet row-group footer
     STATISTICS — exact (min of row-group mins / max of maxes), no data
-    scan. None when any row group lacks min/max stats (the caller's
-    Spark aggregate computes the identical values, so fingerprints are
-    path-independent)."""
+    scan. None when any row group lacks min/max stats OR the column's
+    physical type is not an integer (r11, ADVICE: BYTE_ARRAY/string
+    statistics can be writer-TRUNCATED while has_min_max stays true —
+    a string column would silently diverge from the Spark fallback and
+    break the path-independent-fingerprint invariant; int32/int64 stats
+    are always exact). Also None above ``FOOTER_MAX_PART_FILES`` parts
+    (bounded driver loop). The caller's Spark aggregate computes the
+    identical values, so fingerprints are path-independent."""
     files = _local_parquet_files(path)
-    if files is None:
+    if files is None or len(files) > FOOTER_MAX_PART_FILES:
         return None
     lo = hi = None
     try:
@@ -223,6 +241,8 @@ def footer_column_min_max(path: str, column: str) -> tuple | None:
                     col = row_group.column(ci)
                     if col.path_in_schema != column:
                         continue
+                    if col.physical_type not in ("INT32", "INT64"):
+                        return None
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         return None

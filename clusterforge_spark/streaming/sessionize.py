@@ -1305,33 +1305,47 @@ def read_stream_capture(
     window — after a batch dir was (partially) written but before its
     ``_batches/<id>`` marker — scans the unmarked ``cf_batch=<id>`` dir,
     because parquet partition discovery knows nothing of the manifest.
-    This reader keeps only rows whose ``cf_batch`` value has a marker,
-    so a batch's rows become visible exactly when they became durable:
-    torn or in-flight batch dirs are invisible until the healing replay
-    overwrites them and commits their marker. The manifest listing is
-    one driver-side FS call over #batches entries (Hadoop FS API — any
-    URI); the filter is a partition-column IN-list, which partition
-    pruning turns into a scan of exactly the committed dirs.
+    This reader lists the manifest FIRST and opens ONLY the committed
+    ``cf_batch=<id>`` dirs (``basePath`` keeps the partition column), so
+    a batch's rows become visible exactly when they became durable —
+    and schema inference never touches a torn or in-flight batch dir at
+    all (r11, ADVICE: the r10 form read the whole capture and filtered,
+    which was row-correct but could fail loudly on a corrupt part file
+    in an UNMARKED dir before partition pruning hid it). The manifest
+    listing is one driver-side FS call over #batches entries (Hadoop FS
+    API — any URI).
 
-    Complete-mode captures (no ``cf_batch`` partitioning; each batch
-    atomically overwrites the whole capture) are returned as-is."""
-    df = spark.read.parquet(out_path)
-    if "cf_batch" not in df.columns:
-        return df
+    Complete-mode captures (no ``_batches`` manifest; each batch
+    atomically overwrites the whole capture) are returned as-is. An
+    append capture whose manifest is empty (crash before the FIRST
+    commit) falls back to a whole-dir read filtered to nothing — that
+    read can still fail loudly on a torn first batch, but never
+    returns its rows."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path(f"{out_path.rstrip('/')}/_batches")
     fs = hp.getFileSystem(hconf)
+    if not fs.exists(hp):
+        # no manifest: a complete-mode capture (atomic whole-dir
+        # overwrite per batch) — nothing to guard
+        return spark.read.parquet(out_path)
     ids: list[int] = []
-    if fs.exists(hp):
-        for st in fs.listStatus(hp):
-            name = st.getPath().getName()
-            try:
-                ids.append(int(name))
-            except ValueError:
-                pass  # foreign file in the manifest dir — never a marker
-    guarded = df.filter(F.col("cf_batch").isin(ids) if ids else F.lit(False))
-    return guarded.drop("cf_batch") if drop_batch_col else guarded
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        try:
+            ids.append(int(name))
+        except ValueError:
+            pass  # foreign file in the manifest dir — never a marker
+    if not ids:
+        df = spark.read.parquet(out_path).filter(F.lit(False))
+        if "cf_batch" in df.columns and drop_batch_col:
+            df = df.drop("cf_batch")
+        return df
+    base = out_path.rstrip("/")
+    df = spark.read.option("basePath", base).parquet(
+        *[f"{base}/cf_batch={i}" for i in sorted(ids)]
+    )
+    return df.drop("cf_batch") if drop_batch_col else df
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -478,3 +478,39 @@ def test_footer_helpers_agree_with_spark_and_meta_paths_agree(spark, tmp_path):
     # count did: 3 rows recorded, 3 in the footers
     assert RD.footer_row_count(f"{path}/data") == 3
     assert MS.load_artifact(spark, path, {"kind": "t"}) is not None
+
+
+def test_footer_helpers_cap_falls_back_and_fingerprints_are_identical(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (verdict item 4): above FOOTER_MAX_PART_FILES parts the
+    footer helpers refuse (the serial driver loop would stall at 100 TB
+    file counts) and callers take the distributed Spark fallback — which
+    must compute IDENTICAL fingerprint values, so the cap is purely a
+    latency decision, never a validity one. Also pins the r11 ADVICE
+    hardening: string columns refuse footer stats (BYTE_ARRAY min/max
+    can be writer-truncated), ints still serve."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.sources import readers as RD
+
+    path = str(tmp_path / "many_parts.parquet")
+    spark.range(100).selectExpr(
+        "id", "cast(id as string) as s"
+    ).repartition(5).write.parquet(path)
+
+    n_footer = RD.footer_row_count(path)
+    mm_footer = RD.footer_column_min_max(path, "id")
+    assert n_footer == 100 and mm_footer == (0, 99)
+    # string column: refused even below the cap (truncatable stats)
+    assert RD.footer_column_min_max(path, "s") is None
+
+    # drop the cap below the part count: both helpers refuse ...
+    monkeypatch.setattr(RD, "FOOTER_MAX_PART_FILES", 4)
+    assert RD.footer_row_count(path) is None
+    assert RD.footer_column_min_max(path, "id") is None
+    # ... and the Spark fallback computes the identical values
+    row = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]
+    assert (row.n, (row.lo, row.hi)) == (n_footer, mm_footer)
