@@ -118,6 +118,7 @@ ARTIFACT_BUILDERS: dict[str, str] = {
     "ann_frontier_batch": "q_ann_recall_batch",
     "components": "q_dedup_components",
     "components_star": "q_dedup_components_star",
+    "components_grouped": "q_dedup_components_grouped",
     "kcore": "q_kcore",
     "pagerank": "q_pagerank",
 }
@@ -1099,6 +1100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "components_star",
         lambda: DD.dedup_components_star(_banded_pairs(spark, sf)),
     )
+    # r11: the expansion-free grouped build — propagation over the
+    # REPRESENTATIVE graph, membership expanded with one join. Shares
+    # q_dedup_components' oracle (identical deterministic output); an
+    # m-doc byte-identical mega-cluster costs m rows instead of the
+    # m^2/2 pair-table edges the other two builds consume.
+    q["q_dedup_components_grouped"] = lambda spark, sf: _graph_persisted(
+        spark, sf, "components_grouped",
+        lambda: DD.dedup_components_grouped(_dup_docs(spark, sf)),
+    )
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
@@ -1510,6 +1520,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_minhash_estimate_error": OSQL.q_minhash_estimate_error(),
         "q_dedup_components": OSQL.q_dedup_components(),
         "q_dedup_components_star": OSQL.q_dedup_components(),
+        "q_dedup_components_grouped": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
         "q_kcore": OSQL.q_kcore(),
         "q_pair_degree_stats": OSQL.q_pair_degree_stats(),

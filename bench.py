@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "q_minhash_estimate_error",
     "q_dedup_components",
     "q_dedup_components_star",
+    "q_dedup_components_grouped",
     "q_pagerank",
     "q_dedup_incremental",
     "q_split_leakage",

@@ -310,10 +310,19 @@ def save_artifact(
     factor on top of the build that produced them (an assignment fold
     costs orders of magnitude more per row than crc32(to_json)).
 
-    ``n_files`` coalesces the write (default 1 — the registry's
+    ``n_files`` REPARTITIONS the write (default 1 — the registry's
     artifacts are MB-scale models/reports where one file loads fastest);
     pass ``None`` for data-proportional artifacts (a billion-row
-    inverted-list table keeps its natural partitioning)."""
+    inverted-list table keeps its natural partitioning). repartition,
+    NOT coalesce (r11): coalesce(1) collapses the builder's compute
+    into the single write task — the 200k-vector assignment fold behind
+    kcell_assigned serialized ~90M interpreted distance folds onto one
+    core, and the measured 100× ANN cold build barely moved when the
+    sampled trainer cut the training pass (853.7 s vs 878 s) because
+    the write stage was the real straggler. The repartition exchange
+    moves only the FINISHED rows (KB-MB), keeping the fold on all
+    cores; the identity gate's comparator is order-insensitive, so the
+    shuffle's row order is free."""
     base = path.rstrip("/")
     # reserved self-consistency keys live in their own namespace: caller
     # fingerprints legitimately carry corpus-shape keys like "n_rows"
@@ -335,7 +344,7 @@ def save_artifact(
         write_base = base
 
     try:
-        out = df if n_files is None else df.coalesce(int(n_files))
+        out = df if n_files is None else df.repartition(int(n_files))
         out.write.mode("overwrite").parquet(f"{write_base}/data")
         written = spark.read.parquet(f"{write_base}/data")
         all_meta = {

@@ -869,6 +869,50 @@ def dedup_minhash_banded(
     Reuses :func:`shingle_hash_table` (same cached sub-plan as the ngram
     strategy — the md5 shingle hashing runs once per corpus per session).
     """
+    rep_pairs, mem, sh = _banded_core(docs, n=n, bucket_cap=bucket_cap)
+    # expand representative pairs to every member pair (same jaccard —
+    # it depends only on the texts), plus within-group pairs at their
+    # exact value 1.0; restrict within-groups to reps that survived the
+    # shingle emptiness filter, exactly like the uncollapsed pipeline
+    ma = mem.select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_xa"))
+    mb = mem.select(F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_xb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    mm = mem.join(
+        sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi"
+    ).select("doc_id", "_g")
+    wa, wb = mm.alias("wa"), mm.alias("wb")
+    within = wa.join(
+        wb,
+        (F.col("wa._g") == F.col("wb._g"))
+        & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+    ).select(
+        F.col("wa.doc_id").alias("doc_a"),
+        F.col("wb.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within).filter(F.col("jaccard") >= threshold)
+
+
+def _banded_core(
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    bucket_cap: int | None | str = "auto",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The collapsed core of :func:`dedup_minhash_banded`: byte-identical
+    collapse -> shingle -> minhash -> band -> (auto-salted) bucket join
+    -> exact-Jaccard verify, over REPRESENTATIVES only. Returns
+    ``(rep_pairs, mem, sh)`` — the unthresholded verified representative
+    pairs, the (doc_id, _g, _rep) membership table, and the reps-only
+    shingle table. Shared by the pair expansion above and the
+    expansion-free grouped components (:func:`dedup_components_grouped`)."""
     grp = docs.groupBy(F.md5(F.col("text")).alias("_g")).agg(
         F.min("doc_id").alias("_rep")
     )
@@ -940,35 +984,67 @@ def dedup_minhash_banded(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("jaccard").alias("jaccard"))
     )
-    # expand representative pairs to every member pair (same jaccard —
-    # it depends only on the texts), plus within-group pairs at their
-    # exact value 1.0; restrict within-groups to reps that survived the
-    # shingle emptiness filter, exactly like the uncollapsed pipeline
-    ma = mem.select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_xa"))
-    mb = mem.select(F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_xb"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("_xa", "_xb").alias("doc_a"),
-            F.greatest("_xa", "_xb").alias("doc_b"),
-            "jaccard",
+    return rep_pairs, mem, sh
+
+
+def dedup_components_grouped(
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the banded near-dup graph computed
+    WITHOUT materializing the expanded pair set — row-identical to
+    ``dedup_components(dedup_minhash_banded(docs))`` by construction
+    (it shares q_dedup_components' oracle SQL, the components_star
+    contract-sharing pattern), but the propagation runs on the
+    REPRESENTATIVE graph.
+
+    Why this exists (r11): the pair-output contract is inherently
+    Ω(m²) for an m-doc byte-identical cluster (every within pair is a
+    real near-dup pair), so components built FROM the pair table pay
+    m²/2 edge rows per mega-cluster even after the r11 collapse routes
+    them around the banded join. Connectivity, however, is preserved
+    under the collapse: a group is internally connected through its
+    representative, a component's label (min reachable doc_id) equals
+    the min reachable REP (each rep is its group's min doc_id), and
+    group membership is component-invariant. So: run min-label
+    propagation over the rep pairs (plus one self-edge per isolated
+    multi-member group, so an exact-dup clique with no cross-group
+    near-dups still surfaces as a component), then expand membership
+    with ONE join and recount sizes — an m-doc identical cluster costs
+    m rows end to end, never m².
+
+    At 100 TB this is the shape a curation pipeline should consume for
+    canonical selection: the pair table remains available (audit,
+    scoring), but transitive grouping never touches it."""
+    rep_pairs, mem, sh = _banded_core(docs, n=n)
+    edges = rep_pairs.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
+    if threshold <= 1.0:
+        # isolated exact-dup cliques: a multi-member group whose rep
+        # survived the shingle filter is a component even with no
+        # cross-group pairs (its within pairs are jaccard 1.0); the
+        # rep-level self-edge stands in for the whole clique
+        multi = (
+            mem.groupBy("_rep")
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") >= 2)
+            .join(sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi")
+            .select(
+                F.col("_rep").alias("doc_a"), F.col("_rep").alias("doc_b")
+            )
         )
+        edges = edges.unionByName(multi)
+    rep_comp = dedup_components(edges, max_iter=max_iter).select(
+        F.col("doc_id").alias("_rep"), "component"
     )
-    mm = mem.join(
-        sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi"
-    ).select("doc_id", "_g")
-    wa, wb = mm.alias("wa"), mm.alias("wb")
-    within = wa.join(
-        wb,
-        (F.col("wa._g") == F.col("wb._g"))
-        & (F.col("wa.doc_id") < F.col("wb.doc_id")),
-    ).select(
-        F.col("wa.doc_id").alias("doc_a"),
-        F.col("wb.doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
+    out = mem.join(rep_comp, "_rep").select("doc_id", "component")
+    sizes = out.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
     )
-    return cross.unionByName(within).filter(F.col("jaccard") >= threshold)
+    return out.join(sizes, "component").select(
+        "doc_id", "component", "component_size"
+    )
 
 
 #: Edit-distance comparisons run on this prefix — O(P²) per pair bounds

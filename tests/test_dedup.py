@@ -337,6 +337,57 @@ def test_levenshtein_catches_bucket_straddling_pair(spark):
     assert len(out) == len(pairs)
 
 
+def test_grouped_components_equal_pair_table_components(spark, dup_docs):
+    """r11 expansion-free build: dedup_components_grouped(docs) must be
+    row-identical to dedup_components(dedup_minhash_banded(docs)) — on
+    the standard dup corpus AND with a byte-identical cluster planted
+    both in isolation (exact-dup clique with no cross-group near-dups →
+    must still surface as a component via the rep self-edge) and
+    bridged to a near-dup neighbour (cross-group pairs must merge the
+    clique into the neighbour's component)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_grouped,
+        dedup_minhash_banded,
+    )
+
+    text = (
+        "isolated boilerplate fragment repeated verbatim across mirrors "
+        "of the same archive snapshot with no nearby variants anywhere"
+    )
+    clique = spark.range(7).select(
+        (F.col("id") + 700_000).alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("mirror").alias("source"),
+        F.lit(len(text)).cast("long").alias("n_chars"),
+    )
+    # a near (not identical) variant bridging into the clique
+    near = spark.range(1).select(
+        F.lit(700_100).cast("long").alias("doc_id"),
+        F.lit(text + " extra").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("mirror").alias("source"),
+        F.lit(len(text) + 6).cast("long").alias("n_chars"),
+    )
+    docs = dup_docs.unionByName(clique).unionByName(near)
+
+    via_pairs = {
+        r.doc_id: (r.component, r.component_size)
+        for r in dedup_components(dedup_minhash_banded(docs)).collect()
+    }
+    grouped = {
+        r.doc_id: (r.component, r.component_size)
+        for r in dedup_components_grouped(docs).collect()
+    }
+    assert grouped == via_pairs
+    # the clique + bridge doc form one component labeled by the clique min
+    assert grouped[700_000] == (700_000, 8)
+    assert grouped[700_100][0] == 700_000
+
+
 def test_star_components_equal_propagation(spark):
     """large/small-star must produce the identical component assignment
     as min-label propagation — on a long chain (adversarial diameter for
