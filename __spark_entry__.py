@@ -1203,6 +1203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings")
     )
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
+    # r11: the IVF-PQ hybrid (IVFADC) — coarse probe from the persisted
+    # kcell index, ADC lookups over candidate CODES only, exact rerank
+    # of the ADC top rerank·k; the full production serving architecture
+    # through the same registry artifacts the kcell family serves from
+    q["q_sim_search_ivf_pq"] = lambda spark, sf: SIM.ivf_pq_topk(
+        _t(spark, sf, "embeddings"),
+        cells=_kcells(spark, sf),
+        assigned=_kc_assigned(spark, sf),
+    )
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
     )
@@ -1599,6 +1608,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_sim_search_kcell": OSQL.q_sim_search_kcell(),
         "q_sim_search_kcell_incremental": OSQL.q_sim_search_kcell_incremental(),
         "q_sim_search_pq": OSQL.q_sim_search_pq(),
+        "q_sim_search_ivf_pq": OSQL.q_sim_search_ivf_pq(),
         "q_sim_search_batch": OSQL.q_sim_search_batch(),
         "q_sim_search_filtered": OSQL.q_sim_search_filtered(),
         "q_winsorize": OSQL.q_winsorize(),

@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "q_multimodal_decode",
     "q_bm25_topk",
     "q_sim_search_pq",
+    "q_sim_search_ivf_pq",
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_multimodal_audio",

@@ -918,6 +918,93 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query: list[float] | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    cells: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ hybrid serving — the production billion-vector ANN
+    architecture (Jégou et al. TPAMI'11 §V: IVFADC): the ⌈√n⌉-cell
+    trained coarse quantizer prunes the corpus to the query's
+    ``nprobe`` posting lists, PQ/ADC table lookups score ONLY those
+    candidates (8 lookups + a fixed-order sum per row — no vector
+    arithmetic), and the exact cosine rerank touches just the ADC top
+    ``rerank·k``. Pass the persisted ``cells`` codebook + ``assigned``
+    inverted lists (model_store artifacts) and the serve plan reads no
+    corpus vectors until the final rerank fetch: probe (n_cells rows) →
+    posting-list broadcast join → codes-table join → two
+    TakeOrderedAndProject top-ks → a rerank·k-row id-equi-join back to
+    the vectors. At 100 TB the codes table (vec_id + 8 small ints) is
+    the only per-candidate state the scorer reads — the 21× memory
+    compression that keeps the hot path in RAM — and lists/codes/
+    vectors co-partition by cell so every join is co-located.
+
+    Deterministic end to end (the ADC table is literal doubles summed
+    in fixed order; ties break on vec_id), so the whole hybrid is
+    oracle-checkable — the SQL mirror composes the kcell CTE chain with
+    the PQ encode/lookup fragments (oracle_sql.q_sim_search_ivf_pq)."""
+    from functools import reduce as _red
+
+    query = query or V.QUERY_VEC
+    trained: list[DataFrame] = []
+    if cells is None:
+        cells = ivf_kcell_cells(embeddings, _kcell_n_cells(embeddings)).cache()
+        trained = [cells]
+    qcells = (
+        cells.select(
+            "cell", V.dist2_cols(F.col("cent"), V._lit_arr(query)).alias("qd")
+        )
+        .orderBy("qd", "cell")
+        .limit(int(nprobe))
+        .select("cell")
+    )
+    if assigned is not None:
+        cand_ids = assigned.join(F.broadcast(qcells), "cell").select("vec_id")
+    else:
+        cand_ids = (
+            _assign_packed(embeddings, _pack_cells(cells))
+            .join(F.broadcast(qcells), "cell")
+            .select("vec_id")
+        )
+    # candidate CODES only: the scorer never touches the vectors
+    coded = pq_codes(embeddings).drop("embedding").join(cand_ids, "vec_id")
+    table = V.pq_adc_table(query)
+    adc = _red(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                V._lit_arr(table[m]), (F.col(f"code_{m}") + 1).cast("int")
+            )
+            for m in range(V.PQ_M)
+        ],
+    )
+    cut = (
+        coded.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(int(rerank * k))
+    )
+    # vector fetch for the rerank·k survivors only
+    scored = cut.join(embeddings.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        round_det(F.col("adc_dist"), 6).alias("adc_dist"),
+        round_det(V.cosine_lit("embedding", query), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    out = (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    out._cf_internal_caches = trained
+    return out
+
+
 def filtered_topk(
     embeddings: DataFrame,
     query: list[float] | None = None,

@@ -522,10 +522,10 @@ WHERE cell IN ({", ".join(str(c) for c in cells)})""",
     )
 
 
-def q_sim_search_pq(k: int = 10, rerank: int = 4) -> str:
-    """Mirrors operators/similarity.pq_topk: PQ encode (argmin per
-    subspace, strict-< tie-break), ADC candidate cut by literal
-    table-lookup sums, exact cosine rerank."""
+def _pq_sql_parts(query: list[float] | None = None) -> tuple[str, str, str]:
+    """The PQ encode / code-argmin / ADC-lookup SQL fragments shared by
+    q_sim_search_pq and the IVF-PQ hybrid (q_sim_search_ivf_pq) —
+    mirrors similarity.pq_codes + the driver-precomputed ADC table."""
     from clusterforge_spark.functions.vector import (
         PQ_CODEBOOKS,
         PQ_KS,
@@ -534,7 +534,8 @@ def q_sim_search_pq(k: int = 10, rerank: int = 4) -> str:
         pq_adc_table,
     )
 
-    table = pq_adc_table(_V.QUERY_VEC)
+    query = query or _V.QUERY_VEC
+    table = pq_adc_table(query)
 
     def sub_dist(m: int, c: int) -> str:
         cb = PQ_CODEBOOKS[m][c]
@@ -567,6 +568,14 @@ def q_sim_search_pq(k: int = 10, rerank: int = 4) -> str:
         + " END)"
         for m in range(PQ_M)
     )
+    return dist_cols, code_cols, lookups
+
+
+def q_sim_search_pq(k: int = 10, rerank: int = 4) -> str:
+    """Mirrors operators/similarity.pq_topk: PQ encode (argmin per
+    subspace, strict-< tie-break), ADC candidate cut by literal
+    table-lookup sums, exact cosine rerank."""
+    dist_cols, code_cols, lookups = _pq_sql_parts()
     cos = _V.cosine_lit_sql("embedding", _V.QUERY_VEC)
     return f"""WITH dists AS (
   SELECT vec_id, embedding,
@@ -5245,6 +5254,49 @@ scored AS (
         WHERE a.rn = 1) e
 )
 SELECT vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
+def q_sim_search_ivf_pq(k: int = 10, nprobe: int = 4, rerank: int = 4) -> str:
+    """Mirrors operators/similarity.ivf_pq_topk — the IVF-PQ hybrid:
+    kcell coarse probe (the shared kc CTE chain, training included) →
+    PQ encode + ADC table-lookup scoring over the probed candidates
+    only → exact cosine rerank of the ADC top rerank·k."""
+    dist_cols, code_cols, lookups = _pq_sql_parts()
+    qd = _V.dist2_cols_sql_pre("c.cent", "q.qv")
+    cos = _V.cosine_lit_sql("e.embedding", _V.QUERY_VEC)
+    return f"""WITH {_kcell_ctes()},
+qcells AS (
+  SELECT c.cell FROM kc_cells c, kc_q q ORDER BY {qd}, c.cell LIMIT {nprobe}
+),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM kc_assigned a JOIN qcells USING (cell)
+  WHERE a.rn = 1
+),
+dists AS (
+  SELECT vec_id,
+         {dist_cols}
+  FROM cand
+),
+pqcodes AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM dists
+),
+cut AS (
+  SELECT vec_id, {lookups} AS adc_dist
+  FROM pqcodes
+  ORDER BY adc_dist ASC, vec_id
+  LIMIT {rerank * k}
+),
+scored AS (
+  SELECT c.vec_id,
+         round(c.adc_dist, 6) AS adc_dist,
+         round({cos}, 6) AS cos_sim
+  FROM cut c JOIN kc_e e ON e.vec_id = c.vec_id
+)
+SELECT vec_id, adc_dist, cos_sim,
        CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
 

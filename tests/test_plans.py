@@ -741,6 +741,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     # its post-limit windows entirely — not an offender)
     "q_quantization_recall",  # 2 post-limit k-row rank windows (exact + quantized)
     "q_sim_search_pq",
+    "q_sim_search_ivf_pq",  # two post-limit k-row windows (ADC cut + rerank)
     "q_sim_search_filtered",
 }
 
@@ -988,6 +989,26 @@ def test_token_budget_mix_large_regime_no_serial_source_window(spark, documents)
     assert any(
         n == 1 and "source" in p for n, p, o in X.window_spec_arities(small)
     )
+
+
+def test_ivf_pq_serve_plan_scores_codes_not_vectors(spark):
+    """r11 IVF-PQ hybrid serve shape: with the registry warm the plan
+    probes the persisted inverted lists (no corpus assignment fold) and
+    the ADC scoring runs over PQ codes — the only full-vector distance
+    arithmetic is the exact rerank of the rerank·k survivors."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q_sim_search_ivf_pq"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_min(transform(cells" not in plan, (
+        "hybrid serve plan still assigns the corpus against the packed codebook"
+    )
+    assert "kcell_assigned" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
 def test_kcell_serve_plan_uses_posting_lists_not_assignment_fold(spark):
