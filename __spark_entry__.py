@@ -1089,6 +1089,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: DD.dedup_components(_banded_pairs(spark, sf)),
         )
 
+    def _components_grouped(spark, sf):
+        return _graph_persisted(
+            spark, sf, "components_grouped",
+            lambda: DD.dedup_components_grouped(_dup_docs(spark, sf)),
+        )
+
     q["q_dedup_components"] = _components
     # same contract via the O(log n)-round large/small-star algorithm —
     # shares q_dedup_components' oracle (identical deterministic output).
@@ -1105,10 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_dedup_components' oracle (identical deterministic output); an
     # m-doc byte-identical mega-cluster costs m rows instead of the
     # m^2/2 pair-table edges the other two builds consume.
-    q["q_dedup_components_grouped"] = lambda spark, sf: _graph_persisted(
-        spark, sf, "components_grouped",
-        lambda: DD.dedup_components_grouped(_dup_docs(spark, sf)),
-    )
+    q["q_dedup_components_grouped"] = _components_grouped
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
@@ -1163,6 +1166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _dup_docs(spark, sf),
         _banded_pairs(spark, sf),
         components=_components(spark, sf),
+    )
+    # r11: the fully pair-table-free canonical path — transitive
+    # grouping from the REPRESENTATIVE graph (components_grouped),
+    # selection unchanged; shares q_dedup_canonical's oracle, so the
+    # driver re-proves the whole expansion-free route is layout-only
+    q["q_dedup_canonical_grouped"] = lambda spark, sf: DD.dedup_canonical(
+        _dup_docs(spark, sf),
+        None,
+        components=_components_grouped(spark, sf),
     )
     q["q_dedup_levenshtein"] = lambda spark, sf: DD.dedup_levenshtein(
         _dup_docs(spark, sf)
@@ -1598,6 +1610,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_component_size_stats": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),
+        "q_dedup_canonical_grouped": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),
         "q_dedup_levenshtein": OSQL.q_dedup_levenshtein(),
         "q_dedup_embedding": OSQL.q_dedup_embedding(),

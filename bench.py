@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q_dedup_triangles",
     "q_kcore",
     "q_dedup_canonical",
+    "q_dedup_canonical_grouped",
     "q_dedup_embedding",
     "q_sim_search_topk",
     "q_sim_search_lsh",
