@@ -1320,15 +1320,28 @@ def read_stream_capture(
     append capture whose manifest is empty (crash before the FIRST
     commit) falls back to a whole-dir read filtered to nothing — that
     read can still fail loudly on a torn first batch, but never
-    returns its rows."""
+    returns its rows. The no-manifest branch distinguishes the two by
+    schema (r12, ADVICE): a crash after the FIRST ``cf_batch=<id>`` dir
+    was written but before its marker leaves no ``_batches/`` at all
+    (the marker's ``createNewFile`` is what creates the parent), yet
+    partition discovery still surfaces a ``cf_batch`` column — that
+    shape is an append capture with zero committed batches, not a
+    complete-mode capture, so its rows are filtered out too."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path(f"{out_path.rstrip('/')}/_batches")
     fs = hp.getFileSystem(hconf)
     if not fs.exists(hp):
-        # no manifest: a complete-mode capture (atomic whole-dir
-        # overwrite per batch) — nothing to guard
-        return spark.read.parquet(out_path)
+        df = spark.read.parquet(out_path)
+        if "cf_batch" in df.columns:
+            # append capture that crashed before its first marker (the
+            # marker's parent _batches/ never got created): nothing is
+            # committed — honor the "never returns its rows" guarantee
+            df = df.filter(F.lit(False))
+            return df.drop("cf_batch") if drop_batch_col else df
+        # genuinely a complete-mode capture (atomic whole-dir overwrite
+        # per batch) — nothing to guard
+        return df
     ids: list[int] = []
     for st in fs.listStatus(hp):
         name = st.getPath().getName()

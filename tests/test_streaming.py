@@ -917,6 +917,48 @@ def test_read_stream_capture_hides_unmarked_batches_mid_crash_window(
     )
 
 
+def test_read_stream_capture_zero_rows_before_first_marker(spark, tmp_path):
+    """r12 (ADVICE): a crash after the FIRST cf_batch dir was written but
+    before its marker leaves NO _batches dir at all (the marker's
+    createNewFile creates the parent). The no-manifest branch must not
+    mistake that for a complete-mode capture and surface the torn,
+    uncommitted rows — the cf_batch partition column identifies it as an
+    append capture with zero committed batches, which reads as zero rows
+    (and without the stray cf_batch column)."""
+    import os
+    import shutil
+
+    from clusterforge_spark.streaming.sessionize import (
+        read_stream_capture,
+        run_stream_click_attribution_replay,
+    )
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "cap")
+    run_stream_click_attribution_replay(spark, SF_DIR, out_path=out)
+    # simulate the pre-first-marker crash: drop the whole manifest and
+    # every batch dir but the first — what remains is exactly the state
+    # after batch 0's data write with no marker ever created
+    shutil.rmtree(os.path.join(out, "_batches"))
+    batch_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("cf_batch=")
+    )
+    for d in batch_dirs[1:]:
+        shutil.rmtree(os.path.join(out, d))
+
+    guarded = read_stream_capture(spark, out)
+    assert "cf_batch" not in guarded.columns
+    assert guarded.count() == 0
+    # drop_batch_col=False keeps the partition column but still no rows
+    kept = read_stream_capture(spark, out, drop_batch_col=False)
+    assert "cf_batch" in kept.columns
+    assert kept.count() == 0
+    # a complete-mode capture (no cf_batch column) is still passed through
+    comp = str(tmp_path / "comp")
+    spark.range(5).write.parquet(comp)
+    assert read_stream_capture(spark, comp).count() == 5
+
+
 def test_default_replay_dirs_keyed_per_app_and_sf(spark):
     """r7 ADVICE: two concurrent runs (different apps, or two scales in
     one app) must never share a default capture dir — the dir is keyed
