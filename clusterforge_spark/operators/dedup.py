@@ -873,19 +873,38 @@ def dedup_minhash_banded(
     # expand representative pairs to every member pair (same jaccard —
     # it depends only on the texts), plus within-group pairs at their
     # exact value 1.0; restrict within-groups to reps that survived the
-    # shingle emptiness filter, exactly like the uncollapsed pipeline
-    ma = mem.select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_xa"))
-    mb = mem.select(F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_xb"))
+    # shingle emptiness filter, exactly like the uncollapsed pipeline.
+    # r12 (verdict item 5): the expansion machinery touches MULTI-MEMBER
+    # groups only — singleton reps (the overwhelming majority on a
+    # low-dup corpus) pass through the LEFT joins unmatched, and the
+    # _gm ≥ 2 filter pushes into the membership join so its build side
+    # is the multi-group slice, not the corpus (AQE broadcasts it at
+    # runtime when it fits — no hints, same policy as the verify join).
+    # This removed the flat ~0.5 s the r11 collapse had added to the
+    # sf0.1 headline on corpora where byte dups are rare.
+    mm_small = mem.filter(F.col("_gm") >= 2)
+    ma = mm_small.select(
+        F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_xa")
+    )
+    mb = mm_small.select(
+        F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_xb")
+    )
     cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
         .select(
-            F.least("_xa", "_xb").alias("doc_a"),
-            F.greatest("_xa", "_xb").alias("doc_b"),
+            F.least(
+                F.coalesce(F.col("_xa"), F.col("doc_a")),
+                F.coalesce(F.col("_xb"), F.col("doc_b")),
+            ).alias("doc_a"),
+            F.greatest(
+                F.coalesce(F.col("_xa"), F.col("doc_a")),
+                F.coalesce(F.col("_xb"), F.col("doc_b")),
+            ).alias("doc_b"),
             "jaccard",
         )
     )
-    mm = mem.join(
+    mm = mm_small.join(
         sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi"
     ).select("doc_id", "_g")
     wa, wb = mm.alias("wa"), mm.alias("wb")
@@ -910,17 +929,29 @@ def _banded_core(
     collapse -> shingle -> minhash -> band -> (auto-salted) bucket join
     -> exact-Jaccard verify, over REPRESENTATIVES only. Returns
     ``(rep_pairs, mem, sh)`` — the unthresholded verified representative
-    pairs, the (doc_id, _g, _rep) membership table, and the reps-only
-    shingle table. Shared by the pair expansion above and the
-    expansion-free grouped components (:func:`dedup_components_grouped`)."""
+    pairs, the (doc_id, _g, _rep, _gm) membership table (``_gm`` = group
+    size, so consumers can contract their joins to the multi-member
+    slice), and the reps-only shingle table. Shared by the pair
+    expansion above, the expansion-free grouped components
+    (:func:`dedup_components_grouped`) and the grouped analytics family
+    (:func:`_rep_graph`)."""
     grp = docs.groupBy(F.md5(F.col("text")).alias("_g")).agg(
-        F.min("doc_id").alias("_rep")
+        F.min("doc_id").alias("_rep"),
+        F.count(F.lit(1)).cast("long").alias("_gm"),
     )
     mem = docs.select("doc_id", F.md5(F.col("text")).alias("_g")).join(
         grp, "_g"
-    )  # (doc_id, _g, _rep)
+    )  # (doc_id, _g, _rep, _gm)
+    # reps = everything except the non-rep members of multi-member
+    # groups (r12: the anti side is the multi-group slice — tiny on a
+    # low-dup corpus and broadcastable by AQE — instead of a semi join
+    # against the full one-row-per-group table)
     reps = docs.join(
-        grp.select(F.col("_rep").alias("doc_id")), "doc_id", "semi"
+        mem.filter(
+            (F.col("_gm") >= 2) & (F.col("doc_id") != F.col("_rep"))
+        ).select("doc_id"),
+        "doc_id",
+        "anti",
     )
     sh = shingle_hash_table(reps, n=n).select("doc_id", "sh")
     sig = sh.select("doc_id", H.minhash_signature_col("sh").alias("sig"))
@@ -1044,6 +1075,304 @@ def dedup_components_grouped(
     )
     return out.join(sizes, "component").select(
         "doc_id", "component", "component_size"
+    )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _rep_graph(
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The multiplicity-weighted REPRESENTATIVE graph of the banded
+    near-dup pair graph (r12 — extending the r11 grouped-components win
+    to the whole analytics family): returns ``(groups, edges, mem)``
+    where ``groups`` is one row per byte-identical group that appears
+    in the expanded pair graph — ``(_rep, m, w)`` with ``m`` the member
+    count and ``w`` 1 iff the group's within-clique pairs exist (m ≥ 2,
+    rep survived the shingle filter, threshold admits jaccard 1.0) —
+    ``edges`` the verified cross-group representative pairs, and
+    ``mem`` the full ``(doc_id, _g, _rep)`` membership table.
+
+    The expanded pair graph is exactly the BLOW-UP of this graph: each
+    group is an m-clique (when ``w``), each rep edge a complete
+    bipartite K(m_a, m_b) — every member of a group is a structural
+    twin of its siblings. Statistics that are functions of the
+    quotient-plus-multiplicities (degrees, fixed-round peeling,
+    PageRank, triangle counts) can therefore be computed here and
+    expanded, paying O(m) per byte-identical mega-cluster instead of
+    the pair table's Ω(m²) edge rows."""
+    rep_pairs, mem, sh = _banded_core(docs, n=n)
+    edges = rep_pairs.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b"
+    )
+    sizes = mem.groupBy("_rep").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    grp = sizes.join(
+        sh.select(F.col("doc_id").alias("_rep")), "_rep", "semi"
+    ).withColumn(
+        "w",
+        ((F.col("m") >= 2) & F.lit(bool(threshold <= 1.0))).cast("long"),
+    )
+    # groups present in the expanded graph: within pairs, or ≥1 cross edge
+    touched = (
+        edges.select(F.col("doc_a").alias("_rep"))
+        .unionByName(edges.select(F.col("doc_b").alias("_rep")))
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    groups = (
+        grp.join(touched, "_rep", "left")
+        .filter((F.col("w") == 1) | F.col("_t").isNotNull())
+        .select("_rep", "m", "w")
+    )
+    return groups, edges, mem
+
+
+def _rep_degrees(groups: DataFrame, edges: DataFrame) -> DataFrame:
+    """Member degree per group of the blown-up graph: every member of a
+    group has the same degree — its (m−1) within-clique neighbors (when
+    the clique exists) plus ALL members of every adjacent group. One
+    weighted neighbor-sum keyed on the rep id; pure long arithmetic."""
+    und = edges.select(
+        F.col("doc_a").alias("_rep"), F.col("doc_b").alias("_h")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("_rep"), F.col("doc_a").alias("_h"))
+    )
+    mh = groups.select(F.col("_rep").alias("_h"), F.col("m").alias("_mh"))
+    cross = und.join(mh, "_h").groupBy("_rep").agg(
+        F.sum("_mh").cast("long").alias("_cdeg")
+    )
+    return groups.join(cross, "_rep", "left").select(
+        "_rep",
+        "m",
+        "w",
+        (
+            F.col("w") * (F.col("m") - 1)
+            + F.coalesce(F.col("_cdeg"), F.lit(0))
+        )
+        .cast("long")
+        .alias("deg"),
+    )
+
+
+def kcore_grouped(
+    docs: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """k-core of the banded near-dup graph computed on the
+    representative graph — row-identical to
+    ``kcore_peel(dedup_minhash_banded(docs), k, rounds)`` by
+    construction (it shares q_kcore's oracle SQL, the contract-sharing
+    pattern of dedup_components_grouped), for any ``k ≥ 1``.
+
+    Why the peel commutes with the blow-up: all members of a
+    byte-identical group are structural twins, so they have IDENTICAL
+    degree every round — a group survives or peels as a unit. Peeling
+    the weighted rep graph (degree = w·(m−1) + Σ adjacent m_h, drop
+    groups below k, drop their edges, repeat) therefore reproduces the
+    expanded peel exactly; the final residual degrees expand back to
+    members with one join. An m-doc byte-identical mega-cluster costs
+    one group row per round instead of the m²/2 clique edges the
+    pair-table peel feeds through every degree aggregate (r10 SCALE:
+    the 100×-skew k-core cold ratio 10.8 was exactly this term).
+
+    Same per-round materialization discipline as :func:`kcore_peel`
+    (the surviving state feeds the next round in several places —
+    localCheckpoint cuts the 5^r plan re-evaluation)."""
+    groups, edges, mem = _rep_graph(docs, n=n, threshold=threshold)
+    for _ in range(rounds):
+        deg = _rep_degrees(groups, edges)
+        groups = (
+            deg.filter(F.col("deg") >= F.lit(int(k)))
+            .select("_rep", "m", "w")
+            .localCheckpoint(eager=True)
+        )
+        keep_a = groups.select(F.col("_rep").alias("doc_a"))
+        keep_b = groups.select(F.col("_rep").alias("doc_b"))
+        edges = (
+            edges.join(keep_a, "doc_a", "semi")
+            .join(keep_b, "doc_b", "semi")
+            .localCheckpoint(eager=True)
+        )
+    final = _rep_degrees(groups, edges).filter(F.col("deg") >= F.lit(int(k)))
+    return mem.join(final, "_rep").select(
+        "doc_id", F.col("deg").alias("degree")
+    )
+
+
+def pagerank_grouped(
+    docs: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the banded near-dup graph computed
+    on the representative graph — value-identical to
+    ``pagerank(dedup_minhash_banded(docs))`` (shares q_pagerank's
+    oracle SQL): structural twins hold equal rank at every iteration
+    (they start uniform and see identical neighborhoods), so the rank
+    vector is a function of the quotient graph. Each round keeps one
+    rank per GROUP and updates it with the weighted inflow
+    m_h·(rank_h/deg_h) summed over adjacent groups plus the closed-form
+    within-clique term (m−1)·(rank_g/deg_g) — the blow-up's Ω(m²)
+    clique edges never materialize; expansion back to members is the
+    final join. Like the pair-table form, one lazy plan: ``iters``
+    chained join+sum rounds, no actions.
+
+    (The weighted sum replaces m_h repeated additions of the same
+    double; both engines already sum inflow in their own order, and the
+    contract's 6dp rounding absorbs that class of last-ulp variation —
+    planted exact-dup corpora have m = 2, where x+x ≡ 2·x exactly.)"""
+    groups, edges, mem = _rep_graph(docs, n=n, threshold=threshold)
+    deg = _rep_degrees(groups, edges)
+    n_row = deg.agg(F.sum("m").cast("long").alias("n"))
+    base = deg.crossJoin(F.broadcast(n_row))
+    pr = base.withColumn(
+        "rank", F.lit(1.0) / F.col("n").cast("double")
+    )
+    und = edges.select(
+        F.col("doc_a").alias("_g"), F.col("doc_b").alias("_h")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("_g"), F.col("doc_a").alias("_h"))
+    )
+    d = float(damping)
+    for _ in range(iters):
+        cur = pr.withColumn(
+            "_pc", F.col("rank") / F.col("deg").cast("double")
+        )
+        cross_in = (
+            und.join(
+                cur.select(
+                    F.col("_rep").alias("_h"),
+                    (F.col("m").cast("double") * F.col("_pc")).alias("_c"),
+                ),
+                "_h",
+            )
+            .groupBy("_g")
+            .agg(F.sum("_c").alias("_cin"))
+        )
+        pr = (
+            cur.join(cross_in, cur["_rep"] == cross_in["_g"], "left")
+            .select(
+                "_rep",
+                "m",
+                "w",
+                "deg",
+                "n",
+                (
+                    F.lit(1.0 - d) / F.col("n").cast("double")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("_cin"), F.lit(0.0))
+                        + F.col("w").cast("double")
+                        * (F.col("m") - 1).cast("double")
+                        * F.col("_pc")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return mem.join(pr, "_rep").select(
+        "doc_id", round_det(F.col("rank"), 6).alias("pagerank")
+    )
+
+
+def triangle_count_grouped(
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Total triangle count of the banded near-dup graph WITHOUT
+    enumerating the blow-up (r12): value-identical to
+    ``COUNT(*)`` over :func:`dedup_triangles`' output (the oracle SQL
+    wraps exactly that), but each term is closed-form on the rep graph:
+
+    - all three vertices in one m-clique → C(m,3) = m(m−1)(m−2)/6;
+    - two in group a, one in adjacent group b → the pair inside a must
+      be a within edge (w_a), every cross pair exists →
+      w_a·C(m_a,2)·m_b + w_b·C(m_b,2)·m_a per rep edge;
+    - three distinct groups → every rep triangle (a,b,c) blows up to
+      m_a·m_b·m_c member triangles (ordered-edge triangle join on the
+      SMALL rep edge set).
+
+    Pure long arithmetic throughout (the clique terms divide exactly),
+    so the count is oracle-exact. An m-doc identical mega-cluster
+    contributes arithmetic, not the Ω(m³) triple rows the pair-table
+    triangle join would both enumerate and re-join."""
+    groups, edges, _mem = _rep_graph(docs, n=n, threshold=threshold)
+    # exact LONG arithmetic: C(m,2)=m(m−1) div 2 divides exactly
+    # (consecutive ints), then ·(m−2) div 3 exactly (3·C(m,3)) — no
+    # double division that would round above 2^53 on mega-cliques
+    c3 = F.expr("m * (m - 1) div 2 * (m - 2) div 3")
+    t_within = groups.agg(
+        F.coalesce(F.sum(F.col("w") * c3), F.lit(0)).cast("long").alias("t")
+    )
+    ga = groups.select(
+        F.col("_rep").alias("doc_a"), F.col("m").alias("_ma"), F.col("w").alias("_wa")
+    )
+    gb = groups.select(
+        F.col("_rep").alias("doc_b"), F.col("m").alias("_mb"), F.col("w").alias("_wb")
+    )
+    c2a = F.expr("_ma * (_ma - 1) div 2")
+    c2b = F.expr("_mb * (_mb - 1) div 2")
+    t_edge = (
+        edges.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_wa") * c2a * F.col("_mb")
+                    + F.col("_wb") * c2b * F.col("_ma")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    tri = dedup_triangles(edges)
+    msz = groups.select("_rep", "m")
+    t_cross = (
+        tri.join(msz.select(F.col("_rep").alias("a"), F.col("m").alias("_m1")), "a")
+        .join(msz.select(F.col("_rep").alias("b"), F.col("m").alias("_m2")), "b")
+        .join(msz.select(F.col("_rep").alias("c"), F.col("m").alias("_m3")), "c")
+        .agg(
+            F.coalesce(F.sum(F.col("_m1") * F.col("_m2") * F.col("_m3")), F.lit(0))
+            .cast("long")
+            .alias("t")
+        )
+    )
+    return (
+        t_within.unionByName(t_edge)
+        .unionByName(t_cross)
+        .agg(F.sum("t").cast("long").alias("n_triangles"))
+    )
+
+
+def pair_degree_stats_grouped(
+    docs: DataFrame,
+    n: int = BANDED_SHINGLE_N,
+    threshold: float = BANDED_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Degree histogram of the banded near-dup graph from the rep graph
+    — row-identical to ``pair_degree_stats(dedup_minhash_banded(docs))``
+    (shares its oracle SQL): every member of a group has the same
+    degree w·(m−1) + Σ adjacent m_h, so the histogram is one weighted
+    degree computation plus a sum of m per degree — no pair expansion."""
+    groups, edges, _mem = _rep_graph(docs, n=n, threshold=threshold)
+    return (
+        _rep_degrees(groups, edges)
+        .groupBy(F.col("deg").alias("degree"))
+        .agg(F.sum("m").cast("long").alias("n_docs"))
     )
 
 
@@ -1352,10 +1681,6 @@ def pair_degree_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
-PR_DAMPING = 0.85
-PR_ITERS = 3
-
-
 def pagerank(
     pairs: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITERS
 ) -> DataFrame:
@@ -1616,10 +1941,6 @@ def cdc_chunk_dedup(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
 #: rounds (like pagerank's fixed iterations, a fixed unrolled plan both
 #: engines share — convergence within the rounds is typical for the
 #: banded near-dup graph, whose components are small by construction)
-KCORE_K = 2
-KCORE_ROUNDS = 4
-
-
 def kcore_peel(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
     """k-core of the near-dup pair graph by fixed-round peeling: drop
     every vertex with degree < k, remove its edges, repeat ``rounds``

@@ -3148,6 +3148,17 @@ JOIN pairs e2 ON e1.doc_b = e2.doc_a
 JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"""
 
 
+def q_dedup_triangle_count(n: int = 3, threshold: float = 0.2) -> str:
+    """COUNT over the triangle enumeration — the oracle for the grouped
+    closed-form triangle count (operators/dedup.triangle_count_grouped):
+    the engine never enumerates the blown-up triples, the oracle does,
+    and the counts must agree exactly."""
+    return f"""WITH tri AS (
+{q_dedup_triangles(n=n, threshold=threshold)}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri"""
+
+
 def q_pair_degree_stats(n: int = 3, threshold: float = 0.2) -> str:
     """Mirrors operators/dedup.pair_degree_stats over the banded-minhash
     pair set (two keyed count aggregates)."""
@@ -5166,6 +5177,10 @@ def _kcell_ctes(
     vector so the planted-cluster corpus (q_ann_recall's second half)
     trains its own codebook through the identical chain."""
     from clusterforge_spark.functions.rounding import round_det_sql as _rd
+    from clusterforge_spark.operators.similarity import (
+        KMV_HASH_SPACE,
+        LLOYD_SAMPLE_PER_CELL,
+    )
 
     query = query or _V.QUERY_VEC
 
@@ -5199,13 +5214,14 @@ def _kcell_ctes(
 ),
 {p}_train AS (
   -- deterministic Lloyd training sample: same 60-bit md5 hash as the
-  -- seeds, kept when h // 32 < 2^60 // nc (⟺ h < min(2^60, 32·⌊2^60/nc⌋),
-  -- overflow-free) — similarity.lloyd_train_threshold bit-for-bit
+  -- seeds, kept when h // c < 2^60 // nc (⟺ h < min(2^60, c·⌊2^60/nc⌋),
+  -- overflow-free; c = LLOYD_SAMPLE_PER_CELL interpolated from the
+  -- engine constant) — similarity.lloyd_train_threshold bit-for-bit
   SELECT vec_id, embedding, emb FROM (
     SELECT vec_id, embedding, emb,
            (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) AS h
     FROM {p}_e)
-  WHERE (h // 32) < (1152921504606846976 // (SELECT nc FROM {p}_n))
+  WHERE (h // {LLOYD_SAMPLE_PER_CELL}) < ({KMV_HASH_SPACE} // (SELECT nc FROM {p}_n))
 ),
 {p}_a0 AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, s.cell,

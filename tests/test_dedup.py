@@ -208,6 +208,9 @@ def test_minhash_banded_collapses_identical_mega_bucket(spark, dup_docs, monkeyp
     }
     assert len(within) == m * (m - 1) // 2
     assert set(within.values()) == {1.0}
+
+
+def test_minhash_banded_finds_planted_and_verifies_exactly(dup_docs):
     from clusterforge_spark.operators.dedup import dedup_minhash_banded, dedup_ngram_jaccard
 
     pairs = dedup_minhash_banded(dup_docs, threshold=0.2).collect()
@@ -667,6 +670,87 @@ class TestBlockSkewSalting:
         )
         # a group holds at most two sub-blocks of ~cap vectors each
         assert per_group <= 3 * cap
+
+
+def test_grouped_graph_family_matches_pair_table(spark, dup_docs):
+    """r12 (verdict item 3): the grouped analytics family — k-core,
+    PageRank, triangle count, degree histogram computed on the
+    multiplicity-weighted representative graph — is row-identical to
+    the pair-table twins on a corpus combining the fixture's planted
+    m=2 exact-dup groups, a BRIDGED pair of byte-identical cliques
+    (two templates one word apart → cross-group near-dup edges), and an
+    ISOLATED byte-identical clique (no cross edges at all)."""
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.operators.dedup import (
+        dedup_minhash_banded,
+        dedup_triangles,
+        kcore_grouped,
+        kcore_peel,
+        pagerank,
+        pagerank_grouped,
+        pair_degree_stats,
+        pair_degree_stats_grouped,
+        triangle_count_grouped,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby every single day"
+    )
+    variant = base.replace("day", "evening")
+    iso = (
+        "completely unrelated isolated template page about server "
+        "maintenance windows and scheduled downtime notices for users"
+    )
+
+    def clique(text, start, m):
+        return spark.range(m).select(
+            (F.col("id") + start).alias("doc_id"),
+            F.lit(text).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("tmpl").alias("source"),
+            F.lit(len(text)).cast("long").alias("n_chars"),
+        )
+
+    docs = (
+        dup_docs.unionByName(clique(base, 900_000, 7))
+        .unionByName(clique(variant, 910_000, 5))
+        .unionByName(clique(iso, 920_000, 9))
+    )
+    pairs = dedup_minhash_banded(docs).cache()
+    # the two one-word-apart cliques really are bridged (cross edges)
+    assert (
+        pairs.filter(
+            (F.col("doc_a") >= 900_000)
+            & (F.col("doc_a") < 910_000)
+            & (F.col("doc_b") >= 910_000)
+            & (F.col("doc_b") < 920_000)
+        ).count()
+        == 7 * 5
+    )
+
+    kc_pair = sorted((r.doc_id, r.degree) for r in kcore_peel(pairs).collect())
+    kc_grp = sorted(
+        (r.doc_id, r.degree) for r in kcore_grouped(docs).collect()
+    )
+    assert kc_grp == kc_pair and len(kc_pair) > 0
+
+    pr_pair = {r.doc_id: r.pagerank for r in pagerank(pairs).collect()}
+    pr_grp = {r.doc_id: r.pagerank for r in pagerank_grouped(docs).collect()}
+    assert pr_grp == pr_pair
+
+    n_tri = dedup_triangles(pairs).count()
+    got = triangle_count_grouped(docs).collect()
+    assert len(got) == 1 and got[0]["n_triangles"] == n_tri and n_tri > 0
+
+    deg_pair = sorted(
+        (r.degree, r.n_docs) for r in pair_degree_stats(pairs).collect()
+    )
+    deg_grp = sorted(
+        (r.degree, r.n_docs) for r in pair_degree_stats_grouped(docs).collect()
+    )
+    assert deg_grp == deg_pair
 
 
 def test_kcore_peel_semantics(spark):
