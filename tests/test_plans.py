@@ -992,9 +992,11 @@ def test_token_budget_mix_large_regime_no_serial_source_window(spark, documents)
 
 
 def test_ivf_pq_serve_plan_scores_codes_not_vectors(spark):
-    """r11 IVF-PQ hybrid serve shape: with the registry warm the plan
-    probes the persisted inverted lists (no corpus assignment fold) and
-    the ADC scoring runs over PQ codes — the only full-vector distance
+    """r11 IVF-PQ hybrid serve shape, r12 artifact-backed: with the
+    registry warm the plan probes the persisted codebook and reads the
+    persisted cell-keyed CODES table (no corpus assignment fold, no
+    per-query corpus encode — the r11 plan re-derived codes from the
+    raw vectors on every call) — the only full-vector distance
     arithmetic is the exact rerank of the rerank·k survivors."""
     import __spark_entry__ as E
 
@@ -1003,7 +1005,10 @@ def test_ivf_pq_serve_plan_scores_codes_not_vectors(spark):
     assert "array_min(transform(cells" not in plan, (
         "hybrid serve plan still assigns the corpus against the packed codebook"
     )
-    assert "kcell_assigned" in plan
+    assert "pq_codes" in plan, "ADC scoring must read the codes artifact"
+    assert "slice(embedding" not in plan, (
+        "hybrid serve plan still PQ-encodes the corpus per query"
+    )
     rows = df.collect()
     assert 0 < len(rows) <= 10
     sims = [r["cos_sim"] for r in rows]

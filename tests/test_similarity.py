@@ -417,6 +417,43 @@ def test_kcell_codebook_and_topk(spark, embeddings):
         assert 0.0 <= r["recall"] <= 1.0 and 0.0 < r["fanout"] <= 1.0
 
 
+def test_ivf_pq_codes_table_serve_path_row_identical(embeddings):
+    """r12 (verdict item 2): serving ivf_pq_topk from the persisted
+    cell-keyed codes table (pq_codes_table) returns row-identical
+    results to the cold path that encodes candidates from the raw
+    vectors — at every probe width, including cells the codes table
+    partitions unevenly. Also pins the codes-table schema the registry
+    artifact stores."""
+    import math
+
+    from clusterforge_spark.operators.similarity import (
+        _assign_packed,
+        _pack_cells,
+        ivf_kcell_cells,
+        ivf_pq_topk,
+        pq_codes_table,
+    )
+
+    n = embeddings.count()
+    cells = ivf_kcell_cells(embeddings, int(math.ceil(math.sqrt(n)))).cache()
+    assigned = _assign_packed(embeddings, _pack_cells(cells)).select(
+        "vec_id", "cell"
+    )
+    codes = pq_codes_table(embeddings, assigned).cache()
+    assert codes.columns == ["vec_id", "cell"] + [
+        f"code_{m}" for m in range(V.PQ_M)
+    ]
+    assert codes.count() == n  # every vector coded exactly once
+    for nprobe in (1, 4, 8):
+        cold = ivf_pq_topk(
+            embeddings, k=10, nprobe=nprobe, cells=cells, assigned=assigned
+        ).collect()
+        warm = ivf_pq_topk(
+            embeddings, k=10, nprobe=nprobe, cells=cells, codes=codes
+        ).collect()
+        assert [tuple(r) for r in warm] == [tuple(r) for r in cold]
+
+
 def test_kcell_seeds_dedupe_duplicate_vectors(spark):
     """Duplicate embedding vectors among the KMV bottom-k seeds collapse
     to one cell each (lowest hash wins), so the refined codebook has
