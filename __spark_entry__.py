@@ -110,6 +110,7 @@ def release(spark: SparkSession, sf_dir: str | None = None) -> int:
 ARTIFACT_BUILDERS: dict[str, str] = {
     "kcell_codebook": "q_sim_search_kcell",
     "kcell_assigned": "q_sim_search_kcell",
+    "pq_codes": "q_sim_search_ivf_pq",
     "ivf_trained_codebook": "q_sim_search_ivf_trained",
     "planted_corpus": "q_ann_recall",
     "kcell_codebook_clustered": "q_ann_recall",
@@ -120,7 +121,9 @@ ARTIFACT_BUILDERS: dict[str, str] = {
     "components_star": "q_dedup_components_star",
     "components_grouped": "q_dedup_components_grouped",
     "kcore": "q_kcore",
+    "kcore_grouped": "q_kcore_grouped",
     "pagerank": "q_pagerank",
+    "pagerank_grouped": "q_pagerank_grouped",
 }
 
 
@@ -786,6 +789,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _memo(spark, sf, "kcell_assigned", build)
 
+    def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+        # the IVFADC codes TABLE (r12 — verdict item 2): vec_id, cell,
+        # code_0..7, persisted next to the codebook + inverted lists so
+        # the IVF-PQ serve path never re-encodes the corpus per query
+        # (the r11 plan derived codes from the raw vectors on every
+        # call). Fingerprinted on the corpus, the coarse-quantizer
+        # parameters (a codebook change moves cells → moves rows), and
+        # an md5 of the PQ codebook literals (a codebook edit must
+        # invalidate the stored codes, not just the local oracle gate).
+        import hashlib
+
+        pq_md5 = hashlib.md5(
+            repr((V.PQ_M, V.PQ_SUBDIM, V.PQ_CODEBOOKS)).encode()
+        ).hexdigest()[:12]
+
+        def build() -> DataFrame:
+            n = _emb_n(spark, sf)
+            return _persisted(
+                spark,
+                sf,
+                "pq_codes",
+                {
+                    **_emb_fp(spark, sf),
+                    "n_cells": SIM.kcell_n_cells_for(n),
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
+                    "pq_md5": pq_md5,
+                },
+                # at scale the builder keys the layout by cell so a
+                # probe's posting lists land in few files (n_files=None
+                # preserves the builder's cell exchange at write); the
+                # demo corpus ships as the registry's single-file default
+                lambda: SIM.pq_codes_table(
+                    _t(spark, sf, "embeddings"), _kc_assigned(spark, sf)
+                )
+                if n <= 1_000_000
+                else SIM.pq_codes_table(
+                    _t(spark, sf, "embeddings"), _kc_assigned(spark, sf)
+                ).repartition("cell"),
+                n_files=1 if n <= 1_000_000 else None,
+            ).cache()
+
+        return _memo(spark, sf, "pq_codes", build)
+
     def _kc_assigned_clustered(spark: SparkSession, sf: str) -> DataFrame:
         def build() -> DataFrame:
             n = _emb_n(spark, sf)
@@ -847,7 +893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "k": 10,
                     "nprobes": ",".join(str(p) for p in SIM.ANN_DUAL_NPROBES),
                     "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
-                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                     "queries_md5": qhash,
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),
@@ -890,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "nprobes": ",".join(
                         str(p) for p in SIM.ANN_BATCH_NPROBES
                     ),
+                    "lloyd_c": SIM.LLOYD_SAMPLE_PER_CELL,
                     "queries_md5": qhash,
                     "plant_g": V.PLANT_G,
                     "plant_eps": repr(float(V.PLANT_EPS)),
@@ -1115,6 +1161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_triangles"] = lambda spark, sf: DD.dedup_triangles(
         _banded_pairs(spark, sf)
     )
+    # r12 (verdict item 3): the closed-form grouped triangle COUNT —
+    # within-clique and clique-edge terms are arithmetic on the rep
+    # graph, only rep triangles are joined; the oracle enumerates the
+    # full blow-up and counts, so the closed form is oracle-exact
+    q["q_dedup_triangle_count"] = lambda spark, sf: DD.triangle_count_grouped(
+        _dup_docs(spark, sf)
+    )
     # r7: k-core peel — the dense-clique triage signal next to triangles.
     # persisted like pagerank/components: the peel MATERIALIZES its
     # per-round edge sets (see kcore_peel docstring)
@@ -1123,14 +1176,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: DD.kcore_peel(_banded_pairs(spark, sf)),
         params={"k": DD.KCORE_K, "rounds": DD.KCORE_ROUNDS},
     )
+    # r12: the rep-graph peel — row-identical (shares q_kcore's oracle),
+    # but an m-doc byte-identical mega-cluster costs one group row per
+    # round instead of m²/2 clique edges through every degree aggregate
+    q["q_kcore_grouped"] = lambda spark, sf: _graph_persisted(
+        spark, sf, "kcore_grouped",
+        lambda: DD.kcore_grouped(_dup_docs(spark, sf)),
+        params={"k": DD.KCORE_K, "rounds": DD.KCORE_ROUNDS},
+    )
     q["q_pair_degree_stats"] = lambda spark, sf: DD.pair_degree_stats(
         _banded_pairs(spark, sf)
+    )
+    # r12: same histogram from weighted rep-graph degrees (shared oracle)
+    q["q_pair_degree_stats_grouped"] = lambda spark, sf: (
+        DD.pair_degree_stats_grouped(_dup_docs(spark, sf))
     )
     # persisted like the component tables: the rank table is deterministic
     # per corpus snapshot and feeds repeated triage reads
     q["q_pagerank"] = lambda spark, sf: _graph_persisted(
         spark, sf, "pagerank",
         lambda: DD.pagerank(_banded_pairs(spark, sf)),
+        params={"damping": repr(float(DD.PR_DAMPING)), "iters": DD.PR_ITERS},
+    )
+    # r12: rank the quotient graph (structural twins hold equal rank),
+    # expand members at the end — shares q_pagerank's oracle; the
+    # mega-cluster's Ω(m²) clique edges never enter the inflow joins
+    q["q_pagerank_grouped"] = lambda spark, sf: _graph_persisted(
+        spark, sf, "pagerank_grouped",
+        lambda: DD.pagerank_grouped(_dup_docs(spark, sf)),
         params={"damping": repr(float(DD.PR_DAMPING)), "iters": DD.PR_ITERS},
     )
     # memoized: the batch-vs-index classification is deterministic per
@@ -1160,6 +1233,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_dup_rate_by_source"] = lambda spark, sf: DD.dup_rate_by_source(
         _dup_docs(spark, sf), _components(spark, sf)
+    )
+    # r12: the same two dedup-pass reports fed from the expansion-free
+    # grouped component table (shared oracles) — the full report path no
+    # longer touches the pair table anywhere
+    q["q_component_size_stats_grouped"] = lambda spark, sf: (
+        DD.component_size_stats(_components_grouped(spark, sf))
+    )
+    q["q_dup_rate_by_source_grouped"] = lambda spark, sf: (
+        DD.dup_rate_by_source(_dup_docs(spark, sf), _components_grouped(spark, sf))
     )
     q["q_dedup_simhash"] = lambda spark, sf: DD.dedup_simhash(_dup_docs(spark, sf))
     q["q_dedup_canonical"] = lambda spark, sf: DD.dedup_canonical(
@@ -1217,12 +1299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
     # r11: the IVF-PQ hybrid (IVFADC) — coarse probe from the persisted
     # kcell index, ADC lookups over candidate CODES only, exact rerank
-    # of the ADC top rerank·k; the full production serving architecture
-    # through the same registry artifacts the kcell family serves from
+    # of the ADC top rerank·k; r12: the codes are themselves a
+    # persisted cell-keyed registry artifact (_pq_codes), so the serve
+    # plan reads NO raw vector until the rerank fetch — the full
+    # production serving architecture, artifact-backed end to end
     q["q_sim_search_ivf_pq"] = lambda spark, sf: SIM.ivf_pq_topk(
         _t(spark, sf, "embeddings"),
         cells=_kcells(spark, sf),
-        assigned=_kc_assigned(spark, sf),
+        codes=_pq_codes(spark, sf),
     )
     q["q_sim_search_batch"] = lambda spark, sf: SIM.batch_topk(
         _t(spark, sf, "embeddings")
@@ -1543,9 +1627,16 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_dedup_components_star": OSQL.q_dedup_components(),
         "q_dedup_components_grouped": OSQL.q_dedup_components(),
         "q_dedup_triangles": OSQL.q_dedup_triangles(),
+        # r12 grouped twins: the rep-graph builds share their pair-table
+        # twins' oracles (the components_grouped contract-sharing
+        # pattern) — a layout-only change cannot hide a value change
+        "q_dedup_triangle_count": OSQL.q_dedup_triangle_count(),
         "q_kcore": OSQL.q_kcore(),
+        "q_kcore_grouped": OSQL.q_kcore(),
         "q_pair_degree_stats": OSQL.q_pair_degree_stats(),
+        "q_pair_degree_stats_grouped": OSQL.q_pair_degree_stats(),
         "q_pagerank": OSQL.q_pagerank(),
+        "q_pagerank_grouped": OSQL.q_pagerank(),
         "q_dedup_incremental": OSQL.q_dedup_incremental(),
         "q_split_leakage": OSQL.q_split_leakage(),
         "q_boilerplate_prefix": OSQL.q_boilerplate_prefix(),
@@ -1608,7 +1699,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_quantization_recall": OSQL.q_quantization_recall(),
         "q_pca_by_label": OSQL.q_pca_by_label(),
         "q_component_size_stats": OSQL.q_component_size_stats(),
+        "q_component_size_stats_grouped": OSQL.q_component_size_stats(),
         "q_dup_rate_by_source": OSQL.q_dup_rate_by_source(),
+        "q_dup_rate_by_source_grouped": OSQL.q_dup_rate_by_source(),
         "q_dedup_canonical": OSQL.q_dedup_canonical(),
         "q_dedup_canonical_grouped": OSQL.q_dedup_canonical(),
         "q_dedup_simhash": OSQL.q_dedup_simhash(),

@@ -237,13 +237,18 @@ BENCH_QUERIES = [
     "q_dedup_components_star",
     "q_dedup_components_grouped",
     "q_pagerank",
+    "q_pagerank_grouped",
     "q_dedup_incremental",
     "q_split_leakage",
     "q_cdc_chunk_dedup",
     "q_component_size_stats",
+    "q_component_size_stats_grouped",
     "q_dup_rate_by_source",
+    "q_dup_rate_by_source_grouped",
     "q_dedup_triangles",
+    "q_dedup_triangle_count",
     "q_kcore",
+    "q_kcore_grouped",
     "q_dedup_canonical",
     "q_dedup_canonical_grouped",
     "q_dedup_embedding",
@@ -297,6 +302,7 @@ BENCH_QUERIES = [
     "q_bloom_membership",
     "q_tpch_forecast_revenue",
     "q_pair_degree_stats",
+    "q_pair_degree_stats_grouped",
     "q_spearman_matrix",
     "q_mannwhitney",
     "q_dow_seasonality",

@@ -170,6 +170,7 @@ EMB_QUERIES = {
     "q_pca_top_component",
     "q_pca_by_label",
     "q_sim_search_kcell",
+    "q_sim_search_ivf_pq",
     "q_ann_recall",
     "q_ann_recall_batch",
     "q_dim_truncation_recall",
