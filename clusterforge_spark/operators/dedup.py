@@ -939,13 +939,26 @@ def _banded_core(
         F.min("doc_id").alias("_rep"),
         F.count(F.lit(1)).cast("long").alias("_gm"),
     )
-    mem = docs.select("doc_id", F.md5(F.col("text")).alias("_g")).join(
-        grp, "_g"
+    # membership WITHOUT a full-corpus shuffle join (r12): only
+    # multi-member groups carry information — a singleton's rep is
+    # itself and its size is 1 — so mem is docs left-joined against the
+    # MULTI slice of grp (tiny on a low-dup corpus, AQE broadcasts it)
+    # with coalesce defaults, not docs joined against all of grp. The
+    # one unavoidable corpus shuffle is grp's own aggregate; everything
+    # downstream of it is map-side.
+    multi = grp.filter(F.col("_gm") >= 2)
+    mem = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("_g"))
+        .join(multi, "_g", "left")
+        .select(
+            "doc_id",
+            "_g",
+            F.coalesce(F.col("_rep"), F.col("doc_id")).alias("_rep"),
+            F.coalesce(F.col("_gm"), F.lit(1)).cast("long").alias("_gm"),
+        )
     )  # (doc_id, _g, _rep, _gm)
     # reps = everything except the non-rep members of multi-member
-    # groups (r12: the anti side is the multi-group slice — tiny on a
-    # low-dup corpus and broadcastable by AQE — instead of a semi join
-    # against the full one-row-per-group table)
+    # groups — the anti side is the multi-group slice, broadcastable
     reps = docs.join(
         mem.filter(
             (F.col("_gm") >= 2) & (F.col("doc_id") != F.col("_rep"))
@@ -1109,8 +1122,18 @@ def _rep_graph(
     expanded, paying O(m) per byte-identical mega-cluster instead of
     the pair table's Ω(m²) edge rows."""
     rep_pairs, mem, sh = _banded_core(docs, n=n)
-    edges = rep_pairs.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b"
+    # both tables are consumed by several branches of every grouped
+    # statistic (degrees, peel rounds, the three triangle terms) — and
+    # each is SMALL (one row per verified rep pair / per touched group,
+    # i.e. bounded by the dedup output, not the corpus), so cache them:
+    # without the cache the whole shingle→band→verify DAG re-evaluates
+    # once per branch (measured 7× on the closed-form triangle count
+    # at sf0.1 before the cache; spills to disk if a pathological
+    # corpus ever makes them large)
+    edges = (
+        rep_pairs.filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .cache()
     )
     sizes = mem.groupBy("_rep").agg(F.count(F.lit(1)).cast("long").alias("m"))
     grp = sizes.join(
@@ -1130,7 +1153,16 @@ def _rep_graph(
         grp.join(touched, "_rep", "left")
         .filter((F.col("w") == 1) | F.col("_t").isNotNull())
         .select("_rep", "m", "w")
+        .cache()
     )
+    # materialize the caches NOW: the consumers fan every statistic out
+    # over both tables in one action (three triangle terms, per-round
+    # peel degrees), and sibling stages racing an unmaterialized cache
+    # each recompute the banded DAG — measured 5-7× on the closed-form
+    # triangle count before this. Cache-hit no-ops on repeat calls
+    # (same canonicalized plan → same InMemoryRelation).
+    edges.count()
+    groups.count()
     return groups, edges, mem
 
 
@@ -1167,6 +1199,7 @@ def kcore_grouped(
     rounds: int = KCORE_ROUNDS,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
+    rep: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """k-core of the banded near-dup graph computed on the
     representative graph — row-identical to
@@ -1188,7 +1221,9 @@ def kcore_grouped(
     Same per-round materialization discipline as :func:`kcore_peel`
     (the surviving state feeds the next round in several places —
     localCheckpoint cuts the 5^r plan re-evaluation)."""
-    groups, edges, mem = _rep_graph(docs, n=n, threshold=threshold)
+    groups, edges, mem = (
+        rep if rep is not None else _rep_graph(docs, n=n, threshold=threshold)
+    )
     for _ in range(rounds):
         deg = _rep_degrees(groups, edges)
         groups = (
@@ -1215,6 +1250,7 @@ def pagerank_grouped(
     iters: int = PR_ITERS,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
+    rep: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the banded near-dup graph computed
     on the representative graph — value-identical to
@@ -1233,7 +1269,9 @@ def pagerank_grouped(
     double; both engines already sum inflow in their own order, and the
     contract's 6dp rounding absorbs that class of last-ulp variation —
     planted exact-dup corpora have m = 2, where x+x ≡ 2·x exactly.)"""
-    groups, edges, mem = _rep_graph(docs, n=n, threshold=threshold)
+    groups, edges, mem = (
+        rep if rep is not None else _rep_graph(docs, n=n, threshold=threshold)
+    )
     deg = _rep_degrees(groups, edges)
     n_row = deg.agg(F.sum("m").cast("long").alias("n"))
     base = deg.crossJoin(F.broadcast(n_row))
@@ -1290,6 +1328,7 @@ def triangle_count_grouped(
     docs: DataFrame,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
+    rep: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Total triangle count of the banded near-dup graph WITHOUT
     enumerating the blow-up (r12): value-identical to
@@ -1308,14 +1347,14 @@ def triangle_count_grouped(
     so the count is oracle-exact. An m-doc identical mega-cluster
     contributes arithmetic, not the Ω(m³) triple rows the pair-table
     triangle join would both enumerate and re-join."""
-    groups, edges, _mem = _rep_graph(docs, n=n, threshold=threshold)
+    groups, edges, _mem = (
+        rep if rep is not None else _rep_graph(docs, n=n, threshold=threshold)
+    )
     # exact LONG arithmetic: C(m,2)=m(m−1) div 2 divides exactly
     # (consecutive ints), then ·(m−2) div 3 exactly (3·C(m,3)) — no
     # double division that would round above 2^53 on mega-cliques
     c3 = F.expr("m * (m - 1) div 2 * (m - 2) div 3")
-    t_within = groups.agg(
-        F.coalesce(F.sum(F.col("w") * c3), F.lit(0)).cast("long").alias("t")
-    )
+    c_within = groups.select((F.col("w") * c3).cast("long").alias("t"))
     ga = groups.select(
         F.col("_rep").alias("doc_a"), F.col("m").alias("_ma"), F.col("w").alias("_wa")
     )
@@ -1324,16 +1363,13 @@ def triangle_count_grouped(
     )
     c2a = F.expr("_ma * (_ma - 1) div 2")
     c2b = F.expr("_mb * (_mb - 1) div 2")
-    t_edge = (
+    c_edge = (
         edges.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("_wa") * c2a * F.col("_mb")
-                    + F.col("_wb") * c2b * F.col("_ma")
-                ),
-                F.lit(0),
+        .select(
+            (
+                F.col("_wa") * c2a * F.col("_mb")
+                + F.col("_wb") * c2b * F.col("_ma")
             )
             .cast("long")
             .alias("t")
@@ -1341,20 +1377,27 @@ def triangle_count_grouped(
     )
     tri = dedup_triangles(edges)
     msz = groups.select("_rep", "m")
-    t_cross = (
+    c_cross = (
         tri.join(msz.select(F.col("_rep").alias("a"), F.col("m").alias("_m1")), "a")
         .join(msz.select(F.col("_rep").alias("b"), F.col("m").alias("_m2")), "b")
         .join(msz.select(F.col("_rep").alias("c"), F.col("m").alias("_m3")), "c")
-        .agg(
-            F.coalesce(F.sum(F.col("_m1") * F.col("_m2") * F.col("_m3")), F.lit(0))
+        .select(
+            (F.col("_m1") * F.col("_m2") * F.col("_m3"))
             .cast("long")
             .alias("t")
         )
     )
+    # ONE final aggregate over the union of per-row contributions —
+    # three pre-aggregated scalars unioned then re-aggregated cost four
+    # exchange stages of pure overhead on the tiny cached rep tables
     return (
-        t_within.unionByName(t_edge)
-        .unionByName(t_cross)
-        .agg(F.sum("t").cast("long").alias("n_triangles"))
+        c_within.unionByName(c_edge)
+        .unionByName(c_cross)
+        .agg(
+            F.coalesce(F.sum("t"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
 
 
@@ -1362,13 +1405,16 @@ def pair_degree_stats_grouped(
     docs: DataFrame,
     n: int = BANDED_SHINGLE_N,
     threshold: float = BANDED_JACCARD_THRESHOLD,
+    rep: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Degree histogram of the banded near-dup graph from the rep graph
     — row-identical to ``pair_degree_stats(dedup_minhash_banded(docs))``
     (shares its oracle SQL): every member of a group has the same
     degree w·(m−1) + Σ adjacent m_h, so the histogram is one weighted
     degree computation plus a sum of m per degree — no pair expansion."""
-    groups, edges, _mem = _rep_graph(docs, n=n, threshold=threshold)
+    groups, edges, _mem = (
+        rep if rep is not None else _rep_graph(docs, n=n, threshold=threshold)
+    )
     return (
         _rep_degrees(groups, edges)
         .groupBy(F.col("deg").alias("degree"))
