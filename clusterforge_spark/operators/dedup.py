@@ -1262,8 +1262,11 @@ def pagerank_grouped(
     m_h·(rank_h/deg_h) summed over adjacent groups plus the closed-form
     within-clique term (m−1)·(rank_g/deg_g) — the blow-up's Ω(m²)
     clique edges never materialize; expansion back to members is the
-    final join. Like the pair-table form, one lazy plan: ``iters``
-    chained join+sum rounds, no actions.
+    final join. Unlike the pair-table form (whose per-round state is
+    referenced once, so a lazy chain is fine), each round here reads
+    the rank state twice — inflow build and the within-clique term —
+    so rounds materialize via localCheckpoint like kcore_grouped's
+    peel (the state is one row per touched group).
 
     (The weighted sum replaces m_h repeated additions of the same
     double; both engines already sum inflow in their own order, and the
@@ -1272,7 +1275,12 @@ def pagerank_grouped(
     groups, edges, mem = (
         rep if rep is not None else _rep_graph(docs, n=n, threshold=threshold)
     )
-    deg = _rep_degrees(groups, edges)
+    # materialize the (tiny, one row per touched group) degree table:
+    # every iteration references the rank state TWICE (inflow build +
+    # the within-clique term), so a fully lazy chain re-expands the
+    # degree computation ~2^iters times — measured 40+ s vs ~4 s for
+    # the equally-sized kcore peel before this
+    deg = _rep_degrees(groups, edges).localCheckpoint(eager=True)
     n_row = deg.agg(F.sum("m").cast("long").alias("n"))
     base = deg.crossJoin(F.broadcast(n_row))
     pr = base.withColumn(
@@ -1319,6 +1327,10 @@ def pagerank_grouped(
                 ).alias("rank"),
             )
         )
+        # same per-round materialization discipline as kcore_grouped:
+        # the next round reads this state twice, and the table is one
+        # row per touched group
+        pr = pr.localCheckpoint(eager=True)
     return mem.join(pr, "_rep").select(
         "doc_id", round_det(F.col("rank"), 6).alias("pagerank")
     )
