@@ -1324,7 +1324,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_quantization_recall"] = lambda spark, sf: SIM.quantization_recall(
         _t(spark, sf, "embeddings")
     )
-    q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(_t(spark, sf, "embeddings"))
+    # r12: the flat-PQ scan serves its ADC pass from the same persisted
+    # codes artifact as the IVF hybrid — 8 small ints per row, no
+    # per-query corpus encode (the raw vectors are read only by the
+    # rerank·k exact fetch)
+    q["q_sim_search_pq"] = lambda spark, sf: SIM.pq_topk(
+        _t(spark, sf, "embeddings"), codes=_pq_codes(spark, sf)
+    )
     # r11: the IVF-PQ hybrid (IVFADC) — coarse probe from the persisted
     # kcell index, ADC lookups over candidate CODES only, exact rerank
     # of the ADC top rerank·k; r12: the codes are themselves a

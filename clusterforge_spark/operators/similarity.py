@@ -896,6 +896,7 @@ def pq_topk(
     query: list[float] | None = None,
     k: int = 10,
     rerank: int = 4,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC similarity search: rank by asymmetric-distance lookup
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
@@ -909,12 +910,17 @@ def pq_topk(
     encoding + ADC scoring are one map-only projection over the coded
     table; the only ordering work is two TakeOrderedAndProject top-ks
     (candidates, then reranked) — never a global sort.
+
+    Pass the persisted ``codes`` table (:func:`pq_codes_table`, r12)
+    and the full ADC scan reads 8 small ints per row from the artifact
+    — no per-query corpus encode; the rerank·k exact fetch is the only
+    read of the raw vectors (an id-equi-join, like ivf_pq_topk's).
+    Without it, falls back to encoding from the raw vectors inline.
     """
     from functools import reduce as _red
 
     query = query or V.QUERY_VEC
     table = V.pq_adc_table(query)
-    coded = pq_codes(embeddings)
     adc = _red(
         lambda a, b: a + b,
         [
@@ -924,11 +930,20 @@ def pq_topk(
             for m in range(V.PQ_M)
         ],
     )
-    cand = (
-        coded.select("vec_id", "embedding", adc.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-        .limit(rerank * k)
-    )
+    if codes is not None:
+        cand = (
+            codes.select("vec_id", adc.alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+            .limit(rerank * k)
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        )
+    else:
+        cand = (
+            pq_codes(embeddings)
+            .select("vec_id", "embedding", adc.alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+            .limit(rerank * k)
+        )
     scored = cand.select(
         "vec_id",
         round_det(F.col("adc_dist"), 6).alias("adc_dist"),

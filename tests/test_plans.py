@@ -1016,6 +1016,24 @@ def test_ivf_pq_serve_plan_scores_codes_not_vectors(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_flat_pq_serve_plan_reads_codes_artifact(spark):
+    """r12: the contract's flat-PQ scan (q_sim_search_pq) serves its
+    ADC pass from the persisted codes table too — the plan must not
+    re-encode the corpus per query; raw vectors appear only in the
+    rerank·k id-equi-join fetch."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q_sim_search_pq"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pq_codes" in plan, "ADC scan must read the codes artifact"
+    assert "slice(embedding" not in plan, (
+        "flat-PQ serve plan still encodes the corpus per query"
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_kcell_serve_plan_uses_posting_lists_not_assignment_fold(spark):
     """r8 serve shape: with the registry warm, q_sim_search_kcell's plan
     probes the persisted inverted lists and fetches vectors by id — the

@@ -452,6 +452,13 @@ def test_ivf_pq_codes_table_serve_path_row_identical(embeddings):
             embeddings, k=10, nprobe=nprobe, cells=cells, codes=codes
         ).collect()
         assert [tuple(r) for r in warm] == [tuple(r) for r in cold]
+    # the flat-PQ scan serves from the same artifact (r12): ADC over
+    # the codes table + id-join rerank ≡ inline encode path
+    from clusterforge_spark.operators.similarity import pq_topk
+
+    flat_cold = pq_topk(embeddings, k=10).collect()
+    flat_warm = pq_topk(embeddings, k=10, codes=codes).collect()
+    assert [tuple(r) for r in flat_warm] == [tuple(r) for r in flat_cold]
 
 
 def test_kcell_seeds_dedupe_duplicate_vectors(spark):
