@@ -1075,12 +1075,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _dup_docs(spark, sf)
     )
     def _banded_pairs(spark, sf):
-        # cached: the pair table feeds five consumers (components, star,
-        # triangles, canonical, and the components memo build) — without
-        # the cache each reference re-executes the banded verify join
+        # materialized with a TRUNCATED plan (localCheckpoint, r12
+        # optimization): the pair table feeds five consumers
+        # (components, star, triangles, canonical, split_leakage) —
+        # without materialization each reference re-executes the banded
+        # verify join, and with a plain .cache() each reference still
+        # embeds the full collapse→band→verify lineage in the
+        # consumer's logical plan (q_dedup_triangles' physical plan was
+        # 595 KB of text; the driver-side analysis of those copies cost
+        # ~0.5 s/call at sf0.1). Consumers now plan from a LogicalRDD
+        # leaf holding the same rows.
         return _memo(
             spark, sf, "banded_pairs",
-            lambda: DD.dedup_minhash_banded(_dup_docs(spark, sf)).cache(),
+            lambda: DD.dedup_minhash_banded(_dup_docs(spark, sf)).localCheckpoint(
+                eager=False
+            ),
         )
 
     def _rep_graph_t(spark, sf):

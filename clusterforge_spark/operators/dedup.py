@@ -1125,15 +1125,22 @@ def _rep_graph(
     # both tables are consumed by several branches of every grouped
     # statistic (degrees, peel rounds, the three triangle terms) — and
     # each is SMALL (one row per verified rep pair / per touched group,
-    # i.e. bounded by the dedup output, not the corpus), so cache them:
-    # without the cache the whole shingle→band→verify DAG re-evaluates
-    # once per branch (measured 7× on the closed-form triangle count
-    # at sf0.1 before the cache; spills to disk if a pathological
-    # corpus ever makes them large)
+    # i.e. bounded by the dedup output, not the corpus), so materialize
+    # them EAGERLY with a truncated plan (localCheckpoint, not cache):
+    # without materialization the whole shingle→band→verify DAG
+    # re-evaluates once per branch (measured 7× on the closed-form
+    # triangle count at sf0.1); and with a plain .cache() every
+    # consumer's LOGICAL plan still embeds the full banded lineage once
+    # per reference — the triangle count references edges 3× and groups
+    # 4×, giving a 5.8 MB physical plan whose driver-side
+    # analysis/optimization alone cost ~3 s per call at sf0.1
+    # (r12 optimization round: 3.78 s → sub-0.2 s after truncation).
+    # localCheckpoint stores the same rows (memory+disk blocks) but the
+    # consumers' plans start from a LogicalRDD leaf.
     edges = (
         rep_pairs.filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = mem.groupBy("_rep").agg(F.count(F.lit(1)).cast("long").alias("m"))
     grp = sizes.join(
@@ -1153,16 +1160,8 @@ def _rep_graph(
         grp.join(touched, "_rep", "left")
         .filter((F.col("w") == 1) | F.col("_t").isNotNull())
         .select("_rep", "m", "w")
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    # materialize the caches NOW: the consumers fan every statistic out
-    # over both tables in one action (three triangle terms, per-round
-    # peel degrees), and sibling stages racing an unmaterialized cache
-    # each recompute the banded DAG — measured 5-7× on the closed-form
-    # triangle count before this. Cache-hit no-ops on repeat calls
-    # (same canonicalized plan → same InMemoryRelation).
-    edges.count()
-    groups.count()
     return groups, edges, mem
 
 
