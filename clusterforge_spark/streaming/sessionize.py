@@ -40,6 +40,55 @@ def _await_or_raise(query, timeout_s: int) -> None:
         )
 
 
+def _scratch_root() -> str:
+    """Root for TRANSIENT per-run streaming scratch (replay checkpoints
+    and capture dirs). Order: ``$SPARK_GRAFT_STREAM_TMP`` if set, else
+    a RAM-backed ``/dev/shm`` when writable, else the system temp dir.
+
+    The replays are finite availableNow re-computations whose durable
+    product is the RETURNED DataFrame (or the capture parquet the same
+    call re-reads); their checkpoint offsets/state have no value after
+    the run, so fsync-ing them through a disk-backed /tmp was pure
+    overhead (measured: commitOffsets+walCommit ~0.35 s per replay,
+    state-store delta writes inside addBatch on top — r12 optimization
+    round). A production deployment points SPARK_GRAFT_STREAM_TMP (or
+    passes explicit out_path/checkpoint locations) at durable storage;
+    this default only governs the local transient-replay regime."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_TMP")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "clusterforge_rt")
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "clusterforge_rt")
+
+
+def _start_and_await(writer, timeout_s: int):
+    """Start a fully-configured ``DataStreamWriter`` with a FRESH
+    scratch checkpoint dir, run it to completion, delete the
+    checkpoint, and return the (terminated) query.
+
+    Every replay gets its own never-reused checkpoint: resuming an
+    availableNow replay from a previous run's checkpoint would skip the
+    already-consumed source and silently return an empty/partial
+    result — the fresh-dir-per-start discipline is what the previous
+    implicit temp-checkpoint behavior guaranteed, now kept while the
+    checkpoint I/O (offset/commit WAL fsyncs, state-store deltas) lands
+    on the RAM-backed scratch root instead of disk-backed /tmp."""
+    import shutil
+    import uuid
+
+    ck = os.path.join(_scratch_root(), "ckpt", uuid.uuid4().hex)
+    try:
+        query = writer.option("checkpointLocation", ck).start()
+        _await_or_raise(query, timeout_s)
+        return query
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; the ts
     physical encoding sniffed exactly as the batch reader does)."""
@@ -96,14 +145,13 @@ def run_sessionize_batchlike(
     # complete mode: append would hold back windows the final watermark
     # hasn't passed (everything within 2h of max ts) — for a finite file
     # replay we want every window emitted.
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("sessionize_out")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("sessionize_out")
 
 
@@ -262,14 +310,13 @@ def run_gap_sessions_v2_batchlike(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     stream = sessionize_gap_stream_v2(read_events_stream(spark, sf_dir), gap_minutes)
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("gap_sessions_v2_out")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("gap_sessions_v2_out")
 
 
@@ -279,14 +326,13 @@ def run_gap_sessions_batchlike(
     """Replay the events file through the stateful sessionizer; returns
     the emitted (closed) sessions as a batch DataFrame."""
     stream = sessionize_gap_stream(read_events_stream(spark, sf_dir), gap_minutes)
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("gap_sessions_out")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("gap_sessions_out")
 
 
@@ -318,14 +364,13 @@ def run_dedup_stream_batchlike(
     spark: SparkSession, sf_dir: str, timeout_s: int = 120
 ) -> DataFrame:
     stream = dedup_events_stream(read_events_stream(spark, sf_dir))
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("dedup_stream_out")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("dedup_stream_out")
 
 
@@ -401,14 +446,13 @@ def run_click_attribution_batchlike(
         read_events_stream(spark, sf_dir),
         max_gap_minutes=max_gap_minutes,
     )
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("click_attribution_out")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("click_attribution_out")
 
 
@@ -455,14 +499,13 @@ def run_session_window_batchlike(
     (complete mode: a finite replay must emit the final watermark-held
     sessions too)."""
     stream = session_window_counts_stream(read_events_stream(spark, sf_dir), gap_minutes)
-    query = (
+    query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("session_window_out")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.table("session_window_out")
 
 
@@ -496,13 +539,12 @@ def run_stream_to_partitioned_parquet(
             .parquet(out_path)
         )
 
-    query = (
+    query = _start_and_await(
         stream.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
 
 
 # ---------------------------------------------------------------------------
@@ -555,13 +597,12 @@ def run_stream_topk_batchlike(
             .parquet(out_path)
         )
 
-    query = (
+    query = _start_and_await(
         counts.writeStream.foreachBatch(write_topk)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.read.parquet(out_path)
 
 
@@ -637,13 +678,12 @@ def run_stream_upsert_batchlike(
         staged = out.localCheckpoint(eager=True)
         staged.write.mode("overwrite").parquet(base_path)
 
-    query = (
+    query = _start_and_await(
         updates.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.read.parquet(base_path)
 
 
@@ -690,12 +730,11 @@ def run_stream_ingest_with_maintenance(
             compact_small_files(spark, out_path, target_bytes=target_bytes)
             n_compactions[0] += 1
 
-    query = (
+    query = _start_and_await(
         raw.writeStream.foreachBatch(land)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     compact_small_files(spark, out_path, target_bytes=target_bytes)
     n_compactions[0] += 1
     return n_compactions[0]
@@ -761,12 +800,11 @@ def run_stream_scd2_batchlike(
             out = scd2_build(batch)
         out.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
 
-    query = (
+    query = _start_and_await(
         raw.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.read.parquet(out_path)
 
 
@@ -836,14 +874,13 @@ def run_ewma_stream_batchlike(
     returns the final per-user snapshot."""
     out = ewma_stream(read_events_stream(spark, sf_dir))
     name = "ewma_stream_result"
-    query = (
+    query = _start_and_await(
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     snap = spark.table(name)
     # keep the last snapshot per user (multi-trigger replays emit several)
     return snap.groupBy("user_id").agg(
@@ -955,14 +992,13 @@ def run_quality_filter_batchlike(
     """Drive the streaming quality filter over the documents file with
     availableNow and return the complete result (parity-test harness)."""
     out = stream_quality_filter(read_documents_stream(spark, sf_dir))
-    q = (
+    q = _start_and_await(
         out.writeStream.format("memory")
         .queryName("q_stream_quality")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(q, timeout_s)
     return spark.table("q_stream_quality")
 
 
@@ -1033,13 +1069,12 @@ def run_stream_countmin_batchlike(
         staged = merged.localCheckpoint(eager=True)
         staged.write.mode("overwrite").parquet(sketch_path)
 
-    query = (
+    query = _start_and_await(
         docs.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.read.parquet(sketch_path)
 
 
@@ -1115,13 +1150,12 @@ def run_stream_psi_batchlike(
         )
         row.write.mode("append").parquet(log_path)
 
-    query = (
+    query = _start_and_await(
         events.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     return spark.read.parquet(log_path)
 
 
@@ -1165,10 +1199,12 @@ def _replay_out_dir(
         return out_path
     import hashlib
     import shutil
-    import tempfile
     import time as _time
 
-    root = os.path.join(tempfile.gettempdir(), "clusterforge_rt", "replay")
+    # RAM-backed scratch by default (r12 optimization round): the
+    # capture is written and immediately re-read by the same call —
+    # see _scratch_root for the production override
+    root = os.path.join(_scratch_root(), "replay")
     app = spark.sparkContext.applicationId if spark is not None else "noapp"
     key = app
     if sf_dir:
@@ -1278,13 +1314,12 @@ def run_stream_replay_to_parquet(
         else:
             batch_df.write.mode(mode).parquet(out_path)
 
-    query = (
+    query = _start_and_await(
         stream.writeStream.foreachBatch(capture)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        timeout_s,
     )
-    _await_or_raise(query, timeout_s)
     out = spark.read.parquet(out_path)
     # partition discovery surfaces the per-batch dirs as a cf_batch
     # column in append mode — drop it so the capture's schema matches
