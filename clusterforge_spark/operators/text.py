@@ -1916,6 +1916,30 @@ def feature_hashing(documents: DataFrame, width: int = FEATURE_HASH_W) -> DataFr
 #: so the per-source budget stays exact-integer arithmetic)
 MIX_BUDGET_PCT = 25
 
+#: scan-size gate for materializing a multiply-consumed scored projection.
+#: Text scoring (tokenize + regexp passes over every character) costs far
+#: more per input byte than the scan itself, so the bar sits well below
+#: spearman_matrix's 8 MB re-scan gate: above ~a quarter MB of source the
+#: lazily-checkpointed narrow projection (computed once, each consumer
+#: reads materialized blocks) wins over re-running the scoring per branch.
+TEXT_MATERIALIZE_BYTES = 256 << 10
+
+
+def _materialize_scored(df: DataFrame, documents: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint of a narrow scored projection when the backing
+    ``documents`` scan is large enough that re-evaluating the text-scoring
+    expressions per consumer branch dominates (guide §5: cache reused
+    intermediates whose recomputation beats the memory pressure; the
+    size-adaptive shape of spearman_matrix's materialize decision).
+    Falls back to the plain lazy frame when the input isn't a file scan
+    (in-memory test frames) or is small enough that re-scan is noise."""
+    from clusterforge_spark.functions.partitioning import source_bytes
+
+    src = source_bytes(documents)
+    if src is not None and src > TEXT_MATERIALIZE_BYTES:
+        return df.localCheckpoint(eager=False)
+    return df
+
 #: greedy-fill regime switch: below this many documents (bounded
 #: limit-probe, not a count) the per-source running-sum window — whose
 #: worst case is ONE source's rows through one task — beats the
@@ -1924,10 +1948,22 @@ MIX_BUDGET_PCT = 25
 TOKEN_FILL_SMALL_N = 1_000_000
 
 
+def _fill_is_small(
+    probe_df: DataFrame, small_n: int | None = None
+) -> bool:
+    """The greedy-fill regime probe (bounded LIMIT count, never a full
+    scan) — exposed so callers can share ONE probe between the regime
+    switch and their own materialize-vs-rescan decision."""
+    if small_n is None:
+        small_n = TOKEN_FILL_SMALL_N
+    return small_n > 0 and probe_df.limit(small_n + 1).count() <= small_n
+
+
 def _greedy_fill_before(
     scored: DataFrame,
     small_n: int | None = None,
     probe: DataFrame | None = None,
+    small: bool | None = None,
 ) -> DataFrame:
     """Adds ``_before`` — the exclusive running token sum per source in
     (quality DESC NULLS LAST, doc_id ASC) order — the greedy
@@ -1964,8 +2000,8 @@ def _greedy_fill_before(
     # regime choice errs only toward the distributed plan, never toward
     # an unbounded single-task sort (r8 review finding: a LIMIT above a
     # groupBy still runs the whole shuffle map side).
-    probe_df = probe if probe is not None else scored
-    small = small_n > 0 and probe_df.limit(small_n + 1).count() <= small_n
+    if small is None:
+        small = _fill_is_small(probe if probe is not None else scored, small_n)
     if small:
         w = (
             Window.partitionBy("source")
@@ -2032,12 +2068,19 @@ def token_budget_mix(documents: DataFrame) -> DataFrame:
     tests/test_text.py::test_token_budget_mix_regimes_agree and the
     large-regime plan test in tests/test_plans.py).
     """
+    # In the small-fill regime scored has only 2 consumers and re-scan is
+    # cheaper than a checkpoint (A/B: 0.72 vs 0.81 s at sf0.1); in the
+    # distributed regime it has 3 and the corpus is ≥1M docs — materialize
+    # exactly then, sharing the fill's own bounded regime probe.
+    small_fill = _fill_is_small(documents)
     scored = quality_score(documents, passthrough=("source",))
+    if not small_fill:
+        scored = scored.localCheckpoint(eager=False)
     tot = scored.agg(
         F.sum("n_tokens").cast("long").alias("_tot"),
         F.countDistinct("source").cast("long").alias("_ns"),
     )
-    cum = _greedy_fill_before(scored, probe=documents)
+    cum = _greedy_fill_before(scored, probe=documents, small=small_fill)
     sel = cum.crossJoin(F.broadcast(tot)).withColumn(
         "_budget",
         F.expr(f"(_tot * {MIX_BUDGET_PCT}) div (100 * _ns)").cast("long"),
@@ -2083,7 +2126,13 @@ def token_budget_mix_weighted(documents: DataFrame) -> DataFrame:
     recipes actually use.
 
     Per-source report adds the weight next to budget/selection/fill."""
+    # same regime-gated materialization as token_budget_mix (here scored
+    # has 4 distributed-regime consumers: per-source totals, corpus
+    # total, fill histogram + tie window)
+    small_fill = _fill_is_small(documents)
     scored = quality_score(documents, passthrough=("source",))
+    if not small_fill:
+        scored = scored.localCheckpoint(eager=False)
     per_src = scored.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("_ts")
     )
@@ -2105,7 +2154,7 @@ def token_budget_mix_weighted(documents: DataFrame) -> DataFrame:
             ).alias("_budget"),
         )
     )
-    cum = _greedy_fill_before(scored, probe=documents)
+    cum = _greedy_fill_before(scored, probe=documents, small=small_fill)
     sel = cum.join(F.broadcast(budgets), "source").filter(
         F.col("_before") < F.col("_budget")
     )
@@ -2155,8 +2204,15 @@ def curation_pipeline_report(documents: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    scored = quality_score(documents, passthrough=("source", "text")).select(
-        "doc_id", "source", "n_tokens", "quality", F.md5("text").alias("_h")
+    # the scored projection feeds FIVE branches (raw counts, gate counts,
+    # and the dedup chain's three consumers) — without materialization the
+    # plan re-runs the text scoring per branch (measured: 10 parquet scans
+    # of documents in the before-plan)
+    scored = _materialize_scored(
+        quality_score(documents, passthrough=("source", "text")).select(
+            "doc_id", "source", "n_tokens", "quality", F.md5("text").alias("_h")
+        ),
+        documents,
     )
     per_raw = scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_raw")
@@ -2166,10 +2222,14 @@ def curation_pipeline_report(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_quality")
     )
     w_dd = Window.partitionBy("_h").orderBy("doc_id")
-    unique = (
+    # the dedup-window output in turn feeds per-source counts, the corpus
+    # total and the greedy fill (twice in the distributed regime): cut the
+    # repeated window shuffle the same way
+    unique = _materialize_scored(
         passed.withColumn("_rn", F.row_number().over(w_dd))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_h")
+        .drop("_rn", "_h"),
+        documents,
     )
     per_unique = unique.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_unique")
