@@ -3983,15 +3983,39 @@ def market_basket(lineitem: DataFrame) -> DataFrame:
     integer counts, rounded 6dp; the top-k order is total
     (lift desc, then the unique pair key), so LIMIT is stable.
     """
-    basket = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n_orders = basket.agg(F.countDistinct("ok").alias("n_ord"))
-    item = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("icnt"))
-    a = basket.select("ok", F.col("pk").alias("p1"))
-    b = basket.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    from clusterforge_spark.functions.partitioning import source_bytes
+
+    # ONE shuffle builds the per-order sorted basket arrays (collect_set
+    # dedups (ok, pk) exactly like the previous DISTINCT pass); the order
+    # count, item frequencies and the C(m,2) pair expansion all derive
+    # from the compact arrays with JVM higher-order functions — the r12
+    # optimization round replaced the basket self-join here (guide
+    # §2.4/§3.3: the join shuffled the basket relation a second time and
+    # re-ran the distinct per consumer; 5 exchanges of row data → 1).
+    # sort_array makes x < y structural: x pairs only with later slice
+    # elements. Arrays are basket-sized (≤ ~7 lines per order in this
+    # schema) — never a skew surface.
+    grouped = (
+        lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
+    )
+    src = source_bytes(lineitem)
+    if src is not None and src > (8 << 20):
+        # three consumers below — materialize the arrays once above the
+        # spearman-style re-scan gate
+        grouped = grouped.localCheckpoint(eager=False)
+    n_orders = grouped.agg(F.count(F.lit(1)).alias("n_ord"))
+    item = grouped.select(F.explode("parts").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).alias("icnt")
+    )
+    pair_arr = F.expr(
+        "flatten(transform(parts, (x, i) -> transform("
+        "slice(parts, i + 2, size(parts)), y -> named_struct('p1', x, 'p2', y))))"
+    )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("pcnt"))
         .filter(F.col("pcnt") >= BASKET_MIN_SUP)
