@@ -352,6 +352,8 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
     Determinism: hashes are the shared 60-bit md5; estimates are single
     double divisions of exact integers, rounded 4dp.
     """
+    import math
+
     from pyspark.sql.window import Window
 
     h = F.expr(
@@ -410,133 +412,98 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
                 pool = pool.filter(~F.col("et").isin(starved)).unionByName(
                     dist.filter(F.col("et").isin(starved))
                 )
+        # Bounded sketch collect (r12 optimization round): every row
+        # past this point is sketch-sized — ≤ n_types·k hashes — yet the
+        # previous pair machinery (crossJoin + union + distinct + window
+        # + 5 joins) spun ~15 sequential tiny stages over it, pure
+        # scheduling overhead at ANY data scale (measured ~2 s warm at
+        # sf0.1 for 7 500 post-distinct rows). The per-type window stays
+        # distributed (memory-bounded per task, never a whole-group
+        # collect_list); the ≤ n_types·k surviving rows come to the
+        # driver — the same bounded-driver-data discipline as the stats
+        # collect above — and the union/intersection estimators run as
+        # plain Python over sorted int lists with the IDENTICAL IEEE
+        # double ops (round_det is floor(x·10⁴+0.5)/10⁴ by design,
+        # bit-replicable off-engine).
         w = Window.partitionBy("et").orderBy("h")
-        sk = (
+        sk_rows = (
             pool.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= k)
-            .select("et", "h", "r")
-        ).cache()
-        try:
-            kf = F.lit(float(k))
-            dom = F.lit(float(KMV_DOMAIN))
-            # per-type estimate: full sketch -> (k-1)*2^60/h_k, else exact size
-            per = sk.groupBy("et").agg(
-                F.count("*").alias("sz"), F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk")
-            )
-            per = per.select(
-                "et",
-                "sz",
-                F.when(F.col("sz") < k, F.col("sz").cast("double"))
-                .otherwise((kf - 1) * dom / F.col("hk").cast("double"))
-                .alias("est"),
-            )
-            # exact per-type distinct (on hashes, the sketch's own
-            # universe) — already collected in the stats pass above
-            exact = spark.createDataFrame(
-                [(et, int(n)) for et, n in nn.items()], "et string, n_exact long"
-            )
-            # exact pair intersections: per-hash type pairs (bounded by n_types)
-            a = dist.select(F.col("et").alias("s1"), "h")
-            b = dist.select(F.col("et").alias("s2"), F.col("h").alias("h2"))
-            inter_exact = (
-                a.join(b, (F.col("h") == F.col("h2")) & (F.col("s1") < F.col("s2")))
-                .groupBy("s1", "s2")
-                .agg(F.count("*").cast("long").alias("inter_exact"))
-            )
-            # merged union sketch per pair: k smallest of the two sketches
-            sa = sk.select(F.col("et").alias("s1"), "h")
-            sb = sk.select(F.col("et").alias("s2"), F.col("h").alias("h"))
-            types = sk.select(F.col("et").alias("s1")).distinct()
-            pairs = types.crossJoin(
-                sk.select(F.col("et").alias("s2")).distinct()
-            ).filter(F.col("s1") < F.col("s2"))
-            merged = (
-                pairs.join(sa, "s1")
-                .unionByName(pairs.join(sb, "s2").select("s1", "s2", "h"))
-                .select("s1", "s2", "h")
-                .distinct()
-            )
-            wu = Window.partitionBy("s1", "s2").orderBy("h")
-            mk = (
-                merged.withColumn("r", F.row_number().over(wu))
-                .filter(F.col("r") <= k)
-            )
-            # membership of each union-bottom-k hash in both sketches
-            in_a = sa.select("s1", F.col("h").alias("h"), F.lit(1).alias("ia")).distinct()
-            in_b = sb.select("s2", F.col("h").alias("h"), F.lit(1).alias("ib")).distinct()
-            memb = (
-                mk.join(in_a, ["s1", "h"], "left")
-                .join(in_b, ["s2", "h"], "left")
-                .groupBy("s1", "s2")
-                .agg(
-                    F.count("*").alias("usz"),
-                    F.max(F.when(F.col("r") == k, F.col("h"))).alias("uhk"),
-                    F.sum(
-                        F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
-                    ).alias("nboth"),
-                )
-            )
-            u_est = (
-                F.when(F.col("usz") < k, F.col("usz").cast("double"))
-                .otherwise((kf - 1) * dom / F.col("uhk").cast("double"))
-            )
-            pair_est = memb.select(
-                "s1",
-                "s2",
-                u_est.alias("u_est"),
-                (
-                    F.col("nboth").cast("double") / F.col("usz").cast("double") * u_est
-                ).alias("i_est"),
-            )
-            from clusterforge_spark.functions.rounding import round_det
-
-            out = (
-                pair_est.join(
-                    F.broadcast(per.select(F.col("et").alias("s1"), F.col("est").alias("ea"))),
-                    "s1",
-                )
-                .join(
-                    F.broadcast(per.select(F.col("et").alias("s2"), F.col("est").alias("eb"))),
-                    "s2",
-                )
-                .join(
-                    F.broadcast(exact.select(F.col("et").alias("s1"), F.col("n_exact").alias("xa"))),
-                    "s1",
-                )
-                .join(
-                    F.broadcast(exact.select(F.col("et").alias("s2"), F.col("n_exact").alias("xb"))),
-                    "s2",
-                )
-                # LEFT join: a type pair with an EMPTY exact hash
-                # intersection must still appear in the report (with
-                # exact_inter = 0) — an inner join would silently drop
-                # exactly the disjoint pairs a set-ops report exists to
-                # surface.
-                .join(inter_exact, ["s1", "s2"], "left")
-                .withColumn(
-                    "inter_exact",
-                    F.coalesce(F.col("inter_exact"), F.lit(0).cast("long")),
-                )
+            .select("et", "h")
+            .collect()
+        )
+        sketches: dict[str, list[int]] = {}
+        for r in sk_rows:
+            sketches.setdefault(r["et"], []).append(r["h"])
+        for hs in sketches.values():
+            hs.sort()
+        # exact pair intersections over the FULL distinct relation (the
+        # one piece that scales with data): per-hash type-set arrays,
+        # pairs expanded with higher-order functions — one groupBy
+        # exchange instead of the previous dist⋈dist self-join
+        inter = {
+            (r["s1"], r["s2"]): r["c"]
+            for r in (
+                dist.groupBy("h")
+                .agg(F.sort_array(F.collect_set("et")).alias("ts"))
                 .select(
-                    "s1",
-                    "s2",
-                    round_det(F.col("ea"), 4).alias("est_a"),
-                    round_det(F.col("eb"), 4).alias("est_b"),
-                    round_det(F.col("u_est"), 4).alias("est_union"),
-                    round_det(F.col("i_est"), 4).alias("est_inter"),
-                    F.col("xa").alias("exact_a"),
-                    F.col("xb").alias("exact_b"),
-                    (F.col("xa") + F.col("xb") - F.col("inter_exact")).alias(
-                        "exact_union"
-                    ),
-                    F.col("inter_exact").alias("exact_inter"),
+                    F.explode(
+                        F.expr(
+                            "flatten(transform(ts, (x, i) -> transform("
+                            "slice(ts, i + 2, size(ts)),"
+                            " y -> named_struct('s1', x, 's2', y))))"
+                        )
+                    ).alias("p")
                 )
+                .groupBy("p.s1", "p.s2")
+                .agg(F.count("*").cast("long").alias("c"))
+                .collect()
             )
-            # materialize before the finally-unpersist (callers get a
-            # plan over cached inputs otherwise freed under them)
-            out = out.localCheckpoint(eager=True)
-            return out
-        finally:
-            sk.unpersist()
+        }
     finally:
         dist.unpersist()
+
+    def _rd4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def _est(hs: list[int]) -> float:
+        if len(hs) < k:
+            return float(len(hs))
+        return (float(k) - 1.0) * float(KMV_DOMAIN) / float(hs[k - 1])
+
+    rows = []
+    types = sorted(sketches, key=lambda s: s.encode("utf-8"))
+    for i, s1 in enumerate(types):
+        for s2 in types[i + 1 :]:
+            a_set, b_set = set(sketches[s1]), set(sketches[s2])
+            union_k = sorted(a_set | b_set)[:k]
+            usz = len(union_k)
+            u_est = (
+                float(usz)
+                if usz < k
+                else (float(k) - 1.0) * float(KMV_DOMAIN) / float(union_k[k - 1])
+            )
+            nboth = sum(1 for x in union_k if x in a_set and x in b_set)
+            i_est = float(nboth) / float(usz) * u_est if usz else 0.0
+            xa, xb = int(nn[s1]), int(nn[s2])
+            ie = int(inter.get((s1, s2), 0))
+            rows.append(
+                (
+                    s1,
+                    s2,
+                    _rd4(_est(sketches[s1])),
+                    _rd4(_est(sketches[s2])),
+                    _rd4(u_est),
+                    _rd4(i_est),
+                    xa,
+                    xb,
+                    xa + xb - ie,
+                    ie,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "s1 string, s2 string, est_a double, est_b double, est_union double,"
+        " est_inter double, exact_a long, exact_b long, exact_union long,"
+        " exact_inter long",
+    )

@@ -185,3 +185,28 @@ def test_kmv_full_sketch_matches_python_md5(spark):
     merged = sorted(set(ha[:K]) | set(hb[:K]))[:K]
     expected_u = (K - 1) * float(KMV_DOMAIN) / float(merged[K - 1])
     assert r["est_union"] == math.floor(expected_u * 1e4 + 0.5) / 1e4
+
+
+def test_kmv_prefilter_regime_matches_small_regime(spark, monkeypatch):
+    """The candidate-prefilter (large) regime and the full-window (small)
+    regime must produce IDENTICAL reports — the prefilter only trims rows
+    provably above the k-th smallest hash. Forces the large regime by
+    shrinking the regime threshold, including a starved-guard-eligible
+    skew (one type with few distinct users)."""
+    import datetime as dt
+
+    from clusterforge_spark.operators import sketches as SK
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, i % 400, "A", 1.0, "{}") for i in range(1200)]
+    rows += [(10_000 + i, t, i % 350 + 100, "B", 1.0, "{}") for i in range(900)]
+    rows += [(20_000 + i, t, i % 3, "C", 1.0, "{}") for i in range(30)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    small = sorted(map(tuple, SK.kmv_set_ops(events, k=64).collect()))
+    monkeypatch.setattr(SK, "KMV_PREFILTER_MIN_DISTINCT", 10)
+    large = sorted(map(tuple, SK.kmv_set_ops(events, k=64).collect()))
+    assert small == large
