@@ -400,6 +400,44 @@ def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float | None:
         vals.unpersist()
 
 
+def exact_kth_smallest_by(
+    df: DataFrame, col: str, k_of_n
+) -> tuple[int, float | None]:
+    """Exact k-th smallest where k DEPENDS on the (a-priori unknown)
+    not-null row count — rank-defined cutoffs like the conformal
+    ⌈(n+1)(1−α)⌉ quantile. Returns ``(n, value)``.
+
+    One fused scan (r12 optimization round): the count that sizes k
+    comes from the selection's own counting aggregate inside
+    :func:`_bucket_order_stats`, replacing the caller's separate
+    ``.count()`` job + second cache over the same column. ``k_of_n``
+    maps the count to a 1-based rank (or None); value is None on empty
+    input or k out of range.
+    """
+    vals = (
+        df.select(F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .cache()
+    )
+    try:
+
+        def ks_of(n: int) -> list[int]:
+            k = k_of_n(n)
+            return [k - 1] if (k is not None and 1 <= k <= n) else []
+
+        n, out = _bucket_order_stats(vals, ks_of)
+        if n == 0:
+            return 0, None
+        k = k_of_n(n)
+        if k is None or not (1 <= k <= n):
+            return n, None
+        if out is None:
+            out = _shuffle_order_stats(vals, [k - 1])
+        return n, out[k - 1]
+    finally:
+        vals.unpersist()
+
+
 def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
     """Distributed EXACT linear-interpolation quantile of a numeric
     column — the scale path around Spark's ``percentile`` aggregate,

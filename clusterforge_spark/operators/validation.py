@@ -1373,7 +1373,7 @@ def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> Dat
     """
     import math
 
-    from clusterforge_spark.functions.partitioning import exact_kth_smallest
+    from clusterforge_spark.functions.partitioning import exact_kth_smallest_by
 
     h = F.expr(
         "pmod(cast(conv(substr(md5(cast(o_orderkey as string)), 1, 15), 16, 10)"
@@ -1395,27 +1395,22 @@ def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> Dat
         "yhat_e2"
     )
     model_b = F.broadcast(model.select("o_orderpriority", yhat))
-    # cache: the count and the order-statistic probe both read this
-    # (column-only, calibration-split-sized) frame — one computation
-    scores = (
-        calib.join(model_b, "o_orderpriority")
-        .select(F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score"))
-        # NULL scores (a NULL o_totalprice, or a priority whose train
-        # split is all-NULL) carry no nonconformity information and
-        # must not inflate n_cal: exact_kth_smallest drops them before
-        # the order statistic, so counting them here would let k exceed
-        # the non-null population and silently collapse the report to
-        # zero rows. Filter BEFORE both the count and the probe (the
-        # oracle's scores CTE applies the same score IS NOT NULL).
-        .filter(F.col("score").isNotNull())
-        .cache()
+    scores = calib.join(model_b, "o_orderpriority").select(
+        F.abs(F.col("y_e2").cast("double") - F.col("yhat_e2")).alias("score")
     )
-    try:
-        n_cal = scores.count()
-        k = min(int(math.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
-        qhat = exact_kth_smallest(scores, "score", k) if n_cal else None
-    finally:
-        scores.unpersist()
+    # NULL scores (a NULL o_totalprice, or a priority whose train split
+    # is all-NULL) carry no nonconformity information and must not
+    # inflate n_cal: the fused selection drops them before both the
+    # count and the order statistic (the oracle's scores CTE applies the
+    # same score IS NOT NULL). ⌈(n_cal+1)(1−alpha)⌉ is computed from the
+    # selection's OWN counting aggregate — the r12 optimization round
+    # fused the previous separate .count() job (and its second cache of
+    # the same column) into the order-statistic scan.
+    _n_cal, qhat = exact_kth_smallest_by(
+        scores,
+        "score",
+        lambda n: min(int(math.ceil((n + 1) * (1.0 - alpha))), n) if n else None,
+    )
     if qhat is None:
         # degenerate: EMPTY calibration split — no finite interval
         # exists; return the empty report (the oracle's qh CTE is also
