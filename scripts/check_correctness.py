@@ -36,6 +36,13 @@ def main() -> int:
 
     def fresh_con():
         c = duckdb.connect()
+        # cap the replica's thread pool: DuckDB defaults to one thread
+        # per core, and 32 DuckDB threads next to Spark's local[*]
+        # executor pool has twice produced transient resource failures
+        # (std::system_error thread-create EAGAIN; spurious 2 KB "out of
+        # memory" allocations) on an otherwise idle 128 GB box — the
+        # verdicts should be about the queries, not the scheduler
+        c.execute("SET threads=8")
         for t in TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         return c
