@@ -241,6 +241,7 @@ def quantile_histogram_estimate(
     events: DataFrame,
     width_cents: int = QH_WIDTH_CENTS,
     pcts: tuple[int, ...] = QH_PCTS,
+    materialize_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Mergeable histogram quantiles vs the exact answer: estimate each
     percentile from a fixed-width count histogram (the mergeable sketch
@@ -260,13 +261,26 @@ def quantile_histogram_estimate(
     ceil rank ``(p·n + 99) div 100``; everything stays in exact BIGINT
     until the final /100.
     """
-    from clusterforge_spark.functions.partitioning import prefix_sum_before
+    from clusterforge_spark.functions.partitioning import prefix_sum_before, source_bytes
     from pyspark.sql.window import Window
 
     cents = events.filter(F.col("value").isNotNull()).select(
         F.expr("cast(floor(value * 100 + 0.5) as bigint) as c")
     )
     vhist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # vhist feeds THREE subtrees (n_row, the exact prefix sum, the
+    # bucket histogram) under three different partitionings, so no
+    # exchange is reusable and an unmaterialized plan re-runs the
+    # full-events cents aggregate once per subtree. The histogram is one
+    # row per DISTINCT cent — bounded by the value domain, it compresses
+    # as data grows — so above the rank family's re-scan gate the lazily
+    # localCheckpointed histogram wins (3 source scans -> 1); below it
+    # the re-scan is noise-free and avoids pinning storage (events is
+    # 2 MB at sf0.1 — measured perf-neutral there by construction, the
+    # gate does not fire).
+    src = source_bytes(events)
+    if src is not None and src > materialize_bytes:
+        vhist = vhist.localCheckpoint(eager=False)
     n_row = vhist.agg(F.sum("cnt").cast("long").alias("n"))
 
     # exact side: inclusive cum over distinct cents, distributed

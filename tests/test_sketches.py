@@ -100,6 +100,22 @@ def test_quantile_histogram_known_small_input(spark):
     assert got[50]["est_hi"] == 51.0
 
 
+def test_quantile_histogram_materialized_matches_rescan(spark):
+    """The size-gated vhist materialization (materialize_bytes=0 forces
+    the localCheckpoint path a >8 MB source would take) must be
+    row-identical to the re-scan plan the small regime uses."""
+    from clusterforge_spark.operators.sketches import quantile_histogram_estimate
+    from clusterforge_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")  # uncached: real file scan
+    base = sorted(map(tuple, quantile_histogram_estimate(ev).collect()))
+    ckpt = sorted(
+        map(tuple, quantile_histogram_estimate(ev, materialize_bytes=0).collect())
+    )
+    assert ckpt == base
+
+
 def test_kmv_exact_when_under_k(spark):
     """With fewer distinct users than k every sketch is the full set, so
     every estimate equals the exact answer."""
