@@ -1488,7 +1488,14 @@ def pmi_collocations(
     via CacheManager), two count aggregates, two vocab-sized equi-joins
     (AQE broadcasts while the model fits), and a distributed
     TakeOrderedAndProject for the top-k — no single-partition window,
-    no driver collect.
+    no driver collect. The unigram table is cached too: it feeds BOTH
+    join sides (w1 and w2), and uncached each reference re-ran the
+    full-corpus token explode + groupBy. The totals never explode at
+    all — N_uni is Σ size(t) and N_bi is Σ (size(t)−1 | size ≥ 2) over
+    the cached token arrays, integer-identical to summing the exploded
+    counts (the earlier shape re-derived N_uni by recomputing the
+    unigram aggregate a third time and N_bi by a second bigram
+    explode).
     """
     from clusterforge_spark.functions.partitioning import spread_partitions
 
@@ -1499,14 +1506,19 @@ def pmi_collocations(
         toked_all.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+    ).cache()
+    n_uni = toked_all.agg(
+        F.coalesce(F.sum(F.greatest(F.size("t"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_uni")
     )
-    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
-    ex = toked_all.filter(F.size("t") >= 2).select(
-        F.explode(_grams_from_tokens("t", 2)).alias("bigram")
+    n_bi = toked_all.filter(F.size("t") >= 2).agg(
+        F.coalesce(F.sum(F.size("t") - 1), F.lit(0)).cast("long").alias("n_bi")
     )
-    n_bi = ex.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
     bgc = (
-        ex.groupBy("bigram")
+        toked_all.filter(F.size("t") >= 2)
+        .select(F.explode(_grams_from_tokens("t", 2)).alias("bigram"))
+        .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_bg"))
         .filter(F.col("c_bg") >= min_count)
     )

@@ -283,20 +283,24 @@ def mad_outliers(events: DataFrame) -> DataFrame:
     eagerly checkpointed: ``dev`` feeds both the MAD sort and the final
     score join, and without the checkpoint each reference re-runs the
     per-group median sort buried under it — the frames are one row per
-    event_type, so materializing them is free.
+    event_type, so materializing them is free. Both joins carry an
+    explicit broadcast hint: the checkpointed leaves are LogicalRDDs
+    with no stats, and the planner defaulted the second join to a
+    SortMergeJoin — a full shuffle + sort of the fact side against a
+    one-row-per-group frame.
     """
     med = _group_median(
         events.select("event_type", "event_id", "value"),
         "event_type", "value", "med",
     ).localCheckpoint(eager=True)
-    dev = events.join(med, "event_type").withColumn(
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = _group_median(
         dev.select("event_type", "event_id", F.col("absdev").alias("value")),
         "event_type", "value", "mad",
     ).localCheckpoint(eager=True)
-    scored = dev.join(mad, "event_type").withColumn(
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
         "score", F.col("absdev") / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
     )
     return (
@@ -1284,14 +1288,21 @@ def fk_integrity(
     key count per edge — the first validation a pipeline runs after
     ingest, and the one that catches partial loads.
 
-    Scale shape: each edge is a LEFT ANTI join from the child's
-    DISTINCT-key projection; the child side is pre-aggregated to
-    distinct keys first, so the anti join moves key-cardinality rows,
-    not fact rows, and dim-sized parents broadcast (AQE). Orphan ROW
-    counts come from joining the orphan-key set (small by expectation)
-    back to the per-key child counts — no second fact scan.
+    Scale shape: each edge is ONE pass over the child — a keyed count
+    aggregate (map-side combine, bytes ∝ key cardinality) LEFT-joined
+    against the parent's DISTINCT-key projection (dim-sized parents
+    broadcast under AQE; the orders parent sort-merges at scale), then
+    a single scalar aggregate reads child-row, null-key and orphan-row
+    counts off the join in one go. The earlier shape computed the keyed
+    aggregate twice per edge (a stats branch plus an anti-join branch
+    crossJoined back together) — two fact aggregations and a
+    BroadcastNestedLoopJoin per edge where one of each suffices.
 
-    Determinism: pure integer counts plus one 6dp-rounded ratio.
+    Determinism: pure integer counts plus one 6dp-rounded ratio. The
+    parent distinct is REQUIRED for the left-join form (a duplicated
+    parent key would fan out child rows and inflate the counts); null
+    child keys never equi-match, so null-key rows are exactly the
+    unmatched rows with ``_ck IS NULL``.
     """
     from functools import reduce
 
@@ -1314,24 +1325,36 @@ def fk_integrity(
     }
     for label, ckey, pkey in FK_EDGES:
         child = children[ckey]
-        parent = parents[pkey].select(F.col(pkey).alias("_pk")).distinct()
+        parent = (
+            parents[pkey]
+            .select(F.col(pkey).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         keyed = child.groupBy(F.col(ckey).alias("_ck")).agg(
             F.count(F.lit(1)).alias("_rows")
         )
-        orphans = keyed.filter(F.col("_ck").isNotNull()).join(
-            parent, F.col("_ck") == F.col("_pk"), "left_anti"
-        )
-        stats = keyed.agg(
-            F.sum("_rows").cast("long").alias("n_child"),
-            F.sum(F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0))
-            .cast("long")
-            .alias("n_null_key"),
-        )
-        ostats = orphans.agg(
-            F.coalesce(F.sum("_rows"), F.lit(0)).cast("long").alias("n_orphan")
-        )
+        joined = keyed.join(parent, F.col("_ck") == F.col("_pk"), "left")
         frames.append(
-            stats.crossJoin(ostats).select(
+            joined.agg(
+                F.sum("_rows").cast("long").alias("n_child"),
+                F.sum(
+                    F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_null_key"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_ck").isNotNull() & F.col("_hit").isNull(),
+                            F.col("_rows"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_orphan"),
+            ).select(
                 F.lit(label).alias("edge"),
                 "n_child",
                 "n_null_key",

@@ -849,3 +849,49 @@ def test_token_budget_mix_weighted_flattens_dominant_source(spark, documents):
     raw_share = big.weight**2 / sum(r.weight**2 for r in rows)
     w_share = big.weight / sum(r.weight for r in rows)
     assert w_share < raw_share
+
+
+def test_pmi_collocations_matches_python_ground_truth(spark):
+    """Pins the size-derived totals (N_uni = Σ size(t), N_bi =
+    Σ (size(t)−1 | size ≥ 2)) identical to the exploded definition on a
+    corpus that exercises every boundary: a null text, an empty text, a
+    one-token doc (no bigram), and repeated bigrams across docs."""
+    import math
+
+    from clusterforge_spark.operators.text import pmi_collocations
+
+    texts = [
+        (1, "the quick fox jumps"),
+        (2, "the quick fox"),
+        (3, "quick fox the quick fox"),
+        (4, "solo"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.bigram: r for r in pmi_collocations(docs, min_count=1, k=100).collect()
+    }
+
+    # python ground truth with the exploded definitions
+    toks = {i: [t for t in (s or "").lower().split() if t] for i, s in texts}
+    flat = [t for ts in toks.values() for t in ts]
+    n_uni = len(flat)
+    c_w = {w: flat.count(w) for w in set(flat)}
+    bigrams = [
+        " ".join(ts[i : i + 2])
+        for ts in toks.values()
+        if len(ts) >= 2
+        for i in range(len(ts) - 1)
+    ]
+    n_bi = len(bigrams)
+    assert n_uni == 13 and n_bi == 9  # the boundary docs contribute 1/0/0
+    c_bg = {b: bigrams.count(b) for b in set(bigrams)}
+    assert set(got) == set(c_bg)
+    for b, c in c_bg.items():
+        w1, w2 = b.split(" ")
+        r = got[b]
+        assert (r.c_bigram, r.c_w1, r.c_w2) == (c, c_w[w1], c_w[w2])
+        ratio = (c * n_uni * n_uni) / (n_bi * c_w[w1] * c_w[w2])
+        want = math.floor(math.log2(ratio) * 1e4 + 0.5) / 1e4
+        assert r.pmi == want
