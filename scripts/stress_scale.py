@@ -106,6 +106,8 @@ EVENTS_QUERIES = {
     "q_longest_streak",
     "q_rolling_active_users",
     "q_decile_stats",
+    # r12: the per-group median broadcast claim — events is the fact side
+    "q_mad_outliers",
 }
 
 BIG_LINEITEM_PATH = "/tmp/stress_lineitem_10x.parquet"
@@ -142,6 +144,11 @@ LINEITEM_QUERIES = {
     "q_latency_moments",
     "q_periodogram_daily",
     "q_pacf_daily",
+    # r12: one-pass-per-edge claim — lineitem is the doubly-edged fact
+    # side (order + supplier edges); dims stay 1x as dims do, so the
+    # replicated child keys land as orphans, which only exercises the
+    # orphan-count branch harder
+    "q_fk_integrity",
 }
 
 BIG_ORDERS_PATH = "/tmp/stress_orders_10x.parquet"
