@@ -711,6 +711,7 @@ def dim_truncation_recall(
     embeddings: DataFrame,
     dims: tuple[int, ...] = DIM_TRUNC_LADDER,
     k: int = 10,
+    materialize_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Recall@k of cosine search over the FIRST d dimensions vs the
     full-dimension ground truth, per d — the matryoshka-style ablation
@@ -722,6 +723,20 @@ def dim_truncation_recall(
     projection (no shuffle before the top-k), overlap against the
     broadcast exact top-k. Deterministic literal query → oracle-exact.
 
+    Every rung's score comes from ONE shared projection computing all
+    ladder columns. Below ``materialize_bytes`` of source the plan is
+    unchanged from the per-rung form (Catalyst prunes the other rungs'
+    columns out of each top-k branch, so each branch still scans and
+    scores only its own rung — measured plan-identical at sf0.1);
+    above the gate the projection — and the k-row exact top-k, which is
+    otherwise re-planned under every rung's broadcast join — are lazily
+    localCheckpointed, so the corpus is scanned ONCE for the whole
+    ladder's scores and once for the ground truth
+    (2·len(dims) full-corpus scans → 2 — at 100 TB the scan dominates
+    and the ladder multiplies it). The materialized frame is (vec_id,
+    one double per rung): narrower than the raw vectors by
+    dim/len(dims).
+
     Reading the ladder: on an ISOTROPIC corpus (this synthetic table)
     every coordinate carries equal signal, so recall collapses roughly
     linearly with d — the honest control. Real embedding models
@@ -729,20 +744,37 @@ def dim_truncation_recall(
     matryoshka-trained ones), flattening the ladder; this report is how
     you measure which regime a corpus is in before truncating an index.
     """
+    from clusterforge_spark.functions.partitioning import source_bytes
+
     truth = brute_force_topk(embeddings, k=k).select(
         "vec_id", F.lit(1).cast("long").alias("_hit")
     )
+    proj = embeddings.select(
+        "vec_id",
+        *[
+            F.expr(f"slice(embedding, 1, {int(d)})").alias(f"_emb_{int(d)}")
+            for d in dims
+        ],
+    ).select(
+        "vec_id",
+        *[
+            round_det(
+                V.cosine_lit(f"_emb_{int(d)}", V.QUERY_VEC[: int(d)]), 6
+            ).alias(f"_cs_{int(d)}")
+            for d in dims
+        ],
+    )
+    src = source_bytes(embeddings)
+    if src is not None and src > materialize_bytes:
+        proj = proj.localCheckpoint(eager=False)
+        # the k-row exact top-k is re-planned under every rung's
+        # broadcast join — without this its full-corpus scan+score runs
+        # once per rung (len(dims) more corpus scans at scale for a
+        # frame of k rows)
+        truth = truth.localCheckpoint(eager=False)
     rows = []
     for d in dims:
-        sliced = embeddings.select(
-            "vec_id", F.expr(f"slice(embedding, 1, {int(d)})").alias("emb_d")
-        )
-        scored = sliced.select(
-            "vec_id",
-            round_det(V.cosine_lit("emb_d", V.QUERY_VEC[: int(d)]), 6).alias(
-                "cos_sim"
-            ),
-        )
+        scored = proj.select("vec_id", F.col(f"_cs_{int(d)}").alias("cos_sim"))
         top = _ranked_topk(scored, k).select("vec_id")
         rows.append(
             top.join(F.broadcast(truth), "vec_id", "left").agg(
