@@ -1719,11 +1719,20 @@ def minhash_estimate_error(docs: DataFrame, n: int = 3) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    va = sh.join(sig, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    # each verify side is ONE map-only projection over the cached
+    # shingle table — the signature is a row-wise function of sh, so
+    # joining sh back against a separately-derived sig frame on doc_id
+    # (the earlier shape) shuffled corpus-scale rows twice to reunite a
+    # row with its own derivation
+    va = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        H.minhash_signature_col("sh").alias("sig_a"),
     )
-    vb = sh.join(sig, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    vb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        H.minhash_signature_col("sh").alias("sig_b"),
     )
     matches = F.size(
         F.filter(

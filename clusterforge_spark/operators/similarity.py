@@ -798,7 +798,9 @@ QUANT_RECALL_KS = (1, 5, 10)
 
 
 def quantization_recall(
-    embeddings: DataFrame, ks: tuple[int, ...] = QUANT_RECALL_KS
+    embeddings: DataFrame,
+    ks: tuple[int, ...] = QUANT_RECALL_KS,
+    materialize_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Top-k agreement between EXACT cosine search and search over the
     int8-style quantize→dequantize reconstruction (embed_quantize's
@@ -810,7 +812,18 @@ def quantization_recall(
     reconstruction is mn + code·scale inline — no join back to the
     exploded code table) and a TakeOrderedAndProject; the overlap
     counts are computed on the two k-row lists. All arithmetic is IEEE
-    double + floor, bit-identical in DuckDB → oracle-exact."""
+    double + floor, bit-identical in DuckDB → oracle-exact.
+
+    The joined kmax-row list is consumed once per overlap depth; an
+    unmaterialized plan re-plans BOTH full-corpus top-k scans under
+    every depth (2·len(ks) corpus scans for a ≤kmax-row frame). Above
+    ``materialize_bytes`` of source the joined list is lazily
+    localCheckpointed — two corpus scans total; below it the re-scan
+    is left alone (embeddings is 0.8 MB at sf0.1, and each depth's
+    branch is pruned to its own filter, so the local plan matches the
+    old shape)."""
+    from clusterforge_spark.functions.partitioning import source_bytes
+
     kmax = max(ks)
     exact = brute_force_topk(embeddings, k=kmax).select(
         "vec_id", F.col("rank").alias("_re")
@@ -843,6 +856,9 @@ def quantization_recall(
         "vec_id", F.col("rank").alias("_rq")
     )
     both = quant.join(F.broadcast(exact), "vec_id")  # two k-row lists
+    src = source_bytes(embeddings)
+    if src is not None and src > materialize_bytes:
+        both = both.localCheckpoint(eager=False)
     rows = []
     for k in ks:
         rows.append(

@@ -1606,6 +1606,13 @@ def vocab_jaccard_sources(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # vocab backs FOUR subtrees (sizes + both self-join sides, sizes
+    # twice) under different partitionings — unmaterialized, each
+    # re-runs the corpus tokenize+explode+distinct. The table itself is
+    # bounded by vocabulary (compresses as the corpus grows), so above
+    # the text-scoring gate the checkpointed copy wins (4 corpus
+    # tokenize passes → 1).
+    vocab = _materialize_scored(vocab, documents)
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
     a = vocab.select(F.col("source").alias("s1"), "token")
     b = vocab.select(F.col("source").alias("s2"), F.col("token").alias("t2"))
@@ -1786,7 +1793,9 @@ def quantile_normalize_lengths(documents: DataFrame) -> DataFrame:
     )
 
 
-def wasserstein_length_by_source(documents: DataFrame) -> DataFrame:
+def wasserstein_length_by_source(
+    documents: DataFrame, materialize_bytes: int = 8 << 20
+) -> DataFrame:
     """Exact Wasserstein-1 (earth-mover) distance between each source's
     doc-length distribution and the pooled corpus — the integral
     companion to the KS max-gap and PSI bucket tests: W1 = ∫|F_s − F_p|
@@ -1811,15 +1820,29 @@ def wasserstein_length_by_source(documents: DataFrame) -> DataFrame:
 
     from clusterforge_spark.functions.partitioning import prefix_sum_before
 
+    from clusterforge_spark.functions.partitioning import source_bytes
+
     d = documents.select("source", F.col("n_chars").cast("long").alias("v"))
 
-    ph = d.groupBy("v").agg(F.count(F.lit(1)).alias("cntp"))
+    # ONE corpus pass builds the (source, length) histogram; the pooled
+    # histogram, the total count and the per-source sizes all derive
+    # from it by integer re-aggregation (sum of per-source counts ==
+    # the direct count, exactly) — the histogram is bounded by
+    # sources × distinct lengths, so the re-aggregations never touch
+    # corpus-scale rows. Above the re-scan gate the histogram is lazily
+    # localCheckpointed so its four consumers read one materialization
+    # instead of re-planning the corpus aggregate each (3 corpus scans
+    # → 1 at scale; below the gate the re-scan is noise).
+    shist = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnts"))
+    if (source_bytes(documents) or 0) > materialize_bytes:
+        shist = shist.localCheckpoint(eager=False)
+
+    ph = shist.groupBy("v").agg(F.sum("cnts").alias("cntp"))
     pooled = prefix_sum_before(ph, "v", ["cntp"]).select(
         "v", "cntp", (F.col("cum_cntp") + F.col("cntp")).alias("cump")
     )
-    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_row = shist.agg(F.sum("cnts").cast("long").alias("n_total"))
 
-    shist = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnts"))
     ns = shist.groupBy("source").agg(F.sum("cnts").cast("long").alias("n_s"))
 
     # pooled (data-proportional) is the big side; the sources×1 scalar

@@ -648,6 +648,22 @@ def test_dim_truncation_recall_materialized_matches_rescan(spark):
     assert ckpt == base
 
 
+def test_quantization_recall_materialized_matches_rescan(spark):
+    """The size-gated kmax-list materialization (materialize_bytes=0
+    forces the localCheckpoint path a >8 MB source would take) must be
+    row-identical to the per-depth re-scan plan the small regime uses."""
+    from clusterforge_spark.operators import similarity as SIM
+    from clusterforge_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")  # uncached: real file scan
+    base = sorted(map(tuple, SIM.quantization_recall(emb).collect()))
+    ckpt = sorted(
+        map(tuple, SIM.quantization_recall(emb, materialize_bytes=0).collect())
+    )
+    assert ckpt == base
+
+
 def test_quantization_recall_exact_roundtrip_semantics(spark, embeddings):
     """int8 reconstruction keeps the top-k on this corpus (codes are
     exact and the affine error ≪ neighbor gaps); every depth reports

@@ -895,3 +895,38 @@ def test_pmi_collocations_matches_python_ground_truth(spark):
         ratio = (c * n_uni * n_uni) / (n_bi * c_w[w1] * c_w[w2])
         want = math.floor(math.log2(ratio) * 1e4 + 0.5) / 1e4
         assert r.pmi == want
+
+
+def test_vocab_jaccard_materialized_matches_rescan(spark, monkeypatch):
+    """The text-gated vocab materialization (forcing the gate a >256 KB
+    source takes vs never materializing) must be row-identical to the
+    per-branch re-tokenize plan."""
+    from clusterforge_spark.operators import text as TX
+    from clusterforge_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")  # uncached: real file scan
+    monkeypatch.setattr(TX, "TEXT_MATERIALIZE_BYTES", 1 << 60)
+    base = sorted(map(tuple, TX.vocab_jaccard_sources(docs).collect()))
+    monkeypatch.setattr(TX, "TEXT_MATERIALIZE_BYTES", 0)
+    ckpt = sorted(map(tuple, TX.vocab_jaccard_sources(docs).collect()))
+    assert ckpt == base
+
+
+def test_wasserstein_materialized_matches_rescan(spark):
+    """The size-gated (source, length) histogram materialization
+    (materialize_bytes=0 forces the localCheckpoint path a >8 MB source
+    would take) must be row-identical to the re-scan plan."""
+    from clusterforge_spark.operators import text as TX
+    from clusterforge_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = sorted(map(tuple, TX.wasserstein_length_by_source(docs).collect()))
+    ckpt = sorted(
+        map(
+            tuple,
+            TX.wasserstein_length_by_source(docs, materialize_bytes=0).collect(),
+        )
+    )
+    assert ckpt == base
