@@ -35,11 +35,16 @@ BASELINE_PIPELINE_SEC = 0.37
 #: window gets no free pass.
 CALIB_REF_SEC = 0.125
 
-# shuffle-partition count sized for the bench scale (≤600k rows): fewer
-# reducer tasks = less fixed scheduling overhead; AQE's byte-based
-# coalescing doesn't fully collapse the expand-distinct chain. Real
-# deployments size this to cluster cores × data volume.
-os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+# Shuffle partitions SCALE WITH THE CORE COUNT (r12 verdict item 1: a
+# flat 8 structurally blinded the driver's 8-vs-32-core scaling probe —
+# every reducer stage ran ≤8 tasks at ANY core count, so ratios read ≈1
+# regardless of the code's real scaling). max(8, cpus) keeps the floor
+# the small-SF sweep was tuned at while letting reducer parallelism
+# follow the cores; an explicit SPARK_GRAFT_SHUFFLE in the environment
+# still wins (setdefault). Real deployments size this to cluster cores ×
+# data volume; AQE coalesces the small-SF excess at runtime.
+_BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", str(max(8, _BENCH_CPUS)))
 # 16g heap for the bench JVM (box has 128 GiB): the 150-query sweep
 # accumulates cached fingerprint/geometry tables plus shuffle buffers,
 # and at 8g a major-GC pause lands on ~one family query per sweep,
@@ -420,8 +425,16 @@ def main() -> int:
     # --- per-query timings ------------------------------------------------
     # Each query runs once untimed (whole-stage-codegen compilation and
     # shared-table cache materialization — the warm-up BASELINE.md's
-    # protocol excludes), then once timed: steady-state execution, the
-    # regime a long-lived cluster is actually in.
+    # protocol excludes), then REPS timed runs whose MEDIAN is reported:
+    # steady-state execution, the regime a long-lived cluster is actually
+    # in. r12 verdict item 1: single-shot per-query times made the
+    # driver's round-over-round statuses window-dependent (16/20 phantom
+    # "regressions" on one degraded host window). The median absorbs a
+    # GC pause landing in one rep; the interleaved calibration kernel
+    # samples (every KERNEL_EVERY queries, same 40M-row JVM kernel as
+    # the pipeline calibration) measure the HOST across the sweep, and
+    # the kernel-normalized values alongside the raw ones discount a
+    # slow window by exactly its measured slowdown.
     queries = E.queries()
     qtimes: dict[str, float] = {}
     # Per-family cache discipline: the sweep populates shared cached
@@ -438,13 +451,13 @@ def main() -> int:
         "q_dedup_embedding",   # shingle + simhash tables, graph memos
         "q_embed_quantize",    # embedding/sim-search family
     }
-    # Adaptive re-time: a first timed run that lands on a stop-the-world
-    # GC pause (or a box-noise spike) reads seconds for a sub-second
-    # query. When the first timed run exceeds RETIME_SEC, run once more
-    # and report the min — the standard steady-state estimator, robust
-    # to a pause landing in exactly one run. Bounded cost: only the
-    # straggler tail pays the extra run.
-    RETIME_SEC = 0.7
+    #: timed repetitions per query; the median is the reported value
+    #: (supersedes r2-r12's adaptive single-shot re-time — a median of 3
+    #: is robust to one pause without the >0.7s retime heuristic)
+    REPS = 3
+    #: kernel sample cadence across the sweep (one 40M-row kernel run
+    #: per KERNEL_EVERY queries ≈ +1% sweep cost)
+    KERNEL_EVERY = 8
     # One untimed warm scan per source table BEFORE the sweep: the
     # pipeline warm-up above only touches events, so the first queries
     # to hit lineitem/orders/... paid the cold parquet-scan path (footer
@@ -460,30 +473,21 @@ def main() -> int:
             load_table(spark, SF_DIR, tbl).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001  (a missing optional table is fine)
             pass
-    for name in BENCH_QUERIES:
+    qreps: dict[str, list[float]] = {}
+    kernel_samples: list[float] = []  # kernel_samples[i] covers queries [i*KERNEL_EVERY, ...)
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi % KERNEL_EVERY == 0:
+            kernel_samples.append(_calib_once())
         fn = queries[name]
         try:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            elapsed = time.perf_counter() - t0
-            # up to two re-times: one pause can land in one run; a
-            # multi-second straggler (r6 saw an 8 s reading for a query
-            # that times 1.3 s in isolation — accumulated old-gen debt)
-            # gets a GC nudge before its second re-time
-            # streaming replays are inherently multi-second (query
-            # startup + foreachBatch capture) — re-timing them measures
-            # startup jitter, not a GC outlier, at 2 extra full stream
-            # executions each; take their first timed reading as-is
-            tries = 0 if not name.startswith("q_stream_") else 2
-            while elapsed > RETIME_SEC and tries < 2:
-                if tries == 1:
-                    spark.sparkContext._jvm.System.gc()
+            reps: list[float] = []
+            for _ in range(REPS):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-                elapsed = min(elapsed, time.perf_counter() - t0)
-                tries += 1
-            qtimes[name] = round(elapsed, 3)
+                reps.append(time.perf_counter() - t0)
+            qreps[name] = [round(r, 3) for r in reps]  # run order (rep 1 = the old single-shot methodology's reading)
+            qtimes[name] = round(sorted(reps)[REPS // 2], 3)
         except Exception as exc:  # noqa: BLE001
             qtimes[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
@@ -507,9 +511,29 @@ def main() -> int:
     # the tail window is guaranteed to hold — is compact: headline queries
     # only (the SURVEY §2.2 r1 contract plus one representative per heavy
     # family).
+    # kernel-normalized per-query values: each query is discounted by the
+    # NEAREST kernel sample's measured host slowdown (kernel_sec /
+    # CALIB_REF_SEC), so a window that degrades mid-sweep is corrected
+    # with sweep-local resolution rather than one global factor.
+    def _kern_near(qi: int) -> float:
+        if not kernel_samples:
+            return CALIB_REF_SEC
+        return kernel_samples[min(qi // KERNEL_EVERY, len(kernel_samples) - 1)]
+
+    qnorm = {
+        name: round(qtimes[name] * (CALIB_REF_SEC / _kern_near(qi)), 3)
+        if qtimes.get(name, -1.0) >= 0
+        else -1.0
+        for qi, name in enumerate(BENCH_QUERIES)
+        if name in qtimes
+    }
     detail = {
         "metric": "per_query_sec_full_inventory",
         "queries": qtimes,
+        "queries_norm": qnorm,
+        "queries_reps": qreps,
+        "kernel_samples": [round(k, 3) for k in kernel_samples],
+        "kernel_every": KERNEL_EVERY,
         "sf": SF_DIR,
     }
     print(json.dumps(detail))
@@ -559,6 +583,10 @@ def main() -> int:
         "normalized_ratio": round(norm_ratio, 3),
         "normalized_iqr": round(norm_iqr, 3),
         "queries": {k: qtimes[k] for k in headline if k in qtimes},
+        "queries_norm": {k: qnorm[k] for k in headline if k in qnorm},
+        "kernel_sweep_median": round(sorted(kernel_samples)[len(kernel_samples) // 2], 3)
+        if kernel_samples
+        else None,
         "sf": SF_DIR,
         "stages": {k: round(v, 3) for k, v in stages.items()},
         "cold_pipeline_sec": round(cold_total, 3),

@@ -270,7 +270,7 @@ SELECT_BUCKETS = 65536
 SELECT_EXTRACT_CAP = 65536
 
 
-def _bucket_order_stats(vals, ks_of_n):
+def _bucket_order_stats(vals, ks_of_n, probe: dict | None = None):
     """Exact order statistics (0-based global positions ``ks``) of the
     cached single-column frame ``vals`` (double column ``_v``, nulls
     already dropped) WITHOUT shuffling the data (r12 optimization
@@ -307,9 +307,18 @@ def _bucket_order_stats(vals, ks_of_n):
     """
     import math
 
-    row = vals.agg(
+    # ``probe`` (plan-capture only, r12 verdict item 6): when a dict is
+    # passed, the first instance of each DISTRIBUTED frame this selection
+    # executes is recorded under a stable key so scripts/explain_plans.py
+    # can dump the real physical plans of driver-assembled queries —
+    # the frames recorded are the very objects collected below, not
+    # reconstructions. No behavioral change when None.
+    bounds = vals.agg(
         F.count("_v").alias("n"), F.min("_v").alias("mn"), F.max("_v").alias("mx")
-    ).first()
+    )
+    if probe is not None:
+        probe.setdefault("selection_bounds_agg", bounds)
+    row = bounds.first()
     n = row["n"]
     if n == 0:
         return 0, {}
@@ -336,7 +345,10 @@ def _bucket_order_stats(vals, ks_of_n):
             rng = F.col("_v").between(F.lit(lo), F.lit(hi))
             if cnt <= SELECT_EXTRACT_CAP:
                 take = max(targets) - off + 1
-                rows = vals.filter(rng).orderBy("_v").limit(take).collect()
+                extract = vals.filter(rng).orderBy("_v").limit(take)
+                if probe is not None:
+                    probe.setdefault("selection_extract", extract)
+                rows = extract.collect()
                 for k in targets:
                     out[k] = rows[k - off]["_v"]
                 continue
@@ -345,7 +357,7 @@ def _bucket_order_stats(vals, ks_of_n):
                 F.lit(SELECT_BUCKETS - 1),
                 F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
             )
-            stats = (
+            hist = (
                 vals.filter(rng)
                 .groupBy(bid.alias("_b"))
                 .agg(
@@ -353,8 +365,10 @@ def _bucket_order_stats(vals, ks_of_n):
                     F.min("_v").alias("bmn"),
                     F.max("_v").alias("bmx"),
                 )
-                .collect()
             )
+            if probe is not None:
+                probe.setdefault("selection_histogram", hist)
+            stats = hist.collect()
             acc = off
             ti = 0
             for r in sorted(stats, key=lambda r: r["_b"]):
@@ -401,7 +415,7 @@ def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float | None:
 
 
 def exact_kth_smallest_by(
-    df: DataFrame, col: str, k_of_n
+    df: DataFrame, col: str, k_of_n, probe: dict | None = None
 ) -> tuple[int, float | None]:
     """Exact k-th smallest where k DEPENDS on the (a-priori unknown)
     not-null row count — rank-defined cutoffs like the conformal
@@ -425,7 +439,9 @@ def exact_kth_smallest_by(
             k = k_of_n(n)
             return [k - 1] if (k is not None and 1 <= k <= n) else []
 
-        n, out = _bucket_order_stats(vals, ks_of)
+        if probe is not None:
+            probe.setdefault("selection_input", vals)
+        n, out = _bucket_order_stats(vals, ks_of, probe=probe)
         if n == 0:
             return 0, None
         k = k_of_n(n)
@@ -438,7 +454,9 @@ def exact_kth_smallest_by(
         vals.unpersist()
 
 
-def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
+def exact_quantile(
+    df: DataFrame, col: str, p: float = 0.5, probe: dict | None = None
+) -> float | None:
     """Distributed EXACT linear-interpolation quantile of a numeric
     column — the scale path around Spark's ``percentile`` aggregate,
     which buffers every value into one reducer's hash map (measured
@@ -475,8 +493,10 @@ def exact_quantile(df: DataFrame, col: str, p: float = 0.5) -> float | None:
         .filter(F.col("_v").isNotNull())
         .cache()
     )
+    if probe is not None:
+        probe.setdefault("selection_input", vals)
     try:
-        n, out = _bucket_order_stats(vals, ks_of)
+        n, out = _bucket_order_stats(vals, ks_of, probe=probe)
         if n == 0:
             return None
         if out is None:

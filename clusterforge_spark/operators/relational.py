@@ -3628,7 +3628,7 @@ def mann_kendall(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def theil_sen(lineitem: DataFrame) -> DataFrame:
+def theil_sen(lineitem: DataFrame, _probe: dict | None = None) -> DataFrame:
     """Theil-Sen robust trend estimate for the daily-revenue series:
     slope = median of all pairwise slopes (x_j−x_i)/(d_j−d_i), intercept
     = median of (x_i − slope·d_i) — the outlier-resistant line that
@@ -3675,7 +3675,13 @@ def theil_sen(lineitem: DataFrame) -> DataFrame:
             / F.lit(1e4)
         ).alias("slope")
     )
-    slope = exact_quantile(slopes, "slope", 0.5)
+    # _probe: plan-capture hook (r12 verdict item 6) — records the real
+    # distributed frames (the pairwise-slope join and the selection's
+    # internal aggregates) for scripts/explain_plans.py; None in every
+    # query path.
+    if _probe is not None:
+        _probe.setdefault("pair_slopes", slopes)
+    slope = exact_quantile(slopes, "slope", 0.5, probe=_probe)
     spark = lineitem.sparkSession
     if slope is None:
         # degenerate series (< 2 distinct days): no pairwise slope
@@ -3964,6 +3970,10 @@ def temporal_split(orders: DataFrame) -> DataFrame:
 #: report the TOP_K pairs by lift.
 BASKET_MIN_SUP = 3
 BASKET_TOP_K = 20
+#: basket-array materialize gate (spearman-style re-scan trade): module
+#: constant so the stress harness can reproduce the pre-gate shape
+#: (STRESS_GATE_OFF) for old-vs-new scale measurements
+BASKET_MATERIALIZE_BYTES = 8 << 20
 
 
 def market_basket(lineitem: DataFrame) -> DataFrame:
@@ -4001,7 +4011,7 @@ def market_basket(lineitem: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
     )
     src = source_bytes(lineitem)
-    if src is not None and src > (8 << 20):
+    if src is not None and src > BASKET_MATERIALIZE_BYTES:
         # three consumers below — materialize the arrays once above the
         # spearman-style re-scan gate
         grouped = grouped.localCheckpoint(eager=False)

@@ -341,7 +341,9 @@ KMV_PREFILTER_MIN_DISTINCT = 2_000_000
 KMV_DOMAIN = 1 << 60
 
 
-def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_set_ops(
+    events: DataFrame, k: int = KMV_K, _probe: dict | None = None
+) -> DataFrame:
     """KMV (bottom-k minimum hash values) distinct sketches per
     event_type with UNION and INTERSECTION estimates for every type
     pair, reported against the exact answers — the mergeable
@@ -440,12 +442,19 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
         # double ops (round_det is floor(x·10⁴+0.5)/10⁴ by design,
         # bit-replicable off-engine).
         w = Window.partitionBy("et").orderBy("h")
-        sk_rows = (
+        bottomk = (
             pool.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= k)
             .select("et", "h")
-            .collect()
         )
+        # _probe: plan-capture hook (r12 verdict item 6) — records the
+        # real distributed frames (distinct relation, per-type bottom-k
+        # window, pair-intersection expansion) for
+        # scripts/explain_plans.py; None in every query path.
+        if _probe is not None:
+            _probe.setdefault("distinct_hashes", dist)
+            _probe.setdefault("bottomk_window", bottomk)
+        sk_rows = bottomk.collect()
         sketches: dict[str, list[int]] = {}
         for r in sk_rows:
             sketches.setdefault(r["et"], []).append(r["h"])
@@ -455,9 +464,7 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
         # one piece that scales with data): per-hash type-set arrays,
         # pairs expanded with higher-order functions — one groupBy
         # exchange instead of the previous dist⋈dist self-join
-        inter = {
-            (r["s1"], r["s2"]): r["c"]
-            for r in (
+        inter_pairs = (
                 dist.groupBy("h")
                 .agg(F.sort_array(F.collect_set("et")).alias("ts"))
                 .select(
@@ -471,9 +478,10 @@ def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
                 )
                 .groupBy("p.s1", "p.s2")
                 .agg(F.count("*").cast("long").alias("c"))
-                .collect()
-            )
-        }
+        )
+        if _probe is not None:
+            _probe.setdefault("pair_intersections", inter_pairs)
+        inter = {(r["s1"], r["s2"]): r["c"] for r in inter_pairs.collect()}
     finally:
         dist.unpersist()
 

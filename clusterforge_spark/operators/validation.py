@@ -1372,7 +1372,9 @@ def fk_integrity(
 CONFORMAL_ALPHA = 0.1
 
 
-def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> DataFrame:
+def conformal_interval(
+    orders: DataFrame, alpha: float = CONFORMAL_ALPHA, _probe: dict | None = None
+) -> DataFrame:
     """Split-conformal prediction intervals for order value by priority
     — the distribution-free uncertainty wrapper a serving pipeline puts
     around ANY point model (here the train-split per-priority mean, the
@@ -1429,10 +1431,17 @@ def conformal_interval(orders: DataFrame, alpha: float = CONFORMAL_ALPHA) -> Dat
     # selection's OWN counting aggregate — the r12 optimization round
     # fused the previous separate .count() job (and its second cache of
     # the same column) into the order-statistic scan.
+    # _probe: plan-capture hook (r12 verdict item 6) — records the real
+    # distributed frames (the calibration-score join and the selection's
+    # internal aggregates) for scripts/explain_plans.py; None in every
+    # query path.
+    if _probe is not None:
+        _probe.setdefault("calibration_scores", scores)
     _n_cal, qhat = exact_kth_smallest_by(
         scores,
         "score",
         lambda n: min(int(math.ceil((n + 1) * (1.0 - alpha))), n) if n else None,
+        probe=_probe,
     )
     if qhat is None:
         # degenerate: EMPTY calibration split — no finite interval

@@ -37,6 +37,18 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (and coalesce) the plan BELOW a .cache() even
+    # when that changes the cached relation's output partitioning
+    # (SPARK-32717 machinery; off by default only to keep downstream
+    # partitioning assumptions stable — nothing here relies on a cached
+    # frame's physical partitioning). Without it, a cached aggregate
+    # materializes at the full static shuffle-partition count and every
+    # consumer job pays that task count forever: measured at sf0.1 with
+    # shuffle=32, q_cross_source_contamination 1.66→0.76 s and
+    # q_kmv_set_ops 1.49→0.84 s from this conf alone (r13). At 100 TB
+    # the same effect right-sizes cached-build reducers by bytes instead
+    # of pinning the conf count.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for the few pandas-interop edges (multimodal decode UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Runtime bloom-filter join pruning (pinned, not left to the build's

@@ -76,16 +76,37 @@ def _start_and_await(writer, timeout_s: int):
     result — the fresh-dir-per-start discipline is what the previous
     implicit temp-checkpoint behavior guaranteed, now kept while the
     checkpoint I/O (offset/commit WAL fsyncs, state-store deltas) lands
-    on the RAM-backed scratch root instead of disk-backed /tmp."""
+    on the RAM-backed scratch root instead of disk-backed /tmp.
+
+    State-store partition count: a streaming query snapshots
+    ``spark.sql.shuffle.partitions`` at start and pays a per-partition
+    state-store open/commit per micro-batch, so the BATCH session's
+    shuffle sizing (which now scales with the core count — r12 verdict
+    item 1) is the wrong knob here: 32 state partitions measured 3-6×
+    slower than 8 on these finite replays (r12 §5 A/B — per-partition
+    commit overhead dominates at replay state sizes). The replays
+    therefore pin ``SPARK_GRAFT_STREAM_SHUFFLE`` (default 8) around
+    ``start()`` and restore the session conf after; a production
+    deployment sizes it to state volume / aggregate key cardinality,
+    not cores."""
     import shutil
     import uuid
 
+    df = getattr(writer, "_df", None)
+    spark = df.sparkSession if df is not None else None
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    saved = None
     ck = os.path.join(_scratch_root(), "ckpt", uuid.uuid4().hex)
     try:
+        if spark is not None:
+            saved = spark.conf.get("spark.sql.shuffle.partitions", None)
+            spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
         query = writer.option("checkpointLocation", ck).start()
         _await_or_raise(query, timeout_s)
         return query
     finally:
+        if spark is not None and saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(ck, ignore_errors=True)
 
 

@@ -37,12 +37,54 @@ def main() -> int:
     names = only or list(qs)
     out_dir = os.path.join("/root/repo/plans", tag)
     os.makedirs(out_dir, exist_ok=True)
+
+    def _explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # Driver-assembled queries (theil_sen, kmv_set_ops, conformal): the
+    # returned frame is a createDataFrame stub — the distributed work
+    # happens in internal frames executed during construction. Each
+    # operator exposes a ``_probe`` hook that records those REAL frames
+    # (the very objects it collects); their plans are appended to the
+    # query's plan file so the optimization evidence is the actual
+    # physical shape, not a 400-byte ExistingRDD stub (r12 verdict
+    # item 6).
+    def _probed(op, table, *args):
+        def build(spark, sf):
+            from clusterforge_spark.sources.readers import load_table
+
+            probe: dict = {}
+            final = op(load_table(spark, sf, table), *args, _probe=probe)
+            return final, probe
+
+        return build
+
+    from clusterforge_spark.operators import relational as R
+    from clusterforge_spark.operators import sketches as SK
+    from clusterforge_spark.operators import validation as V
+
+    PROBED = {
+        "q_theil_sen": _probed(R.theil_sen, "lineitem"),
+        "q_kmv_set_ops": _probed(SK.kmv_set_ops, "events"),
+        "q_conformal_interval": _probed(V.conformal_interval, "orders"),
+    }
+
     for name in names:
         try:
-            df = qs[name](spark, SF_DIR)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            if name in PROBED:
+                df, probe = PROBED[name](spark, SF_DIR)
+                txt = _explain(df)
+                for key, frame in probe.items():
+                    try:
+                        sub = _explain(frame)
+                    except Exception as exc:  # noqa: BLE001
+                        sub = f"EXPLAIN FAILED: {exc}\n"
+                    txt += f"\n\n=== internal distributed frame: {key} ===\n{sub}"
+            else:
+                df = qs[name](spark, SF_DIR)
+                txt = _explain(df)
         except Exception as exc:  # noqa: BLE001
             txt = f"EXPLAIN FAILED: {exc}\n"
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as fh:

@@ -185,8 +185,40 @@ EMB_QUERIES = {
 }
 
 
+def _disable_materialize_gates() -> None:
+    """STRESS_GATE_OFF=1: push every size-dependent materialize gate to
+    infinity so the operators take their BELOW-GATE (re-scan) shape at
+    any input size — the exact pre-r12 operator sequence (each gate's
+    below-threshold plan was verified operator-identical to the old
+    code in OPTIMIZATION_r12). Lets the harness measure old-vs-new on
+    the same tree, at the 10× replica where the gates actually fire."""
+    import clusterforge_spark.operators.relational as REL
+    import clusterforge_spark.operators.similarity as SIM
+    import clusterforge_spark.operators.sketches as SKC
+    import clusterforge_spark.operators.text as TXT
+
+    huge = 1 << 62
+    TXT.TEXT_MATERIALIZE_BYTES = huge
+    REL.BASKET_MATERIALIZE_BYTES = huge
+
+    def _patch_default(fn) -> None:
+        fn.__defaults__ = tuple(
+            huge if d == (8 << 20) else d for d in (fn.__defaults__ or ())
+        )
+
+    _patch_default(REL.spearman_matrix)
+    _patch_default(SIM.dim_truncation_recall)
+    _patch_default(SIM.quantization_recall)
+    _patch_default(SKC.quantile_histogram_estimate)
+    _patch_default(TXT.wasserstein_length_by_source)
+    print("STRESS_GATE_OFF: materialize gates disabled (below-gate shapes)", flush=True)
+
+
 def main() -> int:
     from clusterforge_spark.session import get_spark
+
+    if os.environ.get("STRESS_GATE_OFF", "0") == "1":
+        _disable_materialize_gates()
 
     names = sys.argv[1:] or DEFAULT_QUERIES
     # r8: point the artifact registry at a scratch dir so (a) the repo
