@@ -16,9 +16,27 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, functions as F
 
 
-def spread_partitions(df: DataFrame, col: str | None = None) -> DataFrame:
-    """Repartition to the session's full core count (by ``col`` if given)."""
+def spread_partitions(
+    df: DataFrame, col: str | None = None, bytes_per_task: int | None = None
+) -> DataFrame:
+    """Repartition to the session's full core count (by ``col`` if given).
+
+    With ``bytes_per_task`` the partition count is instead derived from
+    the SOURCE bytes of the scan, clamped to [1, defaultParallelism] —
+    the sizing for Python-boundary stages (``mapInPandas``/
+    ``mapInArrow``): each partition costs a Python-worker dispatch and
+    an Arrow stream setup, so fanning a few hundred KB across 32 workers
+    pays 32 fixed costs to move crumbs (r12 verdict item 4:
+    q_multimodal_decode ran 2× FASTER on 8 cores than 32). Deriving the
+    count from bytes keeps small inputs on few, full batches — and the
+    SAME plan at any core count — while large inputs (bytes ≫
+    cores·bytes_per_task) still spread to every core. Falls back to the
+    full spread when the input isn't a simple file scan."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_task is not None:
+        src = source_bytes(df)
+        if src is not None:
+            n = max(1, min(n, (src + bytes_per_task - 1) // bytes_per_task))
     return df.repartition(n, col) if col else df.repartition(n)
 
 

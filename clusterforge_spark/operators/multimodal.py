@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+
+#: bytes of source per Python-boundary task (mapInPandas fan-out sizing;
+#: see functions/partitioning.spread_partitions): small corpora stay on
+#: few, full Arrow batches instead of paying per-worker dispatch for
+#: crumbs; at scale the [1, defaultParallelism] clamp keeps every core
+#: busy. 256 KB ≈ the point where one worker's decode outruns the fixed
+#: dispatch cost on this family's byte-statistics decode.
+ARROW_BYTES_PER_TASK = 256 << 10
+
 def attach_payload(documents: DataFrame) -> DataFrame:
     """Fake-image rows: payload = utf-8 bytes of text; metadata derived
     from doc_id / n_chars only (no engine-specific hashing)."""
@@ -117,7 +126,7 @@ def decode_real_features(frames: DataFrame, thumb_size: int = 8) -> DataFrame:
 
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    frames = spread_partitions(frames, "doc_id")
+    frames = spread_partitions(frames, "doc_id", bytes_per_task=ARROW_BYTES_PER_TASK)
 
     def _real_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -162,10 +171,12 @@ def decode_features(frames: DataFrame, frame_stride: int = 4) -> DataFrame:
 
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    # spread across cores before entering Python: a single-file scan is
-    # one partition, which would serialize the (conceptually expensive)
-    # decode step onto one Arrow worker
-    frames = spread_partitions(frames, "doc_id")
+    # spread before entering Python — sized by source bytes, not cores:
+    # a single-file scan is one partition (which would serialize the
+    # decode onto one Arrow worker), but fanning a small corpus across
+    # every core pays per-worker dispatch for crumbs (measured 2× slower
+    # at 32 cores than 8 on the sf0.1 594 KB corpus)
+    frames = spread_partitions(frames, "doc_id", bytes_per_task=ARROW_BYTES_PER_TASK)
 
     import math
 
@@ -433,7 +444,9 @@ def decode_real_audio(clips: DataFrame) -> DataFrame:
 
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    clips = spread_partitions(clips.select("doc_id", "payload"), "doc_id")
+    clips = spread_partitions(
+        clips.select("doc_id", "payload"), "doc_id", bytes_per_task=ARROW_BYTES_PER_TASK
+    )
 
     def _decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -513,7 +526,9 @@ def attach_wav_payload(documents: DataFrame) -> DataFrame:
 
     from clusterforge_spark.functions.partitioning import spread_partitions
 
-    docs = spread_partitions(documents.select("doc_id", "text"), "doc_id")
+    docs = spread_partitions(
+        documents.select("doc_id", "text"), "doc_id", bytes_per_task=ARROW_BYTES_PER_TASK
+    )
 
     def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
