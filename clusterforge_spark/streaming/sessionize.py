@@ -65,7 +65,7 @@ def _scratch_root() -> str:
     return os.path.join(tempfile.gettempdir(), "clusterforge_rt")
 
 
-def _start_and_await(writer, timeout_s: int):
+def _start_and_await(writer, timeout_s: int, state_partitions: int | None = None):
     """Start a fully-configured ``DataStreamWriter`` with a FRESH
     scratch checkpoint dir, run it to completion, delete the
     checkpoint, and return the (terminated) query.
@@ -94,7 +94,12 @@ def _start_and_await(writer, timeout_s: int):
 
     df = getattr(writer, "_df", None)
     spark = df.sparkSession if df is not None else None
-    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    # precedence: explicit env (the deployment's sizing) > caller's
+    # measured per-shape default > the family default 8
+    stream_parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE",
+        str(state_partitions) if state_partitions else "8",
+    )
     saved = None
     ck = os.path.join(_scratch_root(), "ckpt", uuid.uuid4().hex)
     try:
@@ -467,12 +472,20 @@ def run_click_attribution_batchlike(
         read_events_stream(spark, sf_dir),
         max_gap_minutes=max_gap_minutes,
     )
+    # 4 state partitions, not the family's 8: the stream-stream join
+    # keeps TWO keyed state stores per partition per side, and this
+    # replay runs 2 micro-batches — per-partition store open/commit is
+    # its dominant cost at replay state sizes (interleaved ABAB at
+    # sf0.1: 2.46-2.54 s at 4 vs 3.1-5.1 s at 8, r13). A deployment
+    # overrides via SPARK_GRAFT_STREAM_SHUFFLE, sized to join-key
+    # cardinality.
     query = _start_and_await(
         stream.writeStream.format("memory")
         .queryName("click_attribution_out")
         .outputMode("append")
         .trigger(availableNow=True),
         timeout_s,
+        state_partitions=4,
     )
     return spark.table("click_attribution_out")
 
